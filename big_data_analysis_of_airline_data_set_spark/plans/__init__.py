@@ -8,9 +8,9 @@ driver's correctness harness.
 from __future__ import annotations
 
 from .spec import QuerySpec
-from . import relational
+from . import relational, statistics
 
-_MODULES = [relational]
+_MODULES = [relational, statistics]
 
 
 def all_queries() -> dict[str, QuerySpec]:

@@ -1,0 +1,162 @@
+"""Statistics query catalog (reference A2-A4 / M6-M11 surface).
+
+MLlib computations cross-checked against relational SQL oracles where
+expressible (correlation matrix, chi-square statistic/dof, variance
+threshold selection); univariate selectors are rows-only (p-value CDFs
+aren't SQL-expressible in DuckDB).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.readers import read_testdata_table
+from ..stats.chisquare import chi_square_test
+from ..stats.correlation import correlation_pairs_df
+from ..stats.selectors import (
+    select_univariate_categorical,
+    select_univariate_continuous,
+)
+from ..stats.variance import variance_threshold_select
+from .spec import QuerySpec
+
+_LINEITEM_NUMERIC = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+
+
+def q_mllib_correlation_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M6 — full Pearson matrix via one MLlib treeAggregate job
+    (Scripts/2_...py:59-61), flattened to the upper triangle."""
+    li = read_testdata_table(spark, sf_dir, "lineitem")
+    return correlation_pairs_df(spark, li, _LINEITEM_NUMERIC)
+
+
+def _corr_matrix_oracle() -> str:
+    cols = _LINEITEM_NUMERIC
+    selects = []
+    for i in range(len(cols)):
+        for j in range(i, len(cols)):
+            selects.append(
+                f"SELECT '{cols[i]}' AS col_a, '{cols[j]}' AS col_b, "
+                f"round(corr({cols[i]}, {cols[j]}), 6) AS corr FROM lineitem"
+            )
+    return " UNION ALL ".join(selects)
+
+
+def q_mllib_chi_square(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M7 — ChiSquareTest over one-fit-indexed categoricals
+    (Scripts/2_...py:56-57,91-93). Label = o_orderkey % 2.
+    p-value kept out of the oracled projection (no chi2 CDF in SQL)."""
+    o = read_testdata_table(spark, sf_dir, "orders").withColumn(
+        "label", (F.col("o_orderkey") % 2).cast("double")
+    )
+    res = chi_square_test(spark, o, ["o_orderpriority", "o_orderstatus"], "label")
+    return res.select("feature", "statistic", "dof")
+
+
+def _chi2_feature_sql(col: str) -> str:
+    """Chi-square statistic + dof for one categorical column vs the
+    o_orderkey%2 label, INCLUDING empty cells (MLlib builds the full
+    contingency table, so absent combinations contribute exp)."""
+    return f"""
+    SELECT '{col}' AS feature,
+           round(sum(pow(obs - rc*cc/n, 2) / (rc*cc/n)), 6) AS statistic,
+           (count(DISTINCT v) - 1) * (count(DISTINCT lab) - 1) AS dof
+    FROM (
+      SELECT g.v, g.lab, coalesce(o.c, 0)::DOUBLE AS obs
+      FROM (SELECT v, lab FROM (SELECT DISTINCT {col} AS v FROM orders)
+            CROSS JOIN (SELECT DISTINCT CAST(o_orderkey % 2 AS BIGINT) AS lab FROM orders)) g
+      LEFT JOIN (SELECT {col} AS v, CAST(o_orderkey % 2 AS BIGINT) AS lab,
+                        CAST(count(*) AS DOUBLE) AS c
+                 FROM orders GROUP BY 1, 2) o
+      USING (v, lab)
+    ) cells
+    JOIN (SELECT {col} AS v, CAST(count(*) AS DOUBLE) AS rc FROM orders GROUP BY 1) rt USING (v)
+    JOIN (SELECT CAST(o_orderkey % 2 AS BIGINT) AS lab, CAST(count(*) AS DOUBLE) AS cc
+          FROM orders GROUP BY 1) ct USING (lab)
+    CROSS JOIN (SELECT CAST(count(*) AS DOUBLE) AS n FROM orders) tot
+    """
+
+
+def q_variance_threshold_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M10/M11 — the "kth-largest variance as threshold" selection rule
+    (Scripts/2_...py:124-131), k=3 over the 4 lineitem numerics → the
+    top-2 variance columns survive (strict > semantics)."""
+    li = read_testdata_table(spark, sf_dir, "lineitem")
+    selected, _ = variance_threshold_select(li, _LINEITEM_NUMERIC, k=3)
+    return spark.createDataFrame([(c,) for c in selected], "feature string")
+
+
+_VARIANCE_THRESHOLD_ORACLE = """
+WITH v AS (
+  SELECT var_samp(l_quantity) AS l_quantity,
+         var_samp(l_extendedprice) AS l_extendedprice,
+         var_samp(l_discount) AS l_discount,
+         var_samp(l_tax) AS l_tax
+  FROM lineitem
+), long AS (
+  SELECT 'l_quantity' AS feature, l_quantity AS x FROM v
+  UNION ALL SELECT 'l_extendedprice', l_extendedprice FROM v
+  UNION ALL SELECT 'l_discount', l_discount FROM v
+  UNION ALL SELECT 'l_tax', l_tax FROM v
+), thr AS (SELECT x AS t FROM long ORDER BY x DESC LIMIT 1 OFFSET 2)
+SELECT feature FROM long CROSS JOIN thr WHERE x > t
+"""
+
+
+def q_univariate_select_categorical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M8 — chi-square top-N categorical selector (rows-only check;
+    Scripts/2_...py:103-107)."""
+    o = read_testdata_table(spark, sf_dir, "orders").withColumn(
+        "label", (F.col("o_orderkey") % 2).cast("double")
+    )
+    sel = select_univariate_categorical(
+        o, ["o_orderpriority", "o_orderstatus"], "label", num_top=1
+    )
+    return spark.createDataFrame([(c,) for c in sel], "feature string")
+
+
+def q_univariate_select_continuous(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M9 — ANOVA-F top-N continuous selector (rows-only check;
+    Scripts/2_...py:110-114)."""
+    li = read_testdata_table(spark, sf_dir, "lineitem").withColumn(
+        "label", (F.col("l_orderkey") % 2).cast("double")
+    )
+    sel = select_univariate_continuous(li, _LINEITEM_NUMERIC, "label", num_top=2)
+    return spark.createDataFrame([(c,) for c in sel], "feature string")
+
+
+QUERIES: dict[str, QuerySpec] = {
+    "mllib_correlation_matrix": QuerySpec(
+        "mllib_correlation_matrix",
+        q_mllib_correlation_matrix,
+        _corr_matrix_oracle(),
+        "M6 MLlib correlation matrix vs pairwise SQL corr",
+    ),
+    "mllib_chi_square": QuerySpec(
+        "mllib_chi_square",
+        q_mllib_chi_square,
+        " UNION ALL ".join(
+            [_chi2_feature_sql("o_orderpriority"), _chi2_feature_sql("o_orderstatus")]
+        ),
+        "M7 ChiSquareTest vs SQL contingency formula",
+    ),
+    "variance_threshold_features": QuerySpec(
+        "variance_threshold_features",
+        q_variance_threshold_features,
+        _VARIANCE_THRESHOLD_ORACLE,
+        "M10/M11 kth-largest-variance threshold selection",
+    ),
+    "univariate_select_categorical": QuerySpec(
+        "univariate_select_categorical",
+        q_univariate_select_categorical,
+        None,
+        "M8 chi2 top-N categorical selector (rows-only)",
+    ),
+    "univariate_select_continuous": QuerySpec(
+        "univariate_select_continuous",
+        q_univariate_select_continuous,
+        None,
+        "M9 ANOVA-F top-N continuous selector (rows-only)",
+    ),
+}

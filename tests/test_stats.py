@@ -1,0 +1,56 @@
+"""Stats module invariants beyond the oracle compare: Summarizer parity,
+selector determinism, threshold rule."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from big_data_analysis_of_airline_data_set_spark.sources.readers import read_testdata_table
+from big_data_analysis_of_airline_data_set_spark.stats import (
+    column_variances,
+    kth_largest_variance_threshold,
+    summarizer_variances,
+    variance_threshold_select,
+)
+from big_data_analysis_of_airline_data_set_spark.stats.chisquare import index_categoricals
+
+NUMERIC = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+
+
+def test_summarizer_matches_var_samp(spark, sf_dir):
+    li = read_testdata_table(spark, sf_dir, "lineitem")
+    a = column_variances(li, NUMERIC)
+    b = summarizer_variances(li, NUMERIC)
+    for c in NUMERIC:
+        assert math.isclose(a[c], b[c], rel_tol=1e-9), c
+
+
+def test_kth_largest_threshold_rule():
+    variances = {"a": 10.0, "b": 5.0, "c": 1.0, "d": 0.1}
+    assert kth_largest_variance_threshold(variances, 1) == 10.0
+    assert kth_largest_variance_threshold(variances, 3) == 1.0
+
+
+def test_variance_threshold_select_strictness(spark, sf_dir):
+    li = read_testdata_table(spark, sf_dir, "lineitem")
+    selected, threshold = variance_threshold_select(li, NUMERIC, k=3)
+    variances = column_variances(li, NUMERIC)
+    assert set(selected) == {c for c in NUMERIC if variances[c] > threshold}
+    assert len(selected) == 2  # top-2 of 4 with k=3 (big variance gaps)
+
+
+def test_multi_column_indexer_frequency_desc(spark, sf_dir):
+    """StringIndexer orders labels by frequency desc (ties lexical):
+    index 0 must be each column's modal value."""
+    o = read_testdata_table(spark, sf_dir, "orders")
+    indexed, out_cols = index_categoricals(o, ["o_orderstatus", "o_orderpriority"])
+    for src, idx in zip(["o_orderstatus", "o_orderpriority"], out_cols):
+        modal = (
+            o.groupBy(src).count().orderBy(F.desc("count"), src).limit(1).collect()[0][0]
+        )
+        top_indexed = (
+            indexed.filter(F.col(idx) == 0.0).select(src).distinct().collect()
+        )
+        assert len(top_indexed) == 1 and top_indexed[0][0] == modal
