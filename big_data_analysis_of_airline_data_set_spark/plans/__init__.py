@@ -8,9 +8,9 @@ driver's correctness harness.
 from __future__ import annotations
 
 from .spec import QuerySpec
-from . import relational, statistics
+from . import ml_queries, relational, statistics
 
-_MODULES = [relational, statistics]
+_MODULES = [relational, statistics, ml_queries]
 
 
 def all_queries() -> dict[str, QuerySpec]:
