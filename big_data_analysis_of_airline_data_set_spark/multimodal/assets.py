@@ -1,0 +1,60 @@
+"""Multimodal column plumbing: opaque binary payload + typed metadata.
+
+Pattern (beyond-reference north star): image/audio/video are
+``BinaryType`` columns; per-batch processing happens in Arrow-batched
+``mapInPandas`` — payloads never round-trip through Python row objects,
+and partition sizing keeps batches bounded
+(``spark.sql.execution.arrow.maxRecordsPerBatch`` governs batch rows).
+
+The container has no image/audio codecs, so decode is STUBBED
+(multimodal.decode); everything Spark-side — schema, binary columns,
+UDF signatures, batch iteration — is real and tested. ``asset_stats``
+is the oracle-checkable slice: byte length + md5 digest computed
+inside the pandas batches.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+ASSET_STATS_SCHEMA = "asset_id long, modality string, n_bytes long, digest string"
+
+
+def documents_to_assets(documents: DataFrame) -> DataFrame:
+    """Stand-in ingest: wrap document text as a binary payload with
+    modality metadata (the real pipeline would read image/audio files;
+    the column shapes are identical)."""
+    return documents.select(
+        F.col("doc_id").alias("asset_id"),
+        F.lit("text-blob").alias("modality"),
+        F.encode("text", "UTF-8").alias("payload"),
+        F.lit("application/octet-stream").alias("mime_type"),
+    )
+
+
+def asset_stats(assets: DataFrame) -> DataFrame:
+    """Arrow-batched per-payload stats via mapInPandas: byte length and
+    md5 digest. This is the real multimodal execution shape — pandas
+    batches of binary payloads — with a deterministic, oracle-checkable
+    computation standing in for decode."""
+    import hashlib
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["asset_id"],
+                    "modality": pdf["modality"],
+                    "n_bytes": pdf["payload"].map(len).astype("int64"),
+                    "digest": pdf["payload"].map(
+                        lambda b: hashlib.md5(bytes(b)).hexdigest()
+                    ),
+                }
+            )
+
+    return assets.mapInPandas(batches, schema=ASSET_STATS_SCHEMA)

@@ -8,9 +8,9 @@ driver's correctness harness.
 from __future__ import annotations
 
 from .spec import QuerySpec
-from . import ml_queries, relational, statistics
+from . import content, ml_queries, relational, statistics
 
-_MODULES = [relational, statistics, ml_queries]
+_MODULES = [relational, statistics, ml_queries, content]
 
 
 def all_queries() -> dict[str, QuerySpec]:

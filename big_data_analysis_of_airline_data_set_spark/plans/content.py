@@ -1,0 +1,283 @@
+"""Content query catalog: text analysis, deduplication, similarity
+search, multimodal — the beyond-reference north-star operators over the
+``documents`` and ``embeddings`` tables.
+
+Oracle design notes:
+- token ops, lang-ID, fingerprints, exact dedup, n-gram Jaccard, and
+  embedding cosine are all expressible in DuckDB (list lambdas +
+  list_cosine_similarity) → full value checks;
+- MinHash-LSH / SimHash / LSH-ANN are engine-specific (xxhash64, MLlib
+  hash families) → rows-only here, with recall/property tests in
+  tests/test_content.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..dedup.embedding import embedding_near_dup_pairs
+from ..dedup.exact import exact_dedup_groups
+from ..dedup.minhash import minhash_near_dup_pairs
+from ..dedup.ngram import jaccard_pairs
+from ..dedup.simhash import simhash_near_dup_pairs
+from ..multimodal.assets import asset_stats, documents_to_assets
+from ..similarity.brute import brute_force_topk
+from ..similarity.lsh import lsh_topk
+from ..sources.readers import read_testdata_table
+from ..text.analysis import (
+    LANG_STOPWORDS,
+    content_fingerprint,
+    lang_id_expr,
+    quality_components,
+)
+from .spec import QuerySpec
+
+_NEAR_DUP_COSINE = 0.3  # testdata embeddings are near-orthogonal; 0.95 is vacuous there
+_JACCARD_THRESHOLD = 0.5
+
+
+# ---------------------------------------------------------------------------
+# Text analysis
+# ---------------------------------------------------------------------------
+
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = read_testdata_table(spark, sf_dir, "documents")
+    comp = quality_components(F.col("text"))
+    return d.select(
+        "doc_id",
+        comp["n_chars"].alias("n_chars"),
+        comp["n_tokens"].alias("n_tokens"),
+        F.round(comp["mean_token_len"], 6).alias("mean_token_len"),
+        F.round(comp["stopword_ratio"], 6).alias("stopword_ratio"),
+    )
+
+
+_EN_STOP_SQL = ", ".join(f"'{w}'" for w in LANG_STOPWORDS["en"])
+
+_TEXT_STATS_ORACLE = f"""
+SELECT doc_id,
+       CAST(length(text) AS BIGINT) AS n_chars,
+       CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS n_tokens,
+       round(CAST(length(regexp_replace(text, '\\s', '', 'g')) AS DOUBLE)
+             / len(regexp_split_to_array(trim(text), '\\s+')), 6) AS mean_token_len,
+       round(CAST(len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                                  t -> t IN ({_EN_STOP_SQL}))) AS DOUBLE)
+             / len(regexp_split_to_array(trim(text), '\\s+')), 6) AS stopword_ratio
+FROM documents
+"""
+
+
+def q_text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = read_testdata_table(spark, sf_dir, "documents")
+    return d.select("doc_id", lang_id_expr(F.col("text")).alias("lang_pred"))
+
+
+def _lang_id_oracle() -> str:
+    langs = list(LANG_STOPWORDS)
+    counts = {
+        lang: (
+            f"len(list_filter(regexp_split_to_array(trim(text), '\\s+'), "
+            f"t -> t IN ({', '.join(repr(w) for w in words)})))"
+        )
+        for lang, words in LANG_STOPWORDS.items()
+    }
+    whens = []
+    for i, lang in enumerate(langs):
+        conds = [f"{counts[lang]} > 0"]
+        for j, other in enumerate(langs):
+            if other == lang:
+                continue
+            op = ">" if j < i else ">="
+            conds.append(f"{counts[lang]} {op} {counts[other]}")
+        whens.append(f"WHEN {' AND '.join(conds)} THEN '{lang}'")
+    case = "CASE " + " ".join(whens) + " ELSE 'und' END"
+    return f"SELECT doc_id, {case} AS lang_pred FROM documents"
+
+
+def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = read_testdata_table(spark, sf_dir, "documents")
+    return d.select("doc_id", content_fingerprint(F.col("text")).alias("fingerprint"))
+
+
+_FINGERPRINT_ORACLE = """
+SELECT doc_id, md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fingerprint
+FROM documents
+"""
+
+
+# ---------------------------------------------------------------------------
+# Deduplication
+# ---------------------------------------------------------------------------
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = read_testdata_table(spark, sf_dir, "documents")
+    return exact_dedup_groups(d, F.col("text"), F.col("doc_id"))
+
+
+_DEDUP_EXACT_ORACLE = """
+SELECT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fingerprint,
+       count(*) AS n_copies,
+       min(doc_id) AS keep_id
+FROM documents GROUP BY 1
+"""
+
+
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = read_testdata_table(spark, sf_dir, "documents")
+    return jaccard_pairs(
+        d,
+        id_col="doc_id",
+        text_col="text",
+        n=3,
+        threshold=_JACCARD_THRESHOLD,
+        length_band=50,
+        length_col="n_chars",
+    )
+
+
+_NGRAM_JACCARD_ORACLE = f"""
+WITH sh AS (
+  SELECT doc_id, n_chars,
+         list_distinct(list_transform(
+           generate_series(1, len(regexp_split_to_array(trim(text), '\\s+')) - 2),
+           i -> regexp_split_to_array(trim(text), '\\s+')[i] || ' ' ||
+                regexp_split_to_array(trim(text), '\\s+')[i+1] || ' ' ||
+                regexp_split_to_array(trim(text), '\\s+')[i+2]
+         )) AS grams
+  FROM documents
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       round(CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+             / len(list_distinct(list_cat(a.grams, b.grams))), 6) AS jaccard
+FROM sh a JOIN sh b
+  ON a.doc_id < b.doc_id AND abs(a.n_chars - b.n_chars) <= 50
+WHERE len(list_distinct(list_cat(a.grams, b.grams))) > 0
+  AND CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+      / len(list_distinct(list_cat(a.grams, b.grams))) >= {_JACCARD_THRESHOLD}
+"""
+
+
+def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = read_testdata_table(spark, sf_dir, "documents")
+    return minhash_near_dup_pairs(
+        d, id_col="doc_id", text_col="text", n=3, threshold=_JACCARD_THRESHOLD
+    )
+
+
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = read_testdata_table(spark, sf_dir, "documents")
+    return simhash_near_dup_pairs(d, id_col="doc_id", text_col="text", max_hamming=3)
+
+
+def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = read_testdata_table(spark, sf_dir, "embeddings")
+    return embedding_near_dup_pairs(
+        e, id_col="vec_id", vec_col="embedding", threshold=_NEAR_DUP_COSINE
+    )
+
+
+_EMBEDDING_COSINE_ORACLE = f"""
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                    CAST(b.embedding AS DOUBLE[])), 6) AS cosine
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                   CAST(b.embedding AS DOUBLE[])), 6) >= {_NEAR_DUP_COSINE}
+"""
+
+
+# ---------------------------------------------------------------------------
+# Similarity search
+# ---------------------------------------------------------------------------
+
+def _query_vector(spark: SparkSession, sf_dir: str) -> list[float]:
+    e = read_testdata_table(spark, sf_dir, "embeddings")
+    return [float(x) for x in e.filter(F.col("vec_id") == 0).first().embedding]
+
+
+def q_ann_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = read_testdata_table(spark, sf_dir, "embeddings")
+    qv = _query_vector(spark, sf_dir)
+    return brute_force_topk(e, qv, id_col="vec_id", vec_col="embedding", k=10)
+
+
+_ANN_BRUTE_ORACLE = """
+WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0)
+SELECT vec_id AS id,
+       round(list_cosine_similarity(CAST(embedding AS DOUBLE[]), qv), 6) AS cosine
+FROM embeddings CROSS JOIN q
+ORDER BY cosine DESC, id ASC LIMIT 10
+"""
+
+
+def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = read_testdata_table(spark, sf_dir, "embeddings")
+    qv = _query_vector(spark, sf_dir)
+    return lsh_topk(e, qv, id_col="vec_id", vec_col="embedding", k=10)
+
+
+# ---------------------------------------------------------------------------
+# Multimodal
+# ---------------------------------------------------------------------------
+
+def q_multimodal_asset_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = read_testdata_table(spark, sf_dir, "documents")
+    return asset_stats(documents_to_assets(d))
+
+
+_ASSET_STATS_ORACLE = """
+SELECT doc_id AS asset_id,
+       'text-blob' AS modality,
+       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+       md5(text) AS digest
+FROM documents
+"""
+
+
+QUERIES: dict[str, QuerySpec] = {
+    "text_stats": QuerySpec(
+        "text_stats", q_text_stats, _TEXT_STATS_ORACLE,
+        "token/char counts, mean token length, stopword ratio",
+    ),
+    "text_lang_id": QuerySpec(
+        "text_lang_id", q_text_lang_id, _lang_id_oracle(),
+        "stopword-argmax language ID",
+    ),
+    "text_fingerprint": QuerySpec(
+        "text_fingerprint", q_text_fingerprint, _FINGERPRINT_ORACLE,
+        "md5 content fingerprint of normalized text",
+    ),
+    "dedup_exact": QuerySpec(
+        "dedup_exact", q_dedup_exact, _DEDUP_EXACT_ORACLE,
+        "exact dedup groups via fingerprint hash-groupBy",
+    ),
+    "dedup_ngram_jaccard": QuerySpec(
+        "dedup_ngram_jaccard", q_dedup_ngram_jaccard, _NGRAM_JACCARD_ORACLE,
+        "exact 3-gram Jaccard near-dup pairs (length-banded)",
+    ),
+    "dedup_minhash_lsh": QuerySpec(
+        "dedup_minhash_lsh", q_dedup_minhash, None,
+        "MinHash-LSH approximate near-dup pairs (rows-only; recall vs exact tested)",
+    ),
+    "dedup_simhash": QuerySpec(
+        "dedup_simhash", q_dedup_simhash, None,
+        "SimHash banded near-dup pairs (rows-only; property-tested)",
+    ),
+    "dedup_embedding_cosine": QuerySpec(
+        "dedup_embedding_cosine", q_dedup_embedding_cosine, _EMBEDDING_COSINE_ORACLE,
+        "embedding-cosine near-dup pairs (exact, JVM-side math)",
+    ),
+    "ann_bruteforce_topk": QuerySpec(
+        "ann_bruteforce_topk", q_ann_bruteforce, _ANN_BRUTE_ORACLE,
+        "brute-force cosine top-k (exact ANN baseline)",
+    ),
+    "ann_lsh_topk": QuerySpec(
+        "ann_lsh_topk", q_ann_lsh, None,
+        "LSH-bucketed approximate cosine top-k (rows-only; recall tested)",
+    ),
+    "multimodal_asset_stats": QuerySpec(
+        "multimodal_asset_stats", q_multimodal_asset_stats, _ASSET_STATS_ORACLE,
+        "binary-payload stats via Arrow-batched mapInPandas",
+    ),
+}

@@ -1,0 +1,30 @@
+"""Brute-force cosine top-k over an embedding column — the exact
+baseline for ANN. One scan, JVM-side arithmetic, top-k via
+orderBy+limit (Spark plans a TakeOrderedAndProject: per-partition
+heaps, no full sort shuffle)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..dedup.embedding import cosine_sim_expr
+
+
+def brute_force_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    *,
+    id_col: str,
+    vec_col: str,
+    k: int = 10,
+) -> DataFrame:
+    """(id, cosine) of the k nearest rows to ``query_vec`` by cosine,
+    deterministic tie-break on id."""
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    cos = F.round(cosine_sim_expr(F.col(vec_col), q), 6)
+    return (
+        df.select(F.col(id_col).alias("id"), cos.alias("cosine"))
+        .orderBy(F.desc("cosine"), F.asc("id"))
+        .limit(k)
+    )

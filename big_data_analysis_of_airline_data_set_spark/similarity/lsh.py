@@ -1,0 +1,82 @@
+"""LSH-bucketed approximate nearest neighbor — the scale path.
+
+BucketedRandomProjectionLSH over L2-normalized vectors: for unit
+vectors, Euclidean distance is monotone in cosine
+(d² = 2 - 2·cos), so approxNearestNeighbors on normalized vectors IS
+approximate cosine ANN. Candidates come from hash-bucket collisions
+(multi-probe across numHashTables); only candidates pay the exact
+distance computation.
+
+At 100 TB: the index (hash values) is computed in one pass and the
+query probes touch only colliding buckets — this is the IVF/LSH
+shape the north star asks for.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.ml.feature import BucketedRandomProjectionLSH, Normalizer, VectorAssembler
+from pyspark.ml.functions import array_to_vector
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+SEED = 777
+
+
+def _normalized_vectors(df: DataFrame, *, id_col: str, vec_col: str) -> DataFrame:
+    vec = df.select(
+        F.col(id_col).alias("_id"), array_to_vector(F.col(vec_col)).alias("_vec_raw")
+    )
+    return Normalizer(inputCol="_vec_raw", outputCol="_vec", p=2.0).transform(vec)
+
+
+def fit_lsh_model(
+    df: DataFrame,
+    *,
+    id_col: str,
+    vec_col: str,
+    bucket_length: float = 0.5,
+    num_hash_tables: int = 8,
+):
+    """Returns (model, indexed_df) ready for approx queries."""
+    normed = _normalized_vectors(df, id_col=id_col, vec_col=vec_col)
+    lsh = BucketedRandomProjectionLSH(
+        inputCol="_vec",
+        outputCol="_hashes",
+        bucketLength=bucket_length,
+        numHashTables=num_hash_tables,
+        seed=SEED,
+    )
+    model = lsh.fit(normed)
+    return model, model.transform(normed)
+
+
+def lsh_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    *,
+    id_col: str,
+    vec_col: str,
+    k: int = 10,
+    bucket_length: float = 0.5,
+    num_hash_tables: int = 8,
+) -> DataFrame:
+    """(id, cosine_approx) — approximate top-k by cosine via normalized
+    Euclidean ANN. cosine = 1 - d²/2 for unit vectors."""
+    from pyspark.ml.linalg import Vectors
+
+    model, indexed = fit_lsh_model(
+        df,
+        id_col=id_col,
+        vec_col=vec_col,
+        bucket_length=bucket_length,
+        num_hash_tables=num_hash_tables,
+    )
+    norm = math.sqrt(sum(x * x for x in query_vec)) or 1.0
+    q = Vectors.dense([x / norm for x in query_vec])
+    neighbors = model.approxNearestNeighbors(indexed, q, k, distCol="_dist")
+    return neighbors.select(
+        F.col("_id").alias("id"),
+        F.round(1.0 - F.col("_dist") * F.col("_dist") / 2.0, 6).alias("cosine_approx"),
+    )

@@ -1,0 +1,21 @@
+from .analysis import (
+    tokens_col,
+    token_count,
+    normalized_text,
+    content_fingerprint,
+    stopword_count,
+    lang_id_expr,
+    quality_components,
+    LANG_STOPWORDS,
+)
+
+__all__ = [
+    "tokens_col",
+    "token_count",
+    "normalized_text",
+    "content_fingerprint",
+    "stopword_count",
+    "lang_id_expr",
+    "quality_components",
+    "LANG_STOPWORDS",
+]

@@ -1,0 +1,91 @@
+"""Text-analysis column library (beyond-reference north star: the ops a
+large-scale training-data pipeline runs over a ``documents`` table).
+
+All pure JVM-side Column expressions (no UDFs): tokenization, token
+stats, stopword-based language ID, quality components, and content
+fingerprints. Each is deliberately SQL-expressible so the DuckDB oracle
+can replicate it exactly — the point is correctness at 100 TB with
+whole-stage codegen, not Python loops.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Minimal per-language stopword lists for n-gram/stopword language ID.
+# Tie-break order is the tuple order (first wins).
+LANG_STOPWORDS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of", "and", "is"),
+    "de": ("der", "die", "das", "und", "ist"),
+    "es": ("el", "los", "de", "y", "es"),
+    "fr": ("le", "les", "et", "une", "est"),
+}
+
+
+def normalized_text(text: Column) -> Column:
+    """lower + whitespace-collapse + trim — canonical form for
+    fingerprinting and exact dedup."""
+    return F.trim(F.regexp_replace(F.lower(text), r"\s+", " "))
+
+
+def tokens_col(text: Column) -> Column:
+    """Whitespace tokenization of the trimmed text."""
+    return F.split(F.trim(text), r"\s+")
+
+
+def token_count(text: Column) -> Column:
+    return F.size(tokens_col(text)).cast("long")
+
+
+def content_fingerprint(text: Column) -> Column:
+    """Document fingerprint: md5 of the normalized text. (Content-hash
+    fingerprinting; engine-portable by construction, unlike xxhash64
+    which is Spark-specific — that variant lives in dedup.simhash.)"""
+    return F.md5(normalized_text(text))
+
+
+def stopword_count(text: Column, words: tuple[str, ...]) -> Column:
+    """How many tokens are in ``words`` (duplicates counted)."""
+    wordset = F.array(*[F.lit(w) for w in words])
+    return F.size(F.filter(tokens_col(text), lambda t: F.array_contains(wordset, t))).cast(
+        "long"
+    )
+
+
+def lang_id_expr(text: Column) -> Column:
+    """Stopword-count argmax over LANG_STOPWORDS, ties resolved by dict
+    order, 'und' (undetermined) when no list matches at all."""
+    counts = {lang: stopword_count(text, words) for lang, words in LANG_STOPWORDS.items()}
+    langs = list(LANG_STOPWORDS)
+    expr = F.lit("und")
+    # build the CASE from last to first so earlier langs win ties
+    for lang in reversed(langs):
+        cond = counts[lang] > 0
+        for other in langs:
+            if other == lang:
+                continue
+            # strictly greater than languages EARLIER in tie order,
+            # greater-or-equal to later ones
+            if langs.index(other) < langs.index(lang):
+                cond = cond & (counts[lang] > counts[other])
+            else:
+                cond = cond & (counts[lang] >= counts[other])
+        expr = F.when(cond, F.lit(lang)).otherwise(expr)
+    return expr
+
+
+def quality_components(text: Column) -> dict[str, Column]:
+    """Document-quality signals: length, token stats, stopword ratio,
+    mean token length. Combine however the pipeline needs; the catalog
+    query freezes one scoring formula."""
+    n_tokens = token_count(text)
+    n_chars = F.length(text).cast("long")
+    non_space = F.length(F.regexp_replace(text, r"\s", ""))
+    en_stop = stopword_count(text, LANG_STOPWORDS["en"])
+    return {
+        "n_chars": n_chars,
+        "n_tokens": n_tokens,
+        "mean_token_len": (non_space.cast("double") / n_tokens),
+        "stopword_ratio": (en_stop.cast("double") / n_tokens),
+    }

@@ -1,0 +1,88 @@
+"""Beyond-reference op invariants: MinHash recall vs exact Jaccard,
+SimHash properties, LSH-ANN recall vs brute force, multimodal stubs."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from big_data_analysis_of_airline_data_set_spark.dedup import (
+    minhash_near_dup_pairs,
+    simhash_col,
+)
+from big_data_analysis_of_airline_data_set_spark.dedup.ngram import jaccard_pairs
+from big_data_analysis_of_airline_data_set_spark.multimodal import (
+    decode_image,
+    extract_fake_features,
+    documents_to_assets,
+    FEATURE_DIM,
+)
+from big_data_analysis_of_airline_data_set_spark.plans.content import (
+    q_ann_bruteforce,
+    q_ann_lsh,
+)
+from big_data_analysis_of_airline_data_set_spark.sources.readers import read_testdata_table
+
+
+def test_minhash_finds_exact_jaccard_pairs(spark, sf_dir):
+    """LSH candidates must cover most truly-similar pairs (recall), and
+    its distance must agree with exact Jaccard on shared pairs."""
+    d = read_testdata_table(spark, sf_dir, "documents")
+    exact = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in jaccard_pairs(
+            d, id_col="doc_id", text_col="text", threshold=0.5, length_col="n_chars"
+        ).collect()
+    }
+    approx = {
+        (r.id_a, r.id_b): 1.0 - r.jaccard_distance
+        for r in minhash_near_dup_pairs(
+            d, id_col="doc_id", text_col="text", threshold=0.5
+        ).collect()
+    }
+    if exact:
+        found = sum(1 for k in exact if k in approx)
+        assert found / len(exact) >= 0.8, f"recall {found}/{len(exact)}"
+        for k in exact.keys() & approx.keys():
+            assert abs(exact[k] - approx[k]) < 1e-4
+    else:
+        pytest.skip("no exact near-dup pairs at this sf")
+
+
+def test_simhash_properties(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumps over the lazy dog"),   # identical
+        (3, "completely different words entirely unrelated content here"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    hashes = {r.doc_id: r.simhash for r in simhash_col(df, id_col="doc_id", text_col="text").collect()}
+    assert hashes[1] == hashes[2]
+    assert hashes[1] != hashes[3]
+
+
+def test_ann_lsh_recall_vs_bruteforce(spark, sf_dir):
+    exact_ids = {r.id for r in q_ann_bruteforce(spark, sf_dir).collect()}
+    approx_ids = {r.id for r in q_ann_lsh(spark, sf_dir).collect()}
+    assert len(exact_ids) == 10
+    recall = len(exact_ids & approx_ids) / 10
+    assert recall >= 0.6, f"ANN recall@10 = {recall}"
+
+
+def test_decode_stub_raises(spark):
+    with pytest.raises(NotImplementedError):
+        decode_image(b"\x00", "image/png")
+
+
+def test_fake_features_shape_and_determinism(spark, sf_dir):
+    d = read_testdata_table(spark, sf_dir, "documents").limit(20)
+    assets = documents_to_assets(d)
+    feats = extract_fake_features(assets).collect()
+    assert len(feats) == 20
+    for r in feats:
+        assert len(r.features) == FEATURE_DIM
+        assert abs(sum(r.features) - 1.0) < 1e-3  # normalized histogram
+    again = extract_fake_features(documents_to_assets(d)).collect()
+    assert sorted((r.asset_id, tuple(r.features)) for r in feats) == sorted(
+        (r.asset_id, tuple(r.features)) for r in again
+    )
