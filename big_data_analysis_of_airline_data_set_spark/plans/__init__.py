@@ -8,9 +8,9 @@ driver's correctness harness.
 from __future__ import annotations
 
 from .spec import QuerySpec
-from . import content, ml_queries, relational, statistics
+from . import content, events_queries, ml_queries, relational, statistics
 
-_MODULES = [relational, statistics, ml_queries, content]
+_MODULES = [relational, statistics, ml_queries, content, events_queries]
 
 
 def all_queries() -> dict[str, QuerySpec]:

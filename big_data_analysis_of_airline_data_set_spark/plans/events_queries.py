@@ -1,0 +1,114 @@
+"""Events/streaming query catalog — batch-mode runs of the
+DataFrame-symmetric window transforms (streaming.windows), each with a
+DuckDB oracle. The streaming execution of the same transforms is
+exercised in tests/test_streaming.py (non-SQL-expressible runtime:
+watermarks, incremental state).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..sources.readers import read_testdata_table
+from ..streaming.windows import (
+    json_extract_k,
+    session_counts,
+    sliding_counts,
+    tumbling_counts,
+)
+from .spec import QuerySpec
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return read_testdata_table(spark, sf_dir, "events")
+
+
+def q_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tumbling_counts(_events(spark, sf_dir), width="1 hour")
+
+
+_TUMBLING_ORACLE = """
+SELECT strftime(time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP)),
+                '%Y-%m-%d %H:%M:%S') AS window_start,
+       event_type,
+       count(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+FROM events GROUP BY 1, 2
+"""
+
+
+def q_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sliding_counts(_events(spark, sf_dir), width="1 hour", slide="30 minutes")
+
+
+# An event at t belongs to the two 1h windows starting at floor30(t) and
+# floor30(t) - 30min (width/slide = 2 overlapping windows).
+_SLIDING_ORACLE = """
+WITH placed AS (
+  SELECT time_bucket(INTERVAL '30 minutes', CAST(ts AS TIMESTAMP)) AS window_start,
+         event_type FROM events
+  UNION ALL
+  SELECT time_bucket(INTERVAL '30 minutes', CAST(ts AS TIMESTAMP)) - INTERVAL '30 minutes',
+         event_type FROM events
+)
+SELECT strftime(window_start, '%Y-%m-%d %H:%M:%S') AS window_start,
+       event_type, count(*) AS n_events
+FROM placed GROUP BY 1, 2
+"""
+
+
+def q_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return session_counts(_events(spark, sf_dir), gap="5 minutes")
+
+
+# Gaps-and-islands: a new session starts when the gap from the previous
+# event of the same user is >= 5 minutes (session_window's end-exclusive
+# [start, last+gap) semantics).
+_SESSION_ORACLE = """
+WITH marked AS (
+  SELECT user_id, ts,
+         CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                   >= INTERVAL '5 minutes'
+              OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+              THEN 1 ELSE 0 END AS is_new
+  FROM events
+), islands AS (
+  SELECT user_id, ts,
+         sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                           ROWS UNBOUNDED PRECEDING) AS session_no
+  FROM marked
+)
+SELECT user_id,
+       strftime(CAST(min(ts) AS TIMESTAMP), '%Y-%m-%d %H:%M:%S') AS session_start,
+       count(*) AS n_events
+FROM islands GROUP BY user_id, session_no
+"""
+
+
+def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return json_extract_k(_events(spark, sf_dir))
+
+
+_JSON_ORACLE = """
+SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k FROM events
+"""
+
+
+QUERIES: dict[str, QuerySpec] = {
+    "events_tumbling_window": QuerySpec(
+        "events_tumbling_window", q_tumbling, _TUMBLING_ORACLE,
+        "1h tumbling window counts + exact sums",
+    ),
+    "events_sliding_window": QuerySpec(
+        "events_sliding_window", q_sliding, _SLIDING_ORACLE,
+        "1h/30m sliding window counts",
+    ),
+    "events_session_window": QuerySpec(
+        "events_session_window", q_session, _SESSION_ORACLE,
+        "5-minute-gap session windows per user",
+    ),
+    "events_json_extract": QuerySpec(
+        "events_json_extract", q_json_extract, _JSON_ORACLE,
+        "scalar JSON extraction from props",
+    ),
+}

@@ -1,0 +1,16 @@
+from .windows import tumbling_counts, sliding_counts, session_counts, json_extract_k
+from .jobs import (
+    events_stream_reader,
+    run_tumbling_stream_available_now,
+    run_dedup_stream_available_now,
+)
+
+__all__ = [
+    "tumbling_counts",
+    "sliding_counts",
+    "session_counts",
+    "json_extract_k",
+    "events_stream_reader",
+    "run_tumbling_stream_available_now",
+    "run_dedup_stream_available_now",
+]
