@@ -1,0 +1,81 @@
+#!/usr/bin/env python
+"""Benchmark harness: runs the headline query suite at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+
+  {"metric": "suite_wall_clock", "value": <total sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": <sf>}
+
+Headline set = one representative of each execution shape: scan+pivot
+(flagship), shuffle join+agg, time agg, top-k, window function,
+relational chi-square, streaming-symmetric event windows, session
+windows, text analytics, exact dedup, MinHash LSH, ANN, and the
+Arrow-batched multimodal path. ML fits are excluded (they dominate
+wall-clock without exercising the relational engine; their timing is
+tracked by the correctness harness).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+HEADLINE = [
+    "flagship_delay_summary_by_carrier",
+    "join_inner_agg",
+    "sum_by_year",
+    "top_k",
+    "window_top_order",
+    "chi_square_sql",
+    "events_tumbling_window",
+    "events_session_window",
+    "text_stats",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "ann_bruteforce_topk",
+    "multimodal_asset_stats",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+
+    from big_data_analysis_of_airline_data_set_spark.plans import all_queries
+    from big_data_analysis_of_airline_data_set_spark.session import get_session
+
+    spark = get_session("bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    specs = all_queries()
+
+    # JVM/codegen warm-up outside the timed region
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+
+    timings: dict[str, float] = {}
+    total = 0.0
+    for name in HEADLINE:
+        t0 = time.perf_counter()
+        n = specs[name].fn(spark, sf_dir).count()
+        dt = time.perf_counter() - t0
+        timings[name] = round(dt, 3)
+        total += dt
+        print(f"# {name}: {dt:.2f}s ({n} rows)", file=sys.stderr)
+
+    print(
+        json.dumps(
+            {
+                "metric": "suite_wall_clock",
+                "value": round(total, 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf),
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

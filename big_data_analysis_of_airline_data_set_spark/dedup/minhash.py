@@ -1,24 +1,33 @@
 """MinHash-LSH near-duplicate detection — the scale path.
 
-shingle → HashingTF (binary sparse vector) → MinHashLSH → banded
-``approxSimilarityJoin``. At 100 TB this replaces the O(n²) pair join
-of ``dedup.ngram`` with a shuffle on hash-bucket keys: candidate pairs
-only where at least one band collides; Jaccard distance is then exact
-on the candidates (MLlib computes it from the feature vectors).
+shingle → K minhash signatures → banded bucket join → exact Jaccard on
+candidates only. Classic AND×OR amplification: signatures are split
+into b bands of r rows (K = b·r); a pair becomes a candidate iff some
+band matches exactly, so P(candidate) = 1-(1-j^r)^b — steep around the
+threshold, ~0 for background similarity. (MLlib's MinHashLSH
+approxSimilarityJoin offers only r=1 OR-amplification, which floods
+candidates when many pairs share a little vocabulary — measured 30s vs
+<5s on the 5k-doc bench for exactly that reason.)
 
-numHashTables trades recall for shuffle volume; 5 is a reasonable
-default for a 0.5 threshold.
+Plan shape at 100 TB:
+- one explode + one groupBy computes all K signatures (single shuffle
+  on doc id; partial aggregation combines map-side);
+- the bucket join shuffles only (band_idx, band_hash, id) triples —
+  never document bodies;
+- exact Jaccard runs only on candidate pairs, joining shingle arrays
+  back by id.
+
+Default b=8, r=2 (K=16): P(candidate) at j=0.5 is 0.90, at j=0.8 is
+0.9998, at j=0.01 is ~0.003.
 """
 
 from __future__ import annotations
 
-from pyspark.ml.feature import HashingTF, MinHashLSH
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .ngram import shingles_col
-
-SEED = 777
+from ..text.analysis import tokens_col
+from .ngram import hashed_shingles_from_tokens
 
 
 def minhash_near_dup_pairs(
@@ -28,25 +37,75 @@ def minhash_near_dup_pairs(
     text_col: str,
     n: int = 3,
     threshold: float = 0.5,
-    num_hash_tables: int = 5,
-    num_features: int = 1 << 18,
+    num_hashes: int = 16,
+    bands: int = 8,
 ) -> DataFrame:
-    """(id_a, id_b, jaccard_distance) for candidate pairs with distance
-    <= 1 - threshold. Docs with no shingles are excluded (MinHash is
-    undefined on empty sets)."""
-    base = df.select(
-        F.col(id_col).alias("_id"), shingles_col(F.col(text_col), n).alias("_sh")
-    ).filter(F.size("_sh") > 0)
-    tf = HashingTF(inputCol="_sh", outputCol="_features", numFeatures=num_features, binary=True)
-    feats = tf.transform(base)
-    lsh = MinHashLSH(inputCol="_features", outputCol="_hashes", numHashTables=num_hash_tables, seed=SEED)
-    model = lsh.fit(feats)
-    joined = model.approxSimilarityJoin(feats, feats, 1.0 - threshold, distCol="jaccard_distance")
-    return (
-        joined.filter(F.col("datasetA._id") < F.col("datasetB._id"))
-        .select(
-            F.col("datasetA._id").alias("id_a"),
-            F.col("datasetB._id").alias("id_b"),
-            F.round("jaccard_distance", 6).alias("jaccard_distance"),
+    """(id_a, id_b, jaccard_distance) for banded-candidate pairs whose
+    EXACT Jaccard >= threshold. Docs with no shingles are excluded
+    (MinHash is undefined on empty sets)."""
+    if num_hashes % bands:
+        raise ValueError("num_hashes must be divisible by bands")
+    r = num_hashes // bands
+
+    # Tokenize, spread across cores, THEN shingle: a single small input
+    # file otherwise pins the whole CPU-bound shingle+hash stage to one
+    # task (at real scale the file count provides parallelism and the
+    # repartition collapses to a no-op-sized shuffle of token arrays).
+    parallelism = df.sparkSession.sparkContext.defaultParallelism
+    shingled = (
+        df.select(F.col(id_col).alias("_id"), tokens_col(F.col(text_col)).alias("_toks"))
+        .repartition(parallelism, "_id")
+        .select("_id", hashed_shingles_from_tokens(F.col("_toks"), n).alias("_sh"))
+    )
+    # persist BEFORE the size filter (a filter on a computed column
+    # re-evaluates the expression), and because shingled feeds three
+    # consumers (signatures + both sides of the exact verify join) —
+    # without a persist the tokenize+shingle stage runs 3×.
+    shingled = shingled.persist()
+    base = shingled.filter(F.size("_sh") > 0)
+
+    # K signatures in one explode + one groupBy (seeded hash families via
+    # a literal salt; xxhash64 is a stable 64-bit JVM-side hash).
+    exploded = base.select("_id", F.explode("_sh").alias("_g"))
+    sigs = exploded.groupBy("_id").agg(
+        *[F.min(F.xxhash64(F.lit(i), F.col("_g"))).alias(f"mh{i}") for i in range(num_hashes)]
+    )
+
+    # br-band digests, melted to (id, band_idx, band_hash)
+    band_cols = [
+        F.struct(
+            F.lit(b).alias("band_idx"),
+            F.xxhash64(*[F.col(f"mh{b * r + j}") for j in range(r)]).alias("band_hash"),
         )
+        for b in range(bands)
+    ]
+    melted = sigs.select("_id", F.explode(F.array(*band_cols)).alias("b")).select(
+        "_id", "b.band_idx", "b.band_hash"
+    )
+
+    left = melted.select(
+        F.col("_id").alias("id_a"), "band_idx", "band_hash"
+    )
+    right = melted.select(
+        F.col("_id").alias("id_b"), "band_idx", "band_hash"
+    )
+    candidates = (
+        left.join(right, ["band_idx", "band_hash"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+
+    # exact Jaccard on candidates only
+    sh_a = base.select(F.col("_id").alias("id_a"), F.col("_sh").alias("sh_a"))
+    sh_b = base.select(F.col("_id").alias("id_b"), F.col("_sh").alias("sh_b"))
+    verified = candidates.join(sh_a, "id_a").join(sh_b, "id_b")
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size(F.array_union("sh_a", "sh_b"))
+    jac = F.when(union > 0, inter.cast("double") / union).otherwise(F.lit(0.0))
+    return (
+        verified.select(
+            "id_a", "id_b", F.round(1.0 - jac, 6).alias("jaccard_distance")
+        )
+        .filter(F.col("jaccard_distance") <= 1.0 - threshold)
     )

@@ -18,10 +18,11 @@ from pyspark.sql import functions as F
 from ..text.analysis import tokens_col
 
 
-def shingles_col(text: Column, n: int = 3) -> Column:
-    """Distinct word n-grams joined by single spaces. Empty when the
-    doc has fewer than n tokens."""
-    toks = tokens_col(text)
+def shingles_from_tokens(toks: Column, n: int = 3) -> Column:
+    """Distinct word n-grams from an ALREADY-MATERIALIZED token array
+    column. Pass a real column (not an inline split expression): Spark
+    evaluates expressions referenced inside a lambda per element, so an
+    inline split would re-tokenize the document once per gram."""
     idx = F.sequence(F.lit(1), F.size(toks) - (n - 1))
     gram = lambda i: F.concat_ws(  # noqa: E731
         " ", *[F.element_at(toks, i + j) for j in range(n)]
@@ -29,6 +30,26 @@ def shingles_col(text: Column, n: int = 3) -> Column:
     return F.when(
         F.size(toks) >= n, F.array_distinct(F.transform(idx, gram))
     ).otherwise(F.array().cast("array<string>"))
+
+
+def shingles_col(text: Column, n: int = 3) -> Column:
+    """Distinct word n-grams of a text column. Prefer materializing
+    tokens first (shingles_from_tokens) in hot paths."""
+    return shingles_from_tokens(tokens_col(text), n)
+
+
+def hashed_shingles_from_tokens(toks: Column, n: int = 3) -> Column:
+    """Distinct word n-grams as 64-bit hashes (xxhash64 over the n token
+    slots) — no string concatenation, long arrays instead of string
+    arrays in shuffles. Set-Jaccard over hashed grams equals Jaccard
+    over the grams themselves up to 2^-64 collisions; use for
+    approximate paths (MinHash), keep string grams where an external
+    oracle must reproduce them."""
+    idx = F.sequence(F.lit(1), F.size(toks) - (n - 1))
+    gram = lambda i: F.xxhash64(*[F.element_at(toks, i + j) for j in range(n)])  # noqa: E731
+    return F.when(
+        F.size(toks) >= n, F.array_distinct(F.transform(idx, gram))
+    ).otherwise(F.array().cast("array<long>"))
 
 
 def jaccard_pairs(
@@ -48,9 +69,9 @@ def jaccard_pairs(
     ).alias("_len")
     base = df.select(
         F.col(id_col).alias("_id"),
-        shingles_col(F.col(text_col), n).alias("_sh"),
+        tokens_col(F.col(text_col)).alias("_toks"),
         length,
-    )
+    ).select("_id", shingles_from_tokens(F.col("_toks"), n).alias("_sh"), "_len")
     a = base.select(
         F.col("_id").alias("id_a"), F.col("_sh").alias("sh_a"), F.col("_len").alias("len_a")
     )
