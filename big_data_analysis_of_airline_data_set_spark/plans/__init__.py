@@ -8,9 +8,25 @@ driver's correctness harness.
 from __future__ import annotations
 
 from .spec import QuerySpec
-from . import content, events_queries, ml_queries, relational, statistics
+from . import (
+    content,
+    events_queries,
+    flights_job,
+    ml_queries,
+    relational,
+    relational2,
+    statistics,
+)
 
-_MODULES = [relational, statistics, ml_queries, content, events_queries]
+_MODULES = [
+    relational,
+    relational2,
+    statistics,
+    ml_queries,
+    content,
+    events_queries,
+    flights_job,
+]
 
 
 def all_queries() -> dict[str, QuerySpec]:

@@ -50,6 +50,12 @@ def assert_frames_match(spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame, name:
         f"{name}: columns {sorted(spark_pdf.columns)} != oracle {sorted(oracle_pdf.columns)}"
     )
     a, b = _canon(spark_pdf), _canon(oracle_pdf)
+    a_types = [str(t) for t in a.dtypes]
+    b_types = [str(t) for t in b.dtypes]
+    assert a_types == b_types, (
+        f"{name}: dtypes {list(zip(a.columns, a_types))} != oracle "
+        f"{list(zip(b.columns, b_types))}"
+    )
     for col in a.columns:
         av, bv = a[col].tolist(), b[col].tolist()
         for i, (x, y) in enumerate(zip(av, bv)):

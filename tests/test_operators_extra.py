@@ -1,0 +1,81 @@
+"""Salting equivalence, approx-distinct bounds, Bernoulli sample
+statistics, and writer guards."""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from big_data_analysis_of_airline_data_set_spark.operators.salting import salted_join
+from big_data_analysis_of_airline_data_set_spark.operators.transforms import bernoulli_sample
+from big_data_analysis_of_airline_data_set_spark.plans.relational2 import (
+    q_approx_distinct_count,
+    q_distinct_count,
+)
+from big_data_analysis_of_airline_data_set_spark.sources.readers import read_testdata_table
+from big_data_analysis_of_airline_data_set_spark.sources.writers import (
+    write_parquet,
+    write_report_csv,
+)
+
+
+def test_salted_join_equals_plain_join(spark, sf_dir):
+    o = read_testdata_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("c_custkey"), "o_totalprice"
+    )
+    c = read_testdata_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    plain = o.join(c, "c_custkey").groupBy("c_nationkey").count()
+    salted = salted_join(o, c, "c_custkey", salt=8).groupBy("c_nationkey").count()
+    assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, salted.collect()))
+
+
+def test_approx_distinct_within_rsd(spark, sf_dir):
+    exact = q_distinct_count(spark, sf_dir).collect()[0].n_parts
+    approx = q_approx_distinct_count(spark, sf_dir).collect()[0].n_parts_approx
+    assert abs(approx - exact) / exact < 0.1  # rsd=0.02, generous bound
+
+
+def test_bernoulli_sample_statistics(spark, sf_dir):
+    """P13 exact reference semantics: seeded, fraction-calibrated."""
+    li = read_testdata_table(spark, sf_dir, "lineitem")
+    n = li.count()
+    s1 = bernoulli_sample(li, 0.1, seed=777).count()
+    s2 = bernoulli_sample(li, 0.1, seed=777).count()
+    assert s1 == s2  # same seed → same rows
+    assert 0.05 * n < s1 < 0.15 * n
+
+
+def test_write_parquet_partitioned_roundtrip(spark, sf_dir):
+    d = tempfile.mkdtemp(prefix="wp-")
+    try:
+        o = read_testdata_table(spark, sf_dir, "orders").withColumn(
+            "o_year", F.year("o_orderdate")
+        )
+        write_parquet(o, d, partition_by=["o_year"])
+        # partition dirs exist → year filters become partition pruning
+        years = {p for p in os.listdir(d) if p.startswith("o_year=")}
+        assert len(years) >= 2
+        back = spark.read.parquet(d)
+        assert back.count() == o.count()
+        pruned = back.filter(F.col("o_year") == 1995)
+        assert pruned.count() == o.filter(F.col("o_year") == 1995).count()
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def test_write_report_csv_guards_large_tables(spark, sf_dir):
+    li = read_testdata_table(spark, sf_dir, "lineitem")
+    with pytest.raises(ValueError):
+        write_report_csv(li, "/tmp/should-not-exist", max_rows=10)
+    d = tempfile.mkdtemp(prefix="rc-")
+    try:
+        small = li.groupBy("l_returnflag").count()
+        write_report_csv(small, os.path.join(d, "out"))
+        files = os.listdir(os.path.join(d, "out"))
+        assert any(f.endswith(".csv") for f in files)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
