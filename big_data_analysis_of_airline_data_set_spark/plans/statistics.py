@@ -126,7 +126,36 @@ def q_univariate_select_continuous(spark: SparkSession, sf_dir: str) -> DataFram
     return spark.createDataFrame([(c,) for c in sel], "feature string")
 
 
+def q_feature_selection_job(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entry-point B end-to-end (Scripts/2_...py): correlation →
+    chi-square → univariate selectors → variance threshold, returning
+    the combined method × feature selection table (rows-only; each
+    component statistic is separately oracled above)."""
+    from ..stats.feature_selection_job import feature_selection_job
+
+    li = read_testdata_table(spark, sf_dir, "lineitem").withColumn(
+        "label", (F.col("l_orderkey") % 2).cast("double")
+    )
+    artifacts = feature_selection_job(
+        spark,
+        li,
+        categorical_cols=["l_returnflag", "l_linestatus"],
+        numeric_cols=_LINEITEM_NUMERIC,
+        label_col="label",
+        num_top_categorical=1,
+        num_top_continuous=2,
+        variance_k=3,
+    )
+    return artifacts["selected"]
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "feature_selection_job": QuerySpec(
+        "feature_selection_job",
+        q_feature_selection_job,
+        None,
+        "entry-point B composite: corr + chi2 + selectors + variance (rows-only)",
+    ),
     "mllib_correlation_matrix": QuerySpec(
         "mllib_correlation_matrix",
         q_mllib_correlation_matrix,
