@@ -388,7 +388,39 @@ def q_window_top_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def flagship_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The flagship expressed through the spark.sql string API over
+    registered temp views — demonstrating the SQL entry point the
+    reference never had (SURVEY.md §3: no spark.sql call exists there)
+    produces the identical result (same oracle as the DataFrame form)."""
+    for name in ("orders", "customer", "nation"):
+        _t(spark, sf_dir, name).createOrReplaceTempView(name)
+    return spark.sql(
+        f"""
+        SELECT n_name AS carrier,
+               count(IF(grp = 'Before_Time', 1, NULL))  AS before_time,
+               count(IF(grp = 'On_Time', 1, NULL))      AS on_time,
+               count(IF(grp = 'Small_delay', 1, NULL))  AS small_delay,
+               count(IF(grp = 'Medium_Delay', 1, NULL)) AS medium_delay,
+               count(IF(grp = 'Large_Delay', 1, NULL))  AS large_delay,
+               count(IF(grp = 'Cancelled', 1, NULL))    AS cancelled,
+               count(*) AS total
+        FROM (SELECT o_custkey, {_GROUP_CASE_SQL} AS grp FROM orders) o
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY n_name
+        ORDER BY total DESC, carrier
+        """
+    )
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "flagship_sql": QuerySpec(
+        "flagship_sql",
+        flagship_sql,
+        _FLAGSHIP_ORACLE,
+        "flagship via the spark.sql string API (same oracle as DataFrame form)",
+    ),
     "flagship_delay_summary_by_carrier": QuerySpec(
         "flagship_delay_summary_by_carrier",
         flagship_delay_summary_by_carrier,

@@ -1,0 +1,78 @@
+"""Physical-plan regression tests: the optimizations the engine relies
+on at 100 TB must actually appear in the plans (SURVEY.md §4) — a
+correct-but-degenerate plan (no pushdown, shuffled dims, cartesian
+fallback) is a failure even when results match."""
+
+from __future__ import annotations
+
+import pytest
+
+from big_data_analysis_of_airline_data_set_spark.plans import all_queries
+
+
+def _plan(spark, sf_dir, name: str, mode: str = "formatted") -> str:
+    df = all_queries()[name].fn(spark, sf_dir)
+    jmode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(mode)
+    return df._jdf.queryExecution().explainString(jmode)
+
+
+def test_filter_pushdown_reaches_scan(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "filter_status")
+    assert "PushedFilters" in plan
+    assert "EqualTo(o_orderstatus,F)" in plan.replace(" ", "")
+
+
+def test_projection_prunes_scan_schema(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "projection")
+    # ReadSchema must contain ONLY the three projected columns
+    read = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    assert "l_orderkey" in read and "l_quantity" in read
+    assert "l_extendedprice" not in read and "l_shipdate" not in read
+
+
+def test_flagship_broadcasts_dimensions(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "flagship_delay_summary_by_carrier")
+    assert plan.count("BroadcastHashJoin") >= 2  # tree + per-node sections
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_flagship_sql_same_join_strategy(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "flagship_sql")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_topk_uses_partial_topk_not_global_sort(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "top_k")
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_aggregations_are_partial_final(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "sum_by_year")
+    assert "partial_" in plan  # map-side combine before the shuffle
+
+
+def test_semi_anti_join_strategies(spark, sf_dir):
+    for name in ("join_semi", "join_anti"):
+        plan = _plan(spark, sf_dir, name)
+        assert "LeftSemi" in plan or "LeftAnti" in plan
+        assert "CartesianProduct" not in plan
+
+
+def test_whole_stage_codegen_active(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "case_label", mode="simple")
+    # '*' prefixes mark WholeStageCodegen stages in simple explain output
+    assert "*(1)" in plan
+
+
+def test_time_digits_no_python_udf(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "time_digits")
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_multimodal_is_arrow_batched(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "multimodal_asset_stats", mode="simple")
+    # mapInPandas shows as MapInPandas (Arrow), not row-wise BatchEvalPython
+    assert "MapInPandas" in plan
+    assert "BatchEvalPython" not in plan
