@@ -217,6 +217,25 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_topk(e, qv, id_col="vec_id", vec_col="embedding", k=10)
 
 
+def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..similarity.ivf import ivf_topk
+
+    e = read_testdata_table(spark, sf_dir, "embeddings")
+    qv = _query_vector(spark, sf_dir)
+    # nprobe 8/16: the synthetic embeddings are near-orthogonal, so true
+    # neighbors scatter across cells — real clustered corpora hit high
+    # recall at much lower nprobe/nlist ratios.
+    return ivf_topk(e, qv, id_col="vec_id", vec_col="embedding", k=10, nlist=16, nprobe=8)
+
+
+def q_ann_bruteforce_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..similarity.pandas_cosine import brute_force_topk_pandas
+
+    e = read_testdata_table(spark, sf_dir, "embeddings")
+    qv = _query_vector(spark, sf_dir)
+    return brute_force_topk_pandas(e, qv, id_col="vec_id", vec_col="embedding", k=10)
+
+
 # ---------------------------------------------------------------------------
 # Multimodal
 # ---------------------------------------------------------------------------
@@ -275,6 +294,14 @@ QUERIES: dict[str, QuerySpec] = {
     "ann_lsh_topk": QuerySpec(
         "ann_lsh_topk", q_ann_lsh, None,
         "LSH-bucketed approximate cosine top-k (rows-only; recall tested)",
+    ),
+    "ann_ivf_topk": QuerySpec(
+        "ann_ivf_topk", q_ann_ivf, None,
+        "IVF (KMeans coarse-quantizer) approximate top-k (rows-only; recall tested)",
+    ),
+    "ann_bruteforce_pandas": QuerySpec(
+        "ann_bruteforce_pandas", q_ann_bruteforce_pandas, _ANN_BRUTE_ORACLE,
+        "vectorized pandas-UDF cosine top-k (same oracle as the JVM path)",
     ),
     "multimodal_asset_stats": QuerySpec(
         "multimodal_asset_stats", q_multimodal_asset_stats, _ASSET_STATS_ORACLE,

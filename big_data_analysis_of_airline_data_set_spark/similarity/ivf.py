@@ -1,0 +1,81 @@
+"""IVF (inverted-file) approximate nearest neighbor.
+
+Classic two-stage ANN: a KMeans coarse quantizer partitions the vector
+space into nlist cells; each vector is assigned to its nearest
+centroid (the "inverted list"). A query only scans the nprobe cells
+whose centroids are closest to it — at 100 TB the index table is
+bucketed/partitioned by cell id, so a query touches nprobe partitions
+instead of the full corpus, and the exact cosine runs JVM-side on that
+slice only.
+
+Recall/latency trade: nprobe/nlist. seed pinned for deterministic
+centroids.
+"""
+
+from __future__ import annotations
+
+from pyspark.ml.clustering import KMeans
+from pyspark.ml.functions import array_to_vector
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..dedup.embedding import cosine_sim_expr
+
+SEED = 777
+
+
+def build_ivf_index(
+    df: DataFrame,
+    *,
+    id_col: str,
+    vec_col: str,
+    nlist: int = 16,
+) -> tuple[DataFrame, list[list[float]]]:
+    """Returns (indexed_df with a ``cell`` column, centroid list).
+    The indexed frame is what you'd persist bucketed by ``cell``."""
+    vecs = df.select(
+        F.col(id_col).alias("_id"),
+        F.col(vec_col).alias("_arr"),
+        array_to_vector(F.col(vec_col)).alias("_vec"),
+    )
+    km = KMeans(k=nlist, seed=SEED, featuresCol="_vec", predictionCol="cell")
+    model = km.fit(vecs)
+    indexed = model.transform(vecs).select("_id", "_arr", "cell")
+    centroids = [c.tolist() for c in model.clusterCenters()]
+    return indexed, centroids
+
+
+def ivf_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    *,
+    id_col: str,
+    vec_col: str,
+    k: int = 10,
+    nlist: int = 16,
+    nprobe: int = 4,
+) -> DataFrame:
+    """(id, cosine) approximate top-k: exact cosine over the nprobe
+    nearest cells only."""
+    indexed, centroids = build_ivf_index(df, id_col=id_col, vec_col=vec_col, nlist=nlist)
+
+    def cos(a: list[float], b: list[float]) -> float:
+        num = sum(x * y for x, y in zip(a, b))
+        na = sum(x * x for x in a) ** 0.5
+        nb = sum(x * x for x in b) ** 0.5
+        return num / (na * nb) if na and nb else 0.0
+
+    probe_cells = sorted(
+        range(len(centroids)), key=lambda c: -cos(query_vec, centroids[c])
+    )[:nprobe]
+
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    return (
+        indexed.filter(F.col("cell").isin(probe_cells))
+        .select(
+            F.col("_id").alias("id"),
+            F.round(cosine_sim_expr(F.col("_arr"), q), 6).alias("cosine"),
+        )
+        .orderBy(F.desc("cosine"), F.asc("id"))
+        .limit(k)
+    )

@@ -69,6 +69,25 @@ def test_ann_lsh_recall_vs_bruteforce(spark, sf_dir):
     assert recall >= 0.6, f"ANN recall@10 = {recall}"
 
 
+def test_ann_ivf_recall_vs_bruteforce(spark, sf_dir):
+    from big_data_analysis_of_airline_data_set_spark.plans.content import q_ann_ivf
+
+    exact_ids = {r.id for r in q_ann_bruteforce(spark, sf_dir).collect()}
+    ivf_ids = {r.id for r in q_ann_ivf(spark, sf_dir).collect()}
+    recall = len(exact_ids & ivf_ids) / 10
+    assert recall >= 0.5, f"IVF recall@10 = {recall}"
+
+
+def test_pandas_cosine_equals_jvm_cosine(spark, sf_dir):
+    from big_data_analysis_of_airline_data_set_spark.plans.content import (
+        q_ann_bruteforce_pandas,
+    )
+
+    jvm = [(r.id, r.cosine) for r in q_ann_bruteforce(spark, sf_dir).collect()]
+    pdu = [(r.id, r.cosine) for r in q_ann_bruteforce_pandas(spark, sf_dir).collect()]
+    assert jvm == pdu
+
+
 def test_decode_stub_raises(spark):
     with pytest.raises(NotImplementedError):
         decode_image(b"\x00", "image/png")
