@@ -13,6 +13,7 @@ from . import (
     events_queries,
     flights_job,
     ml_queries,
+    patterns,
     relational,
     relational2,
     statistics,
@@ -21,6 +22,7 @@ from . import (
 _MODULES = [
     relational,
     relational2,
+    patterns,
     statistics,
     ml_queries,
     content,

@@ -1,0 +1,258 @@
+"""Classic OLAP patterns the engine must support beyond the reference's
+own surface: TPC-H Q1 shape, as-of join, range join (bucketized),
+exact quantiles, unpivot, SCD2 upsert emulation.
+
+Exact-arithmetic notes: Q1's derived measures multiply DECIMAL(18,2)
+prices by DECIMAL(4,2) factors — exact in both engines (≤38 digits,
+no scale truncation), so sums are order-independent and hash-equal.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.asof import as_of_join
+from ..sources.readers import read_testdata_table
+from .spec import QuerySpec
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return read_testdata_table(spark, sf_dir, name)
+
+
+# --- TPC-H Q1 shape ---------------------------------------------------------
+
+def q_tpch_q1_style(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit("1999-12-31").cast("timestamp")
+    )
+    price = F.col("l_extendedprice").cast("decimal(18,2)")
+    one_minus_d = (F.lit(1.0) - F.col("l_discount")).cast("decimal(4,2)")
+    one_plus_t = (F.lit(1.0) + F.col("l_tax")).cast("decimal(4,2)")
+    cnt = F.count(F.lit(1))
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double").alias("sum_qty"),
+            F.sum(price).cast("double").alias("sum_base_price"),
+            F.sum(price * one_minus_d).cast("double").alias("sum_disc_price"),
+            F.sum(price * one_minus_d * one_plus_t).cast("double").alias("sum_charge"),
+            (F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double") / cnt).alias("avg_qty"),
+            (F.sum(price).cast("double") / cnt).alias("avg_price"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            cnt.alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+_Q1_ORACLE = """
+SELECT l_returnflag, l_linestatus,
+  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1.0 - l_discount AS DECIMAL(4,2)))
+       AS DOUBLE) AS sum_disc_price,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1.0 - l_discount AS DECIMAL(4,2))
+           * CAST(1.0 + l_tax AS DECIMAL(4,2))) AS DOUBLE) AS sum_charge,
+  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_qty,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_price,
+  round(avg(l_discount), 6) AS avg_disc,
+  count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1999-12-31 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+# --- as-of join -------------------------------------------------------------
+
+def _purchases_and_clicks(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
+    ev = _t(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase")
+    # one click per (user, ts): deterministic tie handling on both sides
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("event_id"))
+    )
+    return purchases, clicks
+
+
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """For every purchase, the user's most recent click at-or-before it
+    (union + window implementation; DuckDB's native ASOF JOIN is the
+    oracle)."""
+    purchases, clicks = _purchases_and_clicks(spark, sf_dir)
+    joined = as_of_join(
+        purchases,
+        clicks,
+        on="user_id",
+        left_cols=["event_id"],
+        right_cols=["event_id"],
+    )
+    return joined.select(
+        "user_id",
+        F.col("event_id").alias("purchase_id"),
+        F.col("r_event_id").alias("click_id"),
+    )
+
+
+_ASOF_ORACLE = """
+WITH purchases AS (SELECT user_id, ts, event_id FROM events WHERE event_type = 'purchase'),
+clicks AS (
+  SELECT user_id, ts, max(event_id) AS event_id
+  FROM events WHERE event_type = 'click' GROUP BY user_id, ts
+)
+SELECT p.user_id, p.event_id AS purchase_id, c.event_id AS click_id
+FROM purchases p
+ASOF JOIN clicks c ON p.user_id = c.user_id AND p.ts >= c.ts
+"""
+
+
+# --- range join via bucketing ----------------------------------------------
+
+_BANDS = [(0, "budget"), (1, "low"), (2, "mid"), (3, "high"), (4, "premium")]
+
+
+def q_range_join_bucketized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """orders → price band. The range predicate (lo <= price < hi) is
+    rewritten as an equi-join on a computed band id — the bucketization
+    trick that turns a broadcast-nested-loop range join into a hash
+    join at scale."""
+    o = _t(spark, sf_dir, "orders")
+    bands = spark.createDataFrame(_BANDS, "band_id int, band_name string")
+    band_id = F.least(F.floor(F.col("o_totalprice") / 100_000), F.lit(4)).cast("int")
+    return (
+        o.withColumn("band_id", band_id)
+        .join(F.broadcast(bands), "band_id")
+        .groupBy("band_name")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+
+
+_RANGE_ORACLE = """
+WITH bands(band_id, band_name) AS (
+  VALUES (0, 'budget'), (1, 'low'), (2, 'mid'), (3, 'high'), (4, 'premium')
+)
+SELECT band_name, count(*) AS n_orders
+FROM orders JOIN bands
+  ON least(CAST(floor(o_totalprice / 100000) AS INT), 4) = band_id
+GROUP BY band_name
+"""
+
+
+# --- exact quantiles --------------------------------------------------------
+
+def q_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles (the oracle-checkable baseline for
+    approx_percentile, which is sketch-based and engine-specific)."""
+    o = _t(spark, sf_dir, "orders")
+    return o.agg(
+        F.round(F.expr("percentile(o_totalprice, 0.25)"), 6).alias("q25"),
+        F.round(F.expr("percentile(o_totalprice, 0.5)"), 6).alias("q50"),
+        F.round(F.expr("percentile(o_totalprice, 0.75)"), 6).alias("q75"),
+    )
+
+
+_QUANTILES_ORACLE = """
+SELECT round(quantile_cont(o_totalprice, 0.25), 6) AS q25,
+       round(quantile_cont(o_totalprice, 0.5), 6) AS q50,
+       round(quantile_cont(o_totalprice, 0.75), 6) AS q75
+FROM orders
+"""
+
+
+# --- unpivot ----------------------------------------------------------------
+
+def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide → long via stack() (the inverse of the flagship's pivot)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.selectExpr(
+        "l_orderkey",
+        "l_linenumber",
+        "stack(2, 'discount', l_discount, 'tax', l_tax) AS (charge_type, amount)",
+    )
+
+
+_UNPIVOT_ORACLE = """
+SELECT l_orderkey, l_linenumber, 'discount' AS charge_type, l_discount AS amount FROM lineitem
+UNION ALL
+SELECT l_orderkey, l_linenumber, 'tax', l_tax FROM lineitem
+"""
+
+
+# --- SCD2 upsert emulation --------------------------------------------------
+
+def q_scd2_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE-less SCD2: customers with a pending order get a new
+    version (+100 balance); prior row retained as non-current. Built
+    from semi/anti joins + union — the v1 CDC recipe where Delta's
+    MERGE INTO isn't available."""
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
+    changed_keys = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "P")
+        .select(F.col("o_custkey").alias("c_custkey"))
+        .distinct()
+    )
+    unchanged = c.join(changed_keys, "c_custkey", "left_anti").select(
+        "c_custkey", "c_acctbal",
+        F.lit(1).cast("long").alias("version"),
+        F.lit(True).alias("is_current"),
+    )
+    old_versions = c.join(changed_keys, "c_custkey", "left_semi").select(
+        "c_custkey", "c_acctbal",
+        F.lit(1).cast("long").alias("version"),
+        F.lit(False).alias("is_current"),
+    )
+    new_versions = c.join(changed_keys, "c_custkey", "left_semi").select(
+        "c_custkey",
+        (F.col("c_acctbal") + 100.0).alias("c_acctbal"),
+        F.lit(2).cast("long").alias("version"),
+        F.lit(True).alias("is_current"),
+    )
+    return unchanged.unionByName(old_versions).unionByName(new_versions)
+
+
+_SCD2_ORACLE = """
+WITH changed AS (
+  SELECT DISTINCT o_custkey AS c_custkey FROM orders WHERE o_orderstatus = 'P'
+)
+SELECT c_custkey, c_acctbal, CAST(1 AS BIGINT) AS version, TRUE AS is_current
+FROM customer WHERE c_custkey NOT IN (SELECT c_custkey FROM changed)
+UNION ALL
+SELECT c_custkey, c_acctbal, 1, FALSE
+FROM customer WHERE c_custkey IN (SELECT c_custkey FROM changed)
+UNION ALL
+SELECT c_custkey, c_acctbal + 100.0, 2, TRUE
+FROM customer WHERE c_custkey IN (SELECT c_custkey FROM changed)
+"""
+
+
+QUERIES: dict[str, QuerySpec] = {
+    "tpch_q1_style": QuerySpec(
+        "tpch_q1_style", q_tpch_q1_style, _Q1_ORACLE,
+        "TPC-H Q1 shape: 2-key groupBy, 8 exact-decimal aggregates",
+    ),
+    "asof_join": QuerySpec(
+        "asof_join", q_asof_join, _ASOF_ORACLE,
+        "as-of join via union+window vs DuckDB native ASOF JOIN",
+    ),
+    "range_join_bucketized": QuerySpec(
+        "range_join_bucketized", q_range_join_bucketized, _RANGE_ORACLE,
+        "range predicate rewritten to bucketized equi-join",
+    ),
+    "quantiles": QuerySpec(
+        "quantiles", q_quantiles, _QUANTILES_ORACLE,
+        "exact interpolated percentiles",
+    ),
+    "unpivot": QuerySpec(
+        "unpivot", q_unpivot, _UNPIVOT_ORACLE, "stack() unpivot"
+    ),
+    "scd2_upsert": QuerySpec(
+        "scd2_upsert", q_scd2_upsert, _SCD2_ORACLE,
+        "SCD2 upsert via semi/anti joins + union",
+    ),
+}
