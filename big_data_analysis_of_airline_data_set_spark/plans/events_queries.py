@@ -94,7 +94,42 @@ SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k FROM eve
 """
 
 
+def q_multi_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.rollup import multi_granularity_rollup
+
+    return multi_granularity_rollup(_events(spark, sf_dir))
+
+
+_MULTI_ROLLUP_ORACLE = """
+WITH minute AS (
+  SELECT date_trunc('minute', CAST(ts AS TIMESTAMP)) AS bucket, event_type,
+         count(*) AS n_events, SUM(CAST(value AS DECIMAL(18,2))) AS sum_dec
+  FROM events GROUP BY 1, 2
+), hour AS (
+  SELECT date_trunc('hour', bucket) AS bucket, event_type,
+         CAST(sum(n_events) AS BIGINT) AS n_events, sum(sum_dec) AS sum_dec
+  FROM minute GROUP BY 1, 2
+), day AS (
+  SELECT date_trunc('day', bucket) AS bucket, event_type,
+         CAST(sum(n_events) AS BIGINT) AS n_events, sum(sum_dec) AS sum_dec
+  FROM hour GROUP BY 1, 2
+)
+SELECT 'minute' AS grain, strftime(bucket, '%Y-%m-%d %H:%M:%S') AS bucket_start,
+       event_type, n_events, CAST(sum_dec AS DOUBLE) AS sum_value FROM minute
+UNION ALL
+SELECT 'hour', strftime(bucket, '%Y-%m-%d %H:%M:%S'), event_type, n_events,
+       CAST(sum_dec AS DOUBLE) FROM hour
+UNION ALL
+SELECT 'day', strftime(bucket, '%Y-%m-%d %H:%M:%S'), event_type, n_events,
+       CAST(sum_dec AS DOUBLE) FROM day
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "events_multi_rollup": QuerySpec(
+        "events_multi_rollup", q_multi_rollup, _MULTI_ROLLUP_ORACLE,
+        "hypertable-style minute/hour/day continuous-aggregate rollup",
+    ),
     "events_tumbling_window": QuerySpec(
         "events_tumbling_window", q_tumbling, _TUMBLING_ORACLE,
         "1h tumbling window counts + exact sums",

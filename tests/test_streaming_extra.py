@@ -1,0 +1,104 @@
+"""Streaming depth: landing job, stateful applyInPandasWithState,
+sliding/session windows as real streams."""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from big_data_analysis_of_airline_data_set_spark.sources.readers import read_testdata_table
+from big_data_analysis_of_airline_data_set_spark.streaming import sliding_counts, session_counts
+from big_data_analysis_of_airline_data_set_spark.streaming.landing import (
+    land_events_batch,
+    land_events_stream,
+)
+from big_data_analysis_of_airline_data_set_spark.streaming.stateful import (
+    running_user_totals_stream,
+)
+
+
+@pytest.fixture(scope="module")
+def events_dir(spark, sf_dir):
+    d = tempfile.mkdtemp(prefix="events-x-")
+    read_testdata_table(spark, sf_dir, "events").repartition(2).write.mode(
+        "overwrite"
+    ).parquet(d)
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def test_landing_batch_partitions_by_date(spark, sf_dir):
+    out = tempfile.mkdtemp(prefix="landed-")
+    try:
+        landed = land_events_batch(spark, sf_dir, out)
+        parts = [p for p in os.listdir(out) if p.startswith("event_date=")]
+        assert len(parts) >= 2
+        assert landed.count() == read_testdata_table(spark, sf_dir, "events").count()
+        assert dict(landed.dtypes)["ts"] == "timestamp"
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+
+def test_landing_stream_equals_batch(spark, events_dir):
+    out = tempfile.mkdtemp(prefix="landed-s-")
+    try:
+        land_events_stream(spark, events_dir, out)
+        landed = spark.read.parquet(out)
+        src = spark.read.parquet(events_dir)
+        assert landed.count() == src.count()
+        assert set(landed.select("event_date").distinct().toPandas()["event_date"]) == set(
+            src.select(F.to_date("ts").alias("d")).distinct().toPandas()["d"]
+        )
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+
+def test_stateful_user_totals_match_batch(spark, events_dir):
+    got = {
+        r.user_id: (r.n_events, r.sum_value)
+        for r in running_user_totals_stream(spark, events_dir, query_name="ut_test").collect()
+    }
+    batch = spark.read.parquet(events_dir)
+    want = {
+        r.user_id: (r.n, round(r.s, 2))
+        for r in batch.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("s"),
+        )
+        .collect()
+    }
+    assert set(got) == set(want)
+    for uid in want:
+        assert got[uid][0] == want[uid][0], uid
+        assert abs(got[uid][1] - want[uid][1]) < 0.05, uid
+
+
+@pytest.mark.parametrize("transform", [sliding_counts, session_counts])
+def test_sliding_and_session_windows_stream(spark, events_dir, transform):
+    """The batch-symmetric transforms run as REAL streams too."""
+    import tempfile as tf
+
+    batch_expected = {tuple(r) for r in transform(spark.read.parquet(events_dir)).collect()}
+    from big_data_analysis_of_airline_data_set_spark.streaming.jobs import (
+        events_stream_reader,
+    )
+
+    name = f"sym_{transform.__name__}"
+    stream = events_stream_reader(spark, events_dir).withWatermark("ts", "1 hour")
+    result = transform(stream)
+    q = (
+        result.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .option("checkpointLocation", tf.mkdtemp(prefix=f"ckpt-{name}-"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {tuple(r) for r in spark.table(name).collect()}
+    assert got == batch_expected
