@@ -24,13 +24,16 @@ import time
 
 HEADLINE = [
     "flagship_delay_summary_by_carrier",
+    "tpch_q1_style",
     "join_inner_agg",
     "sum_by_year",
     "top_k",
     "window_top_order",
     "chi_square_sql",
+    "asof_join",
     "events_tumbling_window",
     "events_session_window",
+    "events_multi_rollup",
     "text_stats",
     "dedup_exact",
     "dedup_minhash_lsh",

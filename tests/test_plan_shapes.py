@@ -71,6 +71,27 @@ def test_time_digits_no_python_udf(spark, sf_dir):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
 
 
+def test_partition_pruning_on_partitioned_layout(spark, sf_dir, tmp_path):
+    """Year-partitioned parquet + year filter → PartitionFilters in the
+    scan (the reference's temporal split P4 becomes pruning for free)."""
+    import pyspark.sql.functions as F
+
+    from big_data_analysis_of_airline_data_set_spark.sources.readers import (
+        read_testdata_table,
+    )
+
+    out = str(tmp_path / "orders_by_year")
+    o = read_testdata_table(spark, sf_dir, "orders").withColumn(
+        "o_year", F.year("o_orderdate")
+    )
+    o.write.mode("overwrite").partitionBy("o_year").parquet(out)
+    df = spark.read.parquet(out).filter(F.col("o_year") == 1995)
+    jmode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    plan = df._jdf.queryExecution().explainString(jmode)
+    assert "PartitionFilters" in plan
+    assert "o_year" in plan.split("PartitionFilters")[1][:200]
+
+
 def test_multimodal_is_arrow_batched(spark, sf_dir):
     plan = _plan(spark, sf_dir, "multimodal_asset_stats", mode="simple")
     # mapInPandas shows as MapInPandas (Arrow), not row-wise BatchEvalPython
