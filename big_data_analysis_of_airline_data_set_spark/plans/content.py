@@ -236,6 +236,113 @@ def q_ann_bruteforce_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     return brute_force_topk_pandas(e, qv, id_col="vec_id", vec_col="embedding", k=10)
 
 
+def q_text_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..text.analysis import bpe_style_token_count
+
+    d = read_testdata_table(spark, sf_dir, "documents")
+    return d.select("doc_id", bpe_style_token_count(F.col("text")).alias("n_bpe_tokens"))
+
+
+_BPE_ORACLE = r"""
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]+'))
+            AS BIGINT) AS n_bpe_tokens
+FROM documents
+"""
+
+
+def q_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..text.analysis import winnowing_fingerprints
+
+    d = read_testdata_table(spark, sf_dir, "documents")
+    return winnowing_fingerprints(d, id_col="doc_id", text_col="text", k=8, window=4)
+
+
+_WINNOW_ORACLE = """
+WITH norm AS (
+  SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t FROM documents
+), grams AS (
+  SELECT doc_id,
+         list_transform(generate_series(1, greatest(length(t) - 7, 0)),
+                        i -> md5(substring(t, i, 8))) AS gh
+  FROM norm
+)
+SELECT doc_id, unnest(list_distinct(list_transform(
+         generate_series(1, len(gh) - 3),
+         j -> list_min(list_slice(gh, j, j + 3))))) AS fingerprint
+FROM grams WHERE len(gh) >= 4
+"""
+
+
+def q_dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..similarity.lsh import lsh_near_dup_pairs
+
+    e = read_testdata_table(spark, sf_dir, "embeddings")
+    return lsh_near_dup_pairs(
+        e, id_col="vec_id", vec_col="embedding", threshold=_NEAR_DUP_COSINE
+    )
+
+
+def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-data curation composite: keep documents that (a) pass
+    quality gates (length + token count + stopword signal), (b) are
+    identified as the configured language, and (c) are the canonical
+    copy among exact duplicates. Output: kept doc_ids + the gate
+    verdicts — the filter chain every pretraining corpus runs."""
+    d = read_testdata_table(spark, sf_dir, "documents")
+    comp = quality_components(F.col("text"))
+    scored = d.select(
+        "doc_id",
+        "text",
+        comp["n_tokens"].alias("n_tokens"),
+        comp["stopword_ratio"].alias("stopword_ratio"),
+        lang_id_expr(F.col("text")).alias("lang_pred"),
+        content_fingerprint(F.col("text")).alias("fp"),
+    )
+    canonical = scored.groupBy("fp").agg(F.min("doc_id").alias("keep_id"))
+    return (
+        scored.join(canonical, "fp")
+        .select(
+            "doc_id",
+            (F.col("n_tokens") >= 20).alias("pass_length"),
+            (F.col("stopword_ratio") > 0).alias("pass_stopwords"),
+            (F.col("lang_pred") == "en").alias("pass_lang"),
+            (F.col("doc_id") == F.col("keep_id")).alias("is_canonical"),
+        )
+        .withColumn(
+            "kept",
+            F.col("pass_length")
+            & F.col("pass_stopwords")
+            & F.col("pass_lang")
+            & F.col("is_canonical"),
+        )
+    )
+
+
+def _curation_oracle() -> str:
+    lang_case = _lang_id_oracle().split("SELECT doc_id, ")[1].rsplit(" AS lang_pred", 1)[0]
+    return f"""
+WITH scored AS (
+  SELECT doc_id,
+         CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS n_tokens,
+         CAST(len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                              t -> t IN ({_EN_STOP_SQL}))) AS DOUBLE)
+           / len(regexp_split_to_array(trim(text), '\\s+')) AS stopword_ratio,
+         {lang_case} AS lang_pred,
+         md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
+  FROM documents
+), canon AS (SELECT fp, min(doc_id) AS keep_id FROM scored GROUP BY fp)
+SELECT doc_id,
+       n_tokens >= 20 AS pass_length,
+       stopword_ratio > 0 AS pass_stopwords,
+       lang_pred = 'en' AS pass_lang,
+       doc_id = keep_id AS is_canonical,
+       (n_tokens >= 20 AND stopword_ratio > 0 AND lang_pred = 'en'
+        AND doc_id = keep_id) AS kept
+FROM scored JOIN canon USING (fp)
+"""
+
+
 # ---------------------------------------------------------------------------
 # Multimodal
 # ---------------------------------------------------------------------------
@@ -302,6 +409,22 @@ QUERIES: dict[str, QuerySpec] = {
     "ann_bruteforce_pandas": QuerySpec(
         "ann_bruteforce_pandas", q_ann_bruteforce_pandas, _ANN_BRUTE_ORACLE,
         "vectorized pandas-UDF cosine top-k (same oracle as the JVM path)",
+    ),
+    "text_bpe_tokens": QuerySpec(
+        "text_bpe_tokens", q_text_bpe_tokens, _BPE_ORACLE,
+        "BPE-style pre-tokenizer token counts",
+    ),
+    "text_winnowing": QuerySpec(
+        "text_winnowing", q_winnowing_fingerprints, _WINNOW_ORACLE,
+        "winnowing (rolling-hash window-min) document fingerprints",
+    ),
+    "dedup_embedding_lsh": QuerySpec(
+        "dedup_embedding_lsh", q_dedup_embedding_lsh, None,
+        "LSH-bucketed embedding near-dup pairs (scale path; recall tested)",
+    ),
+    "curation_pipeline": QuerySpec(
+        "curation_pipeline", q_curation_pipeline, _curation_oracle(),
+        "composite corpus-curation gates: length+stopword+lang+exact-dedup",
     ),
     "multimodal_asset_stats": QuerySpec(
         "multimodal_asset_stats", q_multimodal_asset_stats, _ASSET_STATS_ORACLE,

@@ -52,6 +52,37 @@ def fit_lsh_model(
     return model, model.transform(normed)
 
 
+def lsh_near_dup_pairs(
+    df: DataFrame,
+    *,
+    id_col: str,
+    vec_col: str,
+    threshold: float = 0.3,
+    bucket_length: float = 0.5,
+    num_hash_tables: int = 8,
+) -> DataFrame:
+    """(id_a, id_b, cosine_approx) for candidate pairs with cosine >=
+    threshold — the LSH-bucketed scale path for dedup.embedding's exact
+    O(n²) pair join. cosine >= t ⇔ unit-Euclidean d <= sqrt(2-2t)."""
+    model, indexed = fit_lsh_model(
+        df,
+        id_col=id_col,
+        vec_col=vec_col,
+        bucket_length=bucket_length,
+        num_hash_tables=num_hash_tables,
+    )
+    d_max = math.sqrt(max(0.0, 2.0 - 2.0 * threshold))
+    joined = model.approxSimilarityJoin(indexed, indexed, d_max, distCol="_dist")
+    return (
+        joined.filter(F.col("datasetA._id") < F.col("datasetB._id"))
+        .select(
+            F.col("datasetA._id").alias("id_a"),
+            F.col("datasetB._id").alias("id_b"),
+            F.round(1.0 - F.col("_dist") * F.col("_dist") / 2.0, 6).alias("cosine_approx"),
+        )
+    )
+
+
 def lsh_topk(
     df: DataFrame,
     query_vec: list[float],

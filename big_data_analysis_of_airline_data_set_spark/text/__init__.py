@@ -1,6 +1,8 @@
 from .analysis import (
     tokens_col,
     token_count,
+    bpe_style_token_count,
+    winnowing_fingerprints,
     normalized_text,
     content_fingerprint,
     stopword_count,
@@ -12,6 +14,8 @@ from .analysis import (
 __all__ = [
     "tokens_col",
     "token_count",
+    "bpe_style_token_count",
+    "winnowing_fingerprints",
     "normalized_text",
     "content_fingerprint",
     "stopword_count",

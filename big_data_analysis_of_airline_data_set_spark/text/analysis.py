@@ -45,6 +45,64 @@ def content_fingerprint(text: Column) -> Column:
     return F.md5(normalized_text(text))
 
 
+BPE_PRETOKEN_RE = r"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]+"
+
+
+def bpe_style_token_count(text: Column) -> Column:
+    """GPT-2-style pre-tokenizer count: runs of letters, runs of digits,
+    and runs of other non-space symbols each count as one token — the
+    standard upper-bound proxy for BPE token counts when no vocab is
+    loadable. Plain character classes (not \\p{L}) so the Java-regex
+    (Spark) and RE2 (DuckDB oracle) behaviors are identical."""
+    return F.size(F.regexp_extract_all(text, F.lit(BPE_PRETOKEN_RE), 0)).cast("long")
+
+
+def winnowing_fingerprints(df, *, id_col: str, text_col: str, k: int = 8, window: int = 4):
+    """Winnowing document fingerprints (Schleimer et al. '03) →
+    (id, fingerprint) long-form rows: hash all char k-grams of the
+    normalized text, slide a window of ``window`` hashes, keep each
+    window's minimum, dedupe. Robust to local edits — two documents
+    sharing any fingerprint share a k-char run.
+
+    md5 (lexicographic min of hex digests) keeps the construction
+    engine-portable (no UDFs, mirrors in DuckDB). Implemented as
+    posexplode → one md5 per gram row → windowed min over the next
+    ``window`` rows: nested-array formulations re-evaluate the gram
+    array inside the window lambda (Catalyst collapses the projects),
+    which measured as an O(n²) md5 blowup — the row/window form does
+    exactly one hash per gram and one shuffle per doc."""
+    from pyspark.sql.window import Window
+
+    norm = df.select(
+        F.col(id_col).alias("_id"), normalized_text(F.col(text_col)).alias("_norm")
+    )
+    positions = norm.select(
+        "_id",
+        (F.length("_norm") - (k - 1)).alias("_n_grams"),
+        F.posexplode(
+            F.sequence(F.lit(1), F.greatest(F.length("_norm") - (k - 1), F.lit(0)))
+        ).alias("_p", "_i"),
+        F.col("_norm"),
+    )
+    hashes = positions.select(
+        "_id",
+        "_n_grams",
+        "_i",
+        F.md5(F.col("_norm").substr(F.col("_i"), F.lit(k))).alias("_h"),
+    )
+    w = (
+        Window.partitionBy("_id")
+        .orderBy("_i")
+        .rowsBetween(Window.currentRow, window - 1)
+    )
+    return (
+        hashes.withColumn("_fp", F.min("_h").over(w))
+        .filter(F.col("_i") <= F.col("_n_grams") - (window - 1))
+        .select(F.col("_id").alias(id_col), F.col("_fp").alias("fingerprint"))
+        .distinct()
+    )
+
+
 def stopword_count(text: Column, words: tuple[str, ...]) -> Column:
     """How many tokens are in ``words`` (duplicates counted)."""
     wordset = F.array(*[F.lit(w) for w in words])

@@ -88,6 +88,46 @@ def test_pandas_cosine_equals_jvm_cosine(spark, sf_dir):
     assert jvm == pdu
 
 
+def test_embedding_lsh_recall_vs_exact(spark, sf_dir):
+    from big_data_analysis_of_airline_data_set_spark.dedup import embedding_near_dup_pairs
+    from big_data_analysis_of_airline_data_set_spark.plans.content import (
+        _NEAR_DUP_COSINE,
+        q_dedup_embedding_lsh,
+    )
+
+    e = read_testdata_table(spark, sf_dir, "embeddings")
+    exact = {
+        (r.id_a, r.id_b)
+        for r in embedding_near_dup_pairs(
+            e, id_col="vec_id", vec_col="embedding", threshold=_NEAR_DUP_COSINE
+        ).collect()
+    }
+    approx = {(r.id_a, r.id_b) for r in q_dedup_embedding_lsh(spark, sf_dir).collect()}
+    assert exact, "expected some exact pairs at this threshold"
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.7, f"embedding LSH recall = {recall}"
+
+
+def test_winnowing_shared_fingerprints_detect_overlap(spark):
+    from big_data_analysis_of_airline_data_set_spark.text.analysis import (
+        winnowing_fingerprints,
+    )
+
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog again and again"),
+        (2, "the quick brown fox jumps over the lazy dog again and again"),
+        (3, "entirely unrelated content with nothing in common whatsoever here"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    fps = winnowing_fingerprints(df, id_col="doc_id", text_col="text")
+    by_doc = {
+        r.doc_id: set(r.fps)
+        for r in fps.groupBy("doc_id").agg(F.collect_set("fingerprint").alias("fps")).collect()
+    }
+    assert by_doc[1] == by_doc[2]          # identical docs → identical prints
+    assert not (by_doc[1] & by_doc[3])     # disjoint content → disjoint prints
+
+
 def test_decode_stub_raises(spark):
     with pytest.raises(NotImplementedError):
         decode_image(b"\x00", "image/png")
