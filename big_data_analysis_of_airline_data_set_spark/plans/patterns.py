@@ -231,7 +231,21 @@ FROM customer WHERE c_custkey IN (SELECT c_custkey FROM changed)
 """
 
 
+def q_quantiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-based percentiles (approx_percentile / GK algorithm) —
+    rows-only (sketches are engine-specific); accuracy vs the exact
+    quantiles is bounded in tests."""
+    o = _t(spark, sf_dir, "orders")
+    return o.agg(
+        F.expr("approx_percentile(o_totalprice, 0.5, 1000)").alias("q50_approx"),
+    )
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "quantiles_approx": QuerySpec(
+        "quantiles_approx", q_quantiles_approx, None,
+        "approx_percentile sketch (rows-only; accuracy-bound tested)",
+    ),
     "tpch_q1_style": QuerySpec(
         "tpch_q1_style", q_tpch_q1_style, _Q1_ORACLE,
         "TPC-H Q1 shape: 2-key groupBy, 8 exact-decimal aggregates",
