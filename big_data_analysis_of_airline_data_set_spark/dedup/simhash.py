@@ -17,7 +17,7 @@ near-identical docs → small hamming distance.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..text.analysis import tokens_col

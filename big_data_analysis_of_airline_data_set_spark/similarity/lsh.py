@@ -16,7 +16,7 @@ from __future__ import annotations
 
 import math
 
-from pyspark.ml.feature import BucketedRandomProjectionLSH, Normalizer, VectorAssembler
+from pyspark.ml.feature import BucketedRandomProjectionLSH, Normalizer
 from pyspark.ml.functions import array_to_vector
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F

@@ -18,7 +18,6 @@ from pyspark.sql.types import (
     ArrayType,
     BinaryType,
     BooleanType,
-    DateType,
     DoubleType,
     FloatType,
     IntegerType,

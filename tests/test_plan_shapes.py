@@ -5,8 +5,6 @@ fallback) is a failure even when results match."""
 
 from __future__ import annotations
 
-import pytest
-
 from big_data_analysis_of_airline_data_set_spark.plans import all_queries
 
 

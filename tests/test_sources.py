@@ -3,11 +3,9 @@ format, minus inferSchema), parquet schema pinning."""
 
 from __future__ import annotations
 
-import os
 import shutil
 import tempfile
 
-import pytest
 from pyspark.sql import functions as F
 
 from big_data_analysis_of_airline_data_set_spark.sources.readers import (

@@ -3,7 +3,6 @@ dedup, availableNow drain semantics."""
 
 from __future__ import annotations
 
-import os
 import shutil
 import tempfile
 
