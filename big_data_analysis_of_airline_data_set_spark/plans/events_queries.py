@@ -125,7 +125,46 @@ SELECT 'day', strftime(bucket, '%Y-%m-%d %H:%M:%S'), event_type, n_events,
 """
 
 
+def q_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch interval join: each purchase paired with every click by the
+    same user in the preceding 10 minutes — the batch twin of the
+    watermarked stream-stream join (tests/test_streaming_join.py runs
+    the same predicate as a real stream-stream join)."""
+    ev = _events(spark, sf_dir)
+    from pyspark.sql import functions as F
+
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("event_id").alias("purchase_id"), F.col("ts").alias("p_ts")
+    )
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"), F.col("event_id").alias("click_id"),
+        F.col("ts").alias("c_ts"),
+    )
+    return (
+        p.join(
+            c,
+            (F.col("user_id") == F.col("c_user"))
+            & (F.col("c_ts") <= F.col("p_ts"))
+            & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 10 MINUTES")),
+        )
+        .select("user_id", "purchase_id", "click_id")
+    )
+
+
+_INTERVAL_JOIN_ORACLE = """
+SELECT p.user_id, p.event_id AS purchase_id, c.event_id AS click_id
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+JOIN (SELECT * FROM events WHERE event_type = 'click') c
+  ON p.user_id = c.user_id
+ AND c.ts <= p.ts AND c.ts >= p.ts - INTERVAL '10 minutes'
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "events_interval_join": QuerySpec(
+        "events_interval_join", q_interval_join, _INTERVAL_JOIN_ORACLE,
+        "time-interval join (batch twin of the stream-stream join)",
+    ),
     "events_multi_rollup": QuerySpec(
         "events_multi_rollup", q_multi_rollup, _MULTI_ROLLUP_ORACLE,
         "hypertable-style minute/hour/day continuous-aggregate rollup",
