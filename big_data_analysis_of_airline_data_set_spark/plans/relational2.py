@@ -205,7 +205,39 @@ JOIN nation ON c_nationkey = n_nationkey GROUP BY n_name
 """
 
 
+def q_array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.8 array family: collect_list → sort_array → array_join /
+    contains / size, plus higher-order filter — grouped per order.
+    Arrays serialized to strings so the cross-engine compare is dtype-
+    stable (list ordering pinned by the sort)."""
+    li = _t(spark, sf_dir, "lineitem")
+    lines = F.sort_array(F.collect_list("l_linenumber"))
+    return li.groupBy("l_orderkey").agg(
+        F.array_join(lines, ",").alias("line_numbers"),
+        F.size(lines).cast("long").alias("n_lines"),
+        F.array_contains(lines, 1).alias("has_first_line"),
+        F.array_join(
+            F.filter(lines, lambda x: x % 2 == 0), ","
+        ).alias("even_lines"),
+    )
+
+
+_ARRAY_ORACLE = """
+SELECT l_orderkey,
+       array_to_string(list_sort(list(l_linenumber)), ',') AS line_numbers,
+       CAST(len(list(l_linenumber)) AS BIGINT) AS n_lines,
+       list_contains(list(l_linenumber), 1) AS has_first_line,
+       coalesce(array_to_string(list_filter(list_sort(list(l_linenumber)), x -> x % 2 = 0),
+                                ','), '') AS even_lines
+FROM lineitem GROUP BY l_orderkey
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "array_functions": QuerySpec(
+        "array_functions", q_array_functions, _ARRAY_ORACLE,
+        "array family: collect/sort/join/contains/higher-order filter",
+    ),
     "rollup_agg": QuerySpec("rollup_agg", q_rollup, _ROLLUP_ORACLE, "ROLLUP subtotals"),
     "set_intersect": QuerySpec(
         "set_intersect", q_set_intersect, _INTERSECT_ORACLE, "INTERSECT distinct"

@@ -90,6 +90,25 @@ def test_partition_pruning_on_partitioned_layout(spark, sf_dir, tmp_path):
     assert "o_year" in plan.split("PartitionFilters")[1][:200]
 
 
+def test_asof_join_no_cartesian(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "asof_join")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan  # one shuffle on the key, window after
+
+
+def test_minhash_no_cartesian(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "dedup_minhash_lsh", mode="simple")
+    assert "CartesianProduct" not in plan  # banded bucket equi-join only
+
+
+def test_interval_join_stays_keyed(spark, sf_dir):
+    """The time predicates ride on the user_id equi-join — no
+    nested-loop fallback."""
+    plan = _plan(spark, sf_dir, "events_interval_join", mode="simple")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
 def test_multimodal_is_arrow_batched(spark, sf_dir):
     plan = _plan(spark, sf_dir, "multimodal_asset_stats", mode="simple")
     # mapInPandas shows as MapInPandas (Arrow), not row-wise BatchEvalPython
