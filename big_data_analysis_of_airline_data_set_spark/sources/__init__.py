@@ -7,6 +7,8 @@ from .readers import (
     register_star_views,
 )
 from .writers import write_parquet, write_report_csv
+from .bucketing import write_bucketed_table, bucketed_join
+from .compaction import compact_parquet
 
 __all__ = [
     "FLIGHTS_RAW_SCHEMA",
@@ -19,4 +21,7 @@ __all__ = [
     "register_star_views",
     "write_parquet",
     "write_report_csv",
+    "write_bucketed_table",
+    "bucketed_join",
+    "compact_parquet",
 ]
