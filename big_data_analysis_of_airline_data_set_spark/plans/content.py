@@ -361,7 +361,41 @@ FROM documents
 """
 
 
+def q_trimmed_mean_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-map Pandas UDAF (applyInPandas, one row per group):
+    10-90% trimmed mean of extended price per return flag, oracled so
+    the whole Arrow path is value-checked."""
+    from ..functions.pandas_udafs import trimmed_mean
+
+    li = read_testdata_table(spark, sf_dir, "lineitem")
+    # round_to=4: summation-order float drift on ~1e5-magnitude means is
+    # ~1e-7 absolute — round-6 would sit inside the noise band.
+    return trimmed_mean(
+        li, group_col="l_returnflag", value_col="l_extendedprice", round_to=4
+    )
+
+
+_TRIMMED_MEAN_ORACLE = """
+WITH bounds AS (
+  SELECT l_returnflag,
+         quantile_cont(l_extendedprice, 0.1) AS lo,
+         quantile_cont(l_extendedprice, 0.9) AS hi
+  FROM lineitem GROUP BY 1
+)
+SELECT l.l_returnflag,
+       round(avg(l_extendedprice), 4) AS trimmed_mean,
+       count(*) AS n_kept
+FROM lineitem l JOIN bounds b ON l.l_returnflag = b.l_returnflag
+WHERE l_extendedprice >= lo AND l_extendedprice <= hi
+GROUP BY 1
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "trimmed_mean_udaf": QuerySpec(
+        "trimmed_mean_udaf", q_trimmed_mean_udaf, _TRIMMED_MEAN_ORACLE,
+        "grouped-map Pandas UDAF trimmed mean vs quantile SQL",
+    ),
     "text_stats": QuerySpec(
         "text_stats", q_text_stats, _TEXT_STATS_ORACLE,
         "token/char counts, mean token length, stopword ratio",
