@@ -179,6 +179,64 @@ WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
 """
 
 
+def q_window_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking family: rank / dense_rank / ntile / percent_rank over the
+    per-customer order sequence (deterministic tie-break by orderkey)."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.rank().over(w).cast("long").alias("rnk"),
+        F.dense_rank().over(w).cast("long").alias("drnk"),
+        F.ntile(4).over(w).cast("long").alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+    )
+
+
+_WINDOW_RANKING_ORACLE = """
+SELECT o_custkey, o_orderkey,
+       CAST(rank() OVER w AS BIGINT) AS rnk,
+       CAST(dense_rank() OVER w AS BIGINT) AS drnk,
+       CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+       round(percent_rank() OVER w, 6) AS pct_rank
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC)
+"""
+
+
+def q_string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String family: pad/trim/replace/reverse/repeat/position/case."""
+    p = _t(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.lpad("p_brand", 12, "*").alias("brand_lpad"),
+        F.rpad("p_brand", 12, "-").alias("brand_rpad"),
+        F.replace(F.col("p_type"), F.lit(" "), F.lit("_")).alias("type_snake"),
+        F.reverse("p_brand").alias("brand_rev"),
+        F.repeat(F.col("p_brand"), 2).alias("brand_x2"),
+        F.instr("p_type", " ").cast("long").alias("first_space"),
+        F.lower("p_type").alias("type_lower"),
+        F.trim(F.upper(F.concat(F.lit("  "), F.col("p_brand"), F.lit("  ")))).alias(
+            "brand_upper_trim"
+        ),
+    )
+
+
+_STRING_ORACLE = """
+SELECT p_partkey,
+       lpad(p_brand, 12, '*') AS brand_lpad,
+       rpad(p_brand, 12, '-') AS brand_rpad,
+       replace(p_type, ' ', '_') AS type_snake,
+       reverse(p_brand) AS brand_rev,
+       repeat(p_brand, 2) AS brand_x2,
+       CAST(position(' ' IN p_type) AS BIGINT) AS first_space,
+       lower(p_type) AS type_lower,
+       trim(upper('  ' || p_brand || '  ')) AS brand_upper_trim
+FROM part
+"""
+
+
 def q_salted_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Same result as join_inner_agg but through the salted-join rewrite
     — the oracle equality PROVES salting preserves semantics."""
@@ -253,6 +311,14 @@ QUERIES: dict[str, QuerySpec] = {
     "scalar_functions": QuerySpec(
         "scalar_functions", q_scalar_functions, _SCALAR_ORACLE,
         "regexp/string/date/math scalar families",
+    ),
+    "window_ranking": QuerySpec(
+        "window_ranking", q_window_ranking, _WINDOW_RANKING_ORACLE,
+        "rank/dense_rank/ntile/percent_rank",
+    ),
+    "string_functions": QuerySpec(
+        "string_functions", q_string_functions, _STRING_ORACLE,
+        "pad/trim/replace/reverse/repeat/position family",
     ),
     "window_analytics": QuerySpec(
         "window_analytics", q_window_analytics, _WINDOW_ANALYTICS_ORACLE,
