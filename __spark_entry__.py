@@ -12,11 +12,19 @@ this module only adapts the registry to the driver's shape.
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from big_data_analysis_of_airline_data_set_spark.plans import all_queries
+# Make the sibling package importable even when the driver loads this
+# module from outside the repo root.
+_REPO_ROOT = os.path.dirname(os.path.abspath(__file__))
+if _REPO_ROOT not in sys.path:
+    sys.path.insert(0, _REPO_ROOT)
+
+from big_data_analysis_of_airline_data_set_spark.plans import all_queries  # noqa: E402
 
 SF0001_DIR = "/root/testdata/sf0.001"
 
