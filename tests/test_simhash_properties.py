@@ -1,0 +1,60 @@
+"""SimHash bit-level correctness: single-token documents must hash to
+exactly the token's xxhash64 (every bit, including the sign bit), and
+banded candidate generation must find ALL low-hamming pairs
+(pigeonhole: hamming <= 3 over 4 bands guarantees a shared band)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from big_data_analysis_of_airline_data_set_spark.dedup.simhash import (
+    simhash_col,
+    simhash_near_dup_pairs,
+)
+
+
+def test_single_token_simhash_equals_xxhash64(spark):
+    tokens = ["alpha", "bravo", "negative", "zulu", "x"]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(tokens)], "doc_id long, text string"
+    )
+    got = {
+        r.doc_id: r.simhash
+        for r in simhash_col(df, id_col="doc_id", text_col="text").collect()
+    }
+    want = {
+        i: r.h
+        for i, r in enumerate(
+            spark.createDataFrame([(t,) for t in tokens], "t string")
+            .select(F.xxhash64("t").alias("h"))
+            .collect()
+        )
+    }
+    assert got == want
+    # make sure the sign bit actually got exercised
+    assert any(v < 0 for v in want.values())
+
+
+def test_banded_pairs_complete_vs_bruteforce(spark, sf_dir):
+    from big_data_analysis_of_airline_data_set_spark.sources.readers import (
+        read_testdata_table,
+    )
+
+    docs = read_testdata_table(spark, sf_dir, "documents").limit(200)
+    hashes = simhash_col(docs, id_col="doc_id", text_col="text")
+    a = hashes.selectExpr("doc_id as id_a", "simhash as sh_a")
+    b = hashes.selectExpr("doc_id as id_b", "simhash as sh_b")
+    brute = (
+        a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("hamming", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))))
+        .filter(F.col("hamming") <= 3)
+    )
+    want = {(r.id_a, r.id_b, r.hamming) for r in brute.collect()}
+    got = {
+        (r.id_a, r.id_b, r.hamming)
+        for r in simhash_near_dup_pairs(
+            docs, id_col="doc_id", text_col="text", max_hamming=3
+        ).collect()
+    }
+    assert got == want  # banding loses nothing within the pigeonhole bound
