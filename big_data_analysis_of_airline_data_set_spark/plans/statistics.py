@@ -78,6 +78,32 @@ def _chi2_feature_sql(col: str) -> str:
     """
 
 
+def q_spearman_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M6 spearman variant: MLlib rank correlation, oracled against the
+    average-rank Pearson formula in SQL (l_quantity's heavy ties make
+    this a real tie-handling check)."""
+    li = read_testdata_table(spark, sf_dir, "lineitem")
+    pairs = correlation_pairs_df(
+        spark, li, ["l_quantity", "l_extendedprice"], method="spearman"
+    )
+    return pairs.filter(F.col("col_a") != F.col("col_b"))
+
+
+_SPEARMAN_ORACLE = """
+WITH ranked AS (
+  SELECT
+    rank() OVER (ORDER BY l_quantity)
+      + (count(*) OVER (PARTITION BY l_quantity) - 1) / 2.0 AS r_q,
+    rank() OVER (ORDER BY l_extendedprice)
+      + (count(*) OVER (PARTITION BY l_extendedprice) - 1) / 2.0 AS r_p
+  FROM lineitem
+)
+SELECT 'l_quantity' AS col_a, 'l_extendedprice' AS col_b,
+       round(corr(r_q, r_p), 6) AS corr
+FROM ranked
+"""
+
+
 def q_variance_threshold_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """M10/M11 — the "kth-largest variance as threshold" selection rule
     (Scripts/2_...py:124-131), k=3 over the 4 lineitem numerics → the
@@ -169,6 +195,12 @@ QUERIES: dict[str, QuerySpec] = {
             [_chi2_feature_sql("o_orderpriority"), _chi2_feature_sql("o_orderstatus")]
         ),
         "M7 ChiSquareTest vs SQL contingency formula",
+    ),
+    "spearman_correlation": QuerySpec(
+        "spearman_correlation",
+        q_spearman_correlation,
+        _SPEARMAN_ORACLE,
+        "M6 spearman (MLlib) vs average-rank Pearson SQL",
     ),
     "variance_threshold_features": QuerySpec(
         "variance_threshold_features",

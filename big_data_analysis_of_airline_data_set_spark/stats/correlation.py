@@ -37,11 +37,12 @@ def correlation_pairs_df(
     df: DataFrame,
     cols: list[str],
     *,
+    method: str = "pearson",
     round_to: int = 6,
 ) -> DataFrame:
     """Long-form (col_a, col_b, corr) for the full upper triangle incl.
     diagonal, rounded for cross-engine comparison."""
-    m = correlation_matrix(df, cols)
+    m = correlation_matrix(df, cols, method)
     rows = [
         (cols[i], cols[j], round(m[i][j], round_to))
         for i in range(len(cols))
