@@ -42,6 +42,43 @@ FROM orders GROUP BY ROLLUP (o_year, o_orderstatus)
 """
 
 
+def q_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE (status, priority): all 4 grouping combinations."""
+    o = _t(spark, sf_dir, "orders")
+    return o.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders")
+    )
+
+
+_CUBE_ORACLE = """
+SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders
+FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+"""
+
+
+def q_conditional_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional aggregation: count_if / filtered sums per group."""
+    o = _t(spark, sf_dir, "orders")
+    big = F.col("o_totalprice") > 250_000
+    return o.groupBy("o_orderstatus").agg(
+        F.count_if(big).alias("n_big"),
+        F.sum(F.when(big, F.col("o_totalprice").cast("decimal(18,2)")))
+        .cast("double")
+        .alias("sum_big"),
+        F.count(F.lit(1)).alias("n_total"),
+    )
+
+
+_CONDITIONAL_ORACLE = """
+SELECT o_orderstatus,
+       count(*) FILTER (WHERE o_totalprice > 250000) AS n_big,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+            FILTER (WHERE o_totalprice > 250000) AS DOUBLE) AS sum_big,
+       count(*) AS n_total
+FROM orders GROUP BY o_orderstatus
+"""
+
+
 def q_set_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Customers with both an 'F' and an 'O' order (INTERSECT distinct)."""
     o = _t(spark, sf_dir, "orders")
@@ -297,6 +334,11 @@ QUERIES: dict[str, QuerySpec] = {
         "array family: collect/sort/join/contains/higher-order filter",
     ),
     "rollup_agg": QuerySpec("rollup_agg", q_rollup, _ROLLUP_ORACLE, "ROLLUP subtotals"),
+    "cube_agg": QuerySpec("cube_agg", q_cube, _CUBE_ORACLE, "CUBE over two dims"),
+    "conditional_aggregates": QuerySpec(
+        "conditional_aggregates", q_conditional_aggregates, _CONDITIONAL_ORACLE,
+        "count_if / FILTER-clause aggregation",
+    ),
     "set_intersect": QuerySpec(
         "set_intersect", q_set_intersect, _INTERSECT_ORACLE, "INTERSECT distinct"
     ),
