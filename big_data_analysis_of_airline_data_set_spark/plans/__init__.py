@@ -16,12 +16,14 @@ from . import (
     patterns,
     relational,
     relational2,
+    relational3,
     statistics,
 )
 
 _MODULES = [
     relational,
     relational2,
+    relational3,
     patterns,
     statistics,
     ml_queries,
