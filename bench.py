@@ -53,8 +53,19 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     specs = all_queries()
 
-    # JVM/codegen warm-up outside the timed region
+    # JVM/codegen warm-up outside the timed region: run the same query
+    # shapes once at sf0.001 (~1000x smaller inputs) so the timed pass
+    # measures steady-state execution, not first-call JIT/codegen and
+    # parquet-reader class loading. Standard JVM benchmarking practice;
+    # the timed inputs themselves are not touched here.
     spark.range(1_000_000).selectExpr("sum(id)").collect()
+    warm_dir = "/root/testdata/sf0.001"
+    if os.path.isdir(warm_dir) and os.path.realpath(warm_dir) != os.path.realpath(sf_dir):
+        for name in HEADLINE:
+            try:
+                specs[name].fn(spark, warm_dir).count()
+            except Exception:
+                pass  # warm-up is best-effort; the timed run surfaces real errors
 
     timings: dict[str, float] = {}
     total = 0.0
