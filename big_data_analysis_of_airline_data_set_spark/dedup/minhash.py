@@ -64,12 +64,20 @@ def minhash_near_dup_pairs(
     shingled = shingled.persist()
     base = shingled.filter(F.size("_sh") > 0)
 
-    # K signatures in one explode + one groupBy (seeded hash families via
-    # a literal salt; xxhash64 is a stable 64-bit JVM-side hash).
-    exploded = base.select("_id", F.explode("_sh").alias("_g"))
-    sigs = exploded.groupBy("_id").agg(
-        *[F.min(F.xxhash64(F.lit(i), F.col("_g"))).alias(f"mh{i}") for i in range(num_hashes)]
-    )
+    # K signatures per row, shuffle-free: min over the shingle array for
+    # each seeded hash family (array_min ∘ transform), all inside
+    # whole-stage codegen. Replaces the earlier explode + 16-way groupBy
+    # min — same hashes, but the shuffle of |docs|·|shingles| exploded
+    # rows disappears (measured 1.55s → see bench). The seed i is a
+    # per-signature literal, so the inner lambda hashes each shingle
+    # once per family — exactly the K·|shingles| work the math requires.
+    sig_cols = [
+        F.array_min(F.transform("_sh", lambda s, i=i: F.xxhash64(F.lit(i), s))).alias(
+            f"mh{i}"
+        )
+        for i in range(num_hashes)
+    ]
+    sigs = base.select("_id", *sig_cols)
 
     # br-band digests, melted to (id, band_idx, band_hash)
     band_cols = [
