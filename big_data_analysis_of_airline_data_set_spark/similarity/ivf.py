@@ -59,14 +59,17 @@ def ivf_topk(
     nearest cells only."""
     indexed, centroids = build_ivf_index(df, id_col=id_col, vec_col=vec_col, nlist=nlist)
 
-    def cos(a: list[float], b: list[float]) -> float:
-        num = sum(x * y for x, y in zip(a, b))
-        na = sum(x * x for x in a) ** 0.5
-        nb = sum(x * x for x in b) ** 0.5
-        return num / (na * nb) if na and nb else 0.0
+    # Rank cells by the SAME score the quantizer assigns with:
+    # argmin ||q - c||^2  ==  argmax q·c - ||c||^2/2. Ranking by cosine
+    # to the centroid instead (an earlier version) disagrees with the
+    # Euclidean assignment whenever centroid norms differ, and measurably
+    # lost recall on weakly-clustered corpora.
+    def assign_score(c: list[float]) -> float:
+        dot = sum(x * y for x, y in zip(query_vec, c))
+        return dot - sum(x * x for x in c) / 2.0
 
     probe_cells = sorted(
-        range(len(centroids)), key=lambda c: -cos(query_vec, centroids[c])
+        range(len(centroids)), key=lambda c: -assign_score(centroids[c])
     )[:nprobe]
 
     q = F.array(*[F.lit(float(x)) for x in query_vec])
