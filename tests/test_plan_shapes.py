@@ -114,3 +114,40 @@ def test_multimodal_is_arrow_batched(spark, sf_dir):
     # mapInPandas shows as MapInPandas (Arrow), not row-wise BatchEvalPython
     assert "MapInPandas" in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_datetime_family_is_scan_project_only(spark, sf_dir):
+    """Pure scalar family: no exchange, no Python eval — one codegen'd
+    scan+project."""
+    plan = _plan(spark, sf_dir, "datetime_functions", mode="simple")
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_grouping_sets_single_expand_single_shuffle(spark, sf_dir):
+    """GROUPING SETS compiles to Expand + one partial/final aggregate —
+    not |sets| separate scans unioned together."""
+    plan = _plan(spark, sf_dir, "grouping_sets_agg")
+    assert "Expand" in plan
+    assert "Union" not in plan
+    assert "partial_" in plan  # map-side combine still applies post-Expand
+
+
+def test_stats_moments_one_aggregate_pass(spark, sf_dir):
+    """All ten moments fold into ONE hash aggregate (single shuffle),
+    not one pass per statistic."""
+    plan = _plan(spark, sf_dir, "stats_moments", mode="simple")
+    assert plan.count("Exchange") <= 2  # agg shuffle (+ AQE read), no more
+
+
+def test_minhash_signatures_shuffle_free(spark, sf_dir):
+    """Signature computation is array_min∘transform per row — the only
+    exchanges left in the whole pipeline are the repartition spread, the
+    band bucket join, and the candidate dedup; the 16-way explode+groupBy
+    signature shuffle must NOT reappear."""
+    plan = _plan(spark, sf_dir, "dedup_minhash_lsh", mode="simple")
+    assert "array_min" in plan
+    # the old shape aggregated exploded shingles: HashAggregate with 16
+    # min(xxhash64(...)) functions — its absence is the regression guard
+    # (the only Generate left is the 8-struct band melt, constant-width)
+    assert "min(xxhash64" not in plan
