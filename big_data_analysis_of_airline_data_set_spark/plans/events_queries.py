@@ -160,7 +160,145 @@ JOIN (SELECT * FROM events WHERE event_type = 'click') c
 """
 
 
+def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel view → click → purchase: a user counts
+    at step N only with an event strictly after their step-N-1 time.
+    Per-user frames shrink to ≤ |users| rows after the first aggregate,
+    so the step joins broadcast — at 100 TB the only big-data pass is
+    the three filtered scans feeding the first groupBys."""
+    from pyspark.sql import functions as F
+
+    ev = _events(spark, sf_dir)
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(F.broadcast(v), "user_id")
+        .filter(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(F.broadcast(c), "user_id")
+        .filter(F.col("ts") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+
+    def step(df: DataFrame, n: int, stage: str) -> DataFrame:
+        return df.agg(F.count(F.lit(1)).alias("n_users")).select(
+            F.lit(n).cast("long").alias("step"),
+            F.lit(stage).alias("stage"),
+            "n_users",
+        )
+
+    return step(v, 1, "view").unionByName(step(c, 2, "click")).unionByName(
+        step(p, 3, "purchase")
+    )
+
+
+_FUNNEL_ORACLE = """
+WITH v AS (SELECT user_id, min(ts) AS t1 FROM events
+           WHERE event_type = 'view' GROUP BY user_id),
+c AS (SELECT e.user_id, min(e.ts) AS t2 FROM events e
+      JOIN v ON e.user_id = v.user_id
+      WHERE e.event_type = 'click' AND e.ts > v.t1 GROUP BY e.user_id),
+p AS (SELECT e.user_id, min(e.ts) AS t3 FROM events e
+      JOIN c ON e.user_id = c.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > c.t2 GROUP BY e.user_id)
+SELECT CAST(1 AS BIGINT) AS step, 'view' AS stage, count(*) AS n_users FROM v
+UNION ALL SELECT 2, 'click', count(*) FROM c
+UNION ALL SELECT 3, 'purchase', count(*) FROM p
+"""
+
+
+def q_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-bound equi-width histogram over value: width_bucket keeps
+    it a single aggregate pass (no global min/max pre-scan), which is
+    the right shape at scale — adaptive bounds would cost a second
+    full read."""
+    from pyspark.sql import functions as F
+
+    ev = _events(spark, sf_dir)
+    bucket = F.width_bucket(F.col("value"), F.lit(0.0), F.lit(500.0), F.lit(10))
+    return ev.groupBy(bucket.cast("long").alias("bucket")).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("value").alias("min_value"),
+        F.max("value").alias("max_value"),
+        F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
+    )
+
+
+_HISTOGRAM_ORACLE = """
+SELECT CAST(floor(value / 50.0) + 1 AS BIGINT) AS bucket,
+       count(*) AS n_events,
+       min(value) AS min_value,
+       max(value) AS max_value,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+FROM events GROUP BY 1
+"""
+
+
+def q_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention: users grouped by first-activity day, counted on
+    each later active day (day_offset). The distinct collapses events to
+    ≤ |users|·|days| rows before the cohort join, which then
+    broadcasts."""
+    from pyspark.sql import functions as F
+
+    ev = _events(spark, sf_dir)
+    firsts = ev.groupBy("user_id").agg(
+        F.date_trunc("day", F.min("ts")).alias("cohort_day")
+    )
+    active = ev.select(
+        "user_id", F.date_trunc("day", F.col("ts")).alias("active_day")
+    ).distinct()
+    return (
+        active.join(F.broadcast(firsts), "user_id")
+        .groupBy(
+            "cohort_day",
+            F.datediff("active_day", "cohort_day").cast("long").alias("day_offset"),
+        )
+        .agg(F.count_distinct("user_id").alias("n_users"))
+        .select(
+            F.date_format("cohort_day", "yyyy-MM-dd").alias("cohort_day"),
+            "day_offset",
+            "n_users",
+        )
+    )
+
+
+_RETENTION_ORACLE = """
+WITH firsts AS (
+  SELECT user_id, date_trunc('day', min(ts)) AS cd FROM events GROUP BY user_id
+), active AS (
+  SELECT DISTINCT user_id, date_trunc('day', ts) AS ad FROM events
+)
+SELECT strftime(cd, '%Y-%m-%d') AS cohort_day,
+       CAST(date_diff('day', cd, ad) AS BIGINT) AS day_offset,
+       count(DISTINCT user_id) AS n_users
+FROM active JOIN firsts USING (user_id)
+GROUP BY cd, day_offset
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "events_funnel": QuerySpec(
+        "events_funnel", q_funnel, _FUNNEL_ORACLE,
+        "ordered view→click→purchase conversion funnel",
+    ),
+    "events_histogram": QuerySpec(
+        "events_histogram", q_histogram, _HISTOGRAM_ORACLE,
+        "fixed-bound width_bucket histogram, single agg pass",
+    ),
+    "events_retention": QuerySpec(
+        "events_retention", q_retention, _RETENTION_ORACLE,
+        "first-day cohort retention by day offset",
+    ),
     "events_interval_join": QuerySpec(
         "events_interval_join", q_interval_join, _INTERVAL_JOIN_ORACLE,
         "time-interval join (batch twin of the stream-stream join)",
