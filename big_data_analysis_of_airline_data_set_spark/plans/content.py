@@ -391,7 +391,70 @@ GROUP BY 1
 """
 
 
+def q_text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF top-5 terms per document, end-to-end declarative: explode
+    tokens → per-doc term counts → document frequency → score → ranked
+    window. The doc-frequency table is tiny relative to the corpus
+    (vocabulary-sized) so its join broadcasts; the corpus-size scalar
+    rides in as a broadcast cross join rather than a driver collect.
+    At 100 TB the only big shuffles are the two term-keyed aggregates."""
+    from pyspark.sql.window import Window
+
+    from ..text.analysis import tokens_col
+
+    d = read_testdata_table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(tokens_col(F.col("text"))).alias("term"))
+    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n = d.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "term",
+            "tf",
+            "df",
+            F.round(
+                F.col("tf") * F.log(F.col("n_docs").cast("double") / F.col("df")), 6
+            ).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("term"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .drop("rn")
+    )
+
+
+_TFIDF_ORACLE = r"""
+WITH tok AS (
+  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS term
+  FROM documents
+), tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2
+), dfreq AS (
+  SELECT term, count(*) AS df FROM tf GROUP BY 1
+), n AS (SELECT count(*) AS n_docs FROM documents),
+scored AS (
+  SELECT doc_id, term, tf, df,
+         round(tf * ln(CAST(n_docs AS DOUBLE) / df), 6) AS tfidf
+  FROM tf JOIN dfreq USING (term) CROSS JOIN n
+), ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY doc_id
+                               ORDER BY tfidf DESC, term ASC) AS rn
+  FROM scored
+)
+SELECT doc_id, term, tf, df, tfidf FROM ranked WHERE rn <= 5
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "text_tfidf": QuerySpec(
+        "text_tfidf", q_text_tfidf, _TFIDF_ORACLE,
+        "TF-IDF top-5 terms per doc (broadcast df + corpus scalar)",
+    ),
     "trimmed_mean_udaf": QuerySpec(
         "trimmed_mean_udaf", q_trimmed_mean_udaf, _TRIMMED_MEAN_ORACLE,
         "grouped-map Pandas UDAF trimmed mean vs quantile SQL",

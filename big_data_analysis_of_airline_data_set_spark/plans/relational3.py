@@ -252,7 +252,41 @@ WINDOW
 """
 
 
+def q_join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-outer join with unmatched rows on BOTH sides: positive-
+    balance customers vs per-customer order counts. Null-key coalesce on
+    the output; missing counts surface as 0. Completes the join-type
+    matrix alongside inner/semi/anti (relational.py)."""
+    c = (
+        _t(spark, sf_dir, "customer")
+        .filter(F.col("c_acctbal") > 0)
+        .select("c_custkey", "c_name")
+    )
+    o = _t(spark, sf_dir, "orders").groupBy("o_custkey").agg(
+        F.count(F.lit(1)).alias("n_orders")
+    )
+    return c.join(o, c.c_custkey == o.o_custkey, "full_outer").select(
+        F.coalesce("c_custkey", "o_custkey").alias("custkey"),
+        "c_name",
+        F.coalesce("n_orders", F.lit(0)).cast("long").alias("n_orders"),
+    )
+
+
+_FULL_OUTER_ORACLE = """
+WITH c AS (SELECT c_custkey, c_name FROM customer WHERE c_acctbal > 0),
+o AS (SELECT o_custkey, count(*) AS cnt FROM orders GROUP BY o_custkey)
+SELECT coalesce(c_custkey, o_custkey) AS custkey,
+       c_name,
+       CAST(coalesce(cnt, 0) AS BIGINT) AS n_orders
+FROM c FULL JOIN o ON c_custkey = o_custkey
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "join_full_outer": QuerySpec(
+        "join_full_outer", q_join_full_outer, _FULL_OUTER_ORACLE,
+        "full-outer join, unmatched rows both sides, coalesced output",
+    ),
     "grouping_sets_agg": QuerySpec(
         "grouping_sets_agg", q_grouping_sets, _GROUPING_SETS_ORACLE,
         "GROUPING SETS with grouping() flags (native DataFrame API)",
