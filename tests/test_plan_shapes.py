@@ -151,3 +151,15 @@ def test_minhash_signatures_shuffle_free(spark, sf_dir):
     # min(xxhash64(...)) functions — its absence is the regression guard
     # (the only Generate left is the 8-struct band melt, constant-width)
     assert "min(xxhash64" not in plan
+
+
+def test_new_event_and_text_queries_no_cartesian(spark, sf_dir):
+    """funnel/retention/tfidf/full-outer all join on keys (broadcast
+    where small) — nested-loop or cartesian fallback is a regression."""
+    for name in ("events_funnel", "events_retention", "text_tfidf", "join_full_outer"):
+        plan = _plan(spark, sf_dir, name, mode="simple")
+        assert "CartesianProduct" not in plan, name
+        # the single intentional cross join (tfidf's 1-row corpus-size
+        # scalar) must ride a broadcast, never a shuffled NLJ
+        if "NestedLoopJoin" in plan:
+            assert "BroadcastNestedLoopJoin" in plan, name
