@@ -225,7 +225,10 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     # nprobe 8/16: the synthetic embeddings are near-orthogonal, so true
     # neighbors scatter across cells — real clustered corpora hit high
     # recall at much lower nprobe/nlist ratios.
-    return ivf_topk(e, qv, id_col="vec_id", vec_col="embedding", k=10, nlist=16, nprobe=8)
+    return ivf_topk(
+        e, qv, id_col="vec_id", vec_col="embedding", k=10, nlist=16, nprobe=8,
+        multi_assign=2,
+    )
 
 
 def q_ann_bruteforce_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -30,9 +30,17 @@ def build_ivf_index(
     id_col: str,
     vec_col: str,
     nlist: int = 16,
+    multi_assign: int = 1,
 ) -> tuple[DataFrame, list[list[float]]]:
     """Returns (indexed_df with a ``cell`` column, centroid list).
-    The indexed frame is what you'd persist bucketed by ``cell``."""
+    The indexed frame is what you'd persist bucketed by ``cell``.
+
+    ``multi_assign`` > 1 stores each vector in its m nearest cells
+    (classic multi-assignment IVF): index size grows m×, recall at a
+    fixed nprobe rises because boundary vectors live in every cell
+    they're close to. Assignment scores are computed with array
+    expressions per row — shuffle-free, whole-stage codegen — not a
+    |vectors|×nlist explode."""
     vecs = df.select(
         F.col(id_col).alias("_id"),
         F.col(vec_col).alias("_arr"),
@@ -40,8 +48,40 @@ def build_ivf_index(
     )
     km = KMeans(k=nlist, seed=SEED, featuresCol="_vec", predictionCol="cell")
     model = km.fit(vecs)
-    indexed = model.transform(vecs).select("_id", "_arr", "cell")
     centroids = [c.tolist() for c in model.clusterCenters()]
+    if multi_assign <= 1:
+        indexed = model.transform(vecs).select("_id", "_arr", "cell")
+        return indexed, centroids
+
+    # score(c) = x·c − ||c||²/2 (argmax == Euclidean assignment); rank
+    # the nlist scores per row and keep the top-m cell ids. Struct sort
+    # orders by the first field, so reverse(array_sort) = best first.
+    cents = F.array(*[F.array(*[F.lit(float(v)) for v in c]) for c in centroids])
+    half_norms = F.array(
+        *[F.lit(sum(v * v for v in c) / 2.0) for c in centroids]
+    )
+    scored = F.transform(
+        F.arrays_zip(
+            cents.alias("c"),
+            half_norms.alias("h"),
+            F.sequence(F.lit(0), F.lit(nlist - 1)).alias("i"),
+        ),
+        lambda z: F.struct(
+            (
+                F.aggregate(
+                    F.zip_with(z["c"], F.col("_arr"), lambda x, y: x * y.cast("double")),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                )
+                - z["h"]
+            ).alias("score"),
+            z["i"].alias("cell"),
+        ),
+    )
+    top = F.slice(F.reverse(F.array_sort(scored)), 1, multi_assign)
+    indexed = vecs.withColumn("_cells", top).select(
+        "_id", "_arr", F.explode(F.col("_cells.cell")).alias("cell")
+    )
     return indexed, centroids
 
 
@@ -54,10 +94,16 @@ def ivf_topk(
     k: int = 10,
     nlist: int = 16,
     nprobe: int = 4,
+    multi_assign: int = 1,
 ) -> DataFrame:
     """(id, cosine) approximate top-k: exact cosine over the nprobe
-    nearest cells only."""
-    indexed, centroids = build_ivf_index(df, id_col=id_col, vec_col=vec_col, nlist=nlist)
+    nearest cells only. ``multi_assign`` > 1 duplicates boundary vectors
+    across their m nearest cells; the candidate set is deduped by id
+    before the exact pass so the trade costs index size, not query
+    work."""
+    indexed, centroids = build_ivf_index(
+        df, id_col=id_col, vec_col=vec_col, nlist=nlist, multi_assign=multi_assign
+    )
 
     # Rank cells by the SAME score the quantizer assigns with:
     # argmin ||q - c||^2  ==  argmax q·c - ||c||^2/2. Ranking by cosine
@@ -75,6 +121,7 @@ def ivf_topk(
     q = F.array(*[F.lit(float(x)) for x in query_vec])
     return (
         indexed.filter(F.col("cell").isin(probe_cells))
+        .dropDuplicates(["_id"])
         .select(
             F.col("_id").alias("id"),
             F.round(cosine_sim_expr(F.col("_arr"), q), 6).alias("cosine"),

@@ -76,9 +76,10 @@ def test_ann_ivf_recall_vs_bruteforce(spark, sf_dir):
     ivf_ids = {r.id for r in q_ann_ivf(spark, sf_dir).collect()}
     recall = len(exact_ids & ivf_ids) / 10
     # probe ranking aligned with the quantizer's Euclidean assignment
-    # score gives 1.0 / 0.9 / 0.8 at sf0.001 / 0.01 / 0.1 on the
-    # near-orthogonal synthetic vectors
-    assert recall >= 0.8, f"IVF recall@10 = {recall}"
+    # score + multi_assign=2 gives 1.0 recall at sf0.001/0.01/0.1 on
+    # the near-orthogonal synthetic vectors; floor left at 0.9 for
+    # centroid jitter headroom
+    assert recall >= 0.9, f"IVF recall@10 = {recall}"
 
 
 def test_pandas_cosine_equals_jvm_cosine(spark, sf_dir):
