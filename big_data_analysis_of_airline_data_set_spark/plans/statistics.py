@@ -2,8 +2,12 @@
 
 MLlib computations cross-checked against relational SQL oracles where
 expressible (correlation matrix, chi-square statistic/dof, variance
-threshold selection); univariate selectors are rows-only (p-value CDFs
-aren't SQL-expressible in DuckDB).
+threshold selection). The univariate selectors rank by p-value, whose
+CDFs aren't SQL-expressible in DuckDB — but both selector queries are
+constructed so every candidate feature shares the same dof/df-pair,
+making the p-value ordering monotone in the raw statistic, which IS
+SQL-computable: the oracles rank by chi-square statistic / explicit
+ANOVA F instead.
 """
 
 from __future__ import annotations
@@ -54,12 +58,14 @@ def q_mllib_chi_square(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.select("feature", "statistic", "dof")
 
 
-def _chi2_feature_sql(col: str) -> str:
-    """Chi-square statistic + dof for one categorical column vs the
-    o_orderkey%2 label, INCLUDING empty cells (MLlib builds the full
-    contingency table, so absent combinations contribute exp)."""
+def _chi2_feature_sql(col: str, name: str | None = None) -> str:
+    """Chi-square statistic + dof for one categorical column (or column
+    expression) vs the o_orderkey%2 label, INCLUDING empty cells (MLlib
+    builds the full contingency table, so absent combinations
+    contribute exp)."""
+    name = name or col
     return f"""
-    SELECT '{col}' AS feature,
+    SELECT '{name}' AS feature,
            round(sum(pow(obs - rc*cc/n, 2) / (rc*cc/n)), 6) AS statistic,
            (count(DISTINCT v) - 1) * (count(DISTINCT lab) - 1) AS dof
     FROM (
@@ -131,25 +137,70 @@ SELECT feature FROM long CROSS JOIN thr WHERE x > t
 
 
 def q_univariate_select_categorical(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """M8 — chi-square top-N categorical selector (rows-only check;
-    Scripts/2_...py:103-107)."""
-    o = read_testdata_table(spark, sf_dir, "orders").withColumn(
-        "label", (F.col("o_orderkey") % 2).cast("double")
+    """M8 — chi-square top-N categorical selector (Scripts/2_...py:103-107).
+
+    Oracle-able because BOTH candidate features have 5 levels: with equal
+    dof the chi-square p-value (what numTopFeatures ranks by, no CDF in
+    SQL) is monotone in the raw statistic, which IS SQL-computable."""
+    o = (
+        read_testdata_table(spark, sf_dir, "orders")
+        .withColumn("label", (F.col("o_orderkey") % 2).cast("double"))
+        .withColumn("custkey_band", (F.col("o_custkey") % 5).cast("string"))
     )
     sel = select_univariate_categorical(
-        o, ["o_orderpriority", "o_orderstatus"], "label", num_top=1
+        o, ["o_orderpriority", "custkey_band"], "label", num_top=1
     )
     return spark.createDataFrame([(c,) for c in sel], "feature string")
 
 
+_UNIVARIATE_CAT_ORACLE = f"""
+WITH stats AS (
+  {_chi2_feature_sql("o_orderpriority")}
+  UNION ALL
+  {_chi2_feature_sql("CAST(o_custkey % 5 AS VARCHAR)", "custkey_band")}
+)
+SELECT feature FROM stats ORDER BY statistic DESC LIMIT 1
+"""
+
+
+def _anova_f_sql(col: str) -> str:
+    """One-way ANOVA F for one continuous column against the 2-class
+    l_orderkey%2 label: SSB/(k-1) over SSW/(n-k), k=2. Same closed form
+    MLlib's ANOVATest evaluates; with k identical across features the
+    F-ordering equals the p-value ordering the selector uses."""
+    return f"""
+    SELECT '{col}' AS feature,
+           (n0*(m0-m)*(m0-m) + n1*(m1-m)*(m1-m))
+             / ((n0*v0 + n1*v1) / (n - 2)) AS f
+    FROM (
+      SELECT CAST(count(*) AS DOUBLE) AS n, avg({col}) AS m,
+             CAST(count(*) FILTER (WHERE l_orderkey % 2 = 0) AS DOUBLE) AS n0,
+             avg({col}) FILTER (WHERE l_orderkey % 2 = 0) AS m0,
+             var_pop({col}) FILTER (WHERE l_orderkey % 2 = 0) AS v0,
+             CAST(count(*) FILTER (WHERE l_orderkey % 2 = 1) AS DOUBLE) AS n1,
+             avg({col}) FILTER (WHERE l_orderkey % 2 = 1) AS m1,
+             var_pop({col}) FILTER (WHERE l_orderkey % 2 = 1) AS v1
+      FROM lineitem
+    )
+    """
+
+
 def q_univariate_select_continuous(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """M9 — ANOVA-F top-N continuous selector (rows-only check;
-    Scripts/2_...py:110-114)."""
+    """M9 — ANOVA-F top-N continuous selector (Scripts/2_...py:110-114).
+    Oracle: explicit one-way-ANOVA F per feature (k=2 for all features,
+    so F-ordering == p-value ordering)."""
     li = read_testdata_table(spark, sf_dir, "lineitem").withColumn(
         "label", (F.col("l_orderkey") % 2).cast("double")
     )
     sel = select_univariate_continuous(li, _LINEITEM_NUMERIC, "label", num_top=2)
     return spark.createDataFrame([(c,) for c in sel], "feature string")
+
+
+_UNIVARIATE_CONT_ORACLE = (
+    "WITH stats AS (\n"
+    + "\n  UNION ALL\n".join(_anova_f_sql(c) for c in _LINEITEM_NUMERIC)
+    + "\n)\nSELECT feature FROM stats ORDER BY f DESC LIMIT 2"
+)
 
 
 def q_feature_selection_job(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -211,13 +262,13 @@ QUERIES: dict[str, QuerySpec] = {
     "univariate_select_categorical": QuerySpec(
         "univariate_select_categorical",
         q_univariate_select_categorical,
-        None,
-        "M8 chi2 top-N categorical selector (rows-only)",
+        _UNIVARIATE_CAT_ORACLE,
+        "M8 chi2 top-N categorical selector (equal-dof → statistic-ranked oracle)",
     ),
     "univariate_select_continuous": QuerySpec(
         "univariate_select_continuous",
         q_univariate_select_continuous,
-        None,
-        "M9 ANOVA-F top-N continuous selector (rows-only)",
+        _UNIVARIATE_CONT_ORACLE,
+        "M9 ANOVA-F top-N continuous selector (explicit-F oracle)",
     ),
 }
