@@ -282,7 +282,79 @@ FROM c FULL JOIN o ON c_custkey = o_custkey
 """
 
 
+def q_map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map-typed column family (§2.8 notes Array/Map/JSON unused in the
+    reference): create_map → element_at / size / sorted keys /
+    map_filter+map_values. Maps are unordered, so every projected output
+    is an order-pinned scalar (the oracle states the expected values in
+    plain SQL — the contract is output equality, not engine mimicry)."""
+    o = _t(spark, sf_dir, "orders")
+    m = F.create_map(
+        F.lit("status"), F.col("o_orderstatus"),
+        F.lit("prio"), F.col("o_orderpriority"),
+    )
+    return o.select(
+        "o_orderkey",
+        F.element_at(m, "status").alias("status_val"),
+        F.size(m).cast("long").alias("m_size"),
+        F.array_join(F.array_sort(F.map_keys(m)), ",").alias("keys_sorted"),
+        F.element_at(
+            F.map_values(F.map_filter(m, lambda k, _v: k == "prio")), 1
+        ).alias("prio_val"),
+    )
+
+
+_MAP_ORACLE = """
+SELECT o_orderkey,
+       o_orderstatus AS status_val,
+       CAST(2 AS BIGINT) AS m_size,
+       'prio,status' AS keys_sorted,
+       o_orderpriority AS prio_val
+FROM orders
+"""
+
+
+def q_lateral_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """posexplode_outer (LATERAL VIEW OUTER): F-status orders fan out to
+    one row per priority-string token with its position; other orders keep
+    exactly one all-null row instead of disappearing — the left-outer
+    semantics plain explode drops."""
+    o = _t(spark, sf_dir, "orders")
+    arr = F.when(
+        F.col("o_orderstatus") == "F", F.split("o_orderpriority", "-")
+    ).otherwise(F.array().cast("array<string>"))
+    return (
+        o.select("o_orderkey", arr.alias("_arr"))
+        .select("o_orderkey", F.posexplode_outer("_arr").alias("pos", "token"))
+        .select("o_orderkey", F.col("pos").cast("long").alias("pos"), "token")
+    )
+
+
+_LATERAL_ORACLE = """
+WITH base AS (
+  SELECT o_orderkey,
+         CASE WHEN o_orderstatus = 'F' THEN string_split(o_orderpriority, '-')
+              ELSE [] END AS arr
+  FROM orders
+)
+SELECT o_orderkey, u.pos, u.token
+FROM base
+LEFT JOIN LATERAL (
+  SELECT CAST(g - 1 AS BIGINT) AS pos, arr[g] AS token
+  FROM (SELECT unnest(generate_series(1, len(arr))) AS g)
+) u ON true
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "map_functions": QuerySpec(
+        "map_functions", q_map_functions, _MAP_ORACLE,
+        "map family: create/element_at/keys/values/filter, scalar outputs",
+    ),
+    "lateral_explode": QuerySpec(
+        "lateral_explode", q_lateral_explode, _LATERAL_ORACLE,
+        "posexplode_outer vs LEFT JOIN LATERAL unnest-with-position",
+    ),
     "join_full_outer": QuerySpec(
         "join_full_outer", q_join_full_outer, _FULL_OUTER_ORACLE,
         "full-outer join, unmatched rows both sides, coalesced output",
