@@ -163,3 +163,11 @@ def test_new_event_and_text_queries_no_cartesian(spark, sf_dir):
         # scalar) must ride a broadcast, never a shuffled NLJ
         if "NestedLoopJoin" in plan:
             assert "BroadcastNestedLoopJoin" in plan, name
+
+
+def test_map_and_lateral_scan_side_only(spark, sf_dir):
+    """Scalar map family and posexplode_outer are scan-side operators —
+    no exchange may appear."""
+    for name in ("map_functions", "lateral_explode"):
+        plan = _plan(spark, sf_dir, name, mode="simple")
+        assert "Exchange" not in plan, name
