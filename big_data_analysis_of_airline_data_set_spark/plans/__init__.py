@@ -32,6 +32,75 @@ _MODULES = [
     flights_job,
 ]
 
+# The driver's correctness harness records only the first 50 registry
+# entries.  Round 1 burned the whole window on the relational tail while
+# the reference's core ETL (flights_cleaning_job), statistics, events,
+# and content queries went unchecked.  This list pins the round-2 window:
+# every query without a round-1 CORRECTNESS row, plus the two restructured
+# approx queries whose round-1 rows were `err: no_oracle`.  Queries
+# rotated out all have green round-1 rows (CORRECTNESS_r01.json).
+_CORRECTNESS_WINDOW = [
+    # reference core ETL + viz-producing dataset (Scripts/1_cs_777_cleaning_data.py)
+    "flights_cleaning_job",
+    "flights_viz_dataset",
+    # statistics / MLlib stat parity (SURVEY §2 M6-M11)
+    "mllib_correlation_matrix",
+    "mllib_chi_square",
+    "spearman_correlation",
+    "variance_threshold_features",
+    "univariate_select_categorical",
+    "univariate_select_continuous",
+    "feature_selection_job",
+    "quantiles",
+    "unpivot",
+    "scd2_upsert",
+    "trimmed_mean_udaf",
+    # restructured to emit oracle-checkable (exact, within_bound) columns
+    "approx_distinct_count",
+    "quantiles_approx",
+    # text analysis
+    "text_stats",
+    "text_lang_id",
+    "text_fingerprint",
+    "text_tfidf",
+    "text_bpe_tokens",
+    "text_winnowing",
+    # dedup family
+    "dedup_exact",
+    "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "dedup_embedding_cosine",
+    "dedup_embedding_lsh",
+    # similarity search
+    "ann_bruteforce_topk",
+    "ann_lsh_topk",
+    "ann_ivf_topk",
+    "ann_bruteforce_pandas",
+    # curation + multimodal
+    "curation_pipeline",
+    "multimodal_asset_stats",
+    # events / streaming-shaped analytics
+    "events_funnel",
+    "events_histogram",
+    "events_retention",
+    "events_interval_join",
+    "events_multi_rollup",
+    "events_tumbling_window",
+    "events_sliding_window",
+    "events_session_window",
+    "events_json_extract",
+    # ML estimator sweeps (rows-only checks by design)
+    "ml_logistic_regression_tvs",
+    "ml_decision_tree_tvs",
+    "ml_random_forest_tvs",
+    "ml_gbt_tvs",
+    "ml_linear_svc_tvs",
+    "ml_naive_bayes_tvs",
+    "ml_mlp_tvs",
+    "ml_logistic_regression_cv",
+]
+
 
 def all_queries() -> dict[str, QuerySpec]:
     merged: dict[str, QuerySpec] = {}
@@ -40,7 +109,14 @@ def all_queries() -> dict[str, QuerySpec]:
             if name in merged:
                 raise ValueError(f"duplicate query name: {name}")
             merged[name] = spec
-    return merged
+    missing = [n for n in _CORRECTNESS_WINDOW if n not in merged]
+    if missing:
+        raise ValueError(f"window names not in registry: {missing}")
+    ordered = {n: merged[n] for n in _CORRECTNESS_WINDOW}
+    for name, spec in merged.items():
+        if name not in ordered:
+            ordered[name] = spec
+    return ordered
 
 
 __all__ = ["QuerySpec", "all_queries"]

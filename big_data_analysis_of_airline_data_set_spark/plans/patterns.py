@@ -232,19 +232,42 @@ FROM customer WHERE c_custkey IN (SELECT c_custkey FROM changed)
 
 
 def q_quantiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sketch-based percentiles (approx_percentile / GK algorithm) —
-    rows-only (sketches are engine-specific); accuracy vs the exact
-    quantiles is bounded in tests."""
+    """Sketch-based percentile (approx_percentile / KLL), made
+    oracle-checkable.
+
+    The sketch value is engine-specific, so the query emits the exact
+    median plus ``within_bound`` — whether the sketch landed within 5%
+    relative error (accuracy=1000 bounds rank error to n/1000, far
+    tighter than 5% in value on this distribution).  The oracle computes
+    the exact median (quantile_cont, same linear interpolation as
+    Spark's percentile) and a TRUE literal; a drifting sketch flips the
+    boolean and fails the hash.
+    """
     o = _t(spark, sf_dir, "orders")
-    return o.agg(
-        F.expr("approx_percentile(o_totalprice, 0.5, 1000)").alias("q50_approx"),
+    agg = o.agg(
+        F.expr("percentile(o_totalprice, 0.5)").alias("_exact"),
+        F.expr("approx_percentile(o_totalprice, 0.5, 1000)").alias("_approx"),
     )
+    return agg.select(
+        F.round("_exact", 6).alias("q50_exact"),
+        (
+            F.abs(F.col("_approx") - F.col("_exact")) / F.col("_exact")
+            <= F.lit(0.05)
+        ).alias("within_bound"),
+    )
+
+
+_QUANTILES_APPROX_ORACLE = """
+SELECT round(quantile_cont(o_totalprice, 0.5), 6) AS q50_exact,
+       TRUE AS within_bound
+FROM orders
+"""
 
 
 QUERIES: dict[str, QuerySpec] = {
     "quantiles_approx": QuerySpec(
-        "quantiles_approx", q_quantiles_approx, None,
-        "approx_percentile sketch (rows-only; accuracy-bound tested)",
+        "quantiles_approx", q_quantiles_approx, _QUANTILES_APPROX_ORACLE,
+        "approx_percentile sketch, oracled via exact median + error-bound boolean",
     ),
     "tpch_q1_style": QuerySpec(
         "tpch_q1_style", q_tpch_q1_style, _Q1_ORACLE,

@@ -130,13 +130,36 @@ FROM lineitem
 
 
 def q_approx_distinct_count(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """HyperLogLog++ distinct estimate (rows-only: HLL sketches differ
-    across engines; tests assert the estimate is within rsd bounds of
-    the exact count)."""
+    """HyperLogLog++ distinct estimate, made oracle-checkable.
+
+    HLL sketches are engine-specific, so the approx value itself can
+    never hash-match a DuckDB oracle.  Instead the query emits the exact
+    count plus ``within_bound`` — whether the HLL estimate landed within
+    5% of it (rsd=0.02, so 5% is a 2.5-sigma band; deterministic for
+    fixed input data).  The oracle computes the exact side and asserts
+    the bound is satisfiable only as ``TRUE`` — a drifting sketch flips
+    the boolean and fails the hash.
+    """
     li = _t(spark, sf_dir, "lineitem")
-    return li.agg(
-        F.approx_count_distinct("l_partkey", rsd=0.02).alias("n_parts_approx"),
+    agg = li.agg(
+        F.count_distinct("l_partkey").alias("n_parts_exact"),
+        F.approx_count_distinct("l_partkey", rsd=0.02).alias("_approx"),
     )
+    return agg.select(
+        "n_parts_exact",
+        (
+            F.abs(F.col("_approx") - F.col("n_parts_exact"))
+            / F.col("n_parts_exact")
+            <= F.lit(0.05)
+        ).alias("within_bound"),
+    )
+
+
+_APPROX_DISTINCT_ORACLE = """
+SELECT CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_parts_exact,
+       TRUE AS within_bound
+FROM lineitem
+"""
 
 
 def q_scalar_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -347,8 +370,8 @@ QUERIES: dict[str, QuerySpec] = {
         "distinct_count", q_distinct_count, _DISTINCT_COUNT_ORACLE, "exact distinct counts"
     ),
     "approx_distinct_count": QuerySpec(
-        "approx_distinct_count", q_approx_distinct_count, None,
-        "HLL++ distinct estimate (rows-only; rsd-bound tested)",
+        "approx_distinct_count", q_approx_distinct_count, _APPROX_DISTINCT_ORACLE,
+        "HLL++ distinct estimate, oracled via exact count + error-bound boolean",
     ),
     "scalar_functions": QuerySpec(
         "scalar_functions", q_scalar_functions, _SCALAR_ORACLE,

@@ -35,8 +35,9 @@ def test_salted_join_equals_plain_join(spark, sf_dir):
 
 def test_approx_distinct_within_rsd(spark, sf_dir):
     exact = q_distinct_count(spark, sf_dir).collect()[0].n_parts
-    approx = q_approx_distinct_count(spark, sf_dir).collect()[0].n_parts_approx
-    assert abs(approx - exact) / exact < 0.1  # rsd=0.02, generous bound
+    row = q_approx_distinct_count(spark, sf_dir).collect()[0]
+    assert row.within_bound  # rsd=0.02 vs 5% band
+    assert row.n_parts_exact == exact
 
 
 def test_bernoulli_sample_statistics(spark, sf_dir):

@@ -52,5 +52,6 @@ def test_salting_splits_the_hot_key(spark):
 
 def test_approx_percentile_within_bounds(spark, sf_dir):
     exact = q_quantiles(spark, sf_dir).collect()[0].q50
-    approx = q_quantiles_approx(spark, sf_dir).collect()[0].q50_approx
-    assert abs(approx - exact) / exact < 0.05
+    row = q_quantiles_approx(spark, sf_dir).collect()[0]
+    assert row.within_bound
+    assert abs(row.q50_exact - exact) / exact < 1e-6
