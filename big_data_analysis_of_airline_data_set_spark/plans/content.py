@@ -16,7 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..dedup.embedding import embedding_near_dup_pairs
+from ..dedup.embedding import banded_embedding_near_dup_pairs
 from ..dedup.exact import exact_dedup_groups
 from ..dedup.minhash import minhash_near_dup_pairs
 from ..dedup.ngram import jaccard_pairs
@@ -170,20 +170,67 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_near_dup_pairs(d, id_col="doc_id", text_col="text", max_hamming=3)
 
 
+_EMBED_DIMS = 64
+_EMBED_BANDS = 8
+_EMBED_BITS = 4
+
+
 def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sign-LSH banded candidates + exact-cosine verify — the 100 TB
+    shape (equi-join on (band, signature), no cartesian). The banding
+    is md5-derived and integer-quantized, so the DuckDB oracle replays
+    the identical candidate set; the exact all-pairs theta-join lives
+    only in tests as the recall oracle (dedup/embedding.py)."""
     e = read_testdata_table(spark, sf_dir, "embeddings")
-    return embedding_near_dup_pairs(
-        e, id_col="vec_id", vec_col="embedding", threshold=_NEAR_DUP_COSINE
+    return banded_embedding_near_dup_pairs(
+        e,
+        id_col="vec_id",
+        vec_col="embedding",
+        dims=_EMBED_DIMS,
+        threshold=_NEAR_DUP_COSINE,
+        bands=_EMBED_BANDS,
+        bits=_EMBED_BITS,
     )
 
 
+# Mirrors banded_embedding_near_dup_pairs exactly: same md5-parity ±1
+# projections, same integer-quantized dot products (order-independent,
+# so bit-identical across engines), same exact-cosine verify.
 _EMBEDDING_COSINE_ORACLE = f"""
-SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-       round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
-                                    CAST(b.embedding AS DOUBLE[])), 6) AS cosine
-FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-WHERE round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
-                                   CAST(b.embedding AS DOUBLE[])), 6) >= {_NEAR_DUP_COSINE}
+WITH q AS (
+  SELECT vec_id,
+         list_transform(CAST(embedding AS DOUBLE[]),
+                        x -> CAST(round(x * 1000000) AS BIGINT)) AS qv
+  FROM embeddings
+), proj AS (
+  SELECT b.band, k.bit,
+         list_transform(generate_series(0, {_EMBED_DIMS - 1}),
+             i -> CASE WHEN ascii(substring(md5(concat(b.band, '_', k.bit, '_', i)), 1, 1)) % 2 = 0
+                       THEN 1 ELSE -1 END) AS s
+  FROM generate_series(0, {_EMBED_BANDS - 1}) AS b(band),
+       generate_series(0, {_EMBED_BITS - 1}) AS k(bit)
+), bits AS (
+  SELECT q.vec_id, proj.band, proj.bit,
+         CASE WHEN list_sum(list_transform(generate_series(1, {_EMBED_DIMS}),
+                                           i -> qv[i] * s[i])) >= 0
+              THEN '1' ELSE '0' END AS bit_char
+  FROM q CROSS JOIN proj
+), sigs AS (
+  SELECT vec_id, band, string_agg(bit_char, '' ORDER BY bit) AS sig
+  FROM bits GROUP BY vec_id, band
+), cand AS (
+  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM sigs a JOIN sigs b
+    ON a.band = b.band AND a.sig = b.sig AND a.vec_id < b.vec_id
+)
+SELECT c.id_a, c.id_b,
+       round(list_cosine_similarity(CAST(ea.embedding AS DOUBLE[]),
+                                    CAST(eb.embedding AS DOUBLE[])), 6) AS cosine
+FROM cand c
+JOIN embeddings ea ON ea.vec_id = c.id_a
+JOIN embeddings eb ON eb.vec_id = c.id_b
+WHERE round(list_cosine_similarity(CAST(ea.embedding AS DOUBLE[]),
+                                   CAST(eb.embedding AS DOUBLE[])), 6) >= {_NEAR_DUP_COSINE}
 """
 
 

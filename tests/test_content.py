@@ -112,6 +112,36 @@ def test_embedding_lsh_recall_vs_exact(spark, sf_dir):
     assert recall >= 0.7, f"embedding LSH recall = {recall}"
 
 
+def test_banded_embedding_pairs_subset_of_exact_with_recall(spark, sf_dir):
+    """The catalog's sign-LSH banded query must emit only true pairs
+    (every candidate is exact-verified ≥ threshold → precision 1.0)
+    and find a solid majority of them despite the testdata's pile-up
+    of pairs right at the 0.3 boundary."""
+    from big_data_analysis_of_airline_data_set_spark.dedup import embedding_near_dup_pairs
+    from big_data_analysis_of_airline_data_set_spark.plans.content import (
+        _NEAR_DUP_COSINE,
+        q_dedup_embedding_cosine,
+    )
+
+    e = read_testdata_table(spark, sf_dir, "embeddings")
+    exact = {
+        (r.id_a, r.id_b): r.cosine
+        for r in embedding_near_dup_pairs(
+            e, id_col="vec_id", vec_col="embedding", threshold=_NEAR_DUP_COSINE
+        ).collect()
+    }
+    banded = {
+        (r.id_a, r.id_b): r.cosine
+        for r in q_dedup_embedding_cosine(spark, sf_dir).collect()
+    }
+    assert exact and banded
+    assert set(banded) <= set(exact)  # precision 1.0
+    for pair, cos in banded.items():
+        assert cos == exact[pair]  # identical exact-verified cosine
+    recall = len(banded) / len(exact)
+    assert recall >= 0.5, f"banded recall = {recall}"
+
+
 def test_winnowing_shared_fingerprints_detect_overlap(spark):
     from big_data_analysis_of_airline_data_set_spark.text.analysis import (
         winnowing_fingerprints,

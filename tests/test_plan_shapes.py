@@ -101,6 +101,15 @@ def test_minhash_no_cartesian(spark, sf_dir):
     assert "CartesianProduct" not in plan  # banded bucket equi-join only
 
 
+def test_embedding_banded_no_cartesian(spark, sf_dir):
+    """dedup_embedding_cosine routes candidates through the (band, sig)
+    equi-join — the round-1 all-pairs theta-join (BNLJ) must not
+    reappear in the catalog plan."""
+    plan = _plan(spark, sf_dir, "dedup_embedding_cosine", mode="simple")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
 def test_interval_join_stays_keyed(spark, sf_dir):
     """The time predicates ride on the user_id equi-join — no
     nested-loop fallback."""
