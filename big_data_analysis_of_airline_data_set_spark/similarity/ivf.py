@@ -85,31 +85,25 @@ def build_ivf_index(
     return indexed, centroids
 
 
-def ivf_topk(
-    df: DataFrame,
+def ivf_probe(
+    indexed: DataFrame,
+    centroids: list[list[float]],
     query_vec: list[float],
     *,
-    id_col: str,
-    vec_col: str,
     k: int = 10,
-    nlist: int = 16,
     nprobe: int = 4,
-    multi_assign: int = 1,
 ) -> DataFrame:
-    """(id, cosine) approximate top-k: exact cosine over the nprobe
-    nearest cells only. ``multi_assign`` > 1 duplicates boundary vectors
-    across their m nearest cells; the candidate set is deduped by id
-    before the exact pass so the trade costs index size, not query
-    work."""
-    indexed, centroids = build_ivf_index(
-        df, id_col=id_col, vec_col=vec_col, nlist=nlist, multi_assign=multi_assign
-    )
+    """(id, cosine) approximate top-k against a PREBUILT index — no
+    KMeans fit anywhere on this path. At 100 TB the index table is
+    written once, bucketed/partitioned by ``cell``, and this probe
+    prunes to nprobe partitions before the exact cosine pass.
 
-    # Rank cells by the SAME score the quantizer assigns with:
-    # argmin ||q - c||^2  ==  argmax q·c - ||c||^2/2. Ranking by cosine
-    # to the centroid instead (an earlier version) disagrees with the
-    # Euclidean assignment whenever centroid norms differ, and measurably
-    # lost recall on weakly-clustered corpora.
+    Cells are ranked by the SAME score the quantizer assigns with:
+    argmin ||q - c||^2  ==  argmax q·c - ||c||^2/2. Ranking by cosine
+    to the centroid instead (an earlier version) disagrees with the
+    Euclidean assignment whenever centroid norms differ, and measurably
+    lost recall on weakly-clustered corpora."""
+
     def assign_score(c: list[float]) -> float:
         dot = sum(x * y for x, y in zip(query_vec, c))
         return dot - sum(x * x for x in c) / 2.0
@@ -129,3 +123,25 @@ def ivf_topk(
         .orderBy(F.desc("cosine"), F.asc("id"))
         .limit(k)
     )
+
+
+def ivf_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    *,
+    id_col: str,
+    vec_col: str,
+    k: int = 10,
+    nlist: int = 16,
+    nprobe: int = 4,
+    multi_assign: int = 1,
+) -> DataFrame:
+    """Convenience build-then-probe for one-shot use. Query services
+    must NOT call this per query — build the index once with
+    ``build_ivf_index`` (persist bucketed by cell) and serve with
+    ``ivf_probe``; that split is what the catalog's ``ann_ivf_topk``
+    does via its per-session index cache."""
+    indexed, centroids = build_ivf_index(
+        df, id_col=id_col, vec_col=vec_col, nlist=nlist, multi_assign=multi_assign
+    )
+    return ivf_probe(indexed, centroids, query_vec, k=k, nprobe=nprobe)

@@ -110,6 +110,24 @@ def test_embedding_banded_no_cartesian(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+def test_ivf_probe_prunes_partitions_no_refit(spark, sf_dir):
+    """ann_ivf_topk must probe a prebuilt cell-partitioned index: the
+    probe plan prunes on the cell partition column, and repeated calls
+    reuse the cached index instead of refitting KMeans."""
+    import time
+
+    from big_data_analysis_of_airline_data_set_spark.plans.content import q_ann_ivf
+
+    q_ann_ivf(spark, sf_dir).collect()  # warm/build once
+    t0 = time.time()
+    q_ann_ivf(spark, sf_dir).collect()
+    probe_secs = time.time() - t0
+    assert probe_secs < 5.0, f"probe took {probe_secs:.1f}s — index refit suspected"
+    plan = _plan(spark, sf_dir, "ann_ivf_topk")
+    assert "PartitionFilters" in plan
+    assert "cell" in plan.split("PartitionFilters")[1][:300]
+
+
 def test_interval_join_stays_keyed(spark, sf_dir):
     """The time predicates ride on the user_id equi-join — no
     nested-loop fallback."""
