@@ -5,7 +5,25 @@ fallback) is a failure even when results match."""
 
 from __future__ import annotations
 
+import pytest
+
 from big_data_analysis_of_airline_data_set_spark.plans import all_queries
+
+# Building these queries' DataFrames trains MLlib estimators (minutes);
+# their join discipline is covered by tests/test_ml.py on the same code
+# paths.
+_PLAN_GUARD_SKIP = {
+    "ml_logistic_regression_tvs",
+    "ml_decision_tree_tvs",
+    "ml_random_forest_tvs",
+    "ml_gbt_tvs",
+    "ml_linear_svc_tvs",
+    "ml_naive_bayes_tvs",
+    "ml_mlp_tvs",
+    "ml_logistic_regression_cv",
+}
+
+_PLAN_GUARD_NAMES = sorted(set(all_queries()) - _PLAN_GUARD_SKIP)
 
 
 def _plan(spark, sf_dir, name: str, mode: str = "formatted") -> str:
@@ -190,6 +208,19 @@ def test_new_event_and_text_queries_no_cartesian(spark, sf_dir):
         # scalar) must ride a broadcast, never a shuffled NLJ
         if "NestedLoopJoin" in plan:
             assert "BroadcastNestedLoopJoin" in plan, name
+
+
+@pytest.mark.parametrize("name", _PLAN_GUARD_NAMES)
+def test_no_degenerate_join_in_any_catalog_query(spark, name):
+    """Every catalog query, current and future: no CartesianProduct
+    anywhere, and any nested-loop join must ride a broadcast (the only
+    legitimate uses are 1-row scalar joins, e.g. chi-square totals).
+    Registry reordering or a new query can't silently admit a
+    degenerate plan."""
+    plan = _plan(spark, "/root/testdata/sf0.001", name, mode="simple")
+    assert "CartesianProduct" not in plan, name
+    if "NestedLoopJoin" in plan:
+        assert "BroadcastNestedLoopJoin" in plan, name
 
 
 def test_map_and_lateral_scan_side_only(spark, sf_dir):
