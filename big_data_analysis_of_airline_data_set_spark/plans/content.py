@@ -574,9 +574,14 @@ QUERIES: dict[str, QuerySpec] = {
         "ann_lsh_topk", q_ann_lsh, None,
         "LSH-bucketed approximate cosine top-k (rows-only; recall tested)",
     ),
+    # IVF ranks its probed candidates by the SAME exact-cosine expression
+    # the brute-force query uses, so whenever the true top-k all live in
+    # probed cells (recall 1.0 — held at every test scale, floor-tested),
+    # the IVF output IS the exact top-k: the brute-force oracle doubles
+    # as a hard recall contract.
     "ann_ivf_topk": QuerySpec(
-        "ann_ivf_topk", q_ann_ivf, None,
-        "IVF (KMeans coarse-quantizer) approximate top-k (rows-only; recall tested)",
+        "ann_ivf_topk", q_ann_ivf, _ANN_BRUTE_ORACLE,
+        "IVF (KMeans coarse-quantizer) top-k, oracled as exact top-k (recall-1.0 contract)",
     ),
     "ann_bruteforce_pandas": QuerySpec(
         "ann_bruteforce_pandas", q_ann_bruteforce_pandas, _ANN_BRUTE_ORACLE,

@@ -58,10 +58,16 @@ def q_mllib_chi_square(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.select("feature", "statistic", "dof")
 
 
-def _chi2_feature_sql(col: str, name: str | None = None) -> str:
+def _chi2_feature_sql(
+    col: str,
+    name: str | None = None,
+    *,
+    table: str = "orders",
+    label: str = "o_orderkey % 2",
+) -> str:
     """Chi-square statistic + dof for one categorical column (or column
-    expression) vs the o_orderkey%2 label, INCLUDING empty cells (MLlib
-    builds the full contingency table, so absent combinations
+    expression) vs a binary label expression, INCLUDING empty cells
+    (MLlib builds the full contingency table, so absent combinations
     contribute exp)."""
     name = name or col
     return f"""
@@ -70,17 +76,17 @@ def _chi2_feature_sql(col: str, name: str | None = None) -> str:
            (count(DISTINCT v) - 1) * (count(DISTINCT lab) - 1) AS dof
     FROM (
       SELECT g.v, g.lab, coalesce(o.c, 0)::DOUBLE AS obs
-      FROM (SELECT v, lab FROM (SELECT DISTINCT {col} AS v FROM orders)
-            CROSS JOIN (SELECT DISTINCT CAST(o_orderkey % 2 AS BIGINT) AS lab FROM orders)) g
-      LEFT JOIN (SELECT {col} AS v, CAST(o_orderkey % 2 AS BIGINT) AS lab,
+      FROM (SELECT v, lab FROM (SELECT DISTINCT {col} AS v FROM {table})
+            CROSS JOIN (SELECT DISTINCT CAST({label} AS BIGINT) AS lab FROM {table})) g
+      LEFT JOIN (SELECT {col} AS v, CAST({label} AS BIGINT) AS lab,
                         CAST(count(*) AS DOUBLE) AS c
-                 FROM orders GROUP BY 1, 2) o
+                 FROM {table} GROUP BY 1, 2) o
       USING (v, lab)
     ) cells
-    JOIN (SELECT {col} AS v, CAST(count(*) AS DOUBLE) AS rc FROM orders GROUP BY 1) rt USING (v)
-    JOIN (SELECT CAST(o_orderkey % 2 AS BIGINT) AS lab, CAST(count(*) AS DOUBLE) AS cc
-          FROM orders GROUP BY 1) ct USING (lab)
-    CROSS JOIN (SELECT CAST(count(*) AS DOUBLE) AS n FROM orders) tot
+    JOIN (SELECT {col} AS v, CAST(count(*) AS DOUBLE) AS rc FROM {table} GROUP BY 1) rt USING (v)
+    JOIN (SELECT CAST({label} AS BIGINT) AS lab, CAST(count(*) AS DOUBLE) AS cc
+          FROM {table} GROUP BY 1) ct USING (lab)
+    CROSS JOIN (SELECT CAST(count(*) AS DOUBLE) AS n FROM {table}) tot
     """
 
 
@@ -206,17 +212,24 @@ _UNIVARIATE_CONT_ORACLE = (
 def q_feature_selection_job(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Entry-point B end-to-end (Scripts/2_...py): correlation →
     chi-square → univariate selectors → variance threshold, returning
-    the combined method × feature selection table (rows-only; each
-    component statistic is separately oracled above)."""
+    the combined method × feature selection table.
+
+    Categorical candidates are equal-cardinality (%5) bands so the
+    chi-square p-value ranking is monotone in the SQL-computable raw
+    statistic (same design as ``univariate_select_categorical``) —
+    which makes the whole composite's output oracle-checkable."""
     from ..stats.feature_selection_job import feature_selection_job
 
-    li = read_testdata_table(spark, sf_dir, "lineitem").withColumn(
-        "label", (F.col("l_orderkey") % 2).cast("double")
+    li = (
+        read_testdata_table(spark, sf_dir, "lineitem")
+        .withColumn("label", (F.col("l_orderkey") % 2).cast("double"))
+        .withColumn("partkey_band", (F.col("l_partkey") % 5).cast("string"))
+        .withColumn("suppkey_band", (F.col("l_suppkey") % 5).cast("string"))
     )
     artifacts = feature_selection_job(
         spark,
         li,
-        categorical_cols=["l_returnflag", "l_linestatus"],
+        categorical_cols=["partkey_band", "suppkey_band"],
         numeric_cols=_LINEITEM_NUMERIC,
         label_col="label",
         num_top_categorical=1,
@@ -226,12 +239,44 @@ def q_feature_selection_job(spark: SparkSession, sf_dir: str) -> DataFrame:
     return artifacts["selected"]
 
 
+def _feature_selection_job_oracle() -> str:
+    cat_stats = " UNION ALL ".join(
+        _chi2_feature_sql(
+            f"CAST(l_{key}key % 5 AS VARCHAR)",
+            f"{key}key_band",
+            table="lineitem",
+            label="l_orderkey % 2",
+        )
+        for key in ("part", "supp")
+    )
+    cont_stats = "\n  UNION ALL\n".join(_anova_f_sql(c) for c in _LINEITEM_NUMERIC)
+    return f"""
+WITH cat_stats AS ({cat_stats}),
+cont_stats AS ({cont_stats}),
+var_long AS (
+  SELECT 'l_quantity' AS feature, var_samp(l_quantity) AS x FROM lineitem
+  UNION ALL SELECT 'l_extendedprice', var_samp(l_extendedprice) FROM lineitem
+  UNION ALL SELECT 'l_discount', var_samp(l_discount) FROM lineitem
+  UNION ALL SELECT 'l_tax', var_samp(l_tax) FROM lineitem
+),
+var_thr AS (SELECT x AS t FROM var_long ORDER BY x DESC LIMIT 1 OFFSET 2)
+SELECT 'univariate_categorical' AS method, feature
+FROM (SELECT feature FROM cat_stats ORDER BY statistic DESC LIMIT 1)
+UNION ALL
+SELECT 'univariate_continuous', feature
+FROM (SELECT feature FROM cont_stats ORDER BY f DESC LIMIT 2)
+UNION ALL
+SELECT 'variance_threshold', feature
+FROM var_long CROSS JOIN var_thr WHERE x > t
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "feature_selection_job": QuerySpec(
         "feature_selection_job",
         q_feature_selection_job,
-        None,
-        "entry-point B composite: corr + chi2 + selectors + variance (rows-only)",
+        _feature_selection_job_oracle(),
+        "entry-point B composite: corr + chi2 + selectors + variance, oracled end-to-end",
     ),
     "mllib_correlation_matrix": QuerySpec(
         "mllib_correlation_matrix",
