@@ -9,9 +9,17 @@ approxSimilarityJoin offers only r=1 OR-amplification, which floods
 candidates when many pairs share a little vocabulary — measured 30s vs
 <5s on the 5k-doc bench for exactly that reason.)
 
+The K hash families are md5-derived (min over the lexicographic order
+of ``md5("{k}_" + shingle)`` hex digests): md5 is engine-universal, so
+an external SQL engine can replay the exact signatures, bands, and
+candidate set — this is what makes the catalog query hash-checkable
+against DuckDB rather than rows-only. (xxhash64 families are ~2× faster
+JVM-side but exist nowhere else; the correctness evidence is worth the
+difference, measured ≈0.3s at sf0.1.)
+
 Plan shape at 100 TB:
-- one explode + one groupBy computes all K signatures (single shuffle
-  on doc id; partial aggregation combines map-side);
+- K signatures per row via array_min∘transform — no explode, no
+  shuffle, whole-stage codegen;
 - the bucket join shuffles only (band_idx, band_hash, id) triples —
   never document bodies;
 - exact Jaccard runs only on candidate pairs, joining shingle arrays
@@ -27,7 +35,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..text.analysis import tokens_col
-from .ngram import hashed_shingles_from_tokens
+from .ngram import shingles_from_tokens
 
 
 def minhash_near_dup_pairs(
@@ -55,7 +63,7 @@ def minhash_near_dup_pairs(
     shingled = (
         df.select(F.col(id_col).alias("_id"), tokens_col(F.col(text_col)).alias("_toks"))
         .repartition(parallelism, "_id")
-        .select("_id", hashed_shingles_from_tokens(F.col("_toks"), n).alias("_sh"))
+        .select("_id", shingles_from_tokens(F.col("_toks"), n).alias("_sh"))
     )
     # persist BEFORE the size filter (a filter on a computed column
     # re-evaluates the expression), and because shingled feeds three
@@ -65,16 +73,16 @@ def minhash_near_dup_pairs(
     base = shingled.filter(F.size("_sh") > 0)
 
     # K signatures per row, shuffle-free: min over the shingle array for
-    # each seeded hash family (array_min ∘ transform), all inside
+    # each md5 hash family (array_min ∘ transform), all inside
     # whole-stage codegen. Replaces the earlier explode + 16-way groupBy
     # min — same hashes, but the shuffle of |docs|·|shingles| exploded
-    # rows disappears (measured 1.55s → see bench). The seed i is a
-    # per-signature literal, so the inner lambda hashes each shingle
+    # rows disappears (measured 1.55s → see bench). The family tag i is
+    # a per-signature literal, so the inner lambda hashes each shingle
     # once per family — exactly the K·|shingles| work the math requires.
     sig_cols = [
-        F.array_min(F.transform("_sh", lambda s, i=i: F.xxhash64(F.lit(i), s))).alias(
-            f"mh{i}"
-        )
+        F.array_min(
+            F.transform("_sh", lambda s, i=i: F.md5(F.concat(F.lit(f"{i}_"), s)))
+        ).alias(f"mh{i}")
         for i in range(num_hashes)
     ]
     sigs = base.select("_id", *sig_cols)
@@ -83,7 +91,7 @@ def minhash_near_dup_pairs(
     band_cols = [
         F.struct(
             F.lit(b).alias("band_idx"),
-            F.xxhash64(*[F.col(f"mh{b * r + j}") for j in range(r)]).alias("band_hash"),
+            F.concat(*[F.col(f"mh{b * r + j}") for j in range(r)]).alias("band_hash"),
         )
         for b in range(bands)
     ]

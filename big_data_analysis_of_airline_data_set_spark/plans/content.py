@@ -165,6 +165,50 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Replays the full MinHash pipeline: same word-3-gram shingles, same 16
+# md5 hash families (lexicographic min over hex digests — identical in
+# every engine), same b=8/r=2 band concatenation, same candidate
+# equi-join, same exact-Jaccard verify. The LSH candidate set is
+# therefore bit-identical across engines, not just statistically close.
+_MINHASH_ORACLE = f"""
+WITH sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+           generate_series(1, len(regexp_split_to_array(trim(text), '\\s+')) - 2),
+           i -> regexp_split_to_array(trim(text), '\\s+')[i] || ' ' ||
+                regexp_split_to_array(trim(text), '\\s+')[i+1] || ' ' ||
+                regexp_split_to_array(trim(text), '\\s+')[i+2]
+         )) AS grams
+  FROM documents
+), base AS (
+  SELECT doc_id, grams FROM sh WHERE len(grams) > 0
+), sigs AS (
+  SELECT doc_id,
+         list_transform(generate_series(0, 15),
+           k -> list_min(list_transform(grams, g -> md5(concat(k, '_', g))))) AS mh
+  FROM base
+), melted AS (
+  SELECT doc_id, b.band AS band_idx,
+         mh[b.band * 2 + 1] || mh[b.band * 2 + 2] AS band_hash
+  FROM sigs, generate_series(0, 7) AS b(band)
+), cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM melted a JOIN melted b
+    ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+   AND a.doc_id < b.doc_id
+)
+SELECT c.id_a, c.id_b,
+       round(1.0 - CAST(len(list_intersect(ga.grams, gb.grams)) AS DOUBLE)
+             / len(list_distinct(list_cat(ga.grams, gb.grams))), 6) AS jaccard_distance
+FROM cand c
+JOIN base ga ON ga.doc_id = c.id_a
+JOIN base gb ON gb.doc_id = c.id_b
+WHERE round(1.0 - CAST(len(list_intersect(ga.grams, gb.grams)) AS DOUBLE)
+            / len(list_distinct(list_cat(ga.grams, gb.grams))), 6)
+      <= {1.0 - _JACCARD_THRESHOLD}
+"""
+
+
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = read_testdata_table(spark, sf_dir, "documents")
     return simhash_near_dup_pairs(d, id_col="doc_id", text_col="text", max_hamming=3)
@@ -555,8 +599,8 @@ QUERIES: dict[str, QuerySpec] = {
         "exact 3-gram Jaccard near-dup pairs (length-banded)",
     ),
     "dedup_minhash_lsh": QuerySpec(
-        "dedup_minhash_lsh", q_dedup_minhash, None,
-        "MinHash-LSH approximate near-dup pairs (rows-only; recall vs exact tested)",
+        "dedup_minhash_lsh", q_dedup_minhash, _MINHASH_ORACLE,
+        "MinHash-LSH near-dup pairs, md5 families — oracle replays the candidate set",
     ),
     "dedup_simhash": QuerySpec(
         "dedup_simhash", q_dedup_simhash, None,
