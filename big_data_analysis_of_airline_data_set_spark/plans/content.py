@@ -614,9 +614,11 @@ QUERIES: dict[str, QuerySpec] = {
         "ann_bruteforce_topk", q_ann_bruteforce, _ANN_BRUTE_ORACLE,
         "brute-force cosine top-k (exact ANN baseline)",
     ),
+    # Same contract as ann_ivf_topk: LSH proposes 2k candidates, exact
+    # cosine reranks; with recall 1.0 the output equals the exact top-k.
     "ann_lsh_topk": QuerySpec(
-        "ann_lsh_topk", q_ann_lsh, None,
-        "LSH-bucketed approximate cosine top-k (rows-only; recall tested)",
+        "ann_lsh_topk", q_ann_lsh, _ANN_BRUTE_ORACLE,
+        "LSH candidates + exact-cosine rerank, oracled as exact top-k",
     ),
     # IVF ranks its probed candidates by the SAME exact-cosine expression
     # the brute-force query uses, so whenever the true top-k all live in

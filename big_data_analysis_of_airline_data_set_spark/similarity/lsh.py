@@ -90,12 +90,23 @@ def lsh_topk(
     id_col: str,
     vec_col: str,
     k: int = 10,
+    candidate_factor: int = 2,
     bucket_length: float = 0.5,
     num_hash_tables: int = 8,
 ) -> DataFrame:
-    """(id, cosine_approx) — approximate top-k by cosine via normalized
-    Euclidean ANN. cosine = 1 - d²/2 for unit vectors."""
+    """(id, cosine) — LSH-candidate top-k with EXACT cosine rerank.
+
+    The standard ANN serve shape: the LSH index proposes
+    ``candidate_factor·k`` nearest candidates from bucket collisions
+    (normalized Euclidean ANN: d² = 2 − 2·cos on unit vectors); the
+    exact cosine is computed only for those candidates and the top-k is
+    taken from the rerank. Whenever the true top-k are inside the
+    candidate pool (recall 1.0 — floor-tested, held at every scale),
+    the output IS the exact top-k, which makes this query checkable
+    against the brute-force oracle."""
     from pyspark.ml.linalg import Vectors
+
+    from ..dedup.embedding import cosine_sim_expr
 
     model, indexed = fit_lsh_model(
         df,
@@ -106,8 +117,15 @@ def lsh_topk(
     )
     norm = math.sqrt(sum(x * x for x in query_vec)) or 1.0
     q = Vectors.dense([x / norm for x in query_vec])
-    neighbors = model.approxNearestNeighbors(indexed, q, k, distCol="_dist")
-    return neighbors.select(
-        F.col("_id").alias("id"),
-        F.round(1.0 - F.col("_dist") * F.col("_dist") / 2.0, 6).alias("cosine_approx"),
+    neighbors = model.approxNearestNeighbors(
+        indexed, q, k * candidate_factor, distCol="_dist"
+    )
+    cand = neighbors.select(F.col("_id").alias("id"))
+    raw = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("_arr"))
+    q_arr = F.array(*[F.lit(float(x)) for x in query_vec])
+    return (
+        cand.join(raw, "id")
+        .select("id", F.round(cosine_sim_expr(F.col("_arr"), q_arr), 6).alias("cosine"))
+        .orderBy(F.desc("cosine"), F.asc("id"))
+        .limit(k)
     )
