@@ -214,6 +214,67 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_near_dup_pairs(d, id_col="doc_id", text_col="text", max_hamming=3)
 
 
+def _simhash_oracle(max_hamming: int = 3) -> str:
+    """Replays dedup/simhash.py bit-for-bit: md5 token digests split
+    into two 32-bit halves, 64 integer vote sums, 4 16-bit bands,
+    melted band equi-join, bit_count-xor hamming verify."""
+    hex_long = (
+        "list_sum(list_transform(generate_series(1, 8), j -> "
+        "CAST(strpos('0123456789abcdef', substr({col}, j, 1)) - 1 AS BIGINT) "
+        "<< (4 * (8 - j))))"
+    )
+    vote_cols = ",\n    ".join(
+        "sum(CASE WHEN ({src} >> {sh}) & 1 = 1 THEN 1 ELSE -1 END) AS v{i}".format(
+            src="lo" if i < 32 else "hi", sh=i % 32, i=i
+        )
+        for i in range(64)
+    )
+    band_cols = ",\n    ".join(
+        " + ".join(
+            f"(CASE WHEN v{b * 16 + j} > 0 THEN CAST({1 << j} AS BIGINT) ELSE 0 END)"
+            for j in range(16)
+        )
+        + f" AS band{b}"
+        for b in range(4)
+    )
+    band_case = " ".join(f"WHEN {b} THEN band{b}" for b in range(4))
+    hamming = " + ".join(f"bit_count(xor(ba.band{b}, bb.band{b}))" for b in range(4))
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
+  FROM documents
+), hl AS (
+  SELECT doc_id,
+         {hex_long.format(col="substr(md5(tok), 1, 8)")} AS hi,
+         {hex_long.format(col="substr(md5(tok), 9, 8)")} AS lo
+  FROM toks
+), votes AS (
+  SELECT doc_id,
+    {vote_cols}
+  FROM hl GROUP BY doc_id
+), bands AS (
+  SELECT doc_id,
+    {band_cols}
+  FROM votes
+), melted AS (
+  SELECT doc_id, t.b AS band_idx,
+         CASE t.b {band_case} END AS band_val
+  FROM bands, generate_series(0, 3) AS t(b)
+), cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM melted a JOIN melted b
+    ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+   AND a.doc_id < b.doc_id
+)
+SELECT c.id_a, c.id_b,
+       CAST({hamming} AS INTEGER) AS hamming
+FROM cand c
+JOIN bands ba ON ba.doc_id = c.id_a
+JOIN bands bb ON bb.doc_id = c.id_b
+WHERE {hamming} <= {max_hamming}
+"""
+
+
 _EMBED_DIMS = 64
 _EMBED_BANDS = 8
 _EMBED_BITS = 4
@@ -603,8 +664,8 @@ QUERIES: dict[str, QuerySpec] = {
         "MinHash-LSH near-dup pairs, md5 families — oracle replays the candidate set",
     ),
     "dedup_simhash": QuerySpec(
-        "dedup_simhash", q_dedup_simhash, None,
-        "SimHash banded near-dup pairs (rows-only; property-tested)",
+        "dedup_simhash", q_dedup_simhash, _simhash_oracle(),
+        "SimHash banded near-dup pairs, md5 digests — oracle replays bit-for-bit",
     ),
     "dedup_embedding_cosine": QuerySpec(
         "dedup_embedding_cosine", q_dedup_embedding_cosine, _EMBEDDING_COSINE_ORACLE,

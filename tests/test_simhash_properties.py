@@ -1,9 +1,13 @@
 """SimHash bit-level correctness: single-token documents must hash to
-exactly the token's xxhash64 (every bit, including the sign bit), and
-banded candidate generation must find ALL low-hamming pairs
-(pigeonhole: hamming <= 3 over 4 bands guarantees a shared band)."""
+exactly the md5-derived 64-bit digest of the token (every bit,
+including the sign bit — cross-checked against Python's hashlib, a
+third independent md5 implementation), and banded candidate generation
+must find ALL low-hamming pairs (pigeonhole: hamming <= 3 over 4 bands
+guarantees a shared band)."""
 
 from __future__ import annotations
+
+import hashlib
 
 from pyspark.sql import functions as F
 
@@ -13,7 +17,14 @@ from big_data_analysis_of_airline_data_set_spark.dedup.simhash import (
 )
 
 
-def test_single_token_simhash_equals_xxhash64(spark):
+def _md5_value64(token: str) -> int:
+    """First 16 hex chars of md5 as the signed 64-bit simhash a
+    single-token document must produce (bit i of hi·2³²+lo)."""
+    v = int(hashlib.md5(token.encode()).hexdigest()[:16], 16)
+    return v - (1 << 64) if v >= (1 << 63) else v
+
+
+def test_single_token_simhash_equals_md5_digest(spark):
     tokens = ["alpha", "bravo", "negative", "zulu", "x"]
     df = spark.createDataFrame(
         [(i, t) for i, t in enumerate(tokens)], "doc_id long, text string"
@@ -22,14 +33,7 @@ def test_single_token_simhash_equals_xxhash64(spark):
         r.doc_id: r.simhash
         for r in simhash_col(df, id_col="doc_id", text_col="text").collect()
     }
-    want = {
-        i: r.h
-        for i, r in enumerate(
-            spark.createDataFrame([(t,) for t in tokens], "t string")
-            .select(F.xxhash64("t").alias("h"))
-            .collect()
-        )
-    }
+    want = {i: _md5_value64(t) for i, t in enumerate(tokens)}
     assert got == want
     # make sure the sign bit actually got exercised
     assert any(v < 0 for v in want.values())
