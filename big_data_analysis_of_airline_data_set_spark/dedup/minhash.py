@@ -9,13 +9,18 @@ approxSimilarityJoin offers only r=1 OR-amplification, which floods
 candidates when many pairs share a little vocabulary — measured 30s vs
 <5s on the 5k-doc bench for exactly that reason.)
 
-The K hash families are md5-derived (min over the lexicographic order
-of ``md5("{k}_" + shingle)`` hex digests): md5 is engine-universal, so
-an external SQL engine can replay the exact signatures, bands, and
-candidate set — this is what makes the catalog query hash-checkable
-against DuckDB rather than rows-only. (xxhash64 families are ~2× faster
-JVM-side but exist nowhere else; the correctness evidence is worth the
-difference, measured ≈0.3s at sf0.1.)
+The K hash families are md5-derived with Kirsch-Mitzenmacher double
+hashing: two 56-bit integers per shingle (``md5("a_"+g)`` and
+``md5("b_"+g)`` hex prefixes), family k = h1 + k·h2 (all sums < 2⁶¹,
+no overflow), signature = min. md5 is engine-universal and the family
+derivation is integer-exact, so an external SQL engine can replay the
+exact signatures, bands, and candidate set — this is what makes the
+catalog query hash-checkable against DuckDB rather than rows-only.
+(xxhash64 families are faster JVM-side but exist nowhere else; double
+hashing keeps the md5 count at 2 per shingle instead of K.) The h1/h2
+arrays are materialized as real columns BEFORE the per-family min —
+expressions inside a lambda re-evaluate per element per family, which
+would otherwise md5 each shingle 2K times.
 
 Plan shape at 100 TB:
 - K signatures per row via array_min∘transform — no explode, no
@@ -72,41 +77,54 @@ def minhash_near_dup_pairs(
     shingled = shingled.persist()
     base = shingled.filter(F.size("_sh") > 0)
 
-    # K signatures per row, shuffle-free: min over the shingle array for
-    # each md5 hash family (array_min ∘ transform), all inside
-    # whole-stage codegen. Replaces the earlier explode + 16-way groupBy
-    # min — same hashes, but the shuffle of |docs|·|shingles| exploded
-    # rows disappears (measured 1.55s → see bench). The family tag i is
-    # a per-signature literal, so the inner lambda hashes each shingle
-    # once per family — exactly the K·|shingles| work the math requires.
-    sig_cols = [
-        F.array_min(
-            F.transform("_sh", lambda s, i=i: F.md5(F.concat(F.lit(f"{i}_"), s)))
-        ).alias(f"mh{i}")
-        for i in range(num_hashes)
-    ]
-    sigs = base.select("_id", *sig_cols)
+    # Double-hashing base arrays, computed ONCE (2 md5s per shingle):
+    # 56-bit hex prefixes so h1 + 15·h2 < 2⁶¹ never overflows a long.
+    def _hex56(tag: str):
+        return F.transform(
+            "_sh",
+            lambda s: F.conv(
+                F.substring(F.md5(F.concat(F.lit(tag), s)), 1, 14), 16, 10
+            ).cast("long"),
+        )
 
-    # br-band digests, melted to (id, band_idx, band_hash)
+    # persist as a ProjectCollapse barrier: without it Catalyst inlines
+    # the _h1/_h2 expressions into all K zip_withs below and the md5s
+    # run K times per shingle again (measured: 2.05s vs 0.9s at sf0.1;
+    # higher-order lambdas defeat codegen subexpression elimination).
+    hashed = base.select(
+        "_id", _hex56("a_").alias("_h1"), _hex56("b_").alias("_h2")
+    ).persist()
+
+    # K signatures per row, shuffle-free: family k = h1 + k·h2
+    # (Kirsch-Mitzenmacher), min via array_min ∘ zip_with over the
+    # MATERIALIZED h1/h2 columns — integer work only, whole-stage
+    # codegen, no explode, no shuffle.
+    def _family(k: int):
+        return lambda a, b: a + F.lit(k).cast("long") * b
+
+    sig_cols = [
+        F.array_min(F.zip_with("_h1", "_h2", _family(k))).alias(f"mh{k}")
+        for k in range(num_hashes)
+    ]
+    sigs = hashed.select("_id", *sig_cols)
+
+    # br-band digests, melted to (id, band_idx, s1, s2)
     band_cols = [
         F.struct(
             F.lit(b).alias("band_idx"),
-            F.concat(*[F.col(f"mh{b * r + j}") for j in range(r)]).alias("band_hash"),
+            *[F.col(f"mh{b * r + j}").alias(f"s{j}") for j in range(r)],
         )
         for b in range(bands)
     ]
     melted = sigs.select("_id", F.explode(F.array(*band_cols)).alias("b")).select(
-        "_id", "b.band_idx", "b.band_hash"
+        "_id", "b.band_idx", *[F.col(f"b.s{j}") for j in range(r)]
     )
 
-    left = melted.select(
-        F.col("_id").alias("id_a"), "band_idx", "band_hash"
-    )
-    right = melted.select(
-        F.col("_id").alias("id_b"), "band_idx", "band_hash"
-    )
+    band_keys = ["band_idx"] + [f"s{j}" for j in range(r)]
+    left = melted.select(F.col("_id").alias("id_a"), *band_keys)
+    right = melted.select(F.col("_id").alias("id_b"), *band_keys)
     candidates = (
-        left.join(right, ["band_idx", "band_hash"])
+        left.join(right, band_keys)
         .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b")
         .dropDuplicates(["id_a", "id_b"])

@@ -165,11 +165,18 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# Replays the full MinHash pipeline: same word-3-gram shingles, same 16
-# md5 hash families (lexicographic min over hex digests — identical in
-# every engine), same b=8/r=2 band concatenation, same candidate
-# equi-join, same exact-Jaccard verify. The LSH candidate set is
-# therefore bit-identical across engines, not just statistically close.
+# Replays the full MinHash pipeline: same word-3-gram shingles, same
+# Kirsch-Mitzenmacher families (two 56-bit md5 hex prefixes per
+# shingle, family k = h1 + k·h2, integer-exact in both engines), same
+# b=8/r=2 bands, same candidate equi-join, same exact-Jaccard verify.
+# The LSH candidate set is therefore bit-identical across engines, not
+# just statistically close.
+_HEX56_SQL = (
+    "list_sum(list_transform(generate_series(1, 14), j -> "
+    "CAST(strpos('0123456789abcdef', substr({h}, j, 1)) - 1 AS BIGINT)"
+    " << (4 * (14 - j))))"
+)
+
 _MINHASH_ORACLE = f"""
 WITH sh AS (
   SELECT doc_id,
@@ -182,19 +189,25 @@ WITH sh AS (
   FROM documents
 ), base AS (
   SELECT doc_id, grams FROM sh WHERE len(grams) > 0
+), hashed AS (
+  SELECT doc_id,
+         list_transform(grams, g -> {_HEX56_SQL.format(h="substr(md5(concat('a_', g)), 1, 14)")}) AS h1,
+         list_transform(grams, g -> {_HEX56_SQL.format(h="substr(md5(concat('b_', g)), 1, 14)")}) AS h2
+  FROM base
 ), sigs AS (
   SELECT doc_id,
          list_transform(generate_series(0, 15),
-           k -> list_min(list_transform(grams, g -> md5(concat(k, '_', g))))) AS mh
-  FROM base
+           k -> list_min(list_transform(generate_series(1, len(h1)),
+                                        i -> h1[i] + k * h2[i]))) AS mh
+  FROM hashed
 ), melted AS (
   SELECT doc_id, b.band AS band_idx,
-         mh[b.band * 2 + 1] || mh[b.band * 2 + 2] AS band_hash
+         mh[b.band * 2 + 1] AS s0, mh[b.band * 2 + 2] AS s1
   FROM sigs, generate_series(0, 7) AS b(band)
 ), cand AS (
   SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
   FROM melted a JOIN melted b
-    ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+    ON a.band_idx = b.band_idx AND a.s0 = b.s0 AND a.s1 = b.s1
    AND a.doc_id < b.doc_id
 )
 SELECT c.id_a, c.id_b,
