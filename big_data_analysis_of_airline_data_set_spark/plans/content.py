@@ -222,6 +222,49 @@ WHERE round(1.0 - CAST(len(list_intersect(ga.grams, gb.grams)) AS DOUBLE)
 """
 
 
+def q_dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs are transitive — keep/drop needs the component,
+    not the raw edges. Iterative min-label propagation in Spark (no
+    recursive SQL there), oracled against DuckDB's WITH RECURSIVE
+    reachability over the SAME md5-replayed MinHash edge set. Output:
+    every document, its cluster, and whether it's the canonical
+    (minimum-id) copy a curation pass would keep."""
+    from ..dedup.components import connected_components
+
+    d = read_testdata_table(spark, sf_dir, "documents")
+    pairs = minhash_near_dup_pairs(
+        d, id_col="doc_id", text_col="text", n=3, threshold=_JACCARD_THRESHOLD
+    )
+    cc = connected_components(
+        d.select("doc_id"), pairs.select("id_a", "id_b"), id_col="doc_id"
+    )
+    return cc.select(
+        "doc_id",
+        "cluster_id",
+        (F.col("cluster_id") == F.col("doc_id")).alias("is_canonical"),
+    )
+
+
+def _connected_components_oracle() -> str:
+    return f"""
+WITH RECURSIVE
+mh_pairs AS (SELECT id_a, id_b FROM ({_MINHASH_ORACLE}) t),
+sym AS (
+  SELECT id_a AS src, id_b AS dst FROM mh_pairs
+  UNION
+  SELECT id_b, id_a FROM mh_pairs
+),
+reach(id, lab) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT s.dst, r.lab FROM reach r JOIN sym s ON s.src = r.id
+)
+SELECT id AS doc_id, min(lab) AS cluster_id,
+       (min(lab) = id) AS is_canonical
+FROM reach GROUP BY id
+"""
+
+
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = read_testdata_table(spark, sf_dir, "documents")
     return simhash_near_dup_pairs(d, id_col="doc_id", text_col="text", max_hamming=3)
@@ -679,6 +722,12 @@ QUERIES: dict[str, QuerySpec] = {
     "dedup_simhash": QuerySpec(
         "dedup_simhash", q_dedup_simhash, _simhash_oracle(),
         "SimHash banded near-dup pairs, md5 digests — oracle replays bit-for-bit",
+    ),
+    "dedup_connected_components": QuerySpec(
+        "dedup_connected_components",
+        q_dedup_connected_components,
+        _connected_components_oracle(),
+        "near-dup clusters: iterative min-label propagation vs recursive-CTE oracle",
     ),
     "dedup_embedding_cosine": QuerySpec(
         "dedup_embedding_cosine", q_dedup_embedding_cosine, _EMBEDDING_COSINE_ORACLE,

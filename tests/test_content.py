@@ -179,3 +179,19 @@ def test_fake_features_shape_and_determinism(spark, sf_dir):
     assert sorted((r.asset_id, tuple(r.features)) for r in feats) == sorted(
         (r.asset_id, tuple(r.features)) for r in again
     )
+
+
+def test_connected_components_transitivity(spark):
+    """A-B and B-C edges must cluster {A,B,C} together even though A-C
+    was never emitted; D stays a singleton canonical."""
+    from big_data_analysis_of_airline_data_set_spark.dedup.components import (
+        connected_components,
+    )
+
+    nodes = spark.createDataFrame([(1,), (2,), (3,), (4,)], "id long")
+    edges = spark.createDataFrame([(2, 3), (1, 2)], "id_a long, id_b long")
+    got = {
+        r.id: r.cluster_id
+        for r in connected_components(nodes, edges, id_col="id").collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 4: 4}
