@@ -169,6 +169,17 @@ def test_datetime_family_is_scan_project_only(spark, sf_dir):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
 
 
+def test_multi_rollup_single_scan_single_shuffle(spark, sf_dir):
+    """minute/hour/day grains come from ONE grouping-sets pass: exactly
+    one file scan, one Expand, one exchange — not a union of three
+    aggregations that re-scans the raw table per grain."""
+    plan = _plan(spark, sf_dir, "events_multi_rollup", mode="simple")
+    assert plan.count("FileScan") == 1
+    assert "Union" not in plan
+    assert plan.count("Exchange") == 1
+    assert "Expand" in plan
+
+
 def test_grouping_sets_single_expand_single_shuffle(spark, sf_dir):
     """GROUPING SETS compiles to Expand + one partial/final aggregate —
     not |sets| separate scans unioned together."""
