@@ -95,6 +95,58 @@ def _lang_id_oracle() -> str:
     return f"SELECT doc_id, {case} AS lang_pred FROM documents"
 
 
+def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repeated-3-gram ratio — the standard boilerplate/repetition
+    quality gate (a doc whose gram multiset is much larger than its
+    gram set is template/spam-like). ratio = 1 − distinct/total over
+    word 3-grams; docs with <3 tokens score 0."""
+    from ..text.analysis import tokens_col
+
+    d = read_testdata_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", tokens_col(F.col("text")).alias("_toks"))
+    idx = F.sequence(F.lit(1), F.size("_toks") - 2)
+    gram = lambda i: F.concat_ws(  # noqa: E731
+        " ", F.element_at("_toks", i), F.element_at("_toks", i + 1), F.element_at("_toks", i + 2)
+    )
+    grams = F.when(F.size("_toks") >= 3, F.transform(idx, gram)).otherwise(
+        F.array().cast("array<string>")
+    )
+    with_grams = toks.select("doc_id", grams.alias("_g"))
+    total = F.size("_g")
+    distinct = F.size(F.array_distinct("_g"))
+    ratio = F.when(
+        total > 0, F.round(1.0 - distinct.cast("double") / total, 6)
+    ).otherwise(F.lit(0.0))
+    return with_grams.select(
+        "doc_id",
+        total.cast("long").alias("n_grams"),
+        distinct.cast("long").alias("n_distinct_grams"),
+        ratio.alias("repetition_ratio"),
+    )
+
+
+_TEXT_REPETITION_ORACLE = """
+WITH g AS (
+  SELECT doc_id,
+         CASE WHEN len(regexp_split_to_array(trim(text), '\\s+')) >= 3
+              THEN list_transform(
+                     generate_series(1, len(regexp_split_to_array(trim(text), '\\s+')) - 2),
+                     i -> regexp_split_to_array(trim(text), '\\s+')[i] || ' ' ||
+                          regexp_split_to_array(trim(text), '\\s+')[i+1] || ' ' ||
+                          regexp_split_to_array(trim(text), '\\s+')[i+2])
+              ELSE [] END AS grams
+  FROM documents
+)
+SELECT doc_id,
+       CAST(len(grams) AS BIGINT) AS n_grams,
+       CAST(len(list_distinct(grams)) AS BIGINT) AS n_distinct_grams,
+       CASE WHEN len(grams) > 0
+            THEN round(1.0 - CAST(len(list_distinct(grams)) AS DOUBLE) / len(grams), 6)
+            ELSE 0.0 END AS repetition_ratio
+FROM g
+"""
+
+
 def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = read_testdata_table(spark, sf_dir, "documents")
     return d.select("doc_id", content_fingerprint(F.col("text")).alias("fingerprint"))
@@ -706,6 +758,10 @@ QUERIES: dict[str, QuerySpec] = {
     "text_fingerprint": QuerySpec(
         "text_fingerprint", q_text_fingerprint, _FINGERPRINT_ORACLE,
         "md5 content fingerprint of normalized text",
+    ),
+    "text_repetition": QuerySpec(
+        "text_repetition", q_text_repetition, _TEXT_REPETITION_ORACLE,
+        "repeated-3-gram ratio quality gate (boilerplate/spam signal)",
     ),
     "dedup_exact": QuerySpec(
         "dedup_exact", q_dedup_exact, _DEDUP_EXACT_ORACLE,
