@@ -24,6 +24,9 @@ from pyspark.sql import functions as F
 
 ASSET_STATS_SCHEMA = "asset_id long, modality string, n_bytes long, digest string"
 
+FRAME_BYTES = 64
+FRAME_SAMPLE_SCHEMA = "asset_id long, frame_idx long, n_frames long, frame_digest string"
+
 
 def documents_to_assets(documents: DataFrame) -> DataFrame:
     """Stand-in ingest: wrap document text as a binary payload with
@@ -64,3 +67,44 @@ def asset_stats(assets: DataFrame) -> DataFrame:
     # decode (where Python time >> worker startup) is when an explicit
     # repartition before this operator pays off.
     return assets.mapInPandas(batches, schema=ASSET_STATS_SCHEMA)
+
+
+def sample_frames(assets: DataFrame, *, k: int = 4) -> DataFrame:
+    """Uniform frame sampling over binary payloads via mapInPandas —
+    the video-ingest shape (1 input row → ≤k output rows per asset).
+
+    The payload is treated as a stream of FRAME_BYTES-sized frames (a
+    real pipeline would demux with PyAV — absent from this container,
+    so frame = byte slice stands in; the Arrow plumbing, the exploding
+    batch shape, and the deterministic sampling are the real thing).
+    Sampled indices are the k evenly-spaced frames
+    ``i·(n_frames−1)//(k−1)``, de-duplicated for short assets; each
+    emitted row carries the frame's md5 digest.
+    """
+    import hashlib
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out_ids, out_idx, out_n, out_dig = [], [], [], []
+            for asset_id, payload in zip(pdf["asset_id"], pdf["payload"]):
+                data = bytes(payload)
+                n_frames = (len(data) + FRAME_BYTES - 1) // FRAME_BYTES
+                if n_frames == 0:
+                    continue
+                idxs = sorted({i * (n_frames - 1) // (k - 1) for i in range(k)})
+                for fi in idxs:
+                    frame = data[fi * FRAME_BYTES : (fi + 1) * FRAME_BYTES]
+                    out_ids.append(asset_id)
+                    out_idx.append(fi)
+                    out_n.append(n_frames)
+                    out_dig.append(hashlib.md5(frame).hexdigest())
+            yield pd.DataFrame(
+                {
+                    "asset_id": pd.Series(out_ids, dtype="int64"),
+                    "frame_idx": pd.Series(out_idx, dtype="int64"),
+                    "n_frames": pd.Series(out_n, dtype="int64"),
+                    "frame_digest": pd.Series(out_dig, dtype="object"),
+                }
+            )
+
+    return assets.mapInPandas(batches, schema=FRAME_SAMPLE_SCHEMA)

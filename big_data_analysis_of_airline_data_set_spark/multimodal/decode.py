@@ -35,6 +35,10 @@ def decode_audio(payload: bytes, mime_type: str):  # pragma: no cover - stub
     raise NotImplementedError(_CODEC_MSG.format(kind="Audio"))
 
 
+def resize_image(payload: bytes, mime_type: str, width: int, height: int):  # pragma: no cover - stub
+    raise NotImplementedError(_CODEC_MSG.format(kind="Image resize"))
+
+
 def _fake_feature_vector(payload: bytes) -> np.ndarray:
     """Deterministic FEATURE_DIM-dim 'embedding': normalized histogram
     of byte values in FEATURE_DIM equal-width bins. Same output shape

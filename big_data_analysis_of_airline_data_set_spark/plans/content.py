@@ -649,6 +649,33 @@ FROM documents
 """
 
 
+def q_multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..multimodal.assets import sample_frames
+
+    d = read_testdata_table(spark, sf_dir, "documents")
+    return sample_frames(documents_to_assets(d), k=4)
+
+
+# The testdata text is pure ASCII (verified: octet_length(encode(text))
+# == length(text) at every sf), so byte-frame slices equal char slices
+# and DuckDB's VARCHAR substring/md5 replay them exactly.
+_FRAME_SAMPLE_ORACLE = """
+WITH f AS (
+  SELECT doc_id AS asset_id, text,
+         CAST(ceil(length(text) / 64.0) AS BIGINT) AS n_frames
+  FROM documents WHERE length(text) > 0
+), idx AS (
+  SELECT asset_id, text, n_frames,
+         unnest(list_distinct(list_transform(generate_series(0, 3),
+                i -> i * (n_frames - 1) // 3))) AS frame_idx
+  FROM f
+)
+SELECT asset_id, frame_idx, n_frames,
+       md5(substring(text, frame_idx * 64 + 1, 64)) AS frame_digest
+FROM idx
+"""
+
+
 def q_trimmed_mean_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Grouped-map Pandas UDAF (applyInPandas, one row per group):
     10-90% trimmed mean of extended price per return flag, oracled so
@@ -831,5 +858,9 @@ QUERIES: dict[str, QuerySpec] = {
     "multimodal_asset_stats": QuerySpec(
         "multimodal_asset_stats", q_multimodal_asset_stats, _ASSET_STATS_ORACLE,
         "binary-payload stats via Arrow-batched mapInPandas",
+    ),
+    "multimodal_frame_sample": QuerySpec(
+        "multimodal_frame_sample", q_multimodal_frame_sample, _FRAME_SAMPLE_ORACLE,
+        "uniform frame sampling over binary payloads (1 row -> k rows, mapInPandas)",
     ),
 }

@@ -195,3 +195,28 @@ def test_connected_components_transitivity(spark):
         for r in connected_components(nodes, edges, id_col="id").collect()
     }
     assert got == {1: 1, 2: 1, 3: 1, 4: 4}
+
+
+def test_frame_sampling_shape_and_determinism(spark, sf_dir):
+    """1 asset -> <=k frames, evenly spaced, first and last frame always
+    included; deterministic across runs."""
+    from big_data_analysis_of_airline_data_set_spark.multimodal.assets import (
+        FRAME_BYTES,
+        documents_to_assets,
+        sample_frames,
+    )
+
+    d = read_testdata_table(spark, sf_dir, "documents").limit(50)
+    frames = sample_frames(documents_to_assets(d), k=4).collect()
+    by_asset = {}
+    for r in frames:
+        by_asset.setdefault(r.asset_id, []).append(r)
+    assert len(by_asset) == 50
+    for rows in by_asset.values():
+        idxs = sorted(r.frame_idx for r in rows)
+        n = rows[0].n_frames
+        assert 1 <= len(idxs) <= 4
+        assert idxs[0] == 0 and idxs[-1] == n - 1  # endpoints always sampled
+        assert all(0 <= i < n for i in idxs)
+    again = sample_frames(documents_to_assets(d), k=4).collect()
+    assert sorted(map(tuple, frames)) == sorted(map(tuple, again))
