@@ -233,8 +233,14 @@ def q_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# width_bucket clamps: value < lo -> bucket 0, value >= hi -> bucket
+# n+1. The plain floor(value/50)+1 form agreed by accident at small sf
+# (no value reached 600); sf0.1 exposed the divergence — the CASE
+# replicates the clamp exactly.
 _HISTOGRAM_ORACLE = """
-SELECT CAST(floor(value / 50.0) + 1 AS BIGINT) AS bucket,
+SELECT CAST(CASE WHEN value < 0.0 THEN 0
+                 WHEN value >= 500.0 THEN 11
+                 ELSE floor(value / 50.0) + 1 END AS BIGINT) AS bucket,
        count(*) AS n_events,
        min(value) AS min_value,
        max(value) AS max_value,
