@@ -1,0 +1,71 @@
+"""Benchmark-contamination check: flag training documents sharing any
+word n-gram with a held-out benchmark set.
+
+The standard decontamination pass before LLM pretraining (n-gram
+overlap against eval benchmarks). Shape at 100 TB: the benchmark
+shingle set is tiny (benchmarks are MBs, the corpus is TBs) — it
+becomes a broadcast hash set, so the corpus side is a single scan with
+a map-side join + one groupBy on doc id. No corpus-vs-corpus shuffle
+ever happens.
+
+Shingles are md5-hashed (engine-universal) so an external SQL oracle
+replays the exact hit set — same discipline as dedup.minhash.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..dedup.ngram import shingles_from_tokens
+from ..text.analysis import tokens_col
+
+
+def _hashed_shingles(text: Column, n: int) -> Column:
+    # Materialize tokens inside the expression tree once per row via
+    # transform over a real array (lambda-captured split would
+    # re-tokenize per gram — see dedup.ngram.shingles_from_tokens).
+    return F.transform(
+        shingles_from_tokens(tokens_col(text), n), lambda g: F.md5(g)
+    )
+
+
+def contamination_hits(
+    df: DataFrame,
+    *,
+    id_col: str,
+    text_col: str,
+    is_benchmark: Column,
+    n: int = 5,
+) -> DataFrame:
+    """Per TRAINING document: how many of its distinct ``n``-gram
+    shingles also occur in any benchmark document. Returns every
+    training row — ``n_hits = 0`` for clean docs, ``contaminated``
+    boolean alongside — so downstream filtering is a plain predicate.
+    """
+    sh = df.select(
+        F.col(id_col).alias("_id"),
+        is_benchmark.alias("_bench"),
+        _hashed_shingles(F.col(text_col), n).alias("_sh"),
+    )
+    bench = (
+        sh.filter(F.col("_bench"))
+        .select(F.explode("_sh").alias("h"))
+        .distinct()
+    )
+    train = sh.filter(~F.col("_bench"))
+    hits = (
+        train.select("_id", F.explode("_sh").alias("h"))
+        .join(F.broadcast(bench), "h")
+        .groupBy("_id")
+        .agg(F.count(F.lit(1)).alias("_hits"))
+    )
+    return (
+        train.select("_id")
+        .join(hits, "_id", "left")
+        .select(
+            F.col("_id").alias(id_col),
+            F.coalesce(F.col("_hits"), F.lit(0)).cast("long").alias("n_hits"),
+            (F.coalesce(F.col("_hits"), F.lit(0)) > 0).alias("contaminated"),
+        )
+    )

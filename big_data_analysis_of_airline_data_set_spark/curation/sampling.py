@@ -1,0 +1,77 @@
+"""Domain-aware sampling: per-domain quotas and mixture rebalancing.
+
+Both are deterministic (hash-ordered, not RNG-ordered) so an external
+SQL engine replays them exactly — same md5-replayable discipline as
+dedup.minhash.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def quota_sample(
+    df: DataFrame,
+    *,
+    group_col: str,
+    id_col: str,
+    k: int,
+) -> DataFrame:
+    """Keep at most ``k`` rows per ``group_col`` value, chosen by md5
+    hash order of the id — a deterministic stand-in for uniform random
+    choice (md5 order is uncorrelated with insertion or id order).
+
+    Scale shape: one shuffle on ``group_col``; within each domain the
+    window sort is O(domain·log). A heavy-hitter domain concentrates on
+    one task — at 100 TB pre-prune such domains with an approximate
+    count + per-partition top-k before the exact window (the rank only
+    needs to be exact near the quota boundary). AQE's skew handling
+    cannot split a window partition, so the pre-prune is the real
+    mitigation; this operator is the exact final pass.
+    """
+    h = F.md5(F.col(id_col).cast("string"))
+    w = Window.partitionBy(group_col).orderBy(h.asc(), F.col(id_col).asc())
+    return (
+        df.withColumn("sample_rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("sample_rank") <= k)
+    )
+
+
+def domain_mixture(
+    df: DataFrame,
+    *,
+    group_col: str,
+    weight_col: str,
+) -> DataFrame:
+    """Per-domain token shares and the down-sampling weight that moves
+    the corpus toward a uniform target mixture:
+
+        weight(d) = min(1, target_share / actual_share)
+
+    i.e. over-represented domains are down-sampled, under-represented
+    ones are kept whole (no up-sampling — duplication is a training-
+    data smell). One tiny aggregate + a broadcast scalar; nothing here
+    grows with corpus size except the first groupBy.
+    """
+    per = df.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.col(weight_col).cast("long")).alias("n_tokens"),
+    )
+    totals = per.agg(
+        F.sum("n_tokens").alias("_total_tokens"),
+        F.count(F.lit(1)).alias("_n_domains"),
+    )
+    share = F.col("n_tokens").cast("double") / F.col("_total_tokens")
+    target = F.lit(1.0) / F.col("_n_domains")
+    return (
+        per.crossJoin(F.broadcast(totals))
+        .select(
+            group_col,
+            "n_docs",
+            "n_tokens",
+            F.round(share, 6).alias("token_share"),
+            F.round(F.least(F.lit(1.0), target / share), 6).alias("sample_weight"),
+        )
+    )

@@ -10,6 +10,7 @@ from __future__ import annotations
 from .spec import QuerySpec
 from . import (
     content,
+    curation_queries,
     events_queries,
     flights_job,
     ml_queries,
@@ -28,6 +29,7 @@ _MODULES = [
     statistics,
     ml_queries,
     content,
+    curation_queries,
     events_queries,
     flights_job,
 ]

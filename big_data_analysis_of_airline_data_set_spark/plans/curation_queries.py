@@ -1,0 +1,206 @@
+"""Corpus-assembly query catalog: domain quota sampling, mixture
+rebalancing, sequence packing, benchmark decontamination, and int8
+embedding quantization — the post-dedup stage of a training-data
+pipeline (no reference analogue; beyond-reference ops per the brief).
+
+All five are deterministic and fully oracled: sampling orders by md5
+(engine-universal), packing is a window cumulative sum,
+decontamination replays md5 shingle hashes, and quantization emits
+integer checksums under explicit floor(+0.5) rounding.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..curation.contamination import contamination_hits
+from ..curation.packing import pack_sequences
+from ..curation.sampling import domain_mixture, quota_sample
+from ..similarity.quantize import quantize_embeddings
+from ..sources.readers import read_testdata_table
+from ..text.analysis import token_count
+from .spec import QuerySpec
+
+_QUOTA_K = 20
+_PACK_BUDGET = 256
+_CONTAM_N = 5
+_BENCH_MOD = 50  # doc_id % 50 == 0 plays the held-out benchmark set
+
+
+def q_quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = read_testdata_table(spark, sf_dir, "documents")
+    return quota_sample(d, group_col="source", id_col="doc_id", k=_QUOTA_K).select(
+        "doc_id", "source", "sample_rank"
+    )
+
+
+_QUOTA_ORACLE = f"""
+WITH ranked AS (
+  SELECT doc_id, source,
+         CAST(row_number() OVER (
+             PARTITION BY source
+             ORDER BY md5(CAST(doc_id AS VARCHAR)) ASC, doc_id ASC
+         ) AS BIGINT) AS sample_rank
+  FROM documents
+)
+SELECT doc_id, source, sample_rank FROM ranked WHERE sample_rank <= {_QUOTA_K}
+"""
+
+
+def q_domain_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = read_testdata_table(spark, sf_dir, "documents").withColumn(
+        "_tok", token_count(F.col("text"))
+    )
+    return domain_mixture(d, group_col="source", weight_col="_tok")
+
+
+_MIXTURE_ORACLE = r"""
+WITH per AS (
+  SELECT source,
+         CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(len(regexp_split_to_array(trim(text), '\s+'))) AS BIGINT)
+             AS n_tokens
+  FROM documents GROUP BY source
+), tot AS (
+  SELECT CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+         count(*) AS n_domains
+  FROM per
+)
+SELECT source, n_docs, n_tokens,
+       round(CAST(n_tokens AS DOUBLE) / total_tokens, 6) AS token_share,
+       round(least(1.0, (1.0 / n_domains)
+                        / (CAST(n_tokens AS DOUBLE) / total_tokens)), 6)
+           AS sample_weight
+FROM per CROSS JOIN tot
+"""
+
+
+def q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = read_testdata_table(spark, sf_dir, "documents").withColumn(
+        "_tok", token_count(F.col("text"))
+    )
+    return pack_sequences(
+        d, group_col="source", id_col="doc_id", tokens_col="_tok",
+        budget=_PACK_BUDGET,
+    )
+
+
+_PACKING_ORACLE = f"""
+WITH t AS (
+  SELECT source, doc_id,
+         CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT)
+             AS n_tokens
+  FROM documents
+), c AS (
+  SELECT source, doc_id, n_tokens,
+         CAST(sum(n_tokens) OVER (
+             PARTITION BY source ORDER BY doc_id ASC
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) - n_tokens AS BIGINT) AS start
+  FROM t
+)
+SELECT source, doc_id, n_tokens,
+       start // {_PACK_BUDGET} AS pack_id,
+       start % {_PACK_BUDGET} AS pack_offset
+FROM c
+"""
+
+
+def q_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = read_testdata_table(spark, sf_dir, "documents")
+    return contamination_hits(
+        d,
+        id_col="doc_id",
+        text_col="text",
+        is_benchmark=F.col("doc_id") % _BENCH_MOD == 0,
+        n=_CONTAM_N,
+    )
+
+
+# DuckDB replays the exact md5 shingle hit set. list_distinct mirrors
+# shingles_from_tokens' array_distinct (per-doc distinct grams), so a
+# gram repeated inside one training doc counts once.
+_CONTAM_ORACLE = f"""
+WITH tok AS (
+  SELECT doc_id, doc_id % {_BENCH_MOD} = 0 AS bench,
+         regexp_split_to_array(trim(text), '\\s+') AS t
+  FROM documents
+), sh AS (
+  SELECT doc_id, bench,
+         list_distinct(list_transform(
+             generate_series(1, greatest(len(t) - {_CONTAM_N - 1}, 0)),
+             i -> md5(list_aggregate(list_slice(t, i, i + {_CONTAM_N - 1}),
+                                     'string_agg', ' ')))) AS g
+  FROM tok
+), bench_sh AS (
+  SELECT DISTINCT unnest(g) AS h FROM sh WHERE bench
+), hits AS (
+  SELECT s.doc_id, CAST(count(*) AS BIGINT) AS n
+  FROM (SELECT doc_id, unnest(g) AS h FROM sh WHERE NOT bench) s
+  JOIN bench_sh b USING (h)
+  GROUP BY s.doc_id
+)
+SELECT s.doc_id,
+       coalesce(n, 0) AS n_hits,
+       coalesce(n, 0) > 0 AS contaminated
+FROM (SELECT doc_id FROM sh WHERE NOT bench) s
+LEFT JOIN hits USING (doc_id)
+"""
+
+
+def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = read_testdata_table(spark, sf_dir, "embeddings")
+    return quantize_embeddings(e, id_col="vec_id", vec_col="embedding")
+
+
+_QUANTIZE_ORACLE = """
+WITH v AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS x,
+         list_max(list_transform(CAST(embedding AS DOUBLE[]), e -> abs(e)))
+             AS m
+  FROM embeddings
+), q AS (
+  SELECT vec_id, x, m,
+         CASE WHEN m = 0 THEN CAST([] AS BIGINT[])
+              ELSE list_transform(x, e ->
+                   CAST(floor(e * (127.0 / m) + 0.5) AS BIGINT)) END AS c
+  FROM v
+)
+SELECT vec_id,
+       CAST(floor(CASE WHEN m = 0 THEN 0.0 ELSE 127.0 / m END * 1e6 + 0.5)
+            AS BIGINT) AS scale_e6,
+       CAST(coalesce(list_sum(list_transform(c, e -> abs(e))), 0) AS BIGINT)
+           AS q_l1,
+       CAST(coalesce(list_sum(list_transform(c, e -> e * e)), 0) AS BIGINT)
+           AS q_norm_sq,
+       CAST(coalesce(list_sum(list_transform(generate_series(1, len(c)), i ->
+            CAST(floor(abs(x[i] - c[i] / (127.0 / m)) * 1e9)
+                 AS BIGINT))), 0) AS BIGINT) AS dequant_err_e9,
+       CAST(len(x) AS BIGINT) AS n_dims
+FROM q
+"""
+
+
+QUERIES: dict[str, QuerySpec] = {
+    "curation_quota_sample": QuerySpec(
+        "curation_quota_sample", q_quota_sample, _QUOTA_ORACLE,
+        "per-domain quota sampling, deterministic md5 order",
+    ),
+    "curation_domain_mixture": QuerySpec(
+        "curation_domain_mixture", q_domain_mixture, _MIXTURE_ORACLE,
+        "domain token shares + uniform-target down-sampling weights",
+    ),
+    "curation_sequence_packing": QuerySpec(
+        "curation_sequence_packing", q_sequence_packing, _PACKING_ORACLE,
+        "concat-and-chunk sequence packing (window cumsum, per domain)",
+    ),
+    "curation_contamination": QuerySpec(
+        "curation_contamination", q_contamination_check, _CONTAM_ORACLE,
+        "benchmark n-gram decontamination via broadcast shingle semi-join",
+    ),
+    "embedding_quantize_int8": QuerySpec(
+        "embedding_quantize_int8", q_embedding_quantize, _QUANTIZE_ORACLE,
+        "int8 absmax quantization, integer checksums (Arrow-batched)",
+    ),
+}

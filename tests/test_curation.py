@@ -1,0 +1,92 @@
+"""Edge semantics for the corpus-assembly operators (curation/)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from big_data_analysis_of_airline_data_set_spark.curation import (
+    contamination_hits,
+    domain_mixture,
+    pack_sequences,
+    quota_sample,
+)
+from big_data_analysis_of_airline_data_set_spark.similarity.quantize import (
+    quantize_embeddings,
+)
+
+
+def test_quota_sample_keeps_whole_group_under_k(spark):
+    df = spark.createDataFrame(
+        [(i, "small") for i in range(3)] + [(100 + i, "big") for i in range(10)],
+        ["doc_id", "source"],
+    )
+    out = quota_sample(df, group_col="source", id_col="doc_id", k=5)
+    counts = {r["source"]: r["n"] for r in
+              out.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    assert counts == {"small": 3, "big": 5}
+
+
+def test_quota_sample_deterministic(spark):
+    df = spark.createDataFrame([(i, "s") for i in range(20)], ["doc_id", "source"])
+    pick = lambda: sorted(  # noqa: E731
+        r["doc_id"]
+        for r in quota_sample(df, group_col="source", id_col="doc_id", k=7).collect()
+    )
+    first = pick()
+    assert pick() == first and len(first) == 7
+
+
+def test_pack_sequences_chunk_boundaries(spark):
+    # budget 10: docs of 4,4,4 tokens -> starts 0,4,8 -> packs 0,0,0
+    # (third doc STARTS at 8 < 10, straddles into pack 1 by design);
+    # fourth doc starts at 12 -> pack 1, offset 2.
+    df = spark.createDataFrame(
+        [(1, "g", 4), (2, "g", 4), (3, "g", 4), (4, "g", 4)],
+        ["doc_id", "source", "n_tok"],
+    )
+    out = {
+        r["doc_id"]: (r["pack_id"], r["pack_offset"])
+        for r in pack_sequences(
+            df, group_col="source", id_col="doc_id", tokens_col="n_tok", budget=10
+        ).collect()
+    }
+    assert out == {1: (0, 0), 2: (0, 4), 3: (0, 8), 4: (1, 2)}
+
+
+def test_domain_mixture_weights_cap_at_one(spark):
+    df = spark.createDataFrame(
+        [(1, "over", 90), (2, "under", 10)], ["doc_id", "source", "n_tok"]
+    )
+    rows = {r["source"]: r for r in
+            domain_mixture(df, group_col="source", weight_col="n_tok").collect()}
+    assert rows["under"]["sample_weight"] == 1.0  # never up-sample
+    assert abs(rows["over"]["sample_weight"] - (0.5 / 0.9)) < 1e-6
+
+
+def test_contamination_excludes_benchmark_and_counts_distinct_grams(spark):
+    # doc 0 is the benchmark; doc 1 shares its 2-gram, doc 2 shares none.
+    df = spark.createDataFrame(
+        [(0, "alpha beta gamma"), (1, "alpha beta delta"), (2, "x y z")],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: (r["n_hits"], r["contaminated"]) for r in
+           contamination_hits(
+               df, id_col="doc_id", text_col="text",
+               is_benchmark=F.col("doc_id") == 0, n=2,
+           ).collect()}
+    assert 0 not in out  # benchmark rows are not scored
+    assert out[1] == (1, True)   # shares "alpha beta" only
+    assert out[2] == (0, False)
+
+
+def test_quantize_zero_vector_and_bounds(spark):
+    df = spark.createDataFrame(
+        [(1, [0.0, 0.0]), (2, [1.0, -0.5, 0.25])], ["vec_id", "embedding"]
+    )
+    out = {r["vec_id"]: r.asDict() for r in
+           quantize_embeddings(df, id_col="vec_id", vec_col="embedding").collect()}
+    assert out[1]["scale_e6"] == 0 and out[1]["q_l1"] == 0
+    # absmax element maps to exactly 127; -0.5*127 = -63.5 is a half-case:
+    # floor(-63.5 + 0.5) = -63 (floor(+0.5) semantics, NOT half-away -64)
+    assert out[2]["q_norm_sq"] == 127 * 127 + 63 * 63 + 32 * 32
+    assert out[2]["n_dims"] == 3
