@@ -39,6 +39,41 @@ def quota_sample(
     )
 
 
+_HASH_BITS = 56  # md5 hex prefix → integer; 2^56 fits comfortably in a long
+_HASH_SPACE = 1 << _HASH_BITS
+
+
+def weighted_sample(
+    df: DataFrame,
+    weights: DataFrame,
+    *,
+    group_col: str,
+    id_col: str,
+    weight_col: str,
+) -> DataFrame:
+    """Deterministic Bernoulli thinning at per-domain rates: keep a row
+    iff its 56-bit md5 hash integer falls below ``floor(weight · 2⁵⁶)``.
+    The hash plays the uniform draw — E[kept] = weight per domain, the
+    decision is a pure function of the id (stable under retries,
+    re-partitioning, and incremental reruns — the property that matters
+    in a resumable 100 TB pipeline), and any SQL engine replays it.
+
+    ``weights`` is domain-level (e.g. ``domain_mixture`` output) —
+    vocabulary-sized, so the join broadcasts; the corpus side stays a
+    single scan with a map-side filter.
+    """
+    u = F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 14), 16, 10).cast(
+        "long"
+    )
+    thr = F.floor(F.col(weight_col) * F.lit(_HASH_SPACE)).cast("long")
+    w = weights.select(group_col, F.col(weight_col))
+    return (
+        df.join(F.broadcast(w), group_col)
+        .filter(u < thr)
+        .drop(weight_col)
+    )
+
+
 def domain_mixture(
     df: DataFrame,
     *,

@@ -82,3 +82,27 @@ def connected_components(
 
     sym.unpersist()
     return labels.select(F.col("_id").alias(id_col), F.col("_label").alias("cluster_id"))
+
+
+def keeper_by_quality(
+    clustered: DataFrame,
+    *,
+    id_col: str,
+    cluster_col: str = "cluster_id",
+    quality_col: str,
+) -> DataFrame:
+    """Canonical-copy selection by QUALITY rather than min-id: within
+    each cluster keep the row with the highest ``quality_col`` (ties →
+    lowest id — deterministic). Min-id keepers discard the best copy
+    whenever the best copy isn't the oldest; production curation ranks
+    by quality score. One window pass over the clustered output — the
+    cluster-keyed shuffle; near-dup clusters are tiny so no skew risk.
+    """
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(cluster_col).orderBy(
+        F.col(quality_col).desc(), F.col(id_col).asc()
+    )
+    return clustered.withColumn(
+        "keep", F.row_number().over(w) == 1
+    )

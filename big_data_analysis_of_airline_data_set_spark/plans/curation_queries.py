@@ -16,10 +16,12 @@ from pyspark.sql import functions as F
 
 from ..curation.contamination import contamination_hits
 from ..curation.packing import pack_sequences
-from ..curation.sampling import domain_mixture, quota_sample
+from ..curation.sampling import domain_mixture, quota_sample, weighted_sample
+from ..dedup.components import connected_components, keeper_by_quality
+from ..dedup.minhash import minhash_near_dup_pairs
 from ..similarity.quantize import quantize_embeddings
 from ..sources.readers import read_testdata_table
-from ..text.analysis import token_count
+from ..text.analysis import token_count, tokens_col
 from .spec import QuerySpec
 
 _QUOTA_K = 20
@@ -182,6 +184,140 @@ FROM q
 """
 
 
+# Shared mixture-weight CTE (must stay textually in sync with
+# _MIXTURE_ORACLE — both replicate curation.sampling.domain_mixture).
+_WEIGHTS_CTE = r"""
+per AS (
+  SELECT source,
+         CAST(sum(len(regexp_split_to_array(trim(text), '\s+'))) AS BIGINT)
+             AS n_tokens
+  FROM documents GROUP BY source
+), tot AS (
+  SELECT CAST(sum(n_tokens) AS BIGINT) AS total_tokens, count(*) AS n_domains
+  FROM per
+), w AS (
+  SELECT source,
+         round(least(1.0, (1.0 / n_domains)
+                          / (CAST(n_tokens AS DOUBLE) / total_tokens)), 6)
+             AS sample_weight
+  FROM per CROSS JOIN tot
+)
+"""
+
+# 56-bit integer from an md5 hex prefix — the proven cross-engine
+# pattern (Spark: conv(substr(md5(x),1,14),16,10)).
+_MD5_56 = (
+    "list_sum(list_transform(generate_series(1, 14), j -> "
+    "CAST(strpos('0123456789abcdef', "
+    "substr(md5(CAST(doc_id AS VARCHAR)), j, 1)) - 1 AS BIGINT) "
+    "* (CAST(1 AS BIGINT) << (4 * (14 - j)))))"
+)
+
+
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = read_testdata_table(spark, sf_dir, "documents").withColumn(
+        "_tok", token_count(F.col("text"))
+    )
+    mix = domain_mixture(d, group_col="source", weight_col="_tok").select(
+        "source", "sample_weight"
+    )
+    return weighted_sample(
+        d.select("doc_id", "source"), mix,
+        group_col="source", id_col="doc_id", weight_col="sample_weight",
+    ).select("doc_id", "source")
+
+
+_WEIGHTED_SAMPLE_ORACLE = f"""
+WITH {_WEIGHTS_CTE}
+SELECT d.doc_id, d.source
+FROM documents d JOIN w USING (source)
+WHERE {_MD5_56}
+      < CAST(floor(sample_weight * 72057594037927936) AS BIGINT)
+"""
+
+
+def q_dedup_canonical_keeper(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster near-dups (same md5-replayed MinHash edges as
+    dedup_connected_components), then keep the highest-quality copy per
+    cluster (token count; ties → min id) instead of the min-id copy —
+    the rule a production curation pass actually applies."""
+    d = read_testdata_table(spark, sf_dir, "documents")
+    pairs = minhash_near_dup_pairs(
+        d, id_col="doc_id", text_col="text", n=3, threshold=0.5
+    )
+    cc = connected_components(
+        d.select("doc_id"), pairs.select("id_a", "id_b"), id_col="doc_id"
+    )
+    quality = d.select("doc_id", token_count(F.col("text")).alias("n_tokens"))
+    return keeper_by_quality(
+        cc.join(quality, "doc_id"), id_col="doc_id", quality_col="n_tokens"
+    )
+
+
+def _canonical_keeper_oracle() -> str:
+    from .content import _MINHASH_ORACLE
+
+    return f"""
+WITH RECURSIVE
+mh_pairs AS (SELECT id_a, id_b FROM ({_MINHASH_ORACLE}) t),
+sym AS (
+  SELECT id_a AS src, id_b AS dst FROM mh_pairs
+  UNION
+  SELECT id_b, id_a FROM mh_pairs
+),
+reach(id, lab) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT s.dst, r.lab FROM reach r JOIN sym s ON s.src = r.id
+),
+cc AS (SELECT id AS doc_id, min(lab) AS cluster_id FROM reach GROUP BY id),
+q AS (
+  SELECT doc_id,
+         CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT)
+             AS n_tokens
+  FROM documents
+)
+SELECT doc_id, cluster_id, n_tokens,
+       row_number() OVER (PARTITION BY cluster_id
+                          ORDER BY n_tokens DESC, doc_id ASC) = 1 AS keep
+FROM cc JOIN q USING (doc_id)
+"""
+
+
+def q_text_vocab_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source vocabulary stats: corpus-health numbers (vocabulary
+    size, type-token ratio) a mixture designer reads before weighting.
+    Two term-keyed aggregates, no joins."""
+    d = read_testdata_table(spark, sf_dir, "documents")
+    tok = d.select(
+        "source", "doc_id", F.explode(tokens_col(F.col("text"))).alias("term")
+    )
+    return tok.groupBy("source").agg(
+        F.countDistinct("doc_id").alias("n_docs"),
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.countDistinct("term").alias("vocab_size"),
+        F.round(
+            F.countDistinct("term").cast("double") / F.count(F.lit(1)), 6
+        ).alias("type_token_ratio"),
+    )
+
+
+_VOCAB_ORACLE = r"""
+WITH tok AS (
+  SELECT source, doc_id,
+         unnest(regexp_split_to_array(trim(text), '\s+')) AS term
+  FROM documents
+)
+SELECT source,
+       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       CAST(count(*) AS BIGINT) AS n_tokens,
+       CAST(count(DISTINCT term) AS BIGINT) AS vocab_size,
+       round(CAST(count(DISTINCT term) AS DOUBLE) / count(*), 6)
+           AS type_token_ratio
+FROM tok GROUP BY source
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "curation_quota_sample": QuerySpec(
         "curation_quota_sample", q_quota_sample, _QUOTA_ORACLE,
@@ -202,5 +338,18 @@ QUERIES: dict[str, QuerySpec] = {
     "embedding_quantize_int8": QuerySpec(
         "embedding_quantize_int8", q_embedding_quantize, _QUANTIZE_ORACLE,
         "int8 absmax quantization, integer checksums (Arrow-batched)",
+    ),
+    "curation_weighted_sample": QuerySpec(
+        "curation_weighted_sample", q_weighted_sample, _WEIGHTED_SAMPLE_ORACLE,
+        "mixture weights applied as deterministic md5-threshold Bernoulli",
+    ),
+    "dedup_canonical_keeper": QuerySpec(
+        "dedup_canonical_keeper", q_dedup_canonical_keeper,
+        _canonical_keeper_oracle(),
+        "quality-ranked keeper per near-dup cluster (vs min-id canonical)",
+    ),
+    "text_vocab_stats": QuerySpec(
+        "text_vocab_stats", q_text_vocab_stats, _VOCAB_ORACLE,
+        "per-source vocabulary size and type-token ratio",
     ),
 }

@@ -10,6 +10,12 @@ from big_data_analysis_of_airline_data_set_spark.curation import (
     pack_sequences,
     quota_sample,
 )
+from big_data_analysis_of_airline_data_set_spark.curation.sampling import (
+    weighted_sample,
+)
+from big_data_analysis_of_airline_data_set_spark.dedup.components import (
+    keeper_by_quality,
+)
 from big_data_analysis_of_airline_data_set_spark.similarity.quantize import (
     quantize_embeddings,
 )
@@ -77,6 +83,38 @@ def test_contamination_excludes_benchmark_and_counts_distinct_grams(spark):
     assert 0 not in out  # benchmark rows are not scored
     assert out[1] == (1, True)   # shares "alpha beta" only
     assert out[2] == (0, False)
+
+
+def test_weighted_sample_rate_and_determinism(spark):
+    df = spark.createDataFrame([(i, "s") for i in range(2000)], ["doc_id", "source"])
+    w = spark.createDataFrame([("s", 0.25)], ["source", "sample_weight"])
+    kept = weighted_sample(
+        df, w, group_col="source", id_col="doc_id", weight_col="sample_weight"
+    )
+    n = kept.count()
+    assert 0.18 * 2000 < n < 0.32 * 2000  # E[n]=500, md5 is uniform
+    assert kept.count() == n  # pure function of the id — stable on rerun
+    # weight 1.0 keeps everything, 0.0 keeps nothing
+    w1 = spark.createDataFrame([("s", 1.0)], ["source", "sample_weight"])
+    assert weighted_sample(
+        df, w1, group_col="source", id_col="doc_id", weight_col="sample_weight"
+    ).count() == 2000
+    w0 = spark.createDataFrame([("s", 0.0)], ["source", "sample_weight"])
+    assert weighted_sample(
+        df, w0, group_col="source", id_col="doc_id", weight_col="sample_weight"
+    ).count() == 0
+
+
+def test_keeper_by_quality_prefers_quality_then_min_id(spark):
+    clustered = spark.createDataFrame(
+        [(1, 1, 10), (2, 1, 30), (3, 1, 30), (9, 9, 5)],
+        ["doc_id", "cluster_id", "n_tokens"],
+    )
+    out = {r["doc_id"]: r["keep"] for r in keeper_by_quality(
+        clustered, id_col="doc_id", quality_col="n_tokens"
+    ).collect()}
+    # doc 2 wins cluster 1 (quality 30, lower id than doc 3); singleton kept
+    assert out == {1: False, 2: True, 3: False, 9: True}
 
 
 def test_quantize_zero_vector_and_bounds(spark):
