@@ -264,7 +264,62 @@ FROM orders
 """
 
 
+def q_count_min_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min frequency sketch (the family member HLL/KLL built-ins
+    don't cover), built declaratively with md5-replayable hash families
+    — constant-size (d·w) shuffle regardless of vocabulary. Exact top-k
+    term counts sit beside the sketch estimates; unlike the HLL/KLL
+    queries no within-bound fallback is needed because the sketch is
+    deterministic: the oracle re-derives every estimate exactly."""
+    from ..sketches.countmin import heavy_hitters_with_estimates
+    from ..sources.readers import read_testdata_table
+    from ..text.analysis import tokens_col
+
+    d = read_testdata_table(spark, sf_dir, "documents")
+    occ = d.select(F.explode(tokens_col(F.col("text"))).alias("term"))
+    return heavy_hitters_with_estimates(occ, term_col="term", k=20)
+
+
+def _count_min_oracle(depth: int = 4, width: int = 1024, k: int = 20) -> str:
+    h = (
+        "list_sum(list_transform(generate_series(1, 14), j -> "
+        "CAST(strpos('0123456789abcdef', substr(md5('{p}_' || term), j, 1)) - 1"
+        " AS BIGINT) * (CAST(1 AS BIGINT) << (4 * (14 - j)))))"
+    )
+    h1, h2 = h.format(p="a"), h.format(p="b")
+    return f"""
+WITH occ AS (
+  SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS term
+  FROM documents
+), hashed AS (
+  SELECT term, {h1} AS h1, {h2} AS h2 FROM occ
+), cells AS (
+  SELECT j, (h1 + j * h2) % {width} AS bucket, count(*) AS s
+  FROM hashed CROSS JOIN (SELECT unnest(generate_series(0, {depth - 1})) AS j)
+  GROUP BY 1, 2
+), exact AS (
+  SELECT term, CAST(count(*) AS BIGINT) AS exact_count
+  FROM occ GROUP BY term
+  ORDER BY exact_count DESC, term ASC LIMIT {k}
+), probes AS (
+  SELECT term, exact_count, j, (h1 + j * h2) % {width} AS bucket
+  FROM (SELECT term, exact_count, {h1} AS h1, {h2} AS h2 FROM exact) e
+  CROSS JOIN (SELECT unnest(generate_series(0, {depth - 1})) AS j)
+)
+SELECT term, exact_count,
+       CAST(min(s) AS BIGINT) AS cms_estimate,
+       min(s) >= exact_count AS overestimates
+FROM probes JOIN cells USING (j, bucket)
+GROUP BY term, exact_count
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "sketch_count_min_heavy_hitters": QuerySpec(
+        "sketch_count_min_heavy_hitters", q_count_min_heavy_hitters,
+        _count_min_oracle(),
+        "declarative Count-Min sketch: exact top-20 terms vs replayed estimates",
+    ),
     "quantiles_approx": QuerySpec(
         "quantiles_approx", q_quantiles_approx, _QUANTILES_APPROX_ORACLE,
         "approx_percentile sketch, oracled via exact median + error-bound boolean",

@@ -1,0 +1,108 @@
+"""Count-Min Sketch as a declarative aggregate.
+
+A CMS is d hash tables of w counters; occurrence (term, c) increments
+table[j][h_j(term) mod w] for every j; a point estimate is
+min_j table[j][h_j(term) mod w] — always ≥ the true count, within
+ε·N = (e/w)·N with probability 1−(1/e)^d.
+
+The 100 TB shape is the whole point: the sketch build is ONE groupBy
+over (j, bucket) with d·w ≤ a few thousand distinct keys — partial
+(map-side) aggregation collapses every partition to ≤ d·w rows, so the
+shuffle is constant-size regardless of corpus size or vocabulary. An
+exact term count, by contrast, shuffles the full vocabulary. That's
+the trade a frequency sketch buys.
+
+Hash families are the same md5 Kirsch-Mitzenmacher construction as
+dedup.minhash (h1 = md5('a_'+t) prefix, h2 = md5('b_'+t) prefix,
+h_j = h1 + j·h2 — 2 md5s per occurrence for any depth d, sums < 2⁶¹),
+so a SQL oracle replays bucket assignment, bucket sums, and therefore
+every estimate exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _h56(prefix: str, col: Column) -> Column:
+    return F.conv(F.substring(F.md5(F.concat(F.lit(prefix), col)), 1, 14), 16, 10).cast(
+        "long"
+    )
+
+
+def count_min_sketch_table(
+    occurrences: DataFrame,
+    *,
+    term_col: str,
+    depth: int = 4,
+    width: int = 1024,
+) -> DataFrame:
+    """(j, bucket, s): bucket sums of a d×w CMS over one row per term
+    OCCURRENCE. The explode-by-depth multiplies rows d× before the
+    partial agg, which immediately collapses them to ≤ d·w per
+    partition — constant-size shuffle."""
+    h1 = _h56("a_", F.col(term_col))
+    h2 = _h56("b_", F.col(term_col))
+    js = F.explode(F.sequence(F.lit(0), F.lit(depth - 1))).alias("j")
+    return (
+        occurrences.select(h1.alias("_h1"), h2.alias("_h2"))
+        .select("_h1", "_h2", js)
+        .select("j", ((F.col("_h1") + F.col("j") * F.col("_h2")) % width).alias("bucket"))
+        .groupBy("j", "bucket")
+        .agg(F.count(F.lit(1)).alias("s"))
+    )
+
+
+def heavy_hitters_with_estimates(
+    occurrences: DataFrame,
+    *,
+    term_col: str,
+    k: int = 20,
+    depth: int = 4,
+    width: int = 1024,
+) -> DataFrame:
+    """Exact top-k terms with their CMS point estimates side by side:
+    (term, exact_count, cms_estimate, overestimates) — ``overestimates``
+    is the CMS guarantee est ≥ exact, TRUE for every row by
+    construction. The exact side exists to grade the sketch; a pure
+    sketch pipeline would skip it and keep only the constant-size
+    aggregate."""
+    sketch = count_min_sketch_table(
+        occurrences, term_col=term_col, depth=depth, width=width
+    )
+    exact = (
+        occurrences.groupBy(F.col(term_col).alias("term"))
+        .agg(F.count(F.lit(1)).alias("exact_count"))
+        .orderBy(F.desc("exact_count"), F.asc("term"))
+        .limit(k)
+    )
+    h1 = _h56("a_", F.col("term"))
+    h2 = _h56("b_", F.col("term"))
+    probes = (
+        exact.select("term", "exact_count", h1.alias("_h1"), h2.alias("_h2"))
+        .select(
+            "term",
+            "exact_count",
+            F.explode(F.sequence(F.lit(0), F.lit(depth - 1))).alias("j"),
+            F.col("_h1"),
+            F.col("_h2"),
+        )
+        .select(
+            "term",
+            "exact_count",
+            "j",
+            ((F.col("_h1") + F.col("j") * F.col("_h2")) % width).alias("bucket"),
+        )
+    )
+    return (
+        probes.join(F.broadcast(sketch), ["j", "bucket"])
+        .groupBy("term", "exact_count")
+        .agg(F.min("s").alias("cms_estimate"))
+        .select(
+            "term",
+            "exact_count",
+            "cms_estimate",
+            (F.col("cms_estimate") >= F.col("exact_count")).alias("overestimates"),
+        )
+    )
