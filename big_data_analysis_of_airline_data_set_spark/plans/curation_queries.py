@@ -318,6 +318,56 @@ FROM tok GROUP BY source
 """
 
 
+def q_data_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Expectation suite over lineitem — TPC-H invariants as rules plus
+    one deliberately-tight drift tripwire (quantity ≤ 25, ~50% violation
+    by construction) so the report shows a failing gate's shape. All
+    rules fold into ONE scan (operators/expectations.py)."""
+    from ..operators.expectations import evaluate_expectations
+
+    li = read_testdata_table(spark, sf_dir, "lineitem")
+    rules = {
+        "orderkey_not_null": F.col("l_orderkey").isNotNull(),
+        "quantity_in_1_50": F.col("l_quantity").between(1, 50),
+        "extendedprice_positive": F.col("l_extendedprice") > 0,
+        "discount_in_0_10pct": F.col("l_discount").between(0.0, 0.10),
+        "shipdate_in_range": F.col("l_shipdate").between(
+            F.lit("1992-01-01").cast("timestamp"),
+            F.lit("1999-01-01").cast("timestamp"),
+        ),
+        "returnflag_domain": F.col("l_returnflag").isin("A", "N", "R"),
+        "tripwire_quantity_le_25": F.col("l_quantity") <= 25,
+    }
+    return evaluate_expectations(li, rules)
+
+
+_DQ_RULES_SQL = [
+    ("orderkey_not_null", "l_orderkey IS NOT NULL"),
+    ("quantity_in_1_50", "l_quantity BETWEEN 1 AND 50"),
+    ("extendedprice_positive", "l_extendedprice > 0"),
+    ("discount_in_0_10pct", "l_discount BETWEEN 0.0 AND 0.10"),
+    (
+        "shipdate_in_range",
+        "l_shipdate BETWEEN TIMESTAMP '1992-01-01' AND TIMESTAMP '1999-01-01'",
+    ),
+    ("returnflag_domain", "l_returnflag IN ('A', 'N', 'R')"),
+    ("tripwire_quantity_le_25", "l_quantity <= 25"),
+]
+
+_DQ_ORACLE = "\nUNION ALL\n".join(
+    f"""SELECT '{name}' AS rule,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(CASE WHEN coalesce({pred}, FALSE) THEN 0 ELSE 1 END) AS BIGINT)
+           AS n_violations,
+       round(CAST(sum(CASE WHEN coalesce({pred}, FALSE) THEN 0 ELSE 1 END)
+                  AS DOUBLE) / count(*), 6) AS violation_rate,
+       CAST(sum(CASE WHEN coalesce({pred}, FALSE) THEN 0 ELSE 1 END)
+            AS DOUBLE) / count(*) <= 0.0 AS passed
+FROM lineitem"""
+    for name, pred in _DQ_RULES_SQL
+)
+
+
 QUERIES: dict[str, QuerySpec] = {
     "curation_quota_sample": QuerySpec(
         "curation_quota_sample", q_quota_sample, _QUOTA_ORACLE,
@@ -351,5 +401,9 @@ QUERIES: dict[str, QuerySpec] = {
     "text_vocab_stats": QuerySpec(
         "text_vocab_stats", q_text_vocab_stats, _VOCAB_ORACLE,
         "per-source vocabulary size and type-token ratio",
+    ),
+    "data_quality_report": QuerySpec(
+        "data_quality_report", q_data_quality_report, _DQ_ORACLE,
+        "expectation suite: N rules in one scan, per-rule violation report",
     ),
 }

@@ -117,6 +117,27 @@ def test_keeper_by_quality_prefers_quality_then_min_id(spark):
     assert out == {1: False, 2: True, 3: False, 9: True}
 
 
+def test_expectations_nulls_count_as_violations_one_scan(spark):
+    from big_data_analysis_of_airline_data_set_spark.operators.expectations import (
+        evaluate_expectations,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 10.0), (2, None), (3, -5.0)], ["id", "price"]
+    )
+    out = {r["rule"]: r for r in evaluate_expectations(
+        df,
+        {"price_positive": F.col("price") > 0, "id_not_null": F.col("id").isNotNull()},
+        max_violation_rate=0.4,
+    ).collect()}
+    # NULL price is a violation (three-valued logic must not let it pass)
+    assert out["price_positive"]["n_violations"] == 2
+    assert out["price_positive"]["passed"] is False
+    assert out["id_not_null"]["n_violations"] == 0
+    assert out["id_not_null"]["passed"] is True
+    assert out["price_positive"]["n_rows"] == 3
+
+
 def test_quantize_zero_vector_and_bounds(spark):
     df = spark.createDataFrame(
         [(1, [0.0, 0.0]), (2, [1.0, -0.5, 0.25])], ["vec_id", "embedding"]
