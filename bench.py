@@ -52,6 +52,18 @@ HEADLINE = [
 
 ML_FIT_QUERY = "ml_logistic_regression_tvs"
 
+# Round-2 curation/sketch surface, timed as a SEPARATE tracked number
+# (like ml_quick_fit) so the 16-query headline total stays comparable
+# to the BASELINE.md record across rounds.
+CURATION = [
+    "curation_weighted_sample",
+    "curation_contamination",
+    "curation_sequence_packing",
+    "sketch_count_min_heavy_hitters",
+    "data_quality_report",
+    "embedding_quantize_int8",
+]
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -96,6 +108,21 @@ def main() -> None:
     ml_fit = time.perf_counter() - t0
     print(f"# ml_quick_fit ({ML_FIT_QUERY}): {ml_fit:.2f}s", file=sys.stderr)
 
+    cur_samples: dict[str, list[float]] = {name: [] for name in CURATION}
+    for name in CURATION:  # warm the shapes first, same discipline
+        try:
+            specs[name].fn(spark, warm_dir).count()
+        except Exception:
+            pass
+    for r in range(repeats):
+        for name in CURATION:
+            t0 = time.perf_counter()
+            specs[name].fn(spark, sf_dir).count()
+            cur_samples[name].append(time.perf_counter() - t0)
+    cur_timings = {n: round(statistics.median(ts), 3) for n, ts in cur_samples.items()}
+    cur_total = round(sum(cur_timings.values()), 3)
+    print(f"# curation_suite: {cur_total}s {cur_timings}", file=sys.stderr)
+
     print(
         json.dumps(
             {
@@ -105,6 +132,8 @@ def main() -> None:
                 "queries": timings,
                 "repeats": repeats,
                 "ml_quick_fit": round(ml_fit, 3),
+                "curation_suite": cur_total,
+                "curation_queries": cur_timings,
                 "sf": float(sf),
             }
         )
