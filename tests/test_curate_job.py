@@ -1,0 +1,62 @@
+"""End-to-end curation job (jobs/curate.py): funnel monotonicity,
+stage semantics, and the CLI writing a partitioned corpus."""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from big_data_analysis_of_airline_data_set_spark.jobs.curate import curate, main
+from big_data_analysis_of_airline_data_set_spark.sources.readers import (
+    read_testdata_table,
+)
+
+
+@pytest.fixture()
+def work():
+    d = tempfile.mkdtemp(prefix="curate-job-")
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def test_curate_funnel_semantics(spark, sf_dir):
+    docs = read_testdata_table(spark, sf_dir, "documents")
+    corpus, report = curate(docs)
+    stages = {r["stage"]: r["n_rows"] for r in report.collect()}
+    assert list(r["stage"] for r in report.orderBy("stage_idx").collect()) == [
+        "input", "quality_gate", "exact_dedup", "decontaminated",
+        "mixture_sampled", "packed",
+    ]
+    # each stage only removes rows; packing is 1:1
+    assert (
+        stages["input"] >= stages["quality_gate"] >= stages["exact_dedup"]
+        >= stages["decontaminated"] >= stages["mixture_sampled"]
+    )
+    assert stages["packed"] == stages["mixture_sampled"]
+    assert corpus.count() == stages["packed"]
+    # corpus content is unique and benchmark docs never leak through
+    assert corpus.select("fingerprint").distinct().count() == corpus.count()
+    assert corpus.filter(F.col("doc_id") % 50 == 0).count() == 0
+    # pack offsets respect the budget
+    assert corpus.filter(F.col("pack_offset") >= 256).count() == 0
+
+
+def test_curate_cli_writes_partitioned_corpus(spark, sf_dir, work):
+    main([
+        "--input", f"{sf_dir}/documents.parquet",
+        "--output", work,
+        "--pack-budget", "128",
+    ])
+    corpus = spark.read.parquet(f"{work}/corpus")
+    report = spark.read.parquet(f"{work}/report")
+    assert corpus.count() == [
+        r["n_rows"] for r in report.collect() if r["stage"] == "packed"
+    ][0]
+    # partitioned by source on disk
+    import os
+
+    assert any(p.startswith("source=") for p in os.listdir(f"{work}/corpus"))
+    assert corpus.filter(F.col("pack_offset") >= 128).count() == 0
