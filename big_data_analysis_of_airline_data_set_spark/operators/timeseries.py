@@ -1,0 +1,126 @@
+"""Batch time-series operators over an event stream: gap-based
+sessionization with session ordinals, and bounded-frame EWMA features.
+
+Complements ``streaming/windows.py`` (tumbling/sliding/session windows
+in streaming runtime): these are the batch/backfill formulations a
+feature pipeline runs over historical data.
+
+Scale posture: both operators are a single shuffle on the entity key
+followed by window functions — no self-joins, no unbounded state. The
+EWMA frame is bounded (trailing K rows), so per-row work is O(K) and
+numerically stable regardless of history length (no ``decay**-n``
+blow-up that the closed-form running formulation would hit).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def sessionize(
+    df: DataFrame,
+    *,
+    key_col: str,
+    ts_col: str,
+    order_tiebreak_col: str,
+    gap_seconds: int,
+) -> DataFrame:
+    """Assign gap-based session ordinals per key.
+
+    An event starts a new session when it is the key's first event or
+    arrives more than ``gap_seconds`` after the previous event. Returns
+    the input plus ``session_ordinal`` (1-based per key, in time order).
+
+    Same session semantics as ``F.session_window`` (streaming path);
+    this formulation additionally yields the per-key ordinal, which
+    session_window does not expose.
+    """
+    w = Window.partitionBy(key_col).orderBy(ts_col, order_tiebreak_col)
+    us = F.unix_micros(F.col(ts_col))
+    prev_us = F.lag(us).over(w)
+    new_session = (
+        prev_us.isNull() | (us - prev_us > gap_seconds * 1_000_000)
+    ).cast("long")
+    return df.withColumn(
+        "session_ordinal", F.sum(new_session).over(w).cast("long")
+    )
+
+
+def session_stats(
+    df: DataFrame,
+    *,
+    key_col: str,
+    ts_col: str,
+    order_tiebreak_col: str,
+    gap_seconds: int,
+    value_col: str,
+) -> DataFrame:
+    """Per-session aggregates: bounds, event count, exact value sum."""
+    s = sessionize(
+        df,
+        key_col=key_col,
+        ts_col=ts_col,
+        order_tiebreak_col=order_tiebreak_col,
+        gap_seconds=gap_seconds,
+    )
+    return s.groupBy(key_col, "session_ordinal").agg(
+        F.min(ts_col).alias("session_start"),
+        F.max(ts_col).alias("session_end"),
+        (F.unix_micros(F.max(ts_col)) - F.unix_micros(F.min(ts_col)))
+        .cast("long")
+        .alias("duration_us"),
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col(value_col).cast("decimal(18,2)"))
+        .cast("double")
+        .alias("sum_value"),
+    )
+
+
+def trailing_ewma(
+    df: DataFrame,
+    *,
+    key_col: str,
+    ts_col: str,
+    order_tiebreak_col: str,
+    value_col: str,
+    decay: float,
+    k: int,
+    out_col: str = "ewma",
+) -> DataFrame:
+    """EWMA of ``value_col`` over the trailing ``k`` events per key.
+
+    ewma_t = sum_{i=0..m-1} decay^i * x_{t-i} / sum_{i=0..m-1} decay^i
+    where m = min(k, rows so far). The bounded frame keeps the exponent
+    range [0, k), so the computation is deterministic and portable: the
+    frame's values are collected in window order and reduced
+    sequentially (same fold order in any engine).
+    """
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(ts_col, order_tiebreak_col)
+        .rowsBetween(-(k - 1), 0)
+    )
+    vals = F.collect_list(F.col(value_col).cast("double")).over(w)
+    n = F.size(vals)
+    # weight for position i (1-based, oldest first) is decay^(n-i)
+    num = F.aggregate(
+        F.zip_with(
+            vals,
+            F.sequence(F.lit(1), n),
+            lambda x, i: x * F.pow(F.lit(decay), (n - i).cast("double")),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    den = F.aggregate(
+        F.transform(
+            F.sequence(F.lit(1), n),
+            lambda i: F.pow(F.lit(decay), (n - i).cast("double")),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return df.withColumn("_n_in_frame", n.cast("long")).withColumn(
+        out_col, F.round(num / den, 6)
+    )

@@ -18,6 +18,7 @@ from . import (
     relational,
     relational2,
     relational3,
+    scale_ops,
     statistics,
 )
 
@@ -32,6 +33,7 @@ _MODULES = [
     curation_queries,
     events_queries,
     flights_job,
+    scale_ops,
 ]
 
 # The driver's correctness harness records only the first 50 registry

@@ -1,0 +1,242 @@
+"""Scale-ops query catalog: PII redaction, batch sessionization,
+bounded-frame EWMA features, and token heavy hitters — the remaining
+standard stages of a large-scale feature/curation pipeline (no
+reference analogue; beyond-reference ops per the brief).
+
+All four are deterministic and fully oracled. PII counts/redaction use
+a regex subset with identical Java-regex/RE2 semantics; sessionization
+and EWMA order by (ts, event_id) so every window is total-ordered; the
+heavy-hitter top-k tie-breaks on the term so the limit boundary is
+deterministic.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.timeseries import session_stats, trailing_ewma
+from ..sources.readers import read_testdata_table
+from ..text.analysis import tokens_col
+from ..text.redaction import PII_PATTERNS, redaction_report
+from .spec import QuerySpec
+
+_SESSION_GAP_S = 1800
+_EWMA_DECAY = 0.8
+_EWMA_K = 16
+_HH_K = 50
+
+
+# --- PII redaction -----------------------------------------------------
+
+# The synthetic corpus has no organic PII, so the query plants one
+# deterministic email/IPv4/phone per document (derived from doc_id with
+# identical integer arithmetic in both engines) before redacting; the
+# original text still participates so organic matches, if any, count too.
+def q_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = read_testdata_table(spark, sf_dir, "documents")
+    doc = F.col("doc_id")
+    planted = F.concat(
+        F.col("text"),
+        F.lit(" reach u"),
+        doc.cast("string"),
+        F.lit("@mail.example.com srv "),
+        (doc % 223 + 1).cast("string"),
+        F.lit(".0."),
+        (doc % 251).cast("string"),
+        F.lit(".7 tel 555-"),
+        F.lpad((doc % 10000).cast("string"), 4, "0"),
+    )
+    return redaction_report(
+        d.select("doc_id", planted.alias("text")), id_col="doc_id",
+        text_col="text",
+    )
+
+
+def _pii_oracle() -> str:
+    # Built from the same PII_PATTERNS list the Spark path uses, so the
+    # two sides cannot drift.
+    count_cols = ",\n         ".join(
+        f"CAST(len(regexp_extract_all(s, '{pat}')) AS BIGINT) AS n_{kind}"
+        for kind, pat, _ in PII_PATTERNS
+    )
+    red = "s"
+    for _, pat, tag in PII_PATTERNS:
+        red = f"regexp_replace({red}, '{pat}', '{tag}', 'g')"
+    total = " + ".join(f"n_{kind}" for kind, _, _ in PII_PATTERNS)
+    return f"""
+WITH t AS (
+  SELECT doc_id,
+         text || ' reach u' || CAST(doc_id AS VARCHAR)
+              || '@mail.example.com srv '
+              || CAST(doc_id % 223 + 1 AS VARCHAR) || '.0.'
+              || CAST(doc_id % 251 AS VARCHAR) || '.7 tel 555-'
+              || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS s
+  FROM documents
+), r AS (
+  SELECT doc_id,
+         {count_cols},
+         {red} AS red
+  FROM t
+)
+SELECT doc_id, n_email, n_ipv4, n_phone,
+       CAST({total} AS BIGINT) AS n_pii_total,
+       CAST(length(red) AS BIGINT) AS redacted_len,
+       md5(red) AS redacted_md5
+FROM r
+"""
+
+
+# --- batch sessionization ---------------------------------------------
+
+def q_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = read_testdata_table(spark, sf_dir, "events")
+    s = session_stats(
+        e,
+        key_col="user_id",
+        ts_col="ts",
+        order_tiebreak_col="event_id",
+        gap_seconds=_SESSION_GAP_S,
+        value_col="value",
+    )
+    return s.select(
+        "user_id",
+        "session_ordinal",
+        F.date_format("session_start", "yyyy-MM-dd HH:mm:ss").alias(
+            "session_start"
+        ),
+        F.date_format("session_end", "yyyy-MM-dd HH:mm:ss").alias(
+            "session_end"
+        ),
+        "duration_us",
+        "n_events",
+        "sum_value",
+    )
+
+
+_SESSIONS_ORACLE = f"""
+WITH e AS (
+  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS t, value FROM events
+), lagd AS (
+  SELECT user_id, event_id, t, value,
+         lag(t) OVER (PARTITION BY user_id ORDER BY t, event_id) AS pt
+  FROM e
+), flag AS (
+  SELECT user_id, event_id, t, value,
+         CASE WHEN pt IS NULL
+                   OR epoch_us(t) - epoch_us(pt) > {_SESSION_GAP_S}::BIGINT * 1000000
+              THEN 1 ELSE 0 END AS ns
+  FROM lagd
+), sess AS (
+  SELECT user_id, t, value,
+         CAST(sum(ns) OVER (PARTITION BY user_id ORDER BY t, event_id)
+              AS BIGINT) AS session_ordinal
+  FROM flag
+)
+SELECT user_id, session_ordinal,
+       strftime(min(t), '%Y-%m-%d %H:%M:%S') AS session_start,
+       strftime(max(t), '%Y-%m-%d %H:%M:%S') AS session_end,
+       CAST(epoch_us(max(t)) - epoch_us(min(t)) AS BIGINT) AS duration_us,
+       count(*) AS n_events,
+       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+FROM sess GROUP BY user_id, session_ordinal
+"""
+
+
+# --- bounded-frame EWMA ------------------------------------------------
+
+def q_events_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = read_testdata_table(spark, sf_dir, "events")
+    out = trailing_ewma(
+        e,
+        key_col="user_id",
+        ts_col="ts",
+        order_tiebreak_col="event_id",
+        value_col="value",
+        decay=_EWMA_DECAY,
+        k=_EWMA_K,
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts"),
+        F.col("_n_in_frame").alias("n_in_frame"),
+        "ewma",
+    )
+
+
+_EWMA_ORACLE = f"""
+WITH e AS (
+  SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS t,
+         CAST(value AS DOUBLE) AS v
+  FROM events
+), fr AS (
+  SELECT event_id, user_id, t,
+         list(v) OVER (PARTITION BY user_id ORDER BY t, event_id
+                       ROWS BETWEEN {_EWMA_K - 1} PRECEDING AND CURRENT ROW)
+             AS vals
+  FROM e
+)
+SELECT event_id, user_id, strftime(t, '%Y-%m-%d %H:%M:%S') AS ts,
+       CAST(len(vals) AS BIGINT) AS n_in_frame,
+       round(
+         list_sum(list_transform(generate_series(1, len(vals)),
+             i -> vals[i] * pow({_EWMA_DECAY}, len(vals) - i)))
+         / list_sum(list_transform(generate_series(1, len(vals)),
+             i -> pow({_EWMA_DECAY}, len(vals) - i))), 6) AS ewma
+FROM fr
+"""
+
+
+# --- token heavy hitters ----------------------------------------------
+
+def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact corpus-wide top-K terms. explode -> partial/final hash agg
+    -> TakeOrderedAndProject (per-partition heaps): the exact baseline
+    the Count-Min sketch (sketches/countmin.py) approximates."""
+    d = read_testdata_table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(tokens_col(F.col("text"))).alias("term"))
+    return (
+        tok.groupBy("term")
+        .agg(
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.countDistinct("doc_id").alias("n_docs"),
+        )
+        .orderBy(F.desc("n_occurrences"), F.asc("term"))
+        .limit(_HH_K)
+    )
+
+
+_HH_ORACLE = rf"""
+WITH tok AS (
+  SELECT doc_id,
+         unnest(regexp_split_to_array(trim(text), '\s+')) AS term
+  FROM documents
+)
+SELECT term,
+       CAST(count(*) AS BIGINT) AS n_occurrences,
+       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+FROM tok GROUP BY term
+ORDER BY n_occurrences DESC, term ASC
+LIMIT {_HH_K}
+"""
+
+
+QUERIES: dict[str, QuerySpec] = {
+    "text_pii_redaction": QuerySpec(
+        "text_pii_redaction", q_pii_redaction, _pii_oracle(),
+        "PII counts + typed-tag redaction, Java-regex/RE2-portable patterns",
+    ),
+    "events_user_sessions": QuerySpec(
+        "events_user_sessions", q_user_sessions, _SESSIONS_ORACLE,
+        "gap-based sessionization with per-key session ordinals",
+    ),
+    "events_ewma": QuerySpec(
+        "events_ewma", q_events_ewma, _EWMA_ORACLE,
+        "trailing-K EWMA feature per user (bounded window frame)",
+    ),
+    "text_heavy_hitters": QuerySpec(
+        "text_heavy_hitters", q_heavy_hitters, _HH_ORACLE,
+        "exact corpus-wide top-K terms (the CMS exact baseline)",
+    ),
+}
