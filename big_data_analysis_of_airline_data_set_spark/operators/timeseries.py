@@ -101,7 +101,14 @@ def trailing_ewma(
         .orderBy(ts_col, order_tiebreak_col)
         .rowsBetween(-(k - 1), 0)
     )
-    vals = F.collect_list(F.col(value_col).cast("double")).over(w)
+    # One window pass: materialize the frame's values once, then derive
+    # size/numerator/denominator from the materialized array column (a
+    # second withColumn referencing .over(w) would plan a second Window
+    # node and collect the frame twice).
+    framed = df.withColumn(
+        "_vals", F.collect_list(F.col(value_col).cast("double")).over(w)
+    )
+    vals = F.col("_vals")
     n = F.size(vals)
     # weight for position i (1-based, oldest first) is decay^(n-i)
     num = F.aggregate(
@@ -121,6 +128,8 @@ def trailing_ewma(
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
-    return df.withColumn("_n_in_frame", n.cast("long")).withColumn(
-        out_col, F.round(num / den, 6)
+    return (
+        framed.withColumn("_n_in_frame", n.cast("long"))
+        .withColumn(out_col, F.round(num / den, 6))
+        .drop("_vals")
     )
