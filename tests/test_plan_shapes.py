@@ -240,3 +240,42 @@ def test_map_and_lateral_scan_side_only(spark, sf_dir):
     for name in ("map_functions", "lateral_explode"):
         plan = _plan(spark, sf_dir, name, mode="simple")
         assert "Exchange" not in plan, name
+
+
+def test_runtime_bloom_filter_semi_join_reduction(spark, sf_dir):
+    """At 100 TB a selective dimension filter should be pushed to the
+    fact side as a runtime bloom filter (Spark's InjectRuntimeFilter),
+    pruning fact rows BEFORE the join shuffle. Pin that the engine's
+    session admits the rewrite when the join is shuffle-based (the
+    thresholds here only simulate the big-fact/small-dim size ratio of
+    the production scenario; by default broadcast + tiny scans suppress
+    it locally)."""
+    from pyspark.sql import functions as F
+
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        o = spark.read.parquet(f"{sf_dir}/orders.parquet").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        j = (
+            li.join(o, li.l_orderkey == o.o_orderkey)
+            .groupBy("o_orderpriority")
+            .count()
+        )
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "bloom_filter_agg" in plan, plan[:2000]
+        assert "might_contain" in plan.lower() or "BloomFilter" in plan
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
