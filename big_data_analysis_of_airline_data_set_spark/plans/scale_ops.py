@@ -188,6 +188,116 @@ FROM fr
 """
 
 
+# --- trailing-frame z-score anomaly flag ------------------------------
+
+_Z_K = 32          # trailing window (PRIOR events only)
+_Z_MIN_N = 8       # need this many priors before scoring
+_Z_THRESHOLD = 3.0
+
+
+def q_events_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flag events whose value deviates > threshold sigmas from the
+    user's trailing window. The frame excludes the current row (an
+    anomaly must not dilute its own baseline) and rows with under
+    _Z_MIN_N priors are unscored (NULL z). Single shuffle on user_id."""
+    from pyspark.sql import Window
+
+    e = read_testdata_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-_Z_K, -1)
+    )
+    v = F.col("value").cast("double")
+    mean = F.avg(v).over(w)
+    std = F.stddev_pop(v).over(w)
+    n_prior = F.count(v).over(w)
+    z = F.when(
+        (n_prior >= _Z_MIN_N) & (std > 0), F.round((v - mean) / std, 6)
+    )
+    return e.select(
+        "event_id",
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts"),
+        n_prior.cast("long").alias("n_prior"),
+        z.alias("zscore"),
+        (F.abs(z) > _Z_THRESHOLD).alias("is_anomaly"),
+    )
+
+
+_ANOMALY_ORACLE = f"""
+WITH e AS (
+  SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS t,
+         CAST(value AS DOUBLE) AS v
+  FROM events
+), s AS (
+  SELECT event_id, user_id, t, v,
+         avg(v) OVER fr AS m,
+         stddev_pop(v) OVER fr AS sd,
+         CAST(count(v) OVER fr AS BIGINT) AS n_prior
+  FROM e
+  WINDOW fr AS (PARTITION BY user_id ORDER BY t, event_id
+                ROWS BETWEEN {_Z_K} PRECEDING AND 1 PRECEDING)
+)
+SELECT event_id, user_id, strftime(t, '%Y-%m-%d %H:%M:%S') AS ts,
+       n_prior,
+       CASE WHEN n_prior >= {_Z_MIN_N} AND sd > 0
+            THEN round((v - m) / sd, 6) END AS zscore,
+       CASE WHEN n_prior >= {_Z_MIN_N} AND sd > 0
+            THEN abs(round((v - m) / sd, 6)) > {_Z_THRESHOLD} END AS is_anomaly
+FROM s
+"""
+
+
+# --- hot-key skew diagnosis -------------------------------------------
+
+_SKEW_TOP = 20
+
+
+def q_skew_diagnosis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-key health report: the top-N hottest keys with their
+    share of rows and ratio to the mean key load — the numbers that
+    decide whether a join/agg on this key needs salting or AQE skew
+    handling. One partial/final agg plus a 1-row broadcast of totals."""
+    e = read_testdata_table(spark, sf_dir, "events")
+    per_key = e.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_rows"))
+    totals = per_key.agg(
+        F.sum("n_rows").alias("_total"),
+        F.count(F.lit(1)).alias("_n_keys"),
+    )
+    return (
+        per_key.crossJoin(F.broadcast(totals))
+        .select(
+            "user_id",
+            "n_rows",
+            F.round(F.col("n_rows") / F.col("_total"), 6).alias("row_share"),
+            F.round(
+                F.col("n_rows").cast("double") * F.col("_n_keys")
+                / F.col("_total"),
+                6,
+            ).alias("skew_ratio"),
+        )
+        .orderBy(F.desc("n_rows"), F.asc("user_id"))
+        .limit(_SKEW_TOP)
+    )
+
+
+_SKEW_ORACLE = f"""
+WITH per AS (
+  SELECT user_id, CAST(count(*) AS BIGINT) AS n_rows FROM events
+  GROUP BY user_id
+), tot AS (
+  SELECT CAST(sum(n_rows) AS BIGINT) AS total, count(*) AS n_keys FROM per
+)
+SELECT user_id, n_rows,
+       round(CAST(n_rows AS DOUBLE) / total, 6) AS row_share,
+       round(CAST(n_rows AS DOUBLE) * n_keys / total, 6) AS skew_ratio
+FROM per CROSS JOIN tot
+ORDER BY n_rows DESC, user_id ASC
+LIMIT {_SKEW_TOP}
+"""
+
+
 # --- token heavy hitters ----------------------------------------------
 
 def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -238,5 +348,13 @@ QUERIES: dict[str, QuerySpec] = {
     "text_heavy_hitters": QuerySpec(
         "text_heavy_hitters", q_heavy_hitters, _HH_ORACLE,
         "exact corpus-wide top-K terms (the CMS exact baseline)",
+    ),
+    "events_anomaly_zscore": QuerySpec(
+        "events_anomaly_zscore", q_events_anomaly, _ANOMALY_ORACLE,
+        "trailing-frame z-score outlier flag (prior-rows frame, min-N gate)",
+    ),
+    "events_skew_diagnosis": QuerySpec(
+        "events_skew_diagnosis", q_skew_diagnosis, _SKEW_ORACLE,
+        "hot-key report: top-N keys, row share, skew ratio vs mean load",
     ),
 }

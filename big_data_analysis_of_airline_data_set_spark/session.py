@@ -56,6 +56,10 @@ def get_session(
         # which Spark rejects; read as epoch-nanos long and convert
         # (see sources.readers._normalize_events).
         "spark.sql.legacy.parquet.nanosAsLong": "true",
+        # Spark's default INT96 parquet timestamps carry NO min/max
+        # statistics, which kills row-group skipping on time-range scans;
+        # write standards-track INT64 micros instead.
+        "spark.sql.parquet.outputTimestampType": "TIMESTAMP_MICROS",
         # Splittable-input sizing: at 100 TB this keeps scan tasks ~128 MB.
         "spark.sql.files.maxPartitionBytes": "134217728",
         # Broadcast small dimension tables automatically (10 MB default is

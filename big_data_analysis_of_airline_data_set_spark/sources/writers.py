@@ -31,6 +31,47 @@ def write_parquet(
     writer.parquet(path)
 
 
+def write_sorted_layout(
+    df: DataFrame,
+    path: str,
+    *,
+    sort_cols: tuple[str, ...] | list[str],
+    num_files: int | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Write a range-partitioned, file-sorted Parquet layout.
+
+    ``repartitionByRange`` gives each output file a disjoint range of
+    the sort key and ``sortWithinPartitions`` orders rows inside it, so
+    every parquet row group carries tight min/max statistics on the
+    key. A later filtered read (e.g. a time-range scan over an events
+    table) then skips whole files/row groups instead of scanning 100 TB
+    — the layout does at write time what no amount of predicate
+    pushdown can recover from a randomly-ordered table.
+    """
+    cols = list(sort_cols)
+    parted = (
+        df.repartitionByRange(num_files, *cols)
+        if num_files
+        else df.repartitionByRange(*cols)
+    )
+    # INT96 timestamps (Spark's default parquet encoding) carry no
+    # min/max statistics — the whole point of this layout. Force INT64
+    # micros for the write even on a session that didn't come from
+    # session.get_session; restore afterwards.
+    spark = df.sparkSession
+    key = "spark.sql.parquet.outputTimestampType"
+    saved = spark.conf.get(key, None)
+    try:
+        spark.conf.set(key, "TIMESTAMP_MICROS")
+        parted.sortWithinPartitions(*cols).write.mode(mode).parquet(path)
+    finally:
+        if saved is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, saved)
+
+
 def write_report_csv(df: DataFrame, path: str, *, max_rows: int = 100_000) -> None:
     """Small report table → one headered CSV file.
 

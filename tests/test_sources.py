@@ -60,3 +60,60 @@ def test_events_normalized_to_timestamp(spark, sf_dir):
     ev = read_testdata_table(spark, sf_dir, "events")
     assert dict(ev.dtypes)["ts"] == "timestamp"
     assert ev.filter(F.col("ts").isNull()).count() == 0
+
+
+def test_sorted_layout_yields_disjoint_file_ranges(spark, sf_dir, tmp_path):
+    """write_sorted_layout must produce files whose sort-key ranges are
+    pairwise disjoint (the property row-group skipping depends on);
+    a plain shuffled write of the same data does not."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from big_data_analysis_of_airline_data_set_spark.sources.readers import (
+        read_testdata_table,
+    )
+    from big_data_analysis_of_airline_data_set_spark.sources.writers import (
+        write_sorted_layout,
+    )
+
+    events = read_testdata_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "value"
+    )
+
+    def file_ranges(path):
+        out = []
+        for f in sorted(glob.glob(f"{path}/*.parquet")):
+            md = pq.ParquetFile(f).metadata
+            if md.num_rows == 0:
+                continue
+            mins, maxs = [], []
+            for rg in range(md.num_row_groups):
+                group = md.row_group(rg)
+                col = next(
+                    group.column(i)
+                    for i in range(group.num_columns)
+                    if group.column(i).path_in_schema == "ts"
+                )
+                assert col.statistics is not None, "ts written without stats"
+                mins.append(col.statistics.min)
+                maxs.append(col.statistics.max)
+            out.append((min(mins), max(maxs)))
+        return sorted(out)
+
+    sorted_dir = str(tmp_path / "sorted")
+    write_sorted_layout(events, sorted_dir, sort_cols=("ts",), num_files=8)
+    ranges = file_ranges(sorted_dir)
+    assert len(ranges) >= 4  # range partitioner actually spread the data
+    for (lo_a, hi_a), (lo_b, hi_b) in zip(ranges, ranges[1:]):
+        assert hi_a <= lo_b, (hi_a, lo_b)
+
+    # control: a hash-shuffled write has overlapping file ranges
+    shuffled_dir = str(tmp_path / "shuffled")
+    events.repartition(8, "user_id").write.parquet(shuffled_dir)
+    overlaps = [
+        (a, b)
+        for a, b in zip(file_ranges(shuffled_dir), file_ranges(shuffled_dir)[1:])
+        if a[1] > b[0]
+    ]
+    assert overlaps, "control layout unexpectedly sorted"
