@@ -298,6 +298,39 @@ LIMIT {_SKEW_TOP}
 """
 
 
+# --- one-scan table profile -------------------------------------------
+
+_PROFILE_NUMERIC = ("o_orderkey", "o_custkey", "o_totalprice")
+_PROFILE_OTHER = ("o_orderstatus", "o_orderpriority", "o_orderdate")
+
+
+def q_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.profiling import profile_table
+
+    o = read_testdata_table(spark, sf_dir, "orders")
+    return profile_table(
+        o, numeric_cols=_PROFILE_NUMERIC, other_cols=_PROFILE_OTHER
+    )
+
+
+def _profile_oracle() -> str:
+    parts = []
+    for c in _PROFILE_NUMERIC + _PROFILE_OTHER:
+        is_num = c in _PROFILE_NUMERIC
+        mn = f"CAST(min({c}) AS DOUBLE)" if is_num else "CAST(NULL AS DOUBLE)"
+        mx = f"CAST(max({c}) AS DOUBLE)" if is_num else "CAST(NULL AS DOUBLE)"
+        parts.append(
+            f"""SELECT '{c}' AS col_name,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+       CAST(count(DISTINCT {c}) AS BIGINT) AS n_distinct,
+       {mn} AS min_num,
+       {mx} AS max_num
+FROM orders"""
+        )
+    return "\nUNION ALL\n".join(parts)
+
+
 # --- token heavy hitters ----------------------------------------------
 
 def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -356,5 +389,9 @@ QUERIES: dict[str, QuerySpec] = {
     "events_skew_diagnosis": QuerySpec(
         "events_skew_diagnosis", q_skew_diagnosis, _SKEW_ORACLE,
         "hot-key report: top-N keys, row share, skew ratio vs mean load",
+    ),
+    "table_profile": QuerySpec(
+        "table_profile", q_table_profile, _profile_oracle(),
+        "per-column nulls/distincts/ranges in ONE aggregation pass",
     ),
 }
