@@ -106,3 +106,26 @@ def test_stream_runner_on_testdata_events(spark, sf_dir, events_dir):
     total = out.agg(F.sum("n_events")).collect()[0][0]
     raw = spark.read.parquet(events_dir).count()
     assert total == raw
+
+
+def test_stream_static_enrichment_matches_batch(spark, events_dir, sf_dir):
+    """Stream-static broadcast join + aggregation must equal the same
+    transform run in batch over the same files (DataFrame symmetry),
+    and must produce multiple segments (the join actually enriched)."""
+    from big_data_analysis_of_airline_data_set_spark.streaming.enrich import (
+        enriched_segment_counts,
+        run_enriched_stream_available_now,
+    )
+
+    dim = read_testdata_table(spark, sf_dir, "customer")
+    batch = spark.read.parquet(events_dir)
+    expected = {
+        r.c_mktsegment: (r.n_events, r.sum_value)
+        for r in enriched_segment_counts(batch, dim).collect()
+    }
+    got_df = run_enriched_stream_available_now(
+        spark, events_dir, dim, query_name="enriched_counts_t"
+    )
+    got = {r.c_mktsegment: (r.n_events, r.sum_value) for r in got_df.collect()}
+    assert got == expected
+    assert len(got) >= 2
