@@ -50,7 +50,10 @@ HEADLINE = [
     "multimodal_asset_stats",
 ]
 
-ML_FIT_QUERY = "ml_logistic_regression_tvs"
+# The metrics view does the full reference job shape (fit + predict +
+# 6 evaluators) — same work the r1/r2 ml_quick_fit number measured when
+# the fit and metrics lived in one query.
+ML_FIT_QUERY = "ml_logistic_regression_metrics"
 
 # Round-2 curation/sketch surface, timed as a SEPARATE tracked number
 # (like ml_quick_fit) so the 16-query headline total stays comparable

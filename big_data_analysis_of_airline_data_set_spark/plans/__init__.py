@@ -37,64 +37,55 @@ _MODULES = [
 ]
 
 # The driver's correctness harness records only the first 50 registry
-# entries.  Round 1 burned the whole window on the relational tail while
-# the reference's core ETL (flights_cleaning_job), statistics, events,
-# and content queries went unchecked.  This list pins the round-2 window:
-# every query without a round-1 CORRECTNESS row, plus the two restructured
-# approx queries whose round-1 rows were `err: no_oracle`.  Queries
-# rotated out all have green round-1 rows (CORRECTNESS_r01.json).
+# entries.  Round-3 window: (a) every query that has NEVER had a driver
+# row across r1/r2, (b) the six events_* queries broken by the round-2
+# ts-encoding regression plus the four whose round-1 green rows predate
+# the testdata re-encode (datetime_functions, time_digits, drop_any_null,
+# asof_join — all read events.ts), (c) the eight ml_* entries upgraded
+# from rows-only to oracled scaffolding invariants, and (d)
+# dedup_embedding_lsh, re-routed from MLlib BRP-LSH to the deterministic
+# banded path so it gains an oracle.  Queries rotated out all have green
+# r1/r2 rows on current-encoding data.
 _CORRECTNESS_WINDOW = [
-    # reference core ETL + viz-producing dataset (Scripts/1_cs_777_cleaning_data.py)
-    "flights_cleaning_job",
-    "flights_viz_dataset",
-    # statistics / MLlib stat parity (SURVEY §2 M6-M11)
-    "mllib_correlation_matrix",
-    "mllib_chi_square",
-    "spearman_correlation",
-    "variance_threshold_features",
-    "univariate_select_categorical",
-    "univariate_select_continuous",
-    "feature_selection_job",
-    "quantiles",
-    "unpivot",
-    "scd2_upsert",
-    "trimmed_mean_udaf",
-    # restructured to emit oracle-checkable (exact, within_bound) columns
-    "approx_distinct_count",
-    "quantiles_approx",
-    # text analysis
-    "text_stats",
-    "text_lang_id",
-    "text_fingerprint",
-    "text_tfidf",
-    "text_bpe_tokens",
-    "text_winnowing",
-    # dedup family
-    "dedup_exact",
-    "dedup_ngram_jaccard",
-    "dedup_minhash_lsh",
-    "dedup_simhash",
-    "dedup_embedding_cosine",
-    "dedup_embedding_lsh",
-    # similarity search
-    "ann_bruteforce_topk",
-    "ann_lsh_topk",
-    "ann_ivf_topk",
-    "ann_bruteforce_pandas",
-    # curation + multimodal
-    "curation_pipeline",
-    "multimodal_asset_stats",
-    # events / streaming-shaped analytics
-    "events_funnel",
-    "events_histogram",
+    # (b) events family re-proven against the driver oracle post-fix
     "events_retention",
     "events_interval_join",
     "events_multi_rollup",
     "events_tumbling_window",
     "events_sliding_window",
     "events_session_window",
-    "events_json_extract",
-    # ML estimator sweeps (rows-only checks by design)
+    "datetime_functions",
+    "time_digits",
+    "drop_any_null",
+    "asof_join",
+    # (a) never driver-checked: events-derived scale ops
+    "events_user_sessions",
+    "events_ewma",
+    "events_anomaly_zscore",
+    "events_skew_diagnosis",
+    "table_profile",
+    # (a) never driver-checked: text analysis tail
+    "text_pii_redaction",
+    "text_heavy_hitters",
+    "text_repetition",
+    "text_vocab_stats",
+    # (a) never driver-checked: curation family
+    "curation_quota_sample",
+    "curation_domain_mixture",
+    "curation_sequence_packing",
+    "curation_contamination",
+    "curation_weighted_sample",
+    # (a) never driver-checked: dedup/similarity/multimodal/quality tail
+    "embedding_quantize_int8",
+    "dedup_connected_components",
+    "dedup_canonical_keeper",
+    "multimodal_frame_sample",
+    "data_quality_report",
+    "sketch_count_min_heavy_hitters",
+    # (d) re-routed to the md5-banded deterministic path (now oracled)
+    "dedup_embedding_lsh",
+    # (c) ML scaffolding invariants (oracled; metrics stay rows-only in
+    # the ml_*_metrics entries below)
     "ml_logistic_regression_tvs",
     "ml_decision_tree_tvs",
     "ml_random_forest_tvs",
@@ -103,6 +94,17 @@ _CORRECTNESS_WINDOW = [
     "ml_naive_bayes_tvs",
     "ml_mlp_tvs",
     "ml_logistic_regression_cv",
+    # reference-shaped metric tables (rows-only by contract; each reuses
+    # the session-cached fit of its invariant twin above, so these cost
+    # one transform+evaluate, not a refit)
+    "ml_logistic_regression_metrics",
+    "ml_decision_tree_metrics",
+    "ml_random_forest_metrics",
+    "ml_gbt_metrics",
+    "ml_linear_svc_metrics",
+    "ml_naive_bayes_metrics",
+    "ml_mlp_metrics",
+    "ml_logistic_regression_cv_metrics",
 ]
 
 

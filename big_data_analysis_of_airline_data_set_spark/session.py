@@ -52,9 +52,11 @@ def get_session(
         "spark.sql.adaptive.coalescePartitions.enabled": "true",
         "spark.sql.adaptive.skewJoin.enabled": "true",
         "spark.sql.execution.arrow.pyspark.enabled": "true",
-        # Driver testdata writes events.ts as parquet TIMESTAMP(NANOS),
-        # which Spark rejects; read as epoch-nanos long and convert
-        # (see sources.readers._normalize_events).
+        # Some testdata generations write events.ts as parquet
+        # TIMESTAMP(NANOS), which Spark rejects without this flag (it then
+        # scans as epoch-nanos long). The flag is inert for MICROS/MILLIS
+        # files; sources.readers._normalize_events detects which encoding
+        # was scanned and normalizes to TimestampType either way.
         "spark.sql.legacy.parquet.nanosAsLong": "true",
         # Spark's default INT96 parquet timestamps carry NO min/max
         # statistics, which kills row-group skipping on time-range scans;

@@ -17,7 +17,12 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.types import StructType
+from pyspark.sql.types import (
+    LongType,
+    StructType,
+    TimestampNTZType,
+    TimestampType,
+)
 
 from .schemas import TESTDATA_SCHEMAS, TESTDATA_TABLES
 
@@ -49,25 +54,42 @@ def table_path(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, f"{name}.parquet")
 
 
-def _normalize_events(spark: SparkSession, df: DataFrame) -> DataFrame:
-    """events.ts arrives as epoch-nanos long (parquet TIMESTAMP(NANOS) is
-    unreadable by Spark otherwise); convert to TimestampType. Integer
-    ``div`` keeps full precision — a double division would lose bits at
-    1.7e18 nanos."""
-    return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+def _normalize_events(df: DataFrame) -> DataFrame:
+    """Normalize ``events.ts`` to session-TZ ``TimestampType`` regardless of
+    how the file on disk encodes it.  The driver's testdata has shipped
+    BOTH encodings across rounds — parquet TIMESTAMP(NANOS) (readable only
+    as epoch-nanos long via ``nanosAsLong``) and TIMESTAMP(MICROS) — so the
+    encoding is DETECTED from the scanned dtype, never assumed:
+
+    - ``LongType``      → epoch-nanos under the legacy flag; integer ``div
+      1000`` to micros (a double division would lose bits at 1.7e18).
+    - ``TimestampNTZType`` → micros/millis read as wall-clock; reinterpret
+      in the session TZ (UTC — ``session.py``), matching how DuckDB and the
+      driver's oracle read the same file.
+    - ``TimestampType`` → already right; pass through.
+    """
+    ts_type = df.schema["ts"].dataType
+    if isinstance(ts_type, LongType):
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif isinstance(ts_type, TimestampNTZType):
+        df = df.withColumn("ts", F.col("ts").cast(TimestampType()))
+    elif not isinstance(ts_type, TimestampType):
+        raise TypeError(f"events.ts: unexpected parquet type {ts_type}")
+    return df
 
 
 def read_testdata_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one driver-testdata table with its pinned schema, applying
-    table-specific normalization (events.ts nanos→timestamp)."""
+    table-specific normalization (events.ts encoding detection)."""
     if name == "events":
-        # The driver may hand us a session built without the legacy flag;
-        # it is session-settable, so pin it here before the scan.
+        # events is read WITHOUT a pinned schema: the on-disk ts encoding
+        # varies by testdata generation, and pinning (say) LongType against
+        # a TIMESTAMP_MICROS file silently reads raw micros as nanos. The
+        # legacy flag is session-settable and only affects NANOS files, so
+        # it is safe to pin unconditionally before the scan.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    df = read_parquet_table(spark, table_path(sf_dir, name), TESTDATA_SCHEMAS.get(name))
-    if name == "events":
-        df = _normalize_events(spark, df)
-    return df
+        return _normalize_events(read_parquet_table(spark, table_path(sf_dir, name)))
+    return read_parquet_table(spark, table_path(sf_dir, name), TESTDATA_SCHEMAS.get(name))
 
 
 def load_star_schema(

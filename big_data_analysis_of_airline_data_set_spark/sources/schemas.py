@@ -140,11 +140,13 @@ TESTDATA_SCHEMAS: dict[str, StructType] = {
     ),
     "events": _st(
         ("event_id", LongType(), True),
-        # Physically TIMESTAMP(NANOS) in the driver parquet, which Spark
-        # cannot read; scanned as epoch-nanos LongType (requires
-        # spark.sql.legacy.parquet.nanosAsLong=true) and normalized to a
-        # proper TimestampType column by sources.readers.
-        ("ts", LongType(), True),
+        # POST-NORMALIZATION type. The on-disk encoding has varied across
+        # testdata generations (TIMESTAMP(NANOS) readable only as long via
+        # the nanosAsLong legacy flag; later TIMESTAMP(MICROS)), so
+        # sources.readers reads events WITHOUT this pinned schema, detects
+        # the scanned dtype, and normalizes ts to TimestampType. This entry
+        # describes what read_testdata_table returns, not the file bytes.
+        ("ts", TimestampType(), True),
         ("user_id", LongType(), True),
         ("event_type", StringType(), True),
         ("value", DoubleType(), True),

@@ -13,9 +13,9 @@ watermark-deep state — both are required at 100 TB/day stream volume,
 where unbounded state OOMs.
 
 The stream source reads a LANDED events directory (ts already a proper
-microsecond timestamp — batch ingestion normalizes the driver feed's
-nanos encoding at landing, sources.readers._normalize_events), so batch
-and stream plans are column-for-column identical.
+microsecond timestamp — batch ingestion detects the driver feed's on-disk
+encoding and normalizes it at landing, sources.readers._normalize_events),
+so batch and stream plans are column-for-column identical.
 """
 
 from __future__ import annotations

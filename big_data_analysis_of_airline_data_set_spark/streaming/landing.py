@@ -1,11 +1,11 @@
 """Landing / ingestion job: raw driver events feed → normalized,
 date-partitioned parquet.
 
-The raw feed encodes ts as parquet TIMESTAMP(NANOS) (unreadable by a
-plain Spark scan — sources.readers handles it); landing normalizes
-once so every downstream batch AND stream reads proper microsecond
-timestamps from a partitioned layout (partition pruning on event_date
-for time-ranged queries).
+The raw feed's ts encoding varies by testdata generation (TIMESTAMP
+NANOS or MICROS — sources.readers detects and normalizes); landing
+normalizes once so every downstream batch AND stream reads proper
+microsecond timestamps from a partitioned layout (partition pruning on
+event_date for time-ranged queries).
 
 ``land_events_stream`` is the continuous version: a file-source stream
 with a foreachBatch parquet sink — the idiomatic "bronze" ingestion

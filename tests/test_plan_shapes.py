@@ -9,21 +9,12 @@ import pytest
 
 from big_data_analysis_of_airline_data_set_spark.plans import all_queries
 
-# Building these queries' DataFrames trains MLlib estimators (minutes);
-# their join discipline is covered by tests/test_ml.py on the same code
-# paths.
-_PLAN_GUARD_SKIP = {
-    "ml_logistic_regression_tvs",
-    "ml_decision_tree_tvs",
-    "ml_random_forest_tvs",
-    "ml_gbt_tvs",
-    "ml_linear_svc_tvs",
-    "ml_naive_bayes_tvs",
-    "ml_mlp_tvs",
-    "ml_logistic_regression_cv",
-}
-
-_PLAN_GUARD_NAMES = sorted(set(all_queries()) - _PLAN_GUARD_SKIP)
+# Building the ml_* queries' DataFrames trains MLlib estimators
+# (minutes); their join discipline is covered by tests/test_ml.py on the
+# same code paths.
+_PLAN_GUARD_NAMES = sorted(
+    n for n in all_queries() if not n.startswith("ml_")
+)
 
 
 def _plan(spark, sf_dir, name: str, mode: str = "formatted") -> str:

@@ -60,6 +60,52 @@ def test_events_normalized_to_timestamp(spark, sf_dir):
     ev = read_testdata_table(spark, sf_dir, "events")
     assert dict(ev.dtypes)["ts"] == "timestamp"
     assert ev.filter(F.col("ts").isNull()).count() == 0
+    # Regression guard for the round-2 encoding bug: whatever the on-disk
+    # encoding, normalized timestamps must land in the data's real epoch
+    # (2024+), not 1970 (symptom of micros misread as nanos).
+    years = [r[0] for r in ev.select(F.year("ts")).distinct().collect()]
+    assert all(y >= 2020 for y in years), years
+
+
+def test_events_encoding_detection_micros_and_nanos(spark, tmp_path):
+    """read_testdata_table must normalize BOTH historical on-disk ts
+    encodings — TIMESTAMP(MICROS) and TIMESTAMP(NANOS) — to identical
+    TimestampType values. The round-2 testdata re-encode flipped the
+    driver feed from nanos to micros and the then-hardcoded nanos
+    assumption landed every event in 1970; this pins detect-and-branch."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    base = pa.table(
+        {
+            "event_id": pa.array([0, 1, 2], pa.int64()),
+            "ts": pa.array(
+                [1704067200_000000, 1704067260_500000, 1735689599_999999],
+                pa.timestamp("us"),
+            ),
+            "user_id": pa.array([10, 11, 12], pa.int64()),
+            "event_type": pa.array(["view", "click", "buy"]),
+            "value": pa.array([1.0, 2.0, 3.0], pa.float64()),
+            "props": pa.array(["{}", "{}", "{}"]),
+        }
+    )
+    for unit in ("us", "ns"):
+        d = tmp_path / f"enc_{unit}"
+        d.mkdir()
+        t = base.set_column(1, "ts", base.column("ts").cast(pa.timestamp(unit)))
+        pq.write_table(t, str(d / "events.parquet"))
+
+    got = {}
+    for unit in ("us", "ns"):
+        ev = read_testdata_table(spark, str(tmp_path / f"enc_{unit}"), "events")
+        assert dict(ev.dtypes)["ts"] == "timestamp"
+        got[unit] = [
+            (r["event_id"], r["ts"].isoformat())
+            for r in ev.orderBy("event_id").collect()[:3]
+            if True
+        ]
+    assert got["us"] == got["ns"]
+    assert got["us"][0][1].startswith("2024-01-01")
 
 
 def test_sorted_layout_yields_disjoint_file_ranges(spark, sf_dir, tmp_path):
