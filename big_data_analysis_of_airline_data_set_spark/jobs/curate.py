@@ -20,7 +20,8 @@ from __future__ import annotations
 
 import argparse
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark import StorageLevel
+from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
@@ -40,15 +41,34 @@ def curate(
     max_tokens: int = 100_000,
     pack_budget: int = 256,
 ) -> tuple[DataFrame, DataFrame]:
-    """Returns (corpus, funnel_report). Deterministic end to end."""
-    spark = docs.sparkSession
-    counts: list[tuple[str, int]] = [("input", docs.count())]
+    """Returns (corpus, funnel_report). Deterministic end to end.
 
-    with_tok = docs.withColumn("n_tokens", token_count(F.col("text")))
+    Funnel discipline: every stage executes its transformation EXACTLY
+    ONCE. Each stage output is persisted before its (materializing)
+    count, so downstream stages and branch points (dedup feeds the
+    contamination probe AND the keep-join; sampled feeds the packer AND
+    the corpus join) read the cache instead of recomputing the lineage —
+    the naive ``counts.append((stage, df.count()))`` chain re-ran the
+    whole gates→dedup→decontaminate prefix per stage, six full passes
+    over the corpus at 100 TB. The raw-input count rides a
+    ``df.observe`` accumulator on the first pass instead of paying its
+    own scan. Caches are released as soon as the next stage has
+    materialized; ``corpus`` stays persisted for the caller's write
+    (unpersist after writing).
+    """
+    spark = docs.sparkSession
+    obs_input = Observation("curate_input")
+
+    with_tok = docs.observe(obs_input, F.count(F.lit(1)).alias("n")).withColumn(
+        "n_tokens", token_count(F.col("text"))
+    )
     gated = with_tok.filter(
         F.col("n_tokens").between(min_tokens, max_tokens)
-    )
-    counts.append(("quality_gate", gated.count()))
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    counts: list[tuple[str, int]] = []
+    n_gated = gated.count()  # one scan: materializes the gate AND fires obs_input
+    counts.append(("input", int(obs_input.get["n"])))
+    counts.append(("quality_gate", n_gated))
 
     # exact dedup: min-id row per content fingerprint
     deduped = (
@@ -61,8 +81,9 @@ def curate(
         )
         .filter(F.col("_rk") == 1)
         .drop("_rk")
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     counts.append(("exact_dedup", deduped.count()))
+    gated.unpersist()
 
     contam = contamination_hits(
         deduped,
@@ -73,25 +94,30 @@ def curate(
     )
     clean = deduped.join(
         contam.filter(~F.col("contaminated")).select("doc_id"), "doc_id"
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     counts.append(("decontaminated", clean.count()))
+    deduped.unpersist()
 
     mix = domain_mixture(clean, group_col="source", weight_col="n_tokens").select(
         "source", "sample_weight"
     )
     sampled = weighted_sample(
         clean, mix, group_col="source", id_col="doc_id", weight_col="sample_weight"
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     counts.append(("mixture_sampled", sampled.count()))
+    clean.unpersist()
 
     packed = pack_sequences(
         sampled, group_col="source", id_col="doc_id",
         tokens_col="n_tokens", budget=pack_budget,
     )
-    corpus = sampled.select("doc_id", "text", "lang", "source", "fingerprint").join(
-        packed.select("doc_id", "n_tokens", "pack_id", "pack_offset"), "doc_id"
+    corpus = (
+        sampled.select("doc_id", "text", "lang", "source", "fingerprint")
+        .join(packed.select("doc_id", "n_tokens", "pack_id", "pack_offset"), "doc_id")
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     counts.append(("packed", corpus.count()))
+    sampled.unpersist()
 
     report = spark.createDataFrame(
         [(i, stage, n) for i, (stage, n) in enumerate(counts)],
@@ -112,7 +138,10 @@ def main(argv: list[str] | None = None) -> None:
     spark: SparkSession = get_session("job-curate")
     docs = read_parquet_table(spark, args.input)
     corpus, report = curate(docs, pack_budget=args.pack_budget)
+    # corpus is still persisted from its funnel count: the partitioned
+    # write reads the cache, not the lineage.
     write_parquet(corpus, f"{args.output}/corpus", partition_by=["source"])
+    corpus.unpersist()
     write_parquet(report, f"{args.output}/report")
 
 

@@ -406,10 +406,12 @@ def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# Mirrors banded_embedding_near_dup_pairs exactly: same md5-parity ±1
-# projections, same integer-quantized dot products (order-independent,
-# so bit-identical across engines), same exact-cosine verify.
-_EMBEDDING_COSINE_ORACLE = f"""
+def _embedding_banded_oracle(bands: int, bits: int) -> str:
+    """DuckDB replay of banded_embedding_near_dup_pairs at an arbitrary
+    (bands, bits) operating point: same md5-parity ±1 projections, same
+    integer-quantized dot products (order-independent, so bit-identical
+    across engines), same exact-cosine verify."""
+    return f"""
 WITH q AS (
   SELECT vec_id,
          list_transform(CAST(embedding AS DOUBLE[]),
@@ -420,8 +422,8 @@ WITH q AS (
          list_transform(generate_series(0, {_EMBED_DIMS - 1}),
              i -> CASE WHEN ascii(substring(md5(concat(b.band, '_', k.bit, '_', i)), 1, 1)) % 2 = 0
                        THEN 1 ELSE -1 END) AS s
-  FROM generate_series(0, {_EMBED_BANDS - 1}) AS b(band),
-       generate_series(0, {_EMBED_BITS - 1}) AS k(bit)
+  FROM generate_series(0, {bands - 1}) AS b(band),
+       generate_series(0, {bits - 1}) AS k(bit)
 ), bits AS (
   SELECT q.vec_id, proj.band, proj.bit,
          CASE WHEN list_sum(list_transform(generate_series(1, {_EMBED_DIMS}),
@@ -445,6 +447,19 @@ JOIN embeddings eb ON eb.vec_id = c.id_b
 WHERE round(list_cosine_similarity(CAST(ea.embedding AS DOUBLE[]),
                                    CAST(eb.embedding AS DOUBLE[])), 6) >= {_NEAR_DUP_COSINE}
 """
+
+
+_EMBEDDING_COSINE_ORACLE = _embedding_banded_oracle(_EMBED_BANDS, _EMBED_BITS)
+
+# dedup_embedding_lsh operating point: same 4-bit signatures as
+# dedup_embedding_cosine but DOUBLE the bands. At the 0.3 cosine
+# threshold a boundary pair agrees with a random hyperplane sign with
+# p = 1 - acos(0.3)/pi ~ 0.60, so one 4-bit band catches it with
+# p^4 ~ 0.127: 8 bands -> ~0.66 recall, 16 bands -> ~0.89. This is the
+# recall knob a near-dup sweep turns when missing dups costs more than
+# the extra banding pass (2x band rows, same verify discipline).
+_LSH_BANDS = 16
+_LSH_BITS = 4
 
 
 # ---------------------------------------------------------------------------
@@ -563,11 +578,22 @@ FROM grams WHERE len(gh) >= 4
 
 
 def q_dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..similarity.lsh import lsh_near_dup_pairs
-
+    """Recall-boosted sign-LSH operating point (16 bands × 4 bits vs
+    dedup_embedding_cosine's 8 × 4): same deterministic md5-banded
+    machinery, so the same DuckDB oracle template replays the exact
+    candidate set. MLlib's BucketedRandomProjectionLSH twin
+    (similarity/lsh.py:lsh_near_dup_pairs) stays tests-only — its
+    seeded RNG projections are engine-specific and can't be oracled;
+    tests/test_content.py compares the two paths' recall."""
     e = read_testdata_table(spark, sf_dir, "embeddings")
-    return lsh_near_dup_pairs(
-        e, id_col="vec_id", vec_col="embedding", threshold=_NEAR_DUP_COSINE
+    return banded_embedding_near_dup_pairs(
+        e,
+        id_col="vec_id",
+        vec_col="embedding",
+        dims=_EMBED_DIMS,
+        threshold=_NEAR_DUP_COSINE,
+        bands=_LSH_BANDS,
+        bits=_LSH_BITS,
     )
 
 
@@ -848,8 +874,10 @@ QUERIES: dict[str, QuerySpec] = {
         "winnowing (rolling-hash window-min) document fingerprints",
     ),
     "dedup_embedding_lsh": QuerySpec(
-        "dedup_embedding_lsh", q_dedup_embedding_lsh, None,
-        "LSH-bucketed embedding near-dup pairs (scale path; recall tested)",
+        "dedup_embedding_lsh", q_dedup_embedding_lsh,
+        _embedding_banded_oracle(_LSH_BANDS, _LSH_BITS),
+        "recall-boosted banded sign-LSH near-dup pairs (16 bands x 4 bits; "
+        "oracle replays the exact candidate set; MLlib BRP-LSH is the tests-only twin)",
     ),
     "curation_pipeline": QuerySpec(
         "curation_pipeline", q_curation_pipeline, _curation_oracle(),

@@ -93,9 +93,13 @@ def test_pandas_cosine_equals_jvm_cosine(spark, sf_dir):
 
 
 def test_embedding_lsh_recall_vs_exact(spark, sf_dir):
+    """The recall-boosted 16-band catalog point must beat the 8-band
+    dedup_embedding_cosine point (that is what doubling the bands
+    buys) and clear a 0.7 floor."""
     from big_data_analysis_of_airline_data_set_spark.dedup import embedding_near_dup_pairs
     from big_data_analysis_of_airline_data_set_spark.plans.content import (
         _NEAR_DUP_COSINE,
+        q_dedup_embedding_cosine,
         q_dedup_embedding_lsh,
     )
 
@@ -108,8 +112,41 @@ def test_embedding_lsh_recall_vs_exact(spark, sf_dir):
     }
     approx = {(r.id_a, r.id_b) for r in q_dedup_embedding_lsh(spark, sf_dir).collect()}
     assert exact, "expected some exact pairs at this threshold"
+    assert approx <= exact  # precision 1.0 (every candidate exact-verified)
     recall = len(exact & approx) / len(exact)
     assert recall >= 0.7, f"embedding LSH recall = {recall}"
+    eight_band = {
+        (r.id_a, r.id_b) for r in q_dedup_embedding_cosine(spark, sf_dir).collect()
+    }
+    assert len(approx) >= len(eight_band), (len(approx), len(eight_band))
+
+
+def test_mllib_brp_lsh_twin_recall_vs_exact(spark, sf_dir):
+    """similarity/lsh.py:lsh_near_dup_pairs — the MLlib
+    BucketedRandomProjectionLSH twin of the banded catalog query. Its
+    seeded RNG projections are engine-specific (no DuckDB oracle), so
+    this recall floor against the exact all-pairs set is its hard
+    check; it stays in the library as the MLlib-native alternative."""
+    from big_data_analysis_of_airline_data_set_spark.dedup import embedding_near_dup_pairs
+    from big_data_analysis_of_airline_data_set_spark.plans.content import _NEAR_DUP_COSINE
+    from big_data_analysis_of_airline_data_set_spark.similarity import lsh_near_dup_pairs
+
+    e = read_testdata_table(spark, sf_dir, "embeddings")
+    exact = {
+        (r.id_a, r.id_b)
+        for r in embedding_near_dup_pairs(
+            e, id_col="vec_id", vec_col="embedding", threshold=_NEAR_DUP_COSINE
+        ).collect()
+    }
+    approx = {
+        (r.id_a, r.id_b)
+        for r in lsh_near_dup_pairs(
+            e, id_col="vec_id", vec_col="embedding", threshold=_NEAR_DUP_COSINE
+        ).collect()
+    }
+    assert exact
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.7, f"BRP-LSH twin recall = {recall}"
 
 
 def test_banded_embedding_pairs_subset_of_exact_with_recall(spark, sf_dir):

@@ -44,6 +44,37 @@ def test_curate_funnel_semantics(spark, sf_dir):
     assert corpus.filter(F.col("pack_offset") >= 256).count() == 0
 
 
+def test_curate_funnel_single_execution_per_stage(spark, sf_dir):
+    """The funnel must not recompute the chain per stage count: every
+    count() during curate() must run against a persisted DataFrame
+    (downstream stages then read the cache, so each stage's
+    transformation executes once), and the raw-input count must ride
+    the observe() accumulator instead of a DataFrame.count() scan."""
+    from unittest import mock
+
+    counted: list[bool] = []
+    docs = read_testdata_table(spark, sf_dir, "documents")
+    # patch the concrete class (pyspark.sql.classic.dataframe.DataFrame
+    # in PySpark 4; the pyspark.sql.DataFrame base is abstract and not
+    # on the dispatch path)
+    cls = type(docs)
+    real_count = cls.count
+
+    def tracking_count(self):
+        counted.append(self.storageLevel.useMemory or self.storageLevel.useDisk)
+        return real_count(self)
+
+    with mock.patch.object(cls, "count", tracking_count):
+        corpus, report = curate(docs)
+    # Exactly 5 counts (gate, dedup, decontaminated, sampled, packed),
+    # every one on a persisted frame — input is observed, not counted,
+    # and the curation library issues no internal counts.
+    assert counted == [True] * 5, counted
+    corpus.unpersist()
+    stages = {r["stage"]: r["n_rows"] for r in report.collect()}
+    assert stages["input"] > 0
+
+
 def test_curate_cli_writes_partitioned_corpus(spark, sf_dir, work):
     main([
         "--input", f"{sf_dir}/documents.parquet",
