@@ -1,0 +1,75 @@
+"""Stratified train/validation/test splitting.
+
+The reference splits temporally by Year (Scripts/3_...py:52-53 — kept
+as ``ml.train_job.temporal_split``). A training-data pipeline also
+needs the other standard split: STRATIFIED by a group column, so every
+domain/class lands in each partition at the configured proportions —
+a global random split under-represents small domains in val/test.
+
+Deterministic (md5-ranked, not RNG) like every sampler in this package:
+the assignment is a pure function of (group, id), so it is stable under
+retries and incremental reruns, and any SQL engine replays it exactly.
+
+Scale shape: one shuffle on ``group_col`` for the per-group rank +
+count window. Same heavy-hitter caveat as ``sampling.quota_sample`` —
+at 100 TB a pathological domain serializes on one task; pre-split such
+domains by a salt on the hash prefix (the boundary ranks only need to
+be exact within each salt's contiguous hash range).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def stratified_split(
+    df: DataFrame,
+    *,
+    group_col: str,
+    id_col: str,
+    train_frac: float = 0.8,
+    val_frac: float = 0.1,
+) -> DataFrame:
+    """Adds a ``split`` column ('train' | 'val' | 'test') assigned per
+    group: rows md5-ranked within their group; the first
+    ``floor(train_frac·n)`` go to train, the next ``floor(val_frac·n)``
+    to val, the remainder to test. Floor on both boundaries means test
+    absorbs the rounding — never empty when n ≥ 1."""
+    h = F.md5(F.col(id_col).cast("string"))
+    w = Window.partitionBy(group_col).orderBy(h.asc(), F.col(id_col).asc())
+    wn = Window.partitionBy(group_col)
+    rank = F.row_number().over(w)
+    n = F.count(F.lit(1)).over(wn)
+    t_train = F.floor(n * train_frac)
+    t_val = F.floor(n * (train_frac + val_frac))
+    split = (
+        F.when(rank <= t_train, F.lit("train"))
+        .when(rank <= t_val, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    return df.withColumn("split", split)
+
+
+def split_summary(
+    df: DataFrame,
+    *,
+    group_col: str,
+    id_col: str,
+    train_frac: float = 0.8,
+    val_frac: float = 0.1,
+) -> DataFrame:
+    """(group, split, n_rows) — the audit table a pipeline checks before
+    training: every group present in every split at the right size."""
+    assigned = stratified_split(
+        df,
+        group_col=group_col,
+        id_col=id_col,
+        train_frac=train_frac,
+        val_frac=val_frac,
+    )
+    return (
+        assigned.groupBy(group_col, "split")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_rows"))
+    )

@@ -1,0 +1,95 @@
+"""Cross-document span-level dedup (C4/RefinedWeb-style boilerplate
+detection).
+
+Document-level dedup (exact/minhash/simhash — siblings in this package)
+misses the common pathology of PARTIAL duplication: navigation chrome,
+license headers, templated paragraphs repeated across otherwise-distinct
+pages. The standard remedy is span-granular: split every document into
+fixed-width token spans, fingerprint each span, and flag spans whose
+fingerprint occurs in more than one document.
+
+Scale shape (100 TB): explode to one row per span (JVM generator, no
+Python), hash-aggregate fingerprint → distinct-doc count (partial maps
+combine before the shuffle), equi-join the span table back on the
+fingerprint, and re-aggregate per document. Two shuffles total, both on
+well-distributed md5 keys — no skew, no cartesian, no driver state.
+
+The fingerprint is md5 over the space-joined span, so any SQL engine
+replays the identical span set (DuckDB oracle in plans/content.py).
+No reference analogue (the reference has no text operators at all);
+beyond-reference per the training-data-pipeline brief.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..text.analysis import tokens_col
+
+
+def cross_doc_span_stats(
+    df: DataFrame,
+    *,
+    id_col: str,
+    text_col: str,
+    span_words: int = 8,
+) -> DataFrame:
+    """(id, n_spans, n_dup_spans, dup_span_ratio) per document.
+
+    Spans are consecutive NON-overlapping ``span_words``-token windows;
+    the ragged tail shorter than ``span_words`` is dropped (documents
+    with fewer tokens than one span get ``n_spans = 0``). A span is
+    duplicated when its fingerprint appears in ≥ 2 distinct documents —
+    intra-document repetition is a different signal (text_repetition)
+    and deliberately does not count here.
+    """
+    toks = df.select(
+        F.col(id_col).alias("_id"), tokens_col(F.col(text_col)).alias("_toks")
+    )
+    n_spans = F.floor(F.size("_toks") / span_words).cast("int")
+    span_idx = F.sequence(F.lit(0), n_spans - 1)
+    span_str = lambda j: F.concat_ws(  # noqa: E731
+        " ", F.slice("_toks", j * span_words + 1, span_words)
+    )
+    spans = (
+        toks.select(
+            "_id",
+            F.when(n_spans > 0, F.transform(span_idx, span_str))
+            .otherwise(F.array().cast("array<string>"))
+            .alias("_spans"),
+        )
+        .select("_id", F.explode("_spans").alias("_span"))
+        .select("_id", F.md5(F.col("_span")).alias("_fp"))
+    )
+    # fingerprint → how many DISTINCT documents contain it
+    fp_docs = spans.groupBy("_fp").agg(
+        F.count_distinct("_id").alias("_n_docs")
+    )
+    per_doc = (
+        spans.join(fp_docs, "_fp")
+        .groupBy("_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_spans"),
+            F.sum((F.col("_n_docs") > 1).cast("long")).alias("n_dup_spans"),
+        )
+    )
+    base = df.select(F.col(id_col).alias("_id"))
+    return (
+        base.join(per_doc, "_id", "left")
+        .select(
+            F.col("_id").alias(id_col),
+            F.coalesce("n_spans", F.lit(0)).cast("long").alias("n_spans"),
+            F.coalesce("n_dup_spans", F.lit(0)).cast("long").alias("n_dup_spans"),
+            F.when(
+                F.coalesce("n_spans", F.lit(0)) > 0,
+                F.round(
+                    F.coalesce("n_dup_spans", F.lit(0)).cast("double")
+                    / F.col("n_spans"),
+                    6,
+                ),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("dup_span_ratio"),
+        )
+    )

@@ -84,6 +84,9 @@ _CORRECTNESS_WINDOW = [
     "sketch_count_min_heavy_hitters",
     # (d) re-routed to the md5-banded deterministic path (now oracled)
     "dedup_embedding_lsh",
+    # new round-3 operators (oracled)
+    "dedup_spans_crossdoc",
+    "curation_stratified_split",
     # (c) ML scaffolding invariants (oracled; metrics stay rows-only in
     # the ml_*_metrics entries below)
     "ml_logistic_regression_tvs",

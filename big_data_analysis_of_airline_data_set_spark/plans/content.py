@@ -21,6 +21,7 @@ from ..dedup.exact import exact_dedup_groups
 from ..dedup.minhash import minhash_near_dup_pairs
 from ..dedup.ngram import jaccard_pairs
 from ..dedup.simhash import simhash_near_dup_pairs
+from ..dedup.spans import cross_doc_span_stats
 from ..multimodal.assets import asset_stats, documents_to_assets
 from ..similarity.brute import brute_force_topk
 from ..similarity.lsh import lsh_topk
@@ -123,6 +124,48 @@ def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
         distinct.cast("long").alias("n_distinct_grams"),
         ratio.alias("repetition_ratio"),
     )
+
+
+_SPAN_WORDS = 8
+
+
+def q_dedup_spans_crossdoc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4/RefinedWeb-style cross-document span dedup signal: per doc,
+    how many of its 8-token spans also occur in ANOTHER document
+    (boilerplate/template detection — dedup/spans.py). Two hash
+    shuffles, md5-replayable fingerprints."""
+    d = read_testdata_table(spark, sf_dir, "documents")
+    return cross_doc_span_stats(
+        d, id_col="doc_id", text_col="text", span_words=_SPAN_WORDS
+    )
+
+
+_SPANS_CROSSDOC_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t FROM documents
+), spans AS (
+  SELECT doc_id,
+         unnest(list_transform(
+             generate_series(0, CAST(len(t) // {_SPAN_WORDS} AS BIGINT) - 1),
+             j -> md5(array_to_string(
+                      list_slice(t, j*{_SPAN_WORDS} + 1, j*{_SPAN_WORDS} + {_SPAN_WORDS}),
+                      ' ')))) AS fp
+  FROM toks
+), fp_docs AS (
+  SELECT fp, count(DISTINCT doc_id) AS n_docs FROM spans GROUP BY fp
+), per_doc AS (
+  SELECT s.doc_id, count(*) AS n_spans,
+         sum(CASE WHEN f.n_docs > 1 THEN 1 ELSE 0 END) AS n_dup_spans
+  FROM spans s JOIN fp_docs f USING (fp) GROUP BY s.doc_id
+)
+SELECT d.doc_id,
+       CAST(coalesce(p.n_spans, 0) AS BIGINT) AS n_spans,
+       CAST(coalesce(p.n_dup_spans, 0) AS BIGINT) AS n_dup_spans,
+       CASE WHEN coalesce(p.n_spans, 0) > 0
+            THEN round(CAST(p.n_dup_spans AS DOUBLE) / p.n_spans, 6)
+            ELSE 0.0 END AS dup_span_ratio
+FROM documents d LEFT JOIN per_doc p USING (doc_id)
+"""
 
 
 _TEXT_REPETITION_ORACLE = """
@@ -815,6 +858,10 @@ QUERIES: dict[str, QuerySpec] = {
     "text_repetition": QuerySpec(
         "text_repetition", q_text_repetition, _TEXT_REPETITION_ORACLE,
         "repeated-3-gram ratio quality gate (boilerplate/spam signal)",
+    ),
+    "dedup_spans_crossdoc": QuerySpec(
+        "dedup_spans_crossdoc", q_dedup_spans_crossdoc, _SPANS_CROSSDOC_ORACLE,
+        "cross-document span-dedup signal: per-doc duplicated 8-token-span counts",
     ),
     "dedup_exact": QuerySpec(
         "dedup_exact", q_dedup_exact, _DEDUP_EXACT_ORACLE,

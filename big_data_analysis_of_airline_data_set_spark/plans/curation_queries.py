@@ -17,6 +17,7 @@ from pyspark.sql import functions as F
 from ..curation.contamination import contamination_hits
 from ..curation.packing import pack_sequences
 from ..curation.sampling import domain_mixture, quota_sample, weighted_sample
+from ..curation.splitting import split_summary
 from ..dedup.components import connected_components, keeper_by_quality
 from ..dedup.minhash import minhash_near_dup_pairs
 from ..similarity.quantize import quantize_embeddings
@@ -368,7 +369,43 @@ FROM lineitem"""
 )
 
 
+def q_stratified_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified 80/10/10 split audit (curation/splitting.py): per
+    (source, split) row counts under deterministic md5-ranked
+    assignment — the complement of the reference's temporal split
+    (Scripts/3_...py:52-53, kept in ml.train_job.temporal_split)."""
+    d = read_testdata_table(spark, sf_dir, "documents")
+    return split_summary(d, group_col="source", id_col="doc_id")
+
+
+# Thresholds written as n*8/10 and n*9/10: integer numerators keep the
+# correctly-rounded double division identical across engines (a literal
+# 0.8+0.1 sum would drift to 0.9000000000000001 on the Python side).
+_STRATIFIED_ORACLE = """
+WITH ranked AS (
+  SELECT source, doc_id,
+         row_number() OVER (
+             PARTITION BY source
+             ORDER BY md5(CAST(doc_id AS VARCHAR)) ASC, doc_id ASC
+         ) AS rk,
+         count(*) OVER (PARTITION BY source) AS n
+  FROM documents
+)
+SELECT source,
+       CASE WHEN rk <= floor(n * 8 / 10) THEN 'train'
+            WHEN rk <= floor(n * 9 / 10) THEN 'val'
+            ELSE 'test' END AS split,
+       CAST(count(*) AS BIGINT) AS n_rows
+FROM ranked
+GROUP BY 1, 2
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "curation_stratified_split": QuerySpec(
+        "curation_stratified_split", q_stratified_split, _STRATIFIED_ORACLE,
+        "stratified md5-ranked 80/10/10 split audit per source domain",
+    ),
     "curation_quota_sample": QuerySpec(
         "curation_quota_sample", q_quota_sample, _QUOTA_ORACLE,
         "per-domain quota sampling, deterministic md5 order",
