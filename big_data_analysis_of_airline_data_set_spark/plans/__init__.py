@@ -87,6 +87,7 @@ _CORRECTNESS_WINDOW = [
     # new round-3 operators (oracled)
     "dedup_spans_crossdoc",
     "curation_stratified_split",
+    "ann_hard_negatives",
     # (c) ML scaffolding invariants (oracled; metrics stay rows-only in
     # the ml_*_metrics entries below)
     "ml_logistic_regression_tvs",

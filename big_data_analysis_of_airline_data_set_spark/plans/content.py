@@ -574,6 +574,47 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_probe(indexed, centroids, qv, k=10, nprobe=8)
 
 
+_NEG_ANCHORS = 16
+_NEG_K = 5
+
+
+def q_ann_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive hard-negative mining (similarity/negatives.py):
+    top-5 nearest different-label rows per anchor, anchors = vec_id <
+    16. Broadcast anchors + salted two-phase top-k."""
+    from ..similarity.negatives import hard_negatives
+
+    e = read_testdata_table(spark, sf_dir, "embeddings")
+    return hard_negatives(
+        e,
+        id_col="vec_id",
+        vec_col="embedding",
+        label_col="label",
+        n_anchors=_NEG_ANCHORS,
+        k=_NEG_K,
+    )
+
+
+_HARD_NEG_ORACLE = f"""
+WITH anchors AS (
+  SELECT vec_id AS anchor_id, CAST(embedding AS DOUBLE[]) AS av, label AS al
+  FROM embeddings WHERE vec_id < {_NEG_ANCHORS}
+), cand AS (
+  SELECT a.anchor_id, e.vec_id AS neg_id,
+         round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), a.av), 6) AS cosine
+  FROM anchors a JOIN embeddings e ON e.label <> a.al
+), ranked AS (
+  SELECT anchor_id, neg_id, cosine,
+         row_number() OVER (
+             PARTITION BY anchor_id ORDER BY cosine DESC, neg_id ASC
+         ) AS rank
+  FROM cand
+)
+SELECT anchor_id, neg_id, CAST(rank AS BIGINT) AS rank, cosine
+FROM ranked WHERE rank <= {_NEG_K}
+"""
+
+
 def q_ann_bruteforce_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..similarity.pandas_cosine import brute_force_topk_pandas
 
@@ -911,6 +952,10 @@ QUERIES: dict[str, QuerySpec] = {
     "ann_bruteforce_pandas": QuerySpec(
         "ann_bruteforce_pandas", q_ann_bruteforce_pandas, _ANN_BRUTE_ORACLE,
         "vectorized pandas-UDF cosine top-k (same oracle as the JVM path)",
+    ),
+    "ann_hard_negatives": QuerySpec(
+        "ann_hard_negatives", q_ann_hard_negatives, _HARD_NEG_ORACLE,
+        "contrastive hard-negative mining: top-k different-label neighbors per anchor",
     ),
     "text_bpe_tokens": QuerySpec(
         "text_bpe_tokens", q_text_bpe_tokens, _BPE_ORACLE,
