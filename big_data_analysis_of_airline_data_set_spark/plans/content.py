@@ -126,6 +126,42 @@ def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_OOV_VOCAB = 100
+
+
+def q_text_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-coverage audit (text/analysis.py:oov_stats): per-doc
+    out-of-vocabulary rate against the corpus's top-100 token vocab."""
+    from ..text.analysis import oov_stats
+
+    d = read_testdata_table(spark, sf_dir, "documents")
+    return oov_stats(d, id_col="doc_id", text_col="text", vocab_size=_OOV_VOCAB)
+
+
+_OOV_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
+  FROM documents
+), vocab AS (
+  SELECT tok FROM (
+    SELECT tok, count(*) AS n FROM toks GROUP BY tok
+    ORDER BY n DESC, tok ASC LIMIT {_OOV_VOCAB}
+  )
+), per AS (
+  SELECT t.doc_id, count(*) AS n_tokens,
+         sum(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) AS n_oov
+  FROM toks t LEFT JOIN vocab v USING (tok) GROUP BY t.doc_id
+)
+SELECT d.doc_id,
+       CAST(coalesce(p.n_tokens, 0) AS BIGINT) AS n_tokens,
+       CAST(coalesce(p.n_oov, 0) AS BIGINT) AS n_oov,
+       CASE WHEN coalesce(p.n_tokens, 0) > 0
+            THEN round(CAST(p.n_oov AS DOUBLE) / p.n_tokens, 6)
+            ELSE 0.0 END AS oov_rate
+FROM documents d LEFT JOIN per p USING (doc_id)
+"""
+
+
 _SPAN_WORDS = 8
 
 
@@ -903,6 +939,10 @@ QUERIES: dict[str, QuerySpec] = {
     "dedup_spans_crossdoc": QuerySpec(
         "dedup_spans_crossdoc", q_dedup_spans_crossdoc, _SPANS_CROSSDOC_ORACLE,
         "cross-document span-dedup signal: per-doc duplicated 8-token-span counts",
+    ),
+    "text_oov_rate": QuerySpec(
+        "text_oov_rate", q_text_oov_rate, _OOV_ORACLE,
+        "per-doc out-of-vocabulary rate vs the corpus top-100 token vocabulary",
     ),
     "dedup_exact": QuerySpec(
         "dedup_exact", q_dedup_exact, _DEDUP_EXACT_ORACLE,

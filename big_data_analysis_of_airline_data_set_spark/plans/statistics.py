@@ -271,7 +271,46 @@ FROM var_long CROSS JOIN var_thr WHERE x > t
 """
 
 
+def q_feature_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group p01/p99 winsorization audit on l_extendedprice by
+    l_returnflag (stats/winsorize.py): clip thresholds, clipped-row
+    counts, and the winsorized mean a scaler would see."""
+    from ..stats.winsorize import winsorize_summary
+
+    li = read_testdata_table(spark, sf_dir, "lineitem")
+    return winsorize_summary(
+        li, group_col="l_returnflag", value_col="l_extendedprice"
+    )
+
+
+_WINSORIZE_ORACLE = """
+WITH pct AS (
+  SELECT l_returnflag,
+         round(quantile_cont(l_extendedprice, 0.01), 6) AS lo,
+         round(quantile_cont(l_extendedprice, 0.99), 6) AS hi
+  FROM lineitem GROUP BY l_returnflag
+)
+SELECT l.l_returnflag, p.lo, p.hi,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(CASE WHEN l.l_extendedprice < p.lo THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_clipped_low,
+       CAST(sum(CASE WHEN l.l_extendedprice > p.hi THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_clipped_high,
+       round(CAST(sum(CAST(round(greatest(least(l.l_extendedprice, p.hi), p.lo), 6)
+                           AS DECIMAL(28,6))) AS DOUBLE) / count(*), 6)
+         AS winsorized_mean
+FROM lineitem l JOIN pct p USING (l_returnflag)
+GROUP BY l.l_returnflag, p.lo, p.hi
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "feature_winsorize": QuerySpec(
+        "feature_winsorize",
+        q_feature_winsorize,
+        _WINSORIZE_ORACLE,
+        "per-group p01/p99 outlier-clipping audit (exact-percentile baseline)",
+    ),
     "feature_selection_job": QuerySpec(
         "feature_selection_job",
         q_feature_selection_job,

@@ -147,3 +147,55 @@ def quality_components(text: Column) -> dict[str, Column]:
         "mean_token_len": (non_space.cast("double") / n_tokens),
         "stopword_ratio": (en_stop.cast("double") / n_tokens),
     }
+
+
+def oov_stats(
+    df,
+    *,
+    id_col: str,
+    text_col: str,
+    vocab_size: int,
+):
+    """(id, n_tokens, n_oov, oov_rate) per document, against a reference
+    vocabulary built from the corpus itself: the ``vocab_size`` most
+    frequent tokens (count desc, token asc tie-break — deterministic,
+    engine-replayable).
+
+    The tokenizer-coverage check a training pipeline runs before
+    committing to a vocabulary: documents with high out-of-vocabulary
+    rates either need a bigger vocab or are noise. Scale shape: one
+    explode + hash-agg for the vocab (top-V via TakeOrderedAndProject),
+    vocab broadcast back over the exploded tokens, one per-doc agg.
+    """
+    from pyspark.sql import functions as F
+
+    toks = df.select(
+        F.col(id_col).alias("_id"), F.explode(tokens_col(F.col(text_col))).alias("_tok")
+    )
+    vocab = (
+        toks.groupBy("_tok")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .orderBy(F.desc("_n"), F.asc("_tok"))
+        .limit(vocab_size)
+        .select("_tok", F.lit(True).alias("_in_vocab"))
+    )
+    per_doc = (
+        toks.join(F.broadcast(vocab), "_tok", "left")
+        .groupBy("_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.sum(F.col("_in_vocab").isNull().cast("long")).alias("n_oov"),
+        )
+    )
+    base = df.select(F.col(id_col).alias("_id"))
+    return base.join(per_doc, "_id", "left").select(
+        F.col("_id").alias(id_col),
+        F.coalesce("n_tokens", F.lit(0)).cast("long").alias("n_tokens"),
+        F.coalesce("n_oov", F.lit(0)).cast("long").alias("n_oov"),
+        F.when(
+            F.coalesce("n_tokens", F.lit(0)) > 0,
+            F.round(F.col("n_oov").cast("double") / F.col("n_tokens"), 6),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("oov_rate"),
+    )
