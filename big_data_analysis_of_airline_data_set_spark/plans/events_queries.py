@@ -1,8 +1,14 @@
 """Events/streaming query catalog — batch-mode runs of the
 DataFrame-symmetric window transforms (streaming.windows), each with a
-DuckDB oracle. The streaming execution of the same transforms is
-exercised in tests/test_streaming.py (non-SQL-expressible runtime:
-watermarks, incremental state).
+DuckDB oracle, plus ONE true Structured Streaming execution
+(``events_tumbling_stream``): the same tumbling aggregation run as a
+watermarked availableNow stream over landed parquet and drained to a
+memory sink. Complete output mode emits every window, so the drained
+result equals the batch plan — the batch oracle doubles as a hard
+check on the streaming runtime (micro-batch scheduling, watermark
+bookkeeping, state store). Further streaming behavior (update mode,
+late-data drops, stateful dedup) stays in tests/test_streaming*.py —
+those runtimes are inherently non-SQL-expressible.
 """
 
 from __future__ import annotations
@@ -35,6 +41,40 @@ SELECT strftime(time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP)),
        CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
 FROM events GROUP BY 1, 2
 """
+
+
+# landed-events dir per (session, sf_dir): the stream query re-reads it
+# across driver calls without re-landing (same pattern as the IVF index
+# cache in plans/content.py)
+_LANDED_CACHE: dict[tuple, str] = {}
+
+
+def _landed_events_dir(spark: SparkSession, sf_dir: str) -> str:
+    import tempfile
+
+    from ..streaming.landing import land_events_batch
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    hit = _LANDED_CACHE.get(key)
+    if hit is None:
+        hit = tempfile.mkdtemp(prefix="landed_events_")
+        land_events_batch(spark, sf_dir, hit)
+        _LANDED_CACHE[key] = hit
+    return hit
+
+
+def q_tumbling_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The tumbling aggregation as a REAL streaming query: land the
+    (encoding-normalized) events once, then readStream → watermark →
+    window agg → memory sink with trigger(availableNow) — the idiomatic
+    backfill execution. Complete mode ⇒ result equals the batch plan."""
+    from ..streaming.jobs import run_tumbling_stream_available_now
+
+    landed = _landed_events_dir(spark, sf_dir)
+    result = run_tumbling_stream_available_now(
+        spark, landed, watermark="30 minutes", width="1 hour"
+    )
+    return result
 
 
 def q_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -316,6 +356,11 @@ QUERIES: dict[str, QuerySpec] = {
     "events_tumbling_window": QuerySpec(
         "events_tumbling_window", q_tumbling, _TUMBLING_ORACLE,
         "1h tumbling window counts + exact sums",
+    ),
+    "events_tumbling_stream": QuerySpec(
+        "events_tumbling_stream", q_tumbling_stream, _TUMBLING_ORACLE,
+        "the same tumbling agg executed as a watermarked availableNow "
+        "Structured Streaming query (memory sink, complete mode)",
     ),
     "events_sliding_window": QuerySpec(
         "events_sliding_window", q_sliding, _SLIDING_ORACLE,
