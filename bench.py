@@ -67,6 +67,18 @@ CURATION = [
     "embedding_quantize_int8",
 ]
 
+# Round-3 operator surface, tracked as its own number for the same
+# reason as CURATION: new ops get a regression reference without
+# perturbing the 16-query headline total.
+R3_OPS = [
+    "dedup_spans_crossdoc",
+    "curation_stratified_split",
+    "ann_hard_negatives",
+    "feature_winsorize",
+    "text_oov_rate",
+    "events_tumbling_stream",
+]
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -126,6 +138,21 @@ def main() -> None:
     cur_total = round(sum(cur_timings.values()), 3)
     print(f"# curation_suite: {cur_total}s {cur_timings}", file=sys.stderr)
 
+    r3_samples: dict[str, list[float]] = {name: [] for name in R3_OPS}
+    for name in R3_OPS:
+        try:
+            specs[name].fn(spark, warm_dir).count()
+        except Exception:
+            pass
+    for r in range(repeats):
+        for name in R3_OPS:
+            t0 = time.perf_counter()
+            specs[name].fn(spark, sf_dir).count()
+            r3_samples[name].append(time.perf_counter() - t0)
+    r3_timings = {n: round(statistics.median(ts), 3) for n, ts in r3_samples.items()}
+    r3_total = round(sum(r3_timings.values()), 3)
+    print(f"# r3_ops_suite: {r3_total}s {r3_timings}", file=sys.stderr)
+
     print(
         json.dumps(
             {
@@ -137,6 +164,8 @@ def main() -> None:
                 "ml_quick_fit": round(ml_fit, 3),
                 "curation_suite": cur_total,
                 "curation_queries": cur_timings,
+                "r3_ops_suite": r3_total,
+                "r3_ops_queries": r3_timings,
                 "sf": float(sf),
             }
         )

@@ -72,7 +72,13 @@ def q_tumbling_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     landed = _landed_events_dir(spark, sf_dir)
     result = run_tumbling_stream_available_now(
-        spark, landed, watermark="30 minutes", width="1 hour"
+        spark,
+        landed,
+        watermark="30 minutes",
+        width="1 hour",
+        # backfill shape: drain in as few micro-batches as possible —
+        # file-granular triggering is the tests' incremental-state knob
+        max_files_per_trigger=None,
     )
     return result
 

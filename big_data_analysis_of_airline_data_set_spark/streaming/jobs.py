@@ -46,15 +46,19 @@ EVENTS_STREAM_SCHEMA = StructType(
 )
 
 
-def events_stream_reader(spark: SparkSession, events_dir: str) -> DataFrame:
+def events_stream_reader(
+    spark: SparkSession, events_dir: str, *, max_files_per_trigger: int | None = 1
+) -> DataFrame:
     """Streaming scan of a landed events parquet directory.
-    maxFilesPerTrigger=1 keeps micro-batches bounded (and lets
-    availableNow exercise multi-batch incremental state)."""
-    return (
-        spark.readStream.schema(EVENTS_STREAM_SCHEMA)
-        .option("maxFilesPerTrigger", 1)
-        .parquet(events_dir)
-    )
+    ``max_files_per_trigger=1`` keeps micro-batches file-granular (tests
+    use it to exercise multi-batch incremental state); ``None`` lets
+    availableNow drain in as few batches as possible — the backfill
+    shape, where per-micro-batch scheduling overhead (~100 ms each)
+    would otherwise dominate a many-partition directory."""
+    reader = spark.readStream.schema(EVENTS_STREAM_SCHEMA)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.parquet(events_dir)
 
 
 def _run_to_memory(result: DataFrame, *, query_name: str, output_mode: str) -> None:
@@ -77,10 +81,13 @@ def run_tumbling_stream_available_now(
     watermark: str = "30 minutes",
     width: str = "1 hour",
     query_name: str = "events_tumbling_stream",
+    max_files_per_trigger: int | None = 1,
 ) -> DataFrame:
     """Watermarked tumbling-window counts, drained with availableNow.
     Returns the complete result (update mode drained to memory)."""
-    stream = events_stream_reader(spark, events_dir).withWatermark("ts", watermark)
+    stream = events_stream_reader(
+        spark, events_dir, max_files_per_trigger=max_files_per_trigger
+    ).withWatermark("ts", watermark)
     result = tumbling_counts(stream, width=width)
     _run_to_memory(result, query_name=query_name, output_mode="complete")
     return spark.table(query_name)
