@@ -264,6 +264,35 @@ FROM orders
 """
 
 
+def q_quantiles_approx_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The grouped form of quantiles_approx: per-group KLL sketches
+    merge map-side (partial aggregation) before one shuffle on the
+    group key — the shape that matters at scale, where a global sort
+    per group would be prohibitive. Same within_bound contract: exact
+    per-group median beside a 5%-relative-error boolean on the sketch."""
+    li = _t(spark, sf_dir, "lineitem")
+    agg = li.groupBy("l_returnflag").agg(
+        F.expr("percentile(l_extendedprice, 0.5)").alias("_exact"),
+        F.expr("approx_percentile(l_extendedprice, 0.5, 1000)").alias("_approx"),
+    )
+    return agg.select(
+        "l_returnflag",
+        F.round("_exact", 6).alias("q50_exact"),
+        (
+            F.abs(F.col("_approx") - F.col("_exact")) / F.col("_exact")
+            <= F.lit(0.05)
+        ).alias("within_bound"),
+    )
+
+
+_QUANTILES_APPROX_GROUP_ORACLE = """
+SELECT l_returnflag,
+       round(quantile_cont(l_extendedprice, 0.5), 6) AS q50_exact,
+       TRUE AS within_bound
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
 def q_count_min_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Count-Min frequency sketch (the family member HLL/KLL built-ins
     don't cover), built declaratively with md5-replayable hash families
@@ -323,6 +352,11 @@ QUERIES: dict[str, QuerySpec] = {
     "quantiles_approx": QuerySpec(
         "quantiles_approx", q_quantiles_approx, _QUANTILES_APPROX_ORACLE,
         "approx_percentile sketch, oracled via exact median + error-bound boolean",
+    ),
+    "quantiles_approx_by_group": QuerySpec(
+        "quantiles_approx_by_group", q_quantiles_approx_by_group,
+        _QUANTILES_APPROX_GROUP_ORACLE,
+        "per-group KLL median sketches (map-side partial merge), same within-bound contract",
     ),
     "tpch_q1_style": QuerySpec(
         "tpch_q1_style", q_tpch_q1_style, _Q1_ORACLE,
