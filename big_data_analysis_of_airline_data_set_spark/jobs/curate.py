@@ -21,7 +21,7 @@ from __future__ import annotations
 import argparse
 
 from pyspark import StorageLevel
-from pyspark.sql import DataFrame, Observation, SparkSession
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
@@ -50,25 +50,31 @@ def curate(
     the corpus join) read the cache instead of recomputing the lineage —
     the naive ``counts.append((stage, df.count()))`` chain re-ran the
     whole gates→dedup→decontaminate prefix per stage, six full passes
-    over the corpus at 100 TB. The raw-input count rides a
-    ``df.observe`` accumulator on the first pass instead of paying its
-    own scan. Caches are released as soon as the next stage has
-    materialized; ``corpus`` stays persisted for the caller's write
-    (unpersist after writing).
+    over the corpus at 100 TB. The raw input is likewise persisted and
+    counted once, then released as soon as the gate stage materializes.
+
+    NOTE an ``Observation`` accumulator on the first pass would save the
+    input-stage cache entirely, but is deliberately NOT used: in Spark
+    4.1, registering any Observation poisons the session for later
+    MLlib work — LogisticRegression training summaries drag
+    SparkSession → ObservationManager (non-serializable) into task
+    closures and every subsequent evaluator.evaluate throws
+    NotSerializableException (reproduced; see tests/test_curate_job.py).
+    Caches are released as soon as the next stage has materialized;
+    ``corpus`` stays persisted for the caller's write (unpersist after
+    writing).
     """
     spark = docs.sparkSession
-    obs_input = Observation("curate_input")
 
-    with_tok = docs.observe(obs_input, F.count(F.lit(1)).alias("n")).withColumn(
-        "n_tokens", token_count(F.col("text"))
+    with_tok = docs.withColumn("n_tokens", token_count(F.col("text"))).persist(
+        StorageLevel.MEMORY_AND_DISK
     )
+    counts: list[tuple[str, int]] = [("input", with_tok.count())]
     gated = with_tok.filter(
         F.col("n_tokens").between(min_tokens, max_tokens)
     ).persist(StorageLevel.MEMORY_AND_DISK)
-    counts: list[tuple[str, int]] = []
-    n_gated = gated.count()  # one scan: materializes the gate AND fires obs_input
-    counts.append(("input", int(obs_input.get["n"])))
-    counts.append(("quality_gate", n_gated))
+    counts.append(("quality_gate", gated.count()))
+    with_tok.unpersist()
 
     # exact dedup: min-id row per content fingerprint
     deduped = (

@@ -48,8 +48,9 @@ def test_curate_funnel_single_execution_per_stage(spark, sf_dir):
     """The funnel must not recompute the chain per stage count: every
     count() during curate() must run against a persisted DataFrame
     (downstream stages then read the cache, so each stage's
-    transformation executes once), and the raw-input count must ride
-    the observe() accumulator instead of a DataFrame.count() scan."""
+    transformation executes once). An Observation accumulator is
+    deliberately NOT used for the input count — see the curate()
+    docstring and test_no_observation_used_by_curate below."""
     from unittest import mock
 
     counted: list[bool] = []
@@ -66,13 +67,36 @@ def test_curate_funnel_single_execution_per_stage(spark, sf_dir):
 
     with mock.patch.object(cls, "count", tracking_count):
         corpus, report = curate(docs)
-    # Exactly 5 counts (gate, dedup, decontaminated, sampled, packed),
-    # every one on a persisted frame — input is observed, not counted,
-    # and the curation library issues no internal counts.
-    assert counted == [True] * 5, counted
+    # Exactly 6 counts (input, gate, dedup, decontaminated, sampled,
+    # packed), every one on a persisted frame — the curation library
+    # issues no internal counts.
+    assert counted == [True] * 6, counted
     corpus.unpersist()
     stages = {r["stage"]: r["n_rows"] for r in report.collect()}
     assert stages["input"] > 0
+
+
+def test_no_observation_used_by_curate():
+    """Spark 4.1 regression guard: registering ANY pyspark Observation
+    poisons the session for later MLlib fits — the LogisticRegression
+    training summary drags SparkSession → ObservationManager
+    (non-serializable) into task closures, and every subsequent
+    evaluator.evaluate throws NotSerializableException (reproduced on
+    4.1.2 with a 20-line script). curate() therefore persists+counts
+    the input instead of observing it; this pin keeps Observation from
+    creeping back into any library code path."""
+    import pathlib
+
+    import big_data_analysis_of_airline_data_set_spark as pkg
+
+    root = pathlib.Path(pkg.__file__).parent
+    offenders = [
+        str(p)
+        for p in root.rglob("*.py")
+        if "Observation" in p.read_text()
+        and "NOT used" not in p.read_text()  # the documented explanation
+    ]
+    assert offenders == [], offenders
 
 
 def test_curate_cli_writes_partitioned_corpus(spark, sf_dir, work):
