@@ -610,6 +610,46 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_probe(indexed, centroids, qv, k=10, nprobe=8)
 
 
+def q_embedding_class_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding QA profile: class sizes plus integer-exact
+    coordinate checksums (Σ round(x·10⁶) and Σ|round(x·10⁶)| over every
+    coordinate in the class). The balance/drift audit an embedding
+    pipeline runs per batch: a class whose count or checksum moves
+    between snapshots has drifted. Integer accumulation makes the sums
+    independent of addition order — float sums would hash differently
+    per engine/partitioning (same quantization discipline as
+    embedding_quantize_int8)."""
+    e = read_testdata_table(spark, sf_dir, "embeddings")
+    q = F.transform(
+        F.col("embedding"),
+        lambda x: F.round(x.cast("double") * 1_000_000).cast("long"),
+    )
+    row_sum = F.aggregate(q, F.lit(0).cast("long"), lambda a, x: a + x)
+    row_abs = F.aggregate(q, F.lit(0).cast("long"), lambda a, x: a + F.abs(x))
+    return (
+        e.select("label", row_sum.alias("_s"), row_abs.alias("_a"))
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_vectors"),
+            F.sum("_s").cast("long").alias("coord_checksum"),
+            F.sum("_a").cast("long").alias("coord_abs_checksum"),
+        )
+    )
+
+
+_CLASS_PROFILE_ORACLE = """
+SELECT label,
+       CAST(count(*) AS BIGINT) AS n_vectors,
+       CAST(sum(list_sum(list_transform(CAST(embedding AS DOUBLE[]),
+                 x -> CAST(round(x * 1000000) AS BIGINT)))) AS BIGINT)
+         AS coord_checksum,
+       CAST(sum(list_sum(list_transform(CAST(embedding AS DOUBLE[]),
+                 x -> abs(CAST(round(x * 1000000) AS BIGINT))))) AS BIGINT)
+         AS coord_abs_checksum
+FROM embeddings GROUP BY label
+"""
+
+
 _NEG_ANCHORS = 16
 _NEG_K = 5
 
@@ -996,6 +1036,10 @@ QUERIES: dict[str, QuerySpec] = {
     "ann_hard_negatives": QuerySpec(
         "ann_hard_negatives", q_ann_hard_negatives, _HARD_NEG_ORACLE,
         "contrastive hard-negative mining: top-k different-label neighbors per anchor",
+    ),
+    "embedding_class_profile": QuerySpec(
+        "embedding_class_profile", q_embedding_class_profile, _CLASS_PROFILE_ORACLE,
+        "per-label class sizes + integer-exact coordinate checksums (balance/drift QA)",
     ),
     "text_bpe_tokens": QuerySpec(
         "text_bpe_tokens", q_text_bpe_tokens, _BPE_ORACLE,
