@@ -18,7 +18,15 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
+    ByteType,
+    DataType,
+    DateType,
+    DecimalType,
+    DoubleType,
+    FloatType,
+    IntegerType,
     LongType,
+    ShortType,
     StructType,
     TimestampNTZType,
     TimestampType,
@@ -78,18 +86,73 @@ def _normalize_events(df: DataFrame) -> DataFrame:
     return df
 
 
+# Widenings that preserve values exactly — anything else is REAL drift
+# and must fail loudly, not be papered over by a cast.
+_INTEGRALS = (ByteType, ShortType, IntegerType, LongType)
+
+
+def _safe_cast_ok(actual: DataType, expected: DataType) -> bool:
+    if isinstance(expected, LongType) and isinstance(actual, _INTEGRALS):
+        return True
+    if isinstance(expected, IntegerType) and isinstance(
+        actual, (ByteType, ShortType, IntegerType)
+    ):
+        return True
+    if isinstance(expected, DoubleType) and isinstance(
+        actual, (FloatType, DoubleType, DecimalType) + _INTEGRALS
+    ):
+        return True
+    if isinstance(expected, TimestampType) and isinstance(
+        actual, (TimestampNTZType, DateType)
+    ):
+        return True
+    return False
+
+
+def _align_to_schema(df: DataFrame, expected: StructType, name: str) -> DataFrame:
+    """Project ``df`` onto the pinned schema, value-preserving casts
+    only. The round-2 lesson, generalized: a blind ``.schema(...)`` pin
+    over drifted parquet does NOT fail fast — it silently reinterprets
+    the physical bytes (events.ts TIMESTAMP_MICROS read as epoch-nanos
+    long put every event in 1970). So every testdata table is scanned
+    with its self-described schema first, then aligned: exact types
+    pass through, exact-value widenings (int→long, float→double,
+    date/ntz→timestamp) are cast, anything else raises with both types
+    in the message. Extra columns are dropped by the projection; the
+    scan still prunes to the selected columns either way."""
+    cols = []
+    for f in expected.fields:
+        if f.name not in df.columns:
+            raise ValueError(f"{name}: expected column {f.name!r} missing on disk")
+        actual = df.schema[f.name].dataType
+        if actual == f.dataType:
+            cols.append(F.col(f.name))
+        elif _safe_cast_ok(actual, f.dataType):
+            cols.append(F.col(f.name).cast(f.dataType).alias(f.name))
+        else:
+            raise TypeError(
+                f"{name}.{f.name}: on-disk type {actual} is not a value-preserving "
+                f"match for the pinned {f.dataType} — testdata format drifted; "
+                "update sources/schemas.py deliberately instead of casting blind"
+            )
+    return df.select(cols)
+
+
 def read_testdata_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Read one driver-testdata table with its pinned schema, applying
-    table-specific normalization (events.ts encoding detection)."""
+    """Read one driver-testdata table, normalized to its pinned schema
+    via detect-and-align (events.ts additionally gets encoding-specific
+    normalization)."""
     if name == "events":
-        # events is read WITHOUT a pinned schema: the on-disk ts encoding
-        # varies by testdata generation, and pinning (say) LongType against
-        # a TIMESTAMP_MICROS file silently reads raw micros as nanos. The
-        # legacy flag is session-settable and only affects NANOS files, so
-        # it is safe to pin unconditionally before the scan.
+        # the on-disk ts encoding varies by testdata generation, and
+        # pinning (say) LongType against a TIMESTAMP_MICROS file silently
+        # reads raw micros as nanos. The legacy flag is session-settable
+        # and only affects NANOS files, so pin it unconditionally.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        return _normalize_events(read_parquet_table(spark, table_path(sf_dir, name)))
-    return read_parquet_table(spark, table_path(sf_dir, name), TESTDATA_SCHEMAS.get(name))
+        df = _normalize_events(read_parquet_table(spark, table_path(sf_dir, name)))
+    else:
+        df = read_parquet_table(spark, table_path(sf_dir, name))
+    expected = TESTDATA_SCHEMAS.get(name)
+    return _align_to_schema(df, expected, name) if expected is not None else df
 
 
 def load_star_schema(

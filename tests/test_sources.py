@@ -108,6 +108,53 @@ def test_events_encoding_detection_micros_and_nanos(spark, tmp_path):
     assert got["us"][0][1].startswith("2024-01-01")
 
 
+def test_schema_drift_widening_is_aligned(spark, tmp_path):
+    """Value-preserving width drift (int32 where the pin says long) is
+    detected and cast, not blindly reinterpreted — the generalized
+    round-2 lesson (a pinned .schema() over drifted parquet silently
+    misreads bytes instead of failing)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = tmp_path / "drift_ok"
+    d.mkdir()
+    t = pa.table(
+        {
+            "doc_id": pa.array([1, 2], pa.int32()),  # pinned: int64
+            "text": pa.array(["a b", "c d"]),
+            "lang": pa.array(["en", "en"]),
+            "source": pa.array(["s1", "s2"]),
+            "n_chars": pa.array([3, 3], pa.int32()),  # pinned: int64
+        }
+    )
+    pq.write_table(t, str(d / "documents.parquet"))
+    df = read_testdata_table(spark, str(d), "documents")
+    assert dict(df.dtypes)["doc_id"] == "bigint"
+    assert dict(df.dtypes)["n_chars"] == "bigint"
+    assert df.agg(F.sum("n_chars")).collect()[0][0] == 6
+
+
+def test_schema_drift_incompatible_raises(spark, tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import pytest
+
+    d = tmp_path / "drift_bad"
+    d.mkdir()
+    t = pa.table(
+        {
+            "doc_id": pa.array([1], pa.int64()),
+            "text": pa.array(["a"]),
+            "lang": pa.array(["en"]),
+            "source": pa.array(["s1"]),
+            "n_chars": pa.array(["3"]),  # string where the pin says long
+        }
+    )
+    pq.write_table(t, str(d / "documents.parquet"))
+    with pytest.raises(TypeError, match="n_chars"):
+        read_testdata_table(spark, str(d), "documents")
+
+
 def test_sorted_layout_yields_disjoint_file_ranges(spark, sf_dir, tmp_path):
     """write_sorted_layout must produce files whose sort-key ranges are
     pairwise disjoint (the property row-group skipping depends on);
