@@ -90,6 +90,9 @@ def _normalize_events(df: DataFrame) -> DataFrame:
 # and must fail loudly, not be papered over by a cast.
 _INTEGRALS = (ByteType, ShortType, IntegerType, LongType)
 
+# (applicationId, path) → "pin" | "align"; see read_testdata_table.
+_SCHEMA_VERDICT_CACHE: dict[tuple, str] = {}
+
 
 def _safe_cast_ok(actual: DataType, expected: DataType) -> bool:
     if isinstance(expected, LongType) and isinstance(actual, _INTEGRALS):
@@ -120,6 +123,10 @@ def _align_to_schema(df: DataFrame, expected: StructType, name: str) -> DataFram
     date/ntz→timestamp) are cast, anything else raises with both types
     in the message. Extra columns are dropped by the projection; the
     scan still prunes to the selected columns either way."""
+    if [(f.name, f.dataType) for f in df.schema.fields] == [
+        (f.name, f.dataType) for f in expected.fields
+    ]:
+        return df  # already exact — no projection needed
     cols = []
     for f in expected.fields:
         if f.name not in df.columns:
@@ -138,21 +145,64 @@ def _align_to_schema(df: DataFrame, expected: StructType, name: str) -> DataFram
     return df.select(cols)
 
 
+def _pinnable(actual: DataType, expected: DataType) -> bool:
+    """True when a pinned-schema scan reads ``actual`` bytes as
+    ``expected`` without reinterpretation risk: identical types, or an
+    NTZ-micros timestamp read as session-TZ timestamp (same int64
+    payload, no per-row work). Everything else goes through the
+    cast/raise alignment path."""
+    return actual == expected or (
+        isinstance(expected, TimestampType) and isinstance(actual, TimestampNTZType)
+    )
+
+
 def read_testdata_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one driver-testdata table, normalized to its pinned schema
-    via detect-and-align (events.ts additionally gets encoding-specific
-    normalization)."""
+    via detect-then-pin (events.ts additionally gets encoding-specific
+    normalization).
+
+    The self-described schema is ALWAYS inspected first — the round-2
+    lesson is that pinning blind does not fail fast, it silently
+    reinterprets bytes. But once validated, the pinned-schema scan is
+    the fast path: it folds the NTZ→session-TZ timestamp
+    reinterpretation into the reader instead of a per-row cast Project
+    (measurably cheaper on the hot aggregate queries)."""
+    path = table_path(sf_dir, name)
     if name == "events":
         # the on-disk ts encoding varies by testdata generation, and
         # pinning (say) LongType against a TIMESTAMP_MICROS file silently
         # reads raw micros as nanos. The legacy flag is session-settable
         # and only affects NANOS files, so pin it unconditionally.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        df = _normalize_events(read_parquet_table(spark, table_path(sf_dir, name)))
-    else:
-        df = read_parquet_table(spark, table_path(sf_dir, name))
+        df = _normalize_events(read_parquet_table(spark, path))
+        return _align_to_schema(df, TESTDATA_SCHEMAS["events"], name)
     expected = TESTDATA_SCHEMAS.get(name)
-    return _align_to_schema(df, expected, name) if expected is not None else df
+    if expected is None:
+        return read_parquet_table(spark, path)
+    # The pin-vs-align verdict is a pure function of the on-disk footer,
+    # so cache it per (session, path): the validation costs one extra
+    # relation setup (footer read + py4j round-trips), which multiplied
+    # across every table touch of every query measurably drags the
+    # bench; files under a given path don't change type mid-session.
+    key = (spark.sparkContext.applicationId, path)
+    verdict = _SCHEMA_VERDICT_CACHE.get(key)
+    if verdict is None:
+        df = read_parquet_table(spark, path)
+        on_disk = {f.name: f.dataType for f in df.schema.fields}
+        verdict = (
+            "pin"
+            if all(
+                f.name in on_disk and _pinnable(on_disk[f.name], f.dataType)
+                for f in expected.fields
+            )
+            else "align"
+        )
+        _SCHEMA_VERDICT_CACHE[key] = verdict
+        if verdict == "align":
+            return _align_to_schema(df, expected, name)
+    if verdict == "pin":
+        return read_parquet_table(spark, path, expected)
+    return _align_to_schema(read_parquet_table(spark, path), expected, name)
 
 
 def load_star_schema(
