@@ -80,77 +80,86 @@ R3_OPS = [
 ]
 
 
+WARM_DIR = "/root/testdata/sf0.001"
+
+
+def _warm(specs, spark, names: list[str], sf_dir: str) -> None:
+    """Run the suite's query shapes once at sf0.001 (~1000x smaller
+    inputs) so the timed pass measures steady-state execution, not
+    first-call JIT/codegen and parquet-reader class loading. GUARDED:
+    when the timed dir IS sf0.001 the warm pass is skipped entirely —
+    otherwise the 'cold' timings would secretly be warm and not
+    comparable across suites (round-3 ADVICE; one shared helper so
+    every suite gets the same discipline)."""
+    if not os.path.isdir(WARM_DIR):
+        return
+    if os.path.realpath(WARM_DIR) == os.path.realpath(sf_dir):
+        return
+    for name in names:
+        try:
+            specs[name].fn(spark, WARM_DIR).count()
+        except Exception:
+            pass  # warm-up is best-effort; the timed run surfaces real errors
+
+
+def _run_suite(
+    specs, spark, names: list[str], sf_dir: str, repeats: int, tag: str
+) -> tuple[dict[str, float], float]:
+    """Median-of-``repeats`` per query (interleaved rounds), plus the
+    suite total of medians."""
+    samples: dict[str, list[float]] = {name: [] for name in names}
+    for r in range(repeats):
+        for name in names:
+            t0 = time.perf_counter()
+            n = specs[name].fn(spark, sf_dir).count()
+            dt = time.perf_counter() - t0
+            samples[name].append(dt)
+            print(
+                f"# [{tag}] round {r + 1}/{repeats} {name}: {dt:.2f}s ({n} rows)",
+                file=sys.stderr,
+            )
+    timings = {name: round(statistics.median(ts), 3) for name, ts in samples.items()}
+    total = round(sum(statistics.median(ts) for ts in samples.values()), 3)
+    return timings, total
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     repeats = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3")))
 
     from big_data_analysis_of_airline_data_set_spark.plans import all_queries
+    from big_data_analysis_of_airline_data_set_spark.plans.events_queries import (
+        ensure_events_landed,
+    )
     from big_data_analysis_of_airline_data_set_spark.session import get_session
 
     spark = get_session("bench")
     spark.sparkContext.setLogLevel("ERROR")
     specs = all_queries()
 
-    # JVM/codegen warm-up outside the timed region: run the same query
-    # shapes once at sf0.001 (~1000x smaller inputs) so the timed pass
-    # measures steady-state execution, not first-call JIT/codegen and
-    # parquet-reader class loading. Standard JVM benchmarking practice;
-    # the timed inputs themselves are not touched here.
     spark.range(1_000_000).selectExpr("sum(id)").collect()
-    warm_dir = "/root/testdata/sf0.001"
-    if os.path.isdir(warm_dir) and os.path.realpath(warm_dir) != os.path.realpath(sf_dir):
-        for name in HEADLINE:
-            try:
-                specs[name].fn(spark, warm_dir).count()
-            except Exception:
-                pass  # warm-up is best-effort; the timed run surfaces real errors
+    # Land the timed dir's events table for the streaming queries during
+    # warm-up so no timed sample absorbs the one-time landing copy
+    # (round-3 ADVICE on events_tumbling_stream's first repeat).
+    ensure_events_landed(spark, sf_dir)
+    _warm(specs, spark, HEADLINE, sf_dir)
 
-    samples: dict[str, list[float]] = {name: [] for name in HEADLINE}
-    for r in range(repeats):
-        for name in HEADLINE:
-            t0 = time.perf_counter()
-            n = specs[name].fn(spark, sf_dir).count()
-            dt = time.perf_counter() - t0
-            samples[name].append(dt)
-            print(f"# round {r + 1}/{repeats} {name}: {dt:.2f}s ({n} rows)", file=sys.stderr)
-
-    timings = {name: round(statistics.median(ts), 3) for name, ts in samples.items()}
-    total = sum(statistics.median(ts) for ts in samples.values())
+    timings, total = _run_suite(specs, spark, HEADLINE, sf_dir, repeats, "headline")
 
     t0 = time.perf_counter()
     specs[ML_FIT_QUERY].fn(spark, sf_dir).count()
     ml_fit = time.perf_counter() - t0
     print(f"# ml_quick_fit ({ML_FIT_QUERY}): {ml_fit:.2f}s", file=sys.stderr)
 
-    cur_samples: dict[str, list[float]] = {name: [] for name in CURATION}
-    for name in CURATION:  # warm the shapes first, same discipline
-        try:
-            specs[name].fn(spark, warm_dir).count()
-        except Exception:
-            pass
-    for r in range(repeats):
-        for name in CURATION:
-            t0 = time.perf_counter()
-            specs[name].fn(spark, sf_dir).count()
-            cur_samples[name].append(time.perf_counter() - t0)
-    cur_timings = {n: round(statistics.median(ts), 3) for n, ts in cur_samples.items()}
-    cur_total = round(sum(cur_timings.values()), 3)
+    _warm(specs, spark, CURATION, sf_dir)
+    cur_timings, cur_total = _run_suite(
+        specs, spark, CURATION, sf_dir, repeats, "curation"
+    )
     print(f"# curation_suite: {cur_total}s {cur_timings}", file=sys.stderr)
 
-    r3_samples: dict[str, list[float]] = {name: [] for name in R3_OPS}
-    for name in R3_OPS:
-        try:
-            specs[name].fn(spark, warm_dir).count()
-        except Exception:
-            pass
-    for r in range(repeats):
-        for name in R3_OPS:
-            t0 = time.perf_counter()
-            specs[name].fn(spark, sf_dir).count()
-            r3_samples[name].append(time.perf_counter() - t0)
-    r3_timings = {n: round(statistics.median(ts), 3) for n, ts in r3_samples.items()}
-    r3_total = round(sum(r3_timings.values()), 3)
+    _warm(specs, spark, R3_OPS, sf_dir)
+    r3_timings, r3_total = _run_suite(specs, spark, R3_OPS, sf_dir, repeats, "r3_ops")
     print(f"# r3_ops_suite: {r3_total}s {r3_timings}", file=sys.stderr)
 
     print(

@@ -36,14 +36,30 @@ def stratified_split(
     group: rows md5-ranked within their group; the first
     ``floor(train_frac·n)`` go to train, the next ``floor(val_frac·n)``
     to val, the remainder to test. Floor on both boundaries means test
-    absorbs the rounding — never empty when n ≥ 1."""
+    absorbs the rounding — never empty when n ≥ 1.
+
+    Both boundaries are built from integer numerators (Fraction of the
+    float params), never from float sums: the Python expression
+    ``0.8 + 0.1`` evaluates to 0.9000000000000001, and
+    ``floor(n · that)`` would eventually disagree with an engine that
+    computes ``floor(n·9/10)`` exactly. ``floor((n·num)/den)`` with
+    integer ``num``/``den`` is the correctly-rounded double quotient on
+    every engine while ``n·num`` stays below 2^53 — the same arithmetic
+    the DuckDB oracle uses (plans/curation_queries.py)."""
+    from fractions import Fraction
+
+    f_train = Fraction(train_frac).limit_denominator(10**6)
+    f_val = Fraction(val_frac).limit_denominator(10**6)
+    f_tv = f_train + f_val
     h = F.md5(F.col(id_col).cast("string"))
     w = Window.partitionBy(group_col).orderBy(h.asc(), F.col(id_col).asc())
     wn = Window.partitionBy(group_col)
     rank = F.row_number().over(w)
     n = F.count(F.lit(1)).over(wn)
-    t_train = F.floor(n * train_frac)
-    t_val = F.floor(n * (train_frac + val_frac))
+    t_train = F.floor(
+        (n * F.lit(f_train.numerator)) / F.lit(f_train.denominator)
+    )
+    t_val = F.floor((n * F.lit(f_tv.numerator)) / F.lit(f_tv.denominator))
     split = (
         F.when(rank <= t_train, F.lit("train"))
         .when(rank <= t_val, F.lit("val"))

@@ -43,24 +43,53 @@ FROM events GROUP BY 1, 2
 """
 
 
-# landed-events dir per (session, sf_dir): the stream query re-reads it
+# landed-events dir per (session, sf_dir): the stream queries re-read it
 # across driver calls without re-landing (same pattern as the IVF index
-# cache in plans/content.py)
+# cache in plans/content.py). Bounded by _LANDED_CACHE_MAX with
+# oldest-first eviction (a long-lived server session cycling many
+# sf_dirs must not accumulate a landed copy per dir), and every dir is
+# removed at interpreter exit — round-3 ADVICE flagged the leak.
 _LANDED_CACHE: dict[tuple, str] = {}
+_LANDED_CACHE_MAX = 4
+_CLEANUP_REGISTERED = False
+
+
+def _cleanup_landed_dirs() -> None:
+    import shutil
+
+    while _LANDED_CACHE:
+        _, path = _LANDED_CACHE.popitem()
+        shutil.rmtree(path, ignore_errors=True)
 
 
 def _landed_events_dir(spark: SparkSession, sf_dir: str) -> str:
+    import atexit
+    import shutil
     import tempfile
 
     from ..streaming.landing import land_events_batch
 
+    global _CLEANUP_REGISTERED
     key = (spark.sparkContext.applicationId, sf_dir)
     hit = _LANDED_CACHE.get(key)
     if hit is None:
+        if not _CLEANUP_REGISTERED:
+            atexit.register(_cleanup_landed_dirs)
+            _CLEANUP_REGISTERED = True
+        while len(_LANDED_CACHE) >= _LANDED_CACHE_MAX:
+            oldest = next(iter(_LANDED_CACHE))  # dicts preserve insertion order
+            shutil.rmtree(_LANDED_CACHE.pop(oldest), ignore_errors=True)
         hit = tempfile.mkdtemp(prefix="landed_events_")
         land_events_batch(spark, sf_dir, hit)
         _LANDED_CACHE[key] = hit
     return hit
+
+
+def ensure_events_landed(spark: SparkSession, sf_dir: str) -> str:
+    """Public warm-up hook: land ``sf_dir``'s events table now so a
+    later timed streaming query doesn't absorb the one-time landing
+    copy (bench.py calls this before its timed passes)."""
+    return _landed_events_dir(spark, sf_dir)
 
 
 def q_tumbling_stream(spark: SparkSession, sf_dir: str) -> DataFrame:

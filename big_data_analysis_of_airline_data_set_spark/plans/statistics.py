@@ -273,13 +273,79 @@ FROM var_long CROSS JOIN var_thr WHERE x > t
 
 def q_feature_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-group p01/p99 winsorization audit on l_extendedprice by
-    l_returnflag (stats/winsorize.py): clip thresholds, clipped-row
-    counts, and the winsorized mean a scaler would see."""
+    l_returnflag — the DEFAULT sketch-threshold path
+    (stats/winsorize.py, approx_percentile accuracy=10000).
+
+    Sketch thresholds are engine-specific, so the driver-checkable
+    projection follows the quantiles_approx within-bound contract:
+    exact columns that hash identically on both engines (n_rows and a
+    decimal-accumulated raw mean) beside booleans the sketch guarantee
+    makes constant — with rank error ≤ n/accuracy, the clipped-row
+    counts must land within p·n ± n/1000 (10× the theoretical bound,
+    slack for ties), and the winsorized mean must sit inside [lo, hi].
+    A drifting sketch flips a boolean and fails the hash; the exact
+    interpolated-percentile twin is ``feature_winsorize_exact``.
+    """
+    from ..stats.winsorize import winsorize_summary
+
+    li = read_testdata_table(spark, sf_dir, "lineitem")
+    s = winsorize_summary(
+        li, group_col="l_returnflag", value_col="l_extendedprice"
+    )
+    raw_mean = li.groupBy("l_returnflag").agg(
+        F.round(
+            F.sum(
+                F.round("l_extendedprice", 6).cast("decimal(28,6)")
+            ).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("raw_mean")
+    )
+    n = F.col("n_rows").cast("double")
+    slack = F.greatest(n / 1000.0, F.lit(5.0))
+    return (
+        s.join(F.broadcast(raw_mean), "l_returnflag")
+        .select(
+            "l_returnflag",
+            "n_rows",
+            "raw_mean",
+            (F.abs(F.col("n_clipped_low") - 0.01 * n) <= slack).alias(
+                "clip_low_within_rank_bound"
+            ),
+            (F.abs(F.col("n_clipped_high") - 0.01 * n) <= slack).alias(
+                "clip_high_within_rank_bound"
+            ),
+            (
+                (F.col("lo") <= F.col("winsorized_mean"))
+                & (F.col("winsorized_mean") <= F.col("hi"))
+            ).alias("mean_within_thresholds"),
+        )
+    )
+
+
+_WINSORIZE_APPROX_ORACLE = """
+SELECT l_returnflag,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       round(CAST(sum(CAST(round(l_extendedprice, 6) AS DECIMAL(28,6)))
+                  AS DOUBLE) / count(*), 6) AS raw_mean,
+       TRUE AS clip_low_within_rank_bound,
+       TRUE AS clip_high_within_rank_bound,
+       TRUE AS mean_within_thresholds
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+def q_feature_winsorize_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The exact interpolated-percentile twin of ``feature_winsorize``
+    (stats/winsorize.py ``exact=True``): every output column —
+    thresholds, clipped counts, winsorized mean — is deterministic and
+    hash-matched against DuckDB's quantile_cont. The oracle-checkable
+    baseline; the sketch path is the scale default."""
     from ..stats.winsorize import winsorize_summary
 
     li = read_testdata_table(spark, sf_dir, "lineitem")
     return winsorize_summary(
-        li, group_col="l_returnflag", value_col="l_extendedprice"
+        li, group_col="l_returnflag", value_col="l_extendedprice", exact=True
     )
 
 
@@ -308,8 +374,15 @@ QUERIES: dict[str, QuerySpec] = {
     "feature_winsorize": QuerySpec(
         "feature_winsorize",
         q_feature_winsorize,
+        _WINSORIZE_APPROX_ORACLE,
+        "per-group p01/p99 outlier-clipping audit — sketch-threshold default,"
+        " within-rank-bound contract",
+    ),
+    "feature_winsorize_exact": QuerySpec(
+        "feature_winsorize_exact",
+        q_feature_winsorize_exact,
         _WINSORIZE_ORACLE,
-        "per-group p01/p99 outlier-clipping audit (exact-percentile baseline)",
+        "exact interpolated-percentile winsorize twin (deterministic oracle baseline)",
     ),
     "feature_selection_job": QuerySpec(
         "feature_selection_job",

@@ -102,7 +102,16 @@ def _safe_cast_ok(actual: DataType, expected: DataType) -> bool:
     ):
         return True
     if isinstance(expected, DoubleType) and isinstance(
-        actual, (FloatType, DoubleType, DecimalType) + _INTEGRALS
+        actual, (FloatType, DoubleType) + _INTEGRALS
+    ):
+        return True
+    # Decimal→double is exact only while every digit fits a double's
+    # 53-bit mantissa (~15 significant digits). A drifted DECIMAL(38,10)
+    # would silently round — that is lossy drift and must raise.
+    if (
+        isinstance(expected, DoubleType)
+        and isinstance(actual, DecimalType)
+        and actual.precision <= 15
     ):
         return True
     if isinstance(expected, TimestampType) and isinstance(

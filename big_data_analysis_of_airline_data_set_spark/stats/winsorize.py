@@ -7,11 +7,19 @@ the audit table (clip thresholds, clipped-row counts, winsorized mean)
 rather than mutating rows — the same two-pass shape either way.
 
 Scale notes:
-- Pass 1 is an exact interpolated percentile per group (sort-based
-  aggregation). At 100 TB swap in ``percentile_approx`` — the clip
-  thresholds don't need exactness, only stability; the exact version
-  here is the oracle-checkable baseline (same pairing as the
-  ``quantiles`` vs ``quantiles_approx`` catalog queries).
+- Pass 1 computes per-group clip thresholds. The DEFAULT is
+  ``approx_percentile`` (KLL-style sketch, map-side partial merge, one
+  shuffle of constant-size sketch state per group) — at 100 TB a full
+  sort per group for thresholds that don't need exactness, only
+  stability, is the wrong plan. ``exact=True`` keeps the interpolated
+  ``percentile`` (sort-based aggregation) as the oracle-checkable
+  baseline — the same default-approx / exact-twin pairing as the
+  ``quantiles_approx`` vs ``quantiles`` catalog queries
+  (plans/patterns.py).
+- With ``accuracy`` a, the sketch's rank error is bounded by n/a, so
+  downstream count-of-clipped checks can assert
+  |n_clipped_low − p_lo·n| ≤ n/a + ties without ever computing the
+  exact percentile (plans/statistics.py uses a 10× slack).
 - Pass 2 re-joins thresholds (tiny per-group table → broadcast) and
   aggregates — one shuffle on the group key total.
 - Thresholds are rounded to 6 dp BEFORE comparison on both engines, and
@@ -32,12 +40,25 @@ def winsorize_summary(
     value_col: str,
     p_lo: float = 0.01,
     p_hi: float = 0.99,
+    exact: bool = False,
+    accuracy: int = 10000,
 ) -> DataFrame:
     """(group, lo, hi, n_rows, n_clipped_low, n_clipped_high,
-    winsorized_mean) per group."""
+    winsorized_mean) per group.
+
+    ``exact=False`` (default): sketch-based thresholds via
+    ``approx_percentile`` — the scale path. ``exact=True``: interpolated
+    ``percentile`` — the deterministic oracle twin.
+    """
+    if exact:
+        lo_expr = F.expr(f"percentile({value_col}, {p_lo})")
+        hi_expr = F.expr(f"percentile({value_col}, {p_hi})")
+    else:
+        lo_expr = F.expr(f"approx_percentile({value_col}, {p_lo}, {accuracy})")
+        hi_expr = F.expr(f"approx_percentile({value_col}, {p_hi}, {accuracy})")
     pct = df.groupBy(group_col).agg(
-        F.round(F.expr(f"percentile({value_col}, {p_lo})"), 6).alias("lo"),
-        F.round(F.expr(f"percentile({value_col}, {p_hi})"), 6).alias("hi"),
+        F.round(lo_expr, 6).alias("lo"),
+        F.round(hi_expr, 6).alias("hi"),
     )
     v = F.col(value_col)
     clipped = F.greatest(F.least(v, F.col("hi")), F.col("lo"))
