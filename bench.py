@@ -79,6 +79,20 @@ R3_OPS = [
     "events_tumbling_stream",
 ]
 
+# Round-4 operator surface: real BMP/WAV codec round-trips, the exact
+# winsorize twin (the approx default is tracked in R3_OPS), and the two
+# new streaming drains.
+R4_OPS = [
+    "multimodal_decode_image",
+    "multimodal_decode_audio",
+    "multimodal_image_resize",
+    "feature_winsorize_exact",
+    "text_quality_classifier",
+    "events_sliding_stream",
+    "events_session_stream",
+    "events_interval_join_stream",
+]
+
 
 WARM_DIR = "/root/testdata/sf0.001"
 
@@ -162,6 +176,41 @@ def main() -> None:
     r3_timings, r3_total = _run_suite(specs, spark, R3_OPS, sf_dir, repeats, "r3_ops")
     print(f"# r3_ops_suite: {r3_total}s {r3_timings}", file=sys.stderr)
 
+    _warm(specs, spark, R4_OPS, sf_dir)
+    r4_timings, r4_total = _run_suite(specs, spark, R4_OPS, sf_dir, repeats, "r4_ops")
+    print(f"# r4_ops_suite: {r4_total}s {r4_timings}", file=sys.stderr)
+
+    # Skew stress (round-3 verdict #8): one deliberately hot key carries
+    # ~70% of lineitem; time the three join strategies so the skew
+    # posture is a tracked number. Results are asserted identical first
+    # (a strategy that drifted semantically must fail loudly, not post a
+    # fast wrong number).
+    from big_data_analysis_of_airline_data_set_spark.operators.skew_stress import (
+        skew_stress_plans,
+    )
+
+    def _rows(df):
+        return sorted((r.skew_key, r.n_rows, r.weighted_amount) for r in df.collect())
+
+    warm_plans = skew_stress_plans(spark, WARM_DIR) if (
+        os.path.isdir(WARM_DIR)
+        and os.path.realpath(WARM_DIR) != os.path.realpath(sf_dir)
+    ) else {}
+    for df in warm_plans.values():
+        df.count()
+    plans = skew_stress_plans(spark, sf_dir)
+    expected = _rows(plans["broadcast"])
+    skew_samples: dict[str, list[float]] = {name: [] for name in plans}
+    for r in range(repeats):
+        for name, df in plans.items():
+            t0 = time.perf_counter()
+            got = _rows(df)
+            skew_samples[name].append(time.perf_counter() - t0)
+            assert got == expected, f"skew strategy {name} diverged"
+    skew_timings = {n: round(statistics.median(ts), 3) for n, ts in skew_samples.items()}
+    skew_total = round(sum(skew_timings.values()), 3)
+    print(f"# skew_suite: {skew_total}s {skew_timings}", file=sys.stderr)
+
     print(
         json.dumps(
             {
@@ -175,6 +224,10 @@ def main() -> None:
                 "curation_queries": cur_timings,
                 "r3_ops_suite": r3_total,
                 "r3_ops_queries": r3_timings,
+                "r4_ops_suite": r4_total,
+                "r4_ops_queries": r4_timings,
+                "skew_suite": skew_total,
+                "skew_queries": skew_timings,
                 "sf": float(sf),
             }
         )

@@ -1,0 +1,63 @@
+"""Bounded per-session caches.
+
+Several catalog queries memoize expensive session-scoped artifacts so
+two views of the same result never recompute it (a tuned MLlib fit, a
+persisted IVF index, a landed streaming directory, a schema-drift
+verdict). In batch jobs the process exits and the dict dies with it;
+in a long-lived server session cycling many sf_dirs the round-3 advice
+stands: an unbounded dict keyed by (applicationId, sf_dir, ...) grows
+forever. Every such cache is a ``BoundedCache`` — true LRU (reads
+refresh recency), explicit ``clear()``, and an optional eviction
+callback for entries that own external resources (unpersist a
+DataFrame, remove a landed directory).
+"""
+
+from __future__ import annotations
+
+from collections import OrderedDict
+from collections.abc import Callable
+from typing import Generic, TypeVar
+
+K = TypeVar("K")
+V = TypeVar("V")
+
+
+class BoundedCache(Generic[K, V]):
+    """Insertion-bounded LRU mapping. Not thread-safe by design — all
+    users run on the Spark driver thread."""
+
+    def __init__(
+        self, max_entries: int, *, on_evict: Callable[[K, V], None] | None = None
+    ) -> None:
+        if max_entries < 1:
+            raise ValueError("max_entries must be >= 1")
+        self.max_entries = max_entries
+        self._on_evict = on_evict
+        self._data: OrderedDict[K, V] = OrderedDict()
+
+    def get(self, key: K) -> V | None:
+        hit = self._data.get(key)
+        if hit is not None:
+            self._data.move_to_end(key)
+        return hit
+
+    def put(self, key: K, value: V) -> None:
+        if key in self._data:
+            self._data.move_to_end(key)
+        self._data[key] = value
+        while len(self._data) > self.max_entries:
+            old_key, old_val = self._data.popitem(last=False)
+            if self._on_evict is not None:
+                self._on_evict(old_key, old_val)
+
+    def clear(self) -> None:
+        while self._data:
+            key, val = self._data.popitem(last=False)
+            if self._on_evict is not None:
+                self._on_evict(key, val)
+
+    def __len__(self) -> int:
+        return len(self._data)
+
+    def __contains__(self, key: K) -> bool:
+        return key in self._data

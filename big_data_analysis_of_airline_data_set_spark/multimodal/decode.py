@@ -1,12 +1,16 @@
-"""Decode / feature-extraction stubs for multimodal payloads.
+"""Decode / feature-extraction for multimodal payloads.
 
-The container ships no image/audio/video codecs (no PIL, no ffmpeg,
-no torchvision), so the actual decode step raises NotImplementedError
-with a clear message — per the project contract, the Spark-side
-plumbing (schemas, mapInPandas batch shapes, feature vector widths) is
-real and exercised with ``extract_fake_features``, a deterministic
-byte-level stand-in with the same signature a real extractor would
-have.
+Round-4 upgrade: BMP (BI_RGB 24-bit) and WAV (PCM16 mono) decode are
+REAL — pure-numpy parsers in multimodal/codecs.py, no codec library
+needed. ``decode_image`` / ``decode_audio`` / ``resize_image`` dispatch
+on mime type; formats that genuinely require a codec library
+(JPEG/PNG/MP3/...) raise ``NotImplementedError`` with a clear message —
+an environment boundary (no PIL/ffmpeg in this container), not a stub
+of the plumbing.
+
+Execution shape: all per-payload work happens inside Arrow-batched
+``mapInPandas`` (multimodal/assets.py, plans/content.py) — payloads
+stay in Arrow buffers, never Python row objects.
 """
 
 from __future__ import annotations
@@ -18,25 +22,39 @@ import pandas as pd
 
 from pyspark.sql import DataFrame
 
+from .codecs import decode_bmp, decode_wav_pcm16, encode_bmp, resize_nearest
+
 FEATURE_DIM = 8
 
 _CODEC_MSG = (
-    "{kind} decoding requires a codec library (PIL/ffmpeg) not present in "
-    "this environment; wire a real decoder here. The surrounding Spark "
-    "plumbing (binary columns, Arrow batches, schema) is production-shaped."
+    "{kind} ({mime}) requires a codec library (PIL/ffmpeg) not present in "
+    "this environment; BMP/WAV decode IS implemented (multimodal/codecs.py) "
+    "— wire additional decoders here. The surrounding Spark plumbing "
+    "(binary columns, Arrow batches, schema) is production-shaped."
 )
 
 
-def decode_image(payload: bytes, mime_type: str):  # pragma: no cover - stub
-    raise NotImplementedError(_CODEC_MSG.format(kind="Image"))
+def decode_image(payload: bytes, mime_type: str) -> np.ndarray:
+    """Image payload → RGB uint8 array (h, w, 3). BMP is decoded for
+    real; other formats need an external codec."""
+    if mime_type in ("image/bmp", "image/x-ms-bmp"):
+        return decode_bmp(payload)
+    raise NotImplementedError(_CODEC_MSG.format(kind="Image", mime=mime_type))
 
 
-def decode_audio(payload: bytes, mime_type: str):  # pragma: no cover - stub
-    raise NotImplementedError(_CODEC_MSG.format(kind="Audio"))
+def decode_audio(payload: bytes, mime_type: str) -> tuple[np.ndarray, int]:
+    """Audio payload → (int16 samples, sample_rate). WAV/PCM16 is
+    decoded for real; other formats need an external codec."""
+    if mime_type in ("audio/wav", "audio/x-wav", "audio/wave"):
+        return decode_wav_pcm16(payload)
+    raise NotImplementedError(_CODEC_MSG.format(kind="Audio", mime=mime_type))
 
 
-def resize_image(payload: bytes, mime_type: str, width: int, height: int):  # pragma: no cover - stub
-    raise NotImplementedError(_CODEC_MSG.format(kind="Image resize"))
+def resize_image(payload: bytes, mime_type: str, width: int, height: int) -> bytes:
+    """Decode → nearest-neighbor resize → re-encode. BMP in, BMP out."""
+    if mime_type in ("image/bmp", "image/x-ms-bmp"):
+        return encode_bmp(resize_nearest(decode_bmp(payload), width, height))
+    raise NotImplementedError(_CODEC_MSG.format(kind="Image resize", mime=mime_type))
 
 
 def _fake_feature_vector(payload: bytes) -> np.ndarray:
@@ -66,3 +84,29 @@ def extract_fake_features(assets: DataFrame) -> DataFrame:
             )
 
     return assets.mapInPandas(batches, schema="asset_id long, features array<float>")
+
+
+def extract_image_features(assets: DataFrame) -> DataFrame:
+    """(asset_id, features array<float>) from REAL BMP decode: the
+    feature vector is the per-channel [mean, std] of decoded RGB pixels
+    plus [height, width] — a miniature of what a vision encoder's
+    pooling layer emits, computed from actual decoded pixel arrays."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        def feats(b: bytes) -> list[float]:
+            px = decode_bmp(b).astype(np.float64)
+            means = px.mean(axis=(0, 1))
+            stds = px.std(axis=(0, 1))
+            return [float(px.shape[0]), float(px.shape[1])] + [
+                float(x) for pair in zip(means, stds) for x in pair
+            ]
+
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["asset_id"],
+                    "features": pdf["payload"].map(feats),
+                }
+            )
+
+    return assets.mapInPandas(batches, schema="asset_id long, features array<double>")

@@ -14,6 +14,7 @@ from . import (
     events_queries,
     flights_job,
     ml_queries,
+    multimodal_queries,
     patterns,
     relational,
     relational2,
@@ -34,86 +35,86 @@ _MODULES = [
     events_queries,
     flights_job,
     scale_ops,
+    multimodal_queries,
 ]
 
 # The driver's correctness harness records only the first 50 registry
-# entries.  Round-3 window: (a) every query that has NEVER had a driver
-# row across r1/r2, (b) the six events_* queries broken by the round-2
-# ts-encoding regression plus the four whose round-1 green rows predate
-# the testdata re-encode (datetime_functions, time_digits, drop_any_null,
-# asof_join — all read events.ts), (c) the eight ml_* entries upgraded
-# from rows-only to oracled scaffolding invariants, and (d)
-# dedup_embedding_lsh, re-routed from MLlib BRP-LSH to the deterministic
-# banded path so it gains an oracle.  Queries rotated out all have green
-# r1/r2 rows on current-encoding data.
+# entries.  Round-4 window (r3 verdict, Next round #1): (a) every
+# oracled query that has NEVER had a driver row across r1-r3 — the 5
+# flagged by the verdict plus this round's new entries (multimodal
+# decode round-trips, sliding/session streaming drains, the banded
+# metrics upgrade, ml_reference_bands); (b) the 7 ml_*_metrics
+# rows-only entries rotate OUT — their banded twins carry the same
+# fits as HARD oracled signal, so no window slot records err:no_oracle
+# anymore; (c) the remaining slots re-prove the OLDEST evidence: r1-era
+# queries whose only driver rows predate two testdata generations
+# (the round-2 events.ts lesson: stale green rows can hide drift).
+# Every rotated-out query keeps a green r1/r2/r3 row on record.
 _CORRECTNESS_WINDOW = [
-    # (b) events family re-proven against the driver oracle post-fix
-    "events_retention",
-    "events_interval_join",
-    "events_multi_rollup",
-    "events_tumbling_window",
-    "events_sliding_window",
-    "events_session_window",
-    "datetime_functions",
-    "time_digits",
-    "drop_any_null",
-    "asof_join",
-    # (a) never driver-checked: events-derived scale ops
-    "events_user_sessions",
-    "events_ewma",
-    "events_anomaly_zscore",
-    "events_skew_diagnosis",
-    "table_profile",
-    # (a) never driver-checked: text analysis tail
-    "text_pii_redaction",
-    "text_heavy_hitters",
-    "text_repetition",
-    "text_vocab_stats",
-    # (a) never driver-checked: curation family
-    "curation_quota_sample",
-    "curation_domain_mixture",
-    "curation_sequence_packing",
-    "curation_contamination",
-    "curation_weighted_sample",
-    # (a) never driver-checked: dedup/similarity/multimodal/quality tail
-    "embedding_quantize_int8",
-    "dedup_connected_components",
-    "dedup_canonical_keeper",
-    "multimodal_frame_sample",
-    "data_quality_report",
-    "sketch_count_min_heavy_hitters",
-    # (d) re-routed to the md5-banded deterministic path (now oracled)
-    "dedup_embedding_lsh",
-    # new round-3 operators (oracled)
-    "dedup_spans_crossdoc",
-    "curation_stratified_split",
-    "ann_hard_negatives",
-    # (c) ML scaffolding invariants (oracled; metrics stay rows-only in
-    # the ml_*_metrics entries below)
-    "ml_logistic_regression_tvs",
-    "ml_decision_tree_tvs",
-    "ml_random_forest_tvs",
-    "ml_gbt_tvs",
-    "ml_linear_svc_tvs",
-    "ml_naive_bayes_tvs",
-    "ml_mlp_tvs",
-    "ml_logistic_regression_cv",
-    # reference-shaped metric tables (rows-only by contract; each reuses
-    # the session-cached fit of its invariant twin above, so these cost
-    # one transform+evaluate, not a refit)
-    "ml_logistic_regression_metrics",
-    "ml_decision_tree_metrics",
-    "ml_random_forest_metrics",
-    "ml_gbt_metrics",
-    "ml_linear_svc_metrics",
-    "ml_naive_bayes_metrics",
-    "ml_mlp_metrics",
-    # true Structured Streaming execution, oracled against the batch
-    # tumbling SQL (complete-mode availableNow drain ≡ batch result);
-    # ml_logistic_regression_cv_metrics rotates just past the window —
-    # its TVS twin's metrics row is already recorded in-window and the
-    # streaming row is strictly more informative for the harness.
-    "events_tumbling_stream",
+    # (a) never driver-checked — verdict's 5 (cv_metrics via its new
+    # banded twin) ...
+    "feature_winsorize",
+    "feature_winsorize_exact",
+    "text_oov_rate",
+    "quantiles_approx_by_group",
+    "embedding_class_profile",
+    # ... and round-4 additions: real BMP/WAV codec round-trips,
+    "multimodal_decode_image",
+    "multimodal_decode_audio",
+    "multimodal_image_resize",
+    # the shuffle-free hashed-ngram quality scorer,
+    "text_quality_classifier",
+    # the published-report golden-pattern check,
+    "ml_reference_bands",
+    # the banded metrics upgrade (constant oracle; reuse cached fits),
+    "ml_logistic_regression_metrics_banded",
+    "ml_decision_tree_metrics_banded",
+    "ml_random_forest_metrics_banded",
+    "ml_gbt_metrics_banded",
+    "ml_linear_svc_metrics_banded",
+    "ml_naive_bayes_metrics_banded",
+    "ml_mlp_metrics_banded",
+    "ml_logistic_regression_cv_metrics_banded",
+    # and the four new real streaming executions (oracled ≡ batch):
+    # sliding + session drains, the watermarked STREAM-STREAM interval
+    # join, and exact-dedup over an at-least-once doubled landing.
+    "events_sliding_stream",
+    "events_session_stream",
+    "events_interval_join_stream",
+    "events_dedup_stream",
+    # (c) oldest-evidence rotation: bench headline set first,
+    "flagship_delay_summary_by_carrier",
+    "tpch_q1_style",
+    "join_inner_agg",
+    "sum_by_year",
+    "top_k",
+    "window_top_order",
+    "chi_square_sql",
+    # joins,
+    "join_semi",
+    "join_anti",
+    "join_full_outer",
+    "salted_join_agg",
+    "range_join_bucketized",
+    # window functions,
+    "window_ranking",
+    "window_analytics",
+    "window_frames",
+    # aggregation shapes,
+    "cube_agg",
+    "rollup_agg",
+    "grouping_sets_agg",
+    "variance",
+    "correlation_pairs",
+    "stats_moments",
+    "delay_group_counts",
+    # expression families.
+    "array_functions",
+    "map_functions",
+    "lateral_explode",
+    "scalar_functions",
+    "string_functions",
+    "flagship_sql",
 ]
 
 

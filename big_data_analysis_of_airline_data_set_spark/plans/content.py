@@ -16,6 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..caching import BoundedCache
 from ..dedup.embedding import banded_embedding_near_dup_pairs
 from ..dedup.exact import exact_dedup_groups
 from ..dedup.minhash import minhash_near_dup_pairs
@@ -577,26 +578,41 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 # fit happens on first access only, and the index lands on disk
 # partitioned by cell so probe filters prune to nprobe directories
 # (PartitionFilters in the plan, same as the production layout).
-_IVF_CACHE: dict[tuple[str, str], tuple[DataFrame, list[list[float]]]] = {}
+# LRU-bounded; evicting an entry removes its on-disk index dir, and
+# every dir is removed at interpreter exit (round-3 advice: unbounded
+# session caches leak in long-lived server sessions).
+def _evict_ivf_entry(key: tuple, val: tuple) -> None:
+    import shutil
+
+    shutil.rmtree(val[2], ignore_errors=True)
+
+
+_IVF_CACHE: BoundedCache[tuple, tuple] = BoundedCache(4, on_evict=_evict_ivf_entry)
+_IVF_CLEANUP_REGISTERED = False
 
 
 def _ivf_index(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, list[list[float]]]:
+    import atexit
     import tempfile
 
     from ..similarity.ivf import build_ivf_index
 
+    global _IVF_CLEANUP_REGISTERED
     key = (spark.sparkContext.applicationId, sf_dir)
     hit = _IVF_CACHE.get(key)
     if hit is None:
+        if not _IVF_CLEANUP_REGISTERED:
+            atexit.register(_IVF_CACHE.clear)
+            _IVF_CLEANUP_REGISTERED = True
         e = read_testdata_table(spark, sf_dir, "embeddings")
         indexed, centroids = build_ivf_index(
             e, id_col="vec_id", vec_col="embedding", nlist=16, multi_assign=2
         )
         path = tempfile.mkdtemp(prefix="ivf_index_")
         indexed.write.mode("overwrite").partitionBy("cell").parquet(path)
-        hit = (spark.read.parquet(path), centroids)
-        _IVF_CACHE[key] = hit
-    return hit
+        hit = (spark.read.parquet(path), centroids, path)
+        _IVF_CACHE.put(key, hit)
+    return hit[0], hit[1]
 
 
 def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -951,7 +967,63 @@ SELECT doc_id, term, tf, df, tfidf FROM ranked WHERE rn <= 5
 """
 
 
+def q_text_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """fastText-shaped hashed-n-gram linear scorer
+    (text/quality_classifier.py): unigram+bigram feature hashing →
+    bucket-weight mean → sigmoid, all in one shuffle-free Column
+    expression. Integer weight-numerator accumulation makes the score
+    engine-exact."""
+    from ..text.quality_classifier import quality_scores
+
+    d = read_testdata_table(spark, sf_dir, "documents")
+    return quality_scores(d, id_col="doc_id", text_col="text")
+
+
+def _quality_classifier_oracle() -> str:
+    from ..text.quality_classifier import _SIGMOID_SCALE, _W_MOD, N_BUCKETS
+
+    # 14-hex md5 prefix → BIGINT (same replay as sketches/countmin.py)
+    h = (
+        "list_sum(list_transform(generate_series(1, 14), j -> "
+        "CAST(strpos('0123456789abcdef', substr(md5('q_' || g), j, 1)) - 1"
+        " AS BIGINT) * (CAST(1 AS BIGINT) << (4 * (14 - j)))))"
+    )
+    half = _W_MOD // 2
+    return f"""
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t FROM documents
+), grams AS (
+  SELECT doc_id,
+         list_concat(
+           t,
+           list_transform(generate_series(1, len(t) - 1),
+                          i -> t[i] || '_' || t[i + 1])
+         ) AS g_list
+  FROM toks
+), scored AS (
+  SELECT doc_id,
+         len(g_list) AS n_grams,
+         coalesce(list_sum(list_transform(g_list,
+             g -> ({h}) % {N_BUCKETS} % {_W_MOD} - {half})), 0) AS w_num
+  FROM grams
+)
+SELECT doc_id,
+       CAST(n_grams AS BIGINT) AS n_grams,
+       CAST(w_num AS BIGINT) AS weight_numerator,
+       round(1.0 / (1.0 + exp(-{_SIGMOID_SCALE} *
+             CASE WHEN n_grams > 0
+                  THEN CAST(w_num AS DOUBLE) / ({half} * n_grams)
+                  ELSE 0.0 END)), 6) AS quality_score
+FROM scored
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "text_quality_classifier": QuerySpec(
+        "text_quality_classifier", q_text_quality_classifier,
+        _quality_classifier_oracle(),
+        "fastText-shaped hashed-ngram linear quality scorer, shuffle-free",
+    ),
     "text_tfidf": QuerySpec(
         "text_tfidf", q_text_tfidf, _TFIDF_ORACLE,
         "TF-IDF top-5 terms per doc (broadcast df + corpus scalar)",

@@ -92,6 +92,52 @@ def ensure_events_landed(spark: SparkSession, sf_dir: str) -> str:
     return _landed_events_dir(spark, sf_dir)
 
 
+def _landed_events_doubled_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Every event landed TWICE (two appended writes → distinct files):
+    the at-least-once delivery shape a streaming dedup exists to fix.
+    Shares the bounded landed-dir cache (key-tagged) and its cleanup."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from ..sources.readers import read_testdata_table
+
+    global _CLEANUP_REGISTERED
+    key = (spark.sparkContext.applicationId, sf_dir, "doubled")
+    hit = _LANDED_CACHE.get(key)
+    if hit is None:
+        if not _CLEANUP_REGISTERED:
+            atexit.register(_cleanup_landed_dirs)
+            _CLEANUP_REGISTERED = True
+        while len(_LANDED_CACHE) >= _LANDED_CACHE_MAX:
+            oldest = next(iter(_LANDED_CACHE))
+            shutil.rmtree(_LANDED_CACHE.pop(oldest), ignore_errors=True)
+        hit = tempfile.mkdtemp(prefix="landed_events_x2_")
+        ev = read_testdata_table(spark, sf_dir, "events")
+        ev.repartition(2).write.mode("append").parquet(hit)
+        ev.repartition(3).write.mode("append").parquet(hit)
+        _LANDED_CACHE[key] = hit
+    return hit
+
+
+def q_dedup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact dedup under at-least-once delivery: every event
+    is landed twice, the watermarked ``dropDuplicatesWithinWatermark``
+    stream must emit each event_id exactly once — oracled against the
+    plain batch projection of the (single-copy) events table. Exercises
+    the streaming dedup state store with REAL duplicate traffic."""
+    from ..streaming.jobs import run_dedup_stream_available_now
+
+    return run_dedup_stream_available_now(
+        spark,
+        _landed_events_doubled_dir(spark, sf_dir),
+        watermark="30 minutes",
+        # the doubled landing's files each span the full time range —
+        # single-batch drain, else later files are late-dropped
+        max_files_per_trigger=None,
+    )
+
+
 def q_tumbling_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The tumbling aggregation as a REAL streaming query: land the
     (encoding-normalized) events once, then readStream → watermark →
@@ -114,6 +160,35 @@ def q_tumbling_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sliding_counts(_events(spark, sf_dir), width="1 hour", slide="30 minutes")
+
+
+def q_sliding_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The sliding aggregation under the real streaming runtime
+    (availableNow drain, complete mode) — oracled ≡ batch."""
+    from ..streaming.jobs import run_sliding_stream_available_now
+
+    return run_sliding_stream_available_now(
+        spark,
+        _landed_events_dir(spark, sf_dir),
+        watermark="30 minutes",
+        width="1 hour",
+        slide="30 minutes",
+        max_files_per_trigger=None,
+    )
+
+
+def q_session_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The session-window aggregation under the real streaming runtime
+    — the state-heavy case (merging windows) — oracled ≡ batch."""
+    from ..streaming.jobs import run_session_stream_available_now
+
+    return run_session_stream_available_now(
+        spark,
+        _landed_events_dir(spark, sf_dir),
+        watermark="30 minutes",
+        gap="5 minutes",
+        max_files_per_trigger=None,
+    )
 
 
 # An event at t belongs to the two 1h windows starting at floor30(t) and
@@ -157,6 +232,11 @@ SELECT user_id,
        strftime(CAST(min(ts) AS TIMESTAMP), '%Y-%m-%d %H:%M:%S') AS session_start,
        count(*) AS n_events
 FROM islands GROUP BY user_id, session_no
+"""
+
+
+_DEDUP_STREAM_ORACLE = """
+SELECT event_id, user_id, event_type, value FROM events
 """
 
 
@@ -233,6 +313,20 @@ JOIN (SELECT * FROM events WHERE event_type = 'click') c
   ON p.user_id = c.user_id
  AND c.ts <= p.ts AND c.ts >= p.ts - INTERVAL '10 minutes'
 """
+
+
+def q_interval_join_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The interval join as a real watermarked stream-stream join —
+    oracled against the batch interval-join SQL."""
+    from ..streaming.jobs import run_interval_join_stream_available_now
+
+    return run_interval_join_stream_available_now(
+        spark,
+        _landed_events_dir(spark, sf_dir),
+        watermark="30 minutes",
+        lookback="10 MINUTES",
+        max_files_per_trigger=None,
+    )
 
 
 def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -384,6 +478,11 @@ QUERIES: dict[str, QuerySpec] = {
         "events_interval_join", q_interval_join, _INTERVAL_JOIN_ORACLE,
         "time-interval join (batch twin of the stream-stream join)",
     ),
+    "events_interval_join_stream": QuerySpec(
+        "events_interval_join_stream", q_interval_join_stream, _INTERVAL_JOIN_ORACLE,
+        "the same interval join executed as a watermarked STREAM-STREAM "
+        "join (availableNow drain, append mode ≡ batch pairs)",
+    ),
     "events_multi_rollup": QuerySpec(
         "events_multi_rollup", q_multi_rollup, _MULTI_ROLLUP_ORACLE,
         "hypertable-style minute/hour/day continuous-aggregate rollup",
@@ -401,12 +500,27 @@ QUERIES: dict[str, QuerySpec] = {
         "events_sliding_window", q_sliding, _SLIDING_ORACLE,
         "1h/30m sliding window counts",
     ),
+    "events_sliding_stream": QuerySpec(
+        "events_sliding_stream", q_sliding_stream, _SLIDING_ORACLE,
+        "the same sliding agg executed as a watermarked availableNow "
+        "Structured Streaming query (memory sink, complete mode)",
+    ),
     "events_session_window": QuerySpec(
         "events_session_window", q_session, _SESSION_ORACLE,
         "5-minute-gap session windows per user",
     ),
+    "events_session_stream": QuerySpec(
+        "events_session_stream", q_session_stream, _SESSION_ORACLE,
+        "the same session-window agg (merging-window state) executed as "
+        "a watermarked availableNow Structured Streaming query",
+    ),
     "events_json_extract": QuerySpec(
         "events_json_extract", q_json_extract, _JSON_ORACLE,
         "scalar JSON extraction from props",
+    ),
+    "events_dedup_stream": QuerySpec(
+        "events_dedup_stream", q_dedup_stream, _DEDUP_STREAM_ORACLE,
+        "watermarked streaming exact-dedup over an at-least-once doubled "
+        "landing — emits each event exactly once (≡ batch projection)",
     ),
 }

@@ -31,6 +31,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..caching import BoundedCache
 from ..functions.flight_exprs import delay_status
 from ..ml.train_job import fit_family, run_training_job, training_invariants
 from ..sources.readers import read_testdata_table
@@ -74,7 +75,9 @@ _MLP_LAYERS = [5, 8, 2]
 # One tuned fit per (session, sf_dir, family, tuner) — the invariant and
 # metrics queries are two projections of the SAME result (same pattern
 # as the persisted IVF index in plans/content.py: never refit per view).
-_FIT_CACHE: dict[tuple, tuple] = {}
+# LRU-bounded: 8 families × 2 tuners × 2 live sf_dirs is the realistic
+# working set; a server session cycling more sf_dirs refits the oldest.
+_FIT_CACHE: BoundedCache[tuple, tuple] = BoundedCache(32)
 
 
 def _fitted(spark: SparkSession, sf_dir: str, family: str, tuner: str) -> tuple:
@@ -92,7 +95,7 @@ def _fitted(spark: SparkSession, sf_dir: str, family: str, tuner: str) -> tuple:
             grid="quick",
             mlp_layers=_MLP_LAYERS if family == "mlp" else None,
         )
-        _FIT_CACHE[key] = hit
+        _FIT_CACHE.put(key, hit)
     return hit
 
 
@@ -105,6 +108,80 @@ def _invariants_query(family: str, tuner: str = "tvs"):
 
     fn.__name__ = f"q_ml_{family}_{tuner}_invariants"
     return fn
+
+
+# ---------------------------------------------------------------------
+# Banded metrics: the round-3 verdict asked for the stochastic metric
+# tables to become HARD driver signal. Metric VALUES are engine-
+# specific, but the lineitem task is constructed signal-free (the
+# label-driving columns are dropped from features, as the reference
+# drops DepDelay/ArrDelay — Scripts/1_...py:71-72), so every family
+# must land in the majority-predictor envelope: AUC ≈ 0.5, accuracy ≈
+# the majority prior, near-zero TPR/FPR. The bands below are the
+# measured envelope across sf0.001/0.01/0.1 (this session, pinned
+# seeds) widened by a safety margin; a pipeline bug that LEAKS label
+# signal (e.g. label-driving column not dropped) blows AUC out of
+# band, and a broken OHE/scaler shifts accuracy. Best-param rows check
+# grid MEMBERSHIP (selection among equals is tie-break noise; a value
+# outside the published grid means grid construction broke).
+_METRIC_BANDS = {
+    "area_ROC": (0.40, 0.60),
+    "accuracy": (0.63, 0.78),
+    "tpr": (0.0, 0.10),
+    "fpr": (0.0, 0.10),
+    "precision": (0.0, 0.50),
+    "f1_score": (0.50, 0.70),
+}
+
+_QUICK_GRID_VALUES: dict[str, dict[str, set[str]]] = {
+    "logistic_regression": {"regParam": {"0.1", "0.01"}},
+    "decision_tree": {"impurity": {"gini", "entropy"}, "maxDepth": {"5"}},
+    "random_forest": {"maxDepth": {"5"}, "numTrees": {"5"}},
+    "gbt": {"maxDepth": {"5"}},
+    "linear_svc": {"regParam": {"0.5"}},
+    "naive_bayes": {"smoothing": {"0.5", "1.0"}},
+    "mlp": {},
+}
+
+
+def _canon_param(v: object) -> str:
+    if isinstance(v, (int, float)):
+        f = float(v)
+        return str(int(f)) if f == int(f) else str(f)
+    return str(v)
+
+
+def _metrics_banded_query(family: str, tuner: str = "tvs"):
+    def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from ..ml.evaluation import evaluate_predictions
+        from ..ml.tuning import best_params
+
+        model, train, test, param_maps = _fitted(spark, sf_dir, family, tuner)
+        metrics = evaluate_predictions(model.transform(test))
+        best = best_params(model) if param_maps else {}
+        rows = [
+            (
+                name,
+                _canon_param(v) in _QUICK_GRID_VALUES[family].get(name, set()),
+            )
+            for name, v in best.items()
+        ]
+        rows += [
+            (name, _METRIC_BANDS[name][0] <= v <= _METRIC_BANDS[name][1])
+            for name, v in metrics.items()
+        ]
+        return spark.createDataFrame(rows, "parameter string, within_band boolean")
+
+    fn.__name__ = f"q_ml_{family}_{tuner}_metrics_banded"
+    return fn
+
+
+def _metrics_banded_oracle(family: str) -> str:
+    names = list(_QUICK_GRID_VALUES[family]) + list(_METRIC_BANDS)
+    selects = [
+        f"SELECT '{n}' AS parameter, TRUE AS within_band" for n in names
+    ]
+    return " UNION ALL ".join(selects)
 
 
 def _metrics_query(family: str, tuner: str = "tvs"):
@@ -160,16 +237,138 @@ def _family_entries(family: str, m_tag: str, label: str) -> dict[str, QuerySpec]
             _invariants_oracle(family),
             f"{m_tag}+M19 {label} TVS fit — oracled scaffolding invariants",
         ),
+        f"ml_{family}_metrics_banded": QuerySpec(
+            f"ml_{family}_metrics_banded",
+            _metrics_banded_query(family),
+            _metrics_banded_oracle(family),
+            f"{m_tag} {label} metrics vs majority-predictor envelope + grid"
+            " membership (constant oracle)",
+        ),
         f"ml_{family}_metrics": QuerySpec(
             f"ml_{family}_metrics",
             _metrics_query(family),
             None,
-            f"{m_tag} {label} metrics table (rows-only; band-tested in pytest)",
+            f"{m_tag} {label} raw metrics table (rows-only; banded twin is"
+            " the driver-checked view)",
         ),
     }
 
 
+# ---------------------------------------------------------------------
+# Reference golden-pattern check, driver-grade: the published report's
+# metric pattern (report ¶132-268: LR AUC mid-0.65 band, DT carves the
+# sample rule to ≈1.0 on the notebook sample, trees dominate linear;
+# chi-square dof vector [27,357,51,342,51] from nb:67; MLP input dims
+# vocab-derived per Scripts/9_...py:113-115) reproduced on the
+# deterministic reference-shaped frame (sources/reference_shaped.py)
+# and emitted as constant-oracle booleans. Same bounds as
+# tests/test_reference_metrics.py — this moves them from pytest-only
+# onto the driver's hard-signal channel (round-3 verdict #3).
+_REF_BANDS_CACHE: BoundedCache[str, list] = BoundedCache(2)
+
+_REF_BAND_CHECKS = [
+    "sample_rows_match_nb9",
+    "test_fraction_in_nb10_band",
+    "chi2_dof_vector_matches_nb67",
+    "feature_dim_vocab_derived",
+    "lr_auc_in_nb113_band",
+    "dt_auc_reaches_nb121_artifact",
+    "tree_dominates_linear",
+]
+
+
+def q_ml_reference_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(check_name, within_band) rows; independent of sf_dir (the
+    reference sample is a fixed 29,179-row deterministic frame). One LR
+    fit + one DT fit per session, cached."""
+    from pyspark.ml.evaluation import BinaryClassificationEvaluator
+    from pyspark.ml.tuning import ParamGridBuilder
+
+    from ..ml.estimators import make_estimator
+    from ..ml.pipeline import build_pipeline, infer_feature_columns
+    from ..ml.tuning import fit_tvs
+    from ..sources.reference_shaped import (
+        AIRLINE_CARD,
+        CHI_SQUARE_DESIGN,
+        DEST_CARD,
+        DEST_STATE_CARD,
+        N_ROWS,
+        ORIGIN_CARD,
+        ORIGIN_STATE_CARD,
+        reference_shaped_flights,
+    )
+    from ..stats.chisquare import chi_square_test
+
+    key = spark.sparkContext.applicationId
+    rows = _REF_BANDS_CACHE.get(key)
+    if rows is None:
+        flights = reference_shaped_flights(spark).persist()
+        try:
+            n_rows = flights.count()
+            test_rows = flights.filter(F.col("Year") == 2022).count()
+            chi = chi_square_test(spark, flights, CHI_SQUARE_DESIGN, "Delay_Status")
+            dof = {r.feature: r.dof for r in chi.collect()}
+            labeled = flights.withColumnRenamed("Delay_Status", "label")
+            train = labeled.filter(F.col("Year") != 2022)
+            test = labeled.filter(F.col("Year") == 2022)
+            categorical, numeric = infer_feature_columns(labeled)
+            lr = make_estimator("logistic_regression")
+            lr_grid = (
+                ParamGridBuilder()
+                .addGrid(lr.regParam, [0.01])
+                .addGrid(lr.elasticNetParam, [0.5])  # nb:113 best params
+                .build()
+            )
+            lr_model = fit_tvs(build_pipeline(categorical, numeric, lr), lr_grid, train)
+            dt = make_estimator("decision_tree")
+            dt_grid = (
+                ParamGridBuilder()
+                .addGrid(dt.impurity, ["gini"])  # nb:121 best params
+                .addGrid(dt.maxDepth, [5, 10])
+                .build()
+            )
+            dt_model = fit_tvs(build_pipeline(categorical, numeric, dt), dt_grid, train)
+            ev = BinaryClassificationEvaluator(metricName="areaUnderROC")
+            lr_auc = ev.evaluate(lr_model.transform(test))
+            dt_auc = ev.evaluate(dt_model.transform(test))
+            feat_dim = (
+                dt_model.transform(train.limit(1)).select("features").first()[0].size
+            )
+            expected_dim = (
+                AIRLINE_CARD + ORIGIN_CARD + ORIGIN_STATE_CARD
+                + DEST_CARD + DEST_STATE_CARD
+                - len(CHI_SQUARE_DESIGN)
+                + len(numeric)
+            )
+            results = [
+                n_rows == N_ROWS,
+                0.11 <= test_rows / n_rows <= 0.17,
+                [dof[c] for c in CHI_SQUARE_DESIGN] == [27, 357, 51, 342, 51],
+                feat_dim == expected_dim,
+                0.52 <= lr_auc <= 0.78,
+                dt_auc >= 0.97,
+                dt_auc - lr_auc >= 0.2,
+            ]
+            rows = list(zip(_REF_BAND_CHECKS, [bool(b) for b in results]))
+            _REF_BANDS_CACHE.put(key, rows)
+        finally:
+            flights.unpersist()
+    return spark.createDataFrame(rows, "check_name string, within_band boolean")
+
+
+_REF_BANDS_ORACLE = " UNION ALL ".join(
+    f"SELECT '{c}' AS check_name, TRUE AS within_band" for c in _REF_BAND_CHECKS
+)
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "ml_reference_bands": QuerySpec(
+        "ml_reference_bands",
+        q_ml_reference_bands,
+        _REF_BANDS_ORACLE,
+        "published report metric pattern (LR/DT AUC bands, chi2 dof vector,"
+        " vocab-derived dims) on the reference-shaped sample — constant oracle",
+    ),
     **_family_entries("logistic_regression", "M12", "LR"),
     **_family_entries("decision_tree", "M13", "DT"),
     **_family_entries("random_forest", "M14", "RF"),
@@ -184,10 +383,18 @@ QUERIES: dict[str, QuerySpec] = {
         "M20 CrossValidator LR (numFolds=3 at harness scale; 10 in module API)"
         " — oracled scaffolding invariants",
     ),
+    "ml_logistic_regression_cv_metrics_banded": QuerySpec(
+        "ml_logistic_regression_cv_metrics_banded",
+        _metrics_banded_query("logistic_regression", tuner="cv"),
+        _metrics_banded_oracle("logistic_regression"),
+        "M20 CV-LR metrics vs majority-predictor envelope + grid membership"
+        " (constant oracle)",
+    ),
     "ml_logistic_regression_cv_metrics": QuerySpec(
         "ml_logistic_regression_cv_metrics",
         _metrics_query("logistic_regression", tuner="cv"),
         None,
-        "M20 CV-LR metrics table (rows-only; band-tested in pytest)",
+        "M20 CV-LR raw metrics table (rows-only; banded twin is the"
+        " driver-checked view)",
     ),
 }

@@ -32,6 +32,7 @@ from pyspark.sql.types import (
     TimestampType,
 )
 
+from ..caching import BoundedCache
 from .schemas import TESTDATA_SCHEMAS, TESTDATA_TABLES
 
 
@@ -91,7 +92,10 @@ def _normalize_events(df: DataFrame) -> DataFrame:
 _INTEGRALS = (ByteType, ShortType, IntegerType, LongType)
 
 # (applicationId, path) → "pin" | "align"; see read_testdata_table.
-_SCHEMA_VERDICT_CACHE: dict[tuple, str] = {}
+# LRU-bounded: a long-lived session cycling many sf_dirs keeps only
+# the most recent verdicts (each is one string; the bound guards the
+# key space, ~10 tables × live sf_dirs).
+_SCHEMA_VERDICT_CACHE: BoundedCache[tuple, str] = BoundedCache(64)
 
 
 def _safe_cast_ok(actual: DataType, expected: DataType) -> bool:
@@ -206,7 +210,7 @@ def read_testdata_table(spark: SparkSession, sf_dir: str, name: str) -> DataFram
             )
             else "align"
         )
-        _SCHEMA_VERDICT_CACHE[key] = verdict
+        _SCHEMA_VERDICT_CACHE.put(key, verdict)
         if verdict == "align":
             return _align_to_schema(df, expected, name)
     if verdict == "pin":

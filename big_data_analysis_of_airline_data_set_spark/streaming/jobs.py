@@ -93,15 +93,118 @@ def run_tumbling_stream_available_now(
     return spark.table(query_name)
 
 
+def run_sliding_stream_available_now(
+    spark: SparkSession,
+    events_dir: str,
+    *,
+    watermark: str = "30 minutes",
+    width: str = "1 hour",
+    slide: str = "30 minutes",
+    query_name: str = "events_sliding_stream",
+    max_files_per_trigger: int | None = 1,
+) -> DataFrame:
+    """Watermarked sliding-window counts drained with availableNow —
+    the same batch transform (streaming.windows.sliding_counts) under
+    the streaming runtime; complete mode ⇒ result equals the batch
+    plan, so the batch oracle checks the stream execution."""
+    from .windows import sliding_counts
+
+    stream = events_stream_reader(
+        spark, events_dir, max_files_per_trigger=max_files_per_trigger
+    ).withWatermark("ts", watermark)
+    result = sliding_counts(stream, width=width, slide=slide)
+    _run_to_memory(result, query_name=query_name, output_mode="complete")
+    return spark.table(query_name)
+
+
+def run_session_stream_available_now(
+    spark: SparkSession,
+    events_dir: str,
+    *,
+    watermark: str = "30 minutes",
+    gap: str = "5 minutes",
+    query_name: str = "events_session_stream",
+    max_files_per_trigger: int | None = 1,
+) -> DataFrame:
+    """Watermarked session-window counts drained with availableNow.
+    Session windows are the state-heavy case (windows merge as events
+    arrive); the watermark bounds how long an open session can wait for
+    a late extension before its state is finalized."""
+    from .windows import session_counts
+
+    stream = events_stream_reader(
+        spark, events_dir, max_files_per_trigger=max_files_per_trigger
+    ).withWatermark("ts", watermark)
+    result = session_counts(stream, gap=gap)
+    _run_to_memory(result, query_name=query_name, output_mode="complete")
+    return spark.table(query_name)
+
+
+def run_interval_join_stream_available_now(
+    spark: SparkSession,
+    events_dir: str,
+    *,
+    watermark: str = "30 minutes",
+    lookback: str = "10 MINUTES",
+    query_name: str = "events_interval_join_stream",
+    max_files_per_trigger: int | None = 1,
+) -> DataFrame:
+    """Watermarked STREAM-STREAM interval join drained with
+    availableNow: each purchase pairs with the same user's clicks in
+    the preceding ``lookback``. Both sides carry watermarks and the
+    join predicate bounds event-time distance, so Spark can expire
+    buffered state — the only shape a stream-stream join is allowed to
+    run unbounded. Inner join + append mode emits exactly the matched
+    pairs: the BATCH interval-join oracle checks the streaming
+    runtime's join-state bookkeeping."""
+    from pyspark.sql import functions as F
+
+    def side(event_type: str, id_alias: str, ts_alias: str, user_alias: str):
+        return (
+            events_stream_reader(
+                spark, events_dir, max_files_per_trigger=max_files_per_trigger
+            )
+            .filter(F.col("event_type") == event_type)
+            .select(
+                F.col("user_id").alias(user_alias),
+                F.col("event_id").alias(id_alias),
+                F.col("ts").alias(ts_alias),
+            )
+            .withWatermark(ts_alias, watermark)
+        )
+
+    p = side("purchase", "purchase_id", "p_ts", "user_id")
+    c = side("click", "click_id", "c_ts", "c_user")
+    joined = p.join(
+        c,
+        (F.col("user_id") == F.col("c_user"))
+        & (F.col("c_ts") <= F.col("p_ts"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr(f"INTERVAL {lookback}")),
+    ).select("user_id", "purchase_id", "click_id")
+    _run_to_memory(joined, query_name=query_name, output_mode="append")
+    return spark.table(query_name)
+
+
 def run_dedup_stream_available_now(
     spark: SparkSession,
     events_dir: str,
     *,
     watermark: str = "30 minutes",
     query_name: str = "events_dedup_stream",
+    max_files_per_trigger: int | None = 1,
 ) -> DataFrame:
-    """Streaming exact dedup on event_id with watermark-bounded state."""
-    stream = events_stream_reader(spark, events_dir).withWatermark("ts", watermark)
+    """Streaming exact dedup on event_id with watermark-bounded state.
+
+    NOTE on replay inputs whose files are NOT time-ordered (e.g. a
+    doubled landing where each file spans the full time range): drain
+    with ``max_files_per_trigger=None`` — after the first micro-batch
+    the watermark sits near the data's end, so any later file's rows
+    would be dropped as late rather than deduplicated. Time-ordered
+    file feeds (the production shape) can keep file-granular batches.
+    """
+    stream = events_stream_reader(
+        spark, events_dir, max_files_per_trigger=max_files_per_trigger
+    ).withWatermark("ts", watermark)
     deduped = stream.dropDuplicatesWithinWatermark(["event_id"]).select(
         "event_id", "user_id", "event_type", "value"
     )

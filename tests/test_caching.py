@@ -1,0 +1,70 @@
+"""Bounded session-cache behavior (big_data_analysis_of_airline_data_set_spark.caching) — round-3
+advice: per-session caches must not grow without bound in a long-lived
+server session cycling many sf_dirs."""
+
+from __future__ import annotations
+
+import pytest
+
+from big_data_analysis_of_airline_data_set_spark.caching import BoundedCache
+
+
+def test_lru_eviction_order_and_bound():
+    evicted = []
+    c = BoundedCache(3, on_evict=lambda k, v: evicted.append(k))
+    for i in range(3):
+        c.put(i, str(i))
+    c.get(0)  # refresh 0 → next eviction must pick 1
+    c.put(3, "3")
+    assert evicted == [1]
+    assert len(c) == 3
+    assert 0 in c and 2 in c and 3 in c
+
+
+def test_put_existing_key_refreshes_not_grows():
+    c = BoundedCache(2)
+    c.put("a", 1)
+    c.put("b", 2)
+    c.put("a", 10)  # refresh, not insert
+    assert len(c) == 2
+    c.put("c", 3)  # evicts b (oldest), not a
+    assert "a" in c and "c" in c and "b" not in c
+    assert c.get("a") == 10
+
+
+def test_clear_runs_evict_callback_for_all():
+    evicted = []
+    c = BoundedCache(5, on_evict=lambda k, v: evicted.append((k, v)))
+    c.put("x", 1)
+    c.put("y", 2)
+    c.clear()
+    assert sorted(evicted) == [("x", 1), ("y", 2)]
+    assert len(c) == 0
+
+
+def test_rejects_nonpositive_bound():
+    with pytest.raises(ValueError):
+        BoundedCache(0)
+
+
+def test_module_caches_are_bounded():
+    """Every module-level session cache is a BoundedCache (or carries
+    its own explicit bound), so cycling many sf_dirs cannot grow any of
+    them past its cap."""
+    from big_data_analysis_of_airline_data_set_spark.plans import content, events_queries, ml_queries
+    from big_data_analysis_of_airline_data_set_spark.sources import readers
+
+    assert isinstance(ml_queries._FIT_CACHE, BoundedCache)
+    assert isinstance(ml_queries._REF_BANDS_CACHE, BoundedCache)
+    assert isinstance(content._IVF_CACHE, BoundedCache)
+    assert isinstance(readers._SCHEMA_VERDICT_CACHE, BoundedCache)
+    assert events_queries._LANDED_CACHE_MAX >= 1  # dict with inline eviction
+
+
+def test_schema_verdict_cache_bounded_across_many_dirs():
+    from big_data_analysis_of_airline_data_set_spark.sources.readers import _SCHEMA_VERDICT_CACHE
+
+    cap = _SCHEMA_VERDICT_CACHE.max_entries
+    for i in range(cap * 3):
+        _SCHEMA_VERDICT_CACHE.put(("app", f"/fake/sf{i}/lineitem.parquet"), "pin")
+    assert len(_SCHEMA_VERDICT_CACHE) <= cap
