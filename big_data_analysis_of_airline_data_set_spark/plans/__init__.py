@@ -82,6 +82,8 @@ _CORRECTNESS_WINDOW = [
     "events_session_stream",
     "events_interval_join_stream",
     "events_dedup_stream",
+    # plus the custom applyInPandasWithState operator, oracled ≡ batch.
+    "events_user_totals_stream",
     # (c) oldest-evidence rotation: bench headline set first,
     "flagship_delay_summary_by_carrier",
     "tpch_q1_style",
@@ -110,7 +112,6 @@ _CORRECTNESS_WINDOW = [
     "delay_group_counts",
     # expression families.
     "array_functions",
-    "map_functions",
     "lateral_explode",
     "scalar_functions",
     "string_functions",

@@ -120,6 +120,60 @@ def _landed_events_doubled_dir(spark: SparkSession, sf_dir: str) -> str:
     return hit
 
 
+def _landed_events_flat_dir(spark: SparkSession, sf_dir: str, n_files: int = 4) -> str:
+    """Events landed as a FLAT n-file directory (no date partitioning):
+    with maxFilesPerTrigger=1 each file becomes one micro-batch, so a
+    stateful query provably carries state ACROSS batches while the
+    drain stays bounded at n micro-batches. Shares the bounded
+    landed-dir cache and its cleanup."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from ..sources.readers import read_testdata_table
+
+    global _CLEANUP_REGISTERED
+    key = (spark.sparkContext.applicationId, sf_dir, "flat", n_files)
+    hit = _LANDED_CACHE.get(key)
+    if hit is None:
+        if not _CLEANUP_REGISTERED:
+            atexit.register(_cleanup_landed_dirs)
+            _CLEANUP_REGISTERED = True
+        while len(_LANDED_CACHE) >= _LANDED_CACHE_MAX:
+            oldest = next(iter(_LANDED_CACHE))
+            shutil.rmtree(_LANDED_CACHE.pop(oldest), ignore_errors=True)
+        hit = tempfile.mkdtemp(prefix="landed_events_flat_")
+        read_testdata_table(spark, sf_dir, "events").repartition(n_files).write.mode(
+            "overwrite"
+        ).parquet(hit)
+        _LANDED_CACHE[key] = hit
+    return hit
+
+
+def q_user_totals_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful operator (applyInPandasWithState) driver-checked:
+    per-user running totals carried across 4 file-granular micro-batches
+    must equal the batch groupBy — the state store's load/update cycle
+    is what the oracle certifies. State accumulates integer cents, so
+    the result is batch-order-exact (streaming/stateful.py)."""
+    from ..streaming.stateful import running_user_totals_stream
+
+    return running_user_totals_stream(
+        spark,
+        _landed_events_flat_dir(spark, sf_dir),
+        query_name="events_user_totals_stream",
+        max_files_per_trigger=1,
+    )
+
+
+_USER_TOTALS_STREAM_ORACLE = """
+SELECT user_id,
+       count(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+FROM events GROUP BY user_id
+"""
+
+
 def q_dedup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming exact dedup under at-least-once delivery: every event
     is landed twice, the watermarked ``dropDuplicatesWithinWatermark``
@@ -522,5 +576,11 @@ QUERIES: dict[str, QuerySpec] = {
         "events_dedup_stream", q_dedup_stream, _DEDUP_STREAM_ORACLE,
         "watermarked streaming exact-dedup over an at-least-once doubled "
         "landing — emits each event exactly once (≡ batch projection)",
+    ),
+    "events_user_totals_stream": QuerySpec(
+        "events_user_totals_stream", q_user_totals_stream,
+        _USER_TOTALS_STREAM_ORACLE,
+        "custom applyInPandasWithState running totals across 4 micro-"
+        "batches ≡ batch groupBy (integer-cents exact state)",
     ),
 }

@@ -20,7 +20,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 OUTPUT_SCHEMA = "user_id long, n_events long, sum_value double"
-STATE_SCHEMA = "n long, s double"
+STATE_SCHEMA = "n long, c long"
 
 
 def _update_user_state(
@@ -28,16 +28,27 @@ def _update_user_state(
     pdfs: Iterator[pd.DataFrame],
     state: GroupState,
 ) -> Iterator[pd.DataFrame]:
-    n, s = state.get if state.exists else (0, 0.0)
+    # State accumulates integer CENTS, not floats: micro-batch arrival
+    # order varies between runs/engines, and float addition is
+    # order-sensitive — int64 accumulation makes the final total exact
+    # and batch-order-independent (the same decimal(18,2) discipline the
+    # batch aggregations use).
+    n, c = state.get if state.exists else (0, 0)
     for pdf in pdfs:
         n += len(pdf)
-        s += float(pdf["value"].sum())
-    state.update((n, s))
-    yield pd.DataFrame({"user_id": [key[0]], "n_events": [n], "sum_value": [round(s, 2)]})
+        c += int(pdf["value"].mul(100).round().astype("int64").sum())
+    state.update((n, c))
+    yield pd.DataFrame(
+        {"user_id": [key[0]], "n_events": [n], "sum_value": [c / 100.0]}
+    )
 
 
 def running_user_totals_stream(
-    spark: SparkSession, events_dir: str, *, query_name: str = "user_totals"
+    spark: SparkSession,
+    events_dir: str,
+    *,
+    query_name: str = "user_totals",
+    max_files_per_trigger: int | None = 1,
 ) -> DataFrame:
     """Drain the events dir through the stateful operator; returns the
     final per-user totals (last update per user wins)."""
@@ -45,7 +56,9 @@ def running_user_totals_stream(
 
     from .jobs import events_stream_reader
 
-    stream = events_stream_reader(spark, events_dir)
+    stream = events_stream_reader(
+        spark, events_dir, max_files_per_trigger=max_files_per_trigger
+    )
     updated = stream.groupBy("user_id").applyInPandasWithState(
         _update_user_state,
         outputStructType=OUTPUT_SCHEMA,
