@@ -163,6 +163,7 @@ def q_user_totals_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         _landed_events_flat_dir(spark, sf_dir),
         query_name="events_user_totals_stream",
         max_files_per_trigger=1,
+        stream_shuffle_partitions=8,
     )
 
 
@@ -189,6 +190,9 @@ def q_dedup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         # the doubled landing's files each span the full time range —
         # single-batch drain, else later files are late-dropped
         max_files_per_trigger=None,
+        # state-store commits scale with partition count; size to
+        # harness-scale state volume, not the batch shuffle default
+        stream_shuffle_partitions=8,
     )
 
 
@@ -208,6 +212,9 @@ def q_tumbling_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         # backfill shape: drain in as few micro-batches as possible —
         # file-granular triggering is the tests' incremental-state knob
         max_files_per_trigger=None,
+        # state-store commits scale with partition count; size to
+        # harness-scale state volume, not the batch shuffle default
+        stream_shuffle_partitions=8,
     )
     return result
 
@@ -228,6 +235,9 @@ def q_sliding_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         width="1 hour",
         slide="30 minutes",
         max_files_per_trigger=None,
+        # state-store commits scale with partition count; size to
+        # harness-scale state volume, not the batch shuffle default
+        stream_shuffle_partitions=8,
     )
 
 
@@ -242,6 +252,9 @@ def q_session_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         watermark="30 minutes",
         gap="5 minutes",
         max_files_per_trigger=None,
+        # state-store commits scale with partition count; size to
+        # harness-scale state volume, not the batch shuffle default
+        stream_shuffle_partitions=8,
     )
 
 
@@ -380,6 +393,9 @@ def q_interval_join_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         watermark="30 minutes",
         lookback="10 MINUTES",
         max_files_per_trigger=None,
+        # state-store commits scale with partition count; size to
+        # harness-scale state volume, not the batch shuffle default
+        stream_shuffle_partitions=8,
     )
 
 

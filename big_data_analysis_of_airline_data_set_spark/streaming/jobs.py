@@ -61,17 +61,43 @@ def events_stream_reader(
     return reader.parquet(events_dir)
 
 
-def _run_to_memory(result: DataFrame, *, query_name: str, output_mode: str) -> None:
-    checkpoint = tempfile.mkdtemp(prefix=f"ckpt-{query_name}-")
-    q = (
-        result.writeStream.format("memory")
-        .queryName(query_name)
-        .outputMode(output_mode)
-        .option("checkpointLocation", checkpoint)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+def _run_to_memory(
+    result: DataFrame,
+    *,
+    query_name: str,
+    output_mode: str,
+    shuffle_partitions: int | None = None,
+) -> None:
+    """Drain ``result`` to a memory sink with availableNow.
+
+    ``shuffle_partitions`` sizes the STATEFUL shuffle for this query
+    (picked up at query start and locked into the checkpoint). Stateful
+    streaming cost scales with the number of state-store instances —
+    every micro-batch commits one store per partition per stateful
+    operator — so partitions must be sized to STATE volume, not the
+    session's batch-shuffle default (measured: the sf0.1 stream-stream
+    join drains 4x faster at 8 partitions than at 32, identical
+    results). None inherits the session setting.
+    """
+    spark = result.sparkSession
+    saved = None
+    if shuffle_partitions is not None:
+        saved = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
+    try:
+        checkpoint = tempfile.mkdtemp(prefix=f"ckpt-{query_name}-")
+        q = (
+            result.writeStream.format("memory")
+            .queryName(query_name)
+            .outputMode(output_mode)
+            .option("checkpointLocation", checkpoint)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        if saved is not None:
+            spark.conf.set("spark.sql.shuffle.partitions", saved)
 
 
 def run_tumbling_stream_available_now(
@@ -82,6 +108,7 @@ def run_tumbling_stream_available_now(
     width: str = "1 hour",
     query_name: str = "events_tumbling_stream",
     max_files_per_trigger: int | None = 1,
+    stream_shuffle_partitions: int | None = None,
 ) -> DataFrame:
     """Watermarked tumbling-window counts, drained with availableNow.
     Returns the complete result (update mode drained to memory)."""
@@ -89,7 +116,12 @@ def run_tumbling_stream_available_now(
         spark, events_dir, max_files_per_trigger=max_files_per_trigger
     ).withWatermark("ts", watermark)
     result = tumbling_counts(stream, width=width)
-    _run_to_memory(result, query_name=query_name, output_mode="complete")
+    _run_to_memory(
+        result,
+        query_name=query_name,
+        output_mode="complete",
+        shuffle_partitions=stream_shuffle_partitions,
+    )
     return spark.table(query_name)
 
 
@@ -102,6 +134,7 @@ def run_sliding_stream_available_now(
     slide: str = "30 minutes",
     query_name: str = "events_sliding_stream",
     max_files_per_trigger: int | None = 1,
+    stream_shuffle_partitions: int | None = None,
 ) -> DataFrame:
     """Watermarked sliding-window counts drained with availableNow —
     the same batch transform (streaming.windows.sliding_counts) under
@@ -113,7 +146,12 @@ def run_sliding_stream_available_now(
         spark, events_dir, max_files_per_trigger=max_files_per_trigger
     ).withWatermark("ts", watermark)
     result = sliding_counts(stream, width=width, slide=slide)
-    _run_to_memory(result, query_name=query_name, output_mode="complete")
+    _run_to_memory(
+        result,
+        query_name=query_name,
+        output_mode="complete",
+        shuffle_partitions=stream_shuffle_partitions,
+    )
     return spark.table(query_name)
 
 
@@ -125,6 +163,7 @@ def run_session_stream_available_now(
     gap: str = "5 minutes",
     query_name: str = "events_session_stream",
     max_files_per_trigger: int | None = 1,
+    stream_shuffle_partitions: int | None = None,
 ) -> DataFrame:
     """Watermarked session-window counts drained with availableNow.
     Session windows are the state-heavy case (windows merge as events
@@ -136,7 +175,12 @@ def run_session_stream_available_now(
         spark, events_dir, max_files_per_trigger=max_files_per_trigger
     ).withWatermark("ts", watermark)
     result = session_counts(stream, gap=gap)
-    _run_to_memory(result, query_name=query_name, output_mode="complete")
+    _run_to_memory(
+        result,
+        query_name=query_name,
+        output_mode="complete",
+        shuffle_partitions=stream_shuffle_partitions,
+    )
     return spark.table(query_name)
 
 
@@ -148,6 +192,7 @@ def run_interval_join_stream_available_now(
     lookback: str = "10 MINUTES",
     query_name: str = "events_interval_join_stream",
     max_files_per_trigger: int | None = 1,
+    stream_shuffle_partitions: int | None = None,
 ) -> DataFrame:
     """Watermarked STREAM-STREAM interval join drained with
     availableNow: each purchase pairs with the same user's clicks in
@@ -181,7 +226,12 @@ def run_interval_join_stream_available_now(
         & (F.col("c_ts") <= F.col("p_ts"))
         & (F.col("c_ts") >= F.col("p_ts") - F.expr(f"INTERVAL {lookback}")),
     ).select("user_id", "purchase_id", "click_id")
-    _run_to_memory(joined, query_name=query_name, output_mode="append")
+    _run_to_memory(
+        joined,
+        query_name=query_name,
+        output_mode="append",
+        shuffle_partitions=stream_shuffle_partitions,
+    )
     return spark.table(query_name)
 
 
@@ -192,6 +242,7 @@ def run_dedup_stream_available_now(
     watermark: str = "30 minutes",
     query_name: str = "events_dedup_stream",
     max_files_per_trigger: int | None = 1,
+    stream_shuffle_partitions: int | None = None,
 ) -> DataFrame:
     """Streaming exact dedup on event_id with watermark-bounded state.
 
@@ -208,5 +259,10 @@ def run_dedup_stream_available_now(
     deduped = stream.dropDuplicatesWithinWatermark(["event_id"]).select(
         "event_id", "user_id", "event_type", "value"
     )
-    _run_to_memory(deduped, query_name=query_name, output_mode="append")
+    _run_to_memory(
+        deduped,
+        query_name=query_name,
+        output_mode="append",
+        shuffle_partitions=stream_shuffle_partitions,
+    )
     return spark.table(query_name)

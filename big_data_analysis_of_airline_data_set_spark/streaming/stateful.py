@@ -49,9 +49,12 @@ def running_user_totals_stream(
     *,
     query_name: str = "user_totals",
     max_files_per_trigger: int | None = 1,
+    stream_shuffle_partitions: int | None = None,
 ) -> DataFrame:
     """Drain the events dir through the stateful operator; returns the
-    final per-user totals (last update per user wins)."""
+    final per-user totals (last update per user wins).
+    ``stream_shuffle_partitions`` sizes the stateful shuffle — state-
+    store commits scale with partition count (see jobs._run_to_memory)."""
     from pyspark.sql import functions as F
 
     from .jobs import events_stream_reader
@@ -66,16 +69,26 @@ def running_user_totals_stream(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
-    checkpoint = tempfile.mkdtemp(prefix=f"ckpt-{query_name}-")
-    q = (
-        updated.writeStream.format("memory")
-        .queryName(query_name)
-        .outputMode("update")
-        .option("checkpointLocation", checkpoint)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    saved = None
+    if stream_shuffle_partitions is not None:
+        saved = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set(
+            "spark.sql.shuffle.partitions", str(stream_shuffle_partitions)
+        )
+    try:
+        checkpoint = tempfile.mkdtemp(prefix=f"ckpt-{query_name}-")
+        q = (
+            updated.writeStream.format("memory")
+            .queryName(query_name)
+            .outputMode("update")
+            .option("checkpointLocation", checkpoint)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        if saved is not None:
+            spark.conf.set("spark.sql.shuffle.partitions", saved)
     # memory sink holds one row per update; the last per user is final
     snap = spark.table(query_name)
     w_latest = snap.groupBy("user_id").agg(

@@ -270,3 +270,37 @@ def test_runtime_bloom_filter_semi_join_reduction(spark, sf_dir):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_multimodal_decode_pipeline_is_map_only(spark, sf_dir):
+    """Builder mapInPandas → decode mapInPandas must chain without any
+    Exchange: the decode audit is a pure map pipeline — at 100 TB a
+    shuffle between the two Python stages would double the Arrow
+    serialization for nothing."""
+    for name in ("multimodal_decode_image", "multimodal_decode_audio",
+                 "multimodal_image_resize"):
+        df = all_queries()[name].fn(spark, sf_dir)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, f"{name}: unexpected shuffle\n{plan[:1500]}"
+
+
+def test_quality_classifier_is_shuffle_free(spark, sf_dir):
+    """Hashed-ngram scoring is a single map-only Column expression —
+    zero Exchange, zero Python stage."""
+    df = all_queries()["text_quality_classifier"].fn(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_winsorize_approx_uses_sketch_not_sort(spark, sf_dir):
+    """The default winsorize path must compute thresholds with the
+    approx_percentile sketch (partial_approx aggregation), never a
+    sort-based exact percentile — that is the whole point of the
+    round-4 default flip."""
+    df = all_queries()["feature_winsorize"].fn(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString().lower()
+    assert "approx_percentile" in plan
+    exact_df = all_queries()["feature_winsorize_exact"].fn(spark, sf_dir)
+    exact_plan = exact_df._jdf.queryExecution().executedPlan().toString().lower()
+    assert "percentile(" in exact_plan
