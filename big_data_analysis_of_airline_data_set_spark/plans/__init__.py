@@ -64,6 +64,11 @@ _CORRECTNESS_WINDOW = [
     "multimodal_image_resize",
     # the shuffle-free hashed-ngram quality scorer,
     "text_quality_classifier",
+    # the sink round-trips + name-pattern projection — the LAST
+    # driver-unverified reference ops (S4/S5/P2 were pytest-only r1-r3),
+    "sink_partitioned_roundtrip",
+    "sink_report_csv_roundtrip",
+    "projection_name_pattern",
     # the published-report golden-pattern check,
     "ml_reference_bands",
     # the banded metrics upgrade (constant oracle; reuse cached fits),
@@ -103,8 +108,6 @@ _CORRECTNESS_WINDOW = [
     "window_analytics",
     "window_frames",
     # aggregation shapes,
-    "cube_agg",
-    "rollup_agg",
     "grouping_sets_agg",
     "variance",
     "correlation_pairs",
@@ -113,7 +116,6 @@ _CORRECTNESS_WINDOW = [
     # expression families.
     "array_functions",
     "lateral_explode",
-    "scalar_functions",
     "string_functions",
     "flagship_sql",
 ]

@@ -343,7 +343,134 @@ GROUP BY term, exact_count
 """
 
 
+# ------------------------- sink round-trips (S4/S5) -------------------------
+
+# temp sink dirs, removed at interpreter exit (same discipline as the
+# landed-events cache in events_queries)
+_SINK_DIRS: list[str] = []
+_SINK_CLEANUP_REGISTERED = False
+
+
+def _sink_dir(prefix: str) -> str:
+    import atexit
+    import shutil
+    import tempfile
+
+    global _SINK_CLEANUP_REGISTERED
+    if not _SINK_CLEANUP_REGISTERED:
+        def _cleanup() -> None:
+            while _SINK_DIRS:
+                shutil.rmtree(_SINK_DIRS.pop(), ignore_errors=True)
+
+        atexit.register(_cleanup)
+        _SINK_CLEANUP_REGISTERED = True
+    d = tempfile.mkdtemp(prefix=prefix)
+    _SINK_DIRS.append(d)
+    return d
+
+
+def q_sink_partitioned_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S4 driver-checked: write lineitem as year-partitioned parquet
+    (sources/writers.py — the layout that turns the reference's
+    temporal train/test filter into static partition pruning), read it
+    BACK through partition discovery, and aggregate per partition. The
+    oracle computes the same aggregates from the source table, so a
+    sink that drops/duplicates rows or mangles the partition column
+    fails the hash."""
+    from ..sources.writers import write_parquet
+
+    li = _t(spark, sf_dir, "lineitem").withColumn(
+        "ship_year", F.year("l_shipdate")
+    )
+    out = _sink_dir("sink_part_rt_")
+    write_parquet(li, out, partition_by=["ship_year"])
+    back = spark.read.parquet(out)
+    return (
+        back.groupBy(F.col("ship_year").cast("long").alias("ship_year"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_price"),
+        )
+    )
+
+
+_SINK_PART_ORACLE = """
+SELECT CAST(year(l_shipdate) AS BIGINT) AS ship_year,
+       count(*) AS n_rows,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+FROM lineitem GROUP BY 1
+"""
+
+
+def q_sink_report_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S5 driver-checked: a small report aggregate written through the
+    guarded single-CSV report sink (sources/writers.py) and read back
+    with an explicit schema — the reference's pandas-style metric-table
+    sink, minus the coalesce(1)-on-big-data anti-pattern (the guard
+    refuses large tables). Oracle = the aggregate itself; a sink that
+    loses precision in CSV formatting or drops the header fails."""
+    from ..sources.writers import write_report_csv
+
+    o = _t(spark, sf_dir, "orders")
+    report = o.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("total_price"),
+    )
+    out = _sink_dir("sink_csv_rt_")
+    write_report_csv(report, out)
+    return spark.read.csv(
+        out,
+        header=True,
+        schema="o_orderpriority string, n_orders long, total_price double",
+    )
+
+
+_SINK_CSV_ORACLE = """
+SELECT o_orderpriority,
+       count(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+FROM orders GROUP BY 1
+"""
+
+
+def q_projection_name_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P2 driver-checked: name-predicate column projection
+    (operators/transforms.keep_columns_matching — the reference drops
+    ``*_string`` indexed copies by name pattern,
+    Scripts/2_...py:137). Column pruning must reach the scan."""
+    from ..operators.transforms import keep_columns_matching
+
+    p = _t(spark, sf_dir, "part")
+    return keep_columns_matching(
+        p, lambda c: c.endswith("key") or c.endswith("price") or c.endswith("size")
+    )
+
+
+_PROJECTION_PATTERN_ORACLE = """
+SELECT p_partkey, p_size, p_retailprice FROM part
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "sink_partitioned_roundtrip": QuerySpec(
+        "sink_partitioned_roundtrip", q_sink_partitioned_roundtrip,
+        _SINK_PART_ORACLE,
+        "S4: year-partitioned parquet sink → partition-discovery read-back ≡ source",
+    ),
+    "sink_report_csv_roundtrip": QuerySpec(
+        "sink_report_csv_roundtrip", q_sink_report_csv_roundtrip,
+        _SINK_CSV_ORACLE,
+        "S5: guarded single-CSV report sink → schema read-back ≡ aggregate",
+    ),
+    "projection_name_pattern": QuerySpec(
+        "projection_name_pattern", q_projection_name_pattern,
+        _PROJECTION_PATTERN_ORACLE,
+        "P2: name-predicate column projection (pattern-matched keep list)",
+    ),
     "sketch_count_min_heavy_hitters": QuerySpec(
         "sketch_count_min_heavy_hitters", q_count_min_heavy_hitters,
         _count_min_oracle(),

@@ -118,3 +118,34 @@ def test_resize_nearest_floor_mapping():
     for i in range(4):
         for j in range(3):
             assert np.array_equal(out[i, j], px[(i * 8) // 4, (j * 6) // 3])
+
+
+# ------------------------- property tests (hypothesis) -------------------------
+
+from hypothesis import given, settings, strategies as st
+
+
+@settings(max_examples=50, deadline=None)
+@given(
+    h=st.integers(min_value=1, max_value=12),
+    w=st.integers(min_value=1, max_value=12),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+)
+def test_bmp_roundtrip_property(h, w, seed):
+    rng = np.random.default_rng(seed)
+    px = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+    assert np.array_equal(decode_bmp(encode_bmp(px)), px)
+
+
+@settings(max_examples=50, deadline=None)
+@given(
+    n=st.integers(min_value=0, max_value=512),
+    rate=st.sampled_from([8000, 16000, 44100, 48000]),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+)
+def test_wav_roundtrip_property(n, rate, seed):
+    rng = np.random.default_rng(seed)
+    s = rng.integers(-32768, 32768, size=n, dtype=np.int16)
+    out, got_rate = decode_wav_pcm16(encode_wav_pcm16(s, sample_rate=rate))
+    assert got_rate == rate
+    assert np.array_equal(out, s)
