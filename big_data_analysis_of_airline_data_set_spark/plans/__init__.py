@@ -69,6 +69,8 @@ _CORRECTNESS_WINDOW = [
     "sink_partitioned_roundtrip",
     "sink_report_csv_roundtrip",
     "projection_name_pattern",
+    # iterative PageRank, value-checked via unrolled-CTE replay,
+    "graph_pagerank",
     # the published-report golden-pattern check,
     "ml_reference_bands",
     # the banded metrics upgrade (constant oracle; reuse cached fits),
@@ -111,7 +113,6 @@ _CORRECTNESS_WINDOW = [
     "grouping_sets_agg",
     "variance",
     "correlation_pairs",
-    "stats_moments",
     "delay_group_counts",
     # expression families.
     "array_functions",

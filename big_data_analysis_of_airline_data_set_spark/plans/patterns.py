@@ -455,7 +455,80 @@ SELECT p_partkey, p_size, p_retailprice FROM part
 """
 
 
+# ------------------------- iterative graph (PageRank) -------------------------
+
+_PR_ITERS = 5
+_PR_DP = 12
+
+
+def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iterative PageRank (operators/graph.py) over the bipartite
+    part↔supplier graph from lineitem (edges both directions, distinct).
+    Five synchronous rounds as a driver loop of join+aggregate steps;
+    top-20 nodes, deterministic tiebreak. The oracle replays all five
+    iterations as unrolled CTEs with the identical per-iteration
+    DECIMAL-summed rounding, so the whole iterative computation — not
+    just its shape — is value-checked."""
+    from ..operators.graph import pagerank
+
+    li = _t(spark, sf_dir, "lineitem")
+    fwd = li.select(
+        F.concat(F.lit("p"), F.col("l_partkey")).alias("src"),
+        F.concat(F.lit("s"), F.col("l_suppkey")).alias("dst"),
+    )
+    edges = fwd.union(fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    ranks = pagerank(edges, iterations=_PR_ITERS, round_dp=_PR_DP)
+    return (
+        ranks.select("node", F.round("rank", 9).alias("rank"))
+        .orderBy(F.desc("rank"), F.asc("node"))
+        .limit(20)
+    )
+
+
+def _pagerank_oracle() -> str:
+    prev = "r0"
+    iter_ctes = []
+    for i in range(1, _PR_ITERS + 1):
+        iter_cte = f"""
+r{i} AS (
+  SELECT n.node,
+         round((1 - 0.85) / (SELECT cnt FROM nn)
+               + 0.85 * CAST(coalesce(s.mass, 0) AS DOUBLE), {_PR_DP}) AS rank
+  FROM nodes n LEFT JOIN (
+    SELECT e.dst AS node,
+           SUM(CAST(round(r.rank / o.deg, {_PR_DP}) AS DECIMAL(30,{_PR_DP}))) AS mass
+    FROM edges e
+    JOIN {prev} r ON e.src = r.node
+    JOIN outdeg o ON e.src = o.src
+    GROUP BY e.dst
+  ) s USING (node)
+)"""
+        iter_ctes.append(iter_cte)
+        prev = f"r{i}"
+    return f"""
+WITH fwd AS (
+  SELECT DISTINCT 'p' || l_partkey AS src, 's' || l_suppkey AS dst FROM lineitem
+), edges AS (
+  SELECT src, dst FROM fwd UNION SELECT dst, src FROM fwd
+), nodes AS (
+  SELECT DISTINCT src AS node FROM edges
+  UNION SELECT DISTINCT dst FROM edges
+), nn AS (SELECT count(*) AS cnt FROM nodes),
+outdeg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src),
+r0 AS (
+  SELECT node, round(1.0 / (SELECT cnt FROM nn), {_PR_DP}) AS rank FROM nodes
+),{",".join(iter_ctes)}
+SELECT node, round(rank, 9) AS rank FROM {prev}
+ORDER BY rank DESC, node ASC LIMIT 20
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "graph_pagerank": QuerySpec(
+        "graph_pagerank", q_graph_pagerank, _pagerank_oracle(),
+        "iterative PageRank (5 rounds) over part↔supplier graph,"
+        " value-checked via unrolled-CTE replay",
+    ),
     "sink_partitioned_roundtrip": QuerySpec(
         "sink_partitioned_roundtrip", q_sink_partitioned_roundtrip,
         _SINK_PART_ORACLE,
