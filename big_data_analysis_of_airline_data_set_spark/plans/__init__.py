@@ -71,6 +71,8 @@ _CORRECTNESS_WINDOW = [
     "projection_name_pattern",
     # iterative PageRank, value-checked via unrolled-CTE replay,
     "graph_pagerank",
+    # Morton bit-interleave 2-D clustering cells,
+    "zorder_cells",
     # the published-report golden-pattern check,
     "ml_reference_bands",
     # the banded metrics upgrade (constant oracle; reuse cached fits),
@@ -111,7 +113,6 @@ _CORRECTNESS_WINDOW = [
     "window_frames",
     # aggregation shapes,
     "grouping_sets_agg",
-    "variance",
     "correlation_pairs",
     "delay_group_counts",
     # expression families.

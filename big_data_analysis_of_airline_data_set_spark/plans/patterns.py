@@ -523,7 +523,81 @@ ORDER BY rank DESC, node ASC LIMIT 20
 """
 
 
+# ------------------------- Z-order layout cells -------------------------
+
+_Z_BITS = 4  # 16x16 grid → 256 cells
+
+
+def q_zorder_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order clustering audit (operators/zorder.py): bucket
+    (l_quantity, l_extendedprice) into a 16x16 grid, Morton-interleave
+    the bucket bits, and aggregate per cell — the key computation that
+    drives ``write_zorder_layout``'s 2-D data-skipping clustering,
+    value-checked bit-for-bit (bucketize and interleave are pure
+    integer/fp arithmetic the oracle replays)."""
+    from ..operators.zorder import zorder_key
+
+    li = _t(spark, sf_dir, "lineitem")
+    b = li.agg(
+        F.min("l_quantity"), F.max("l_quantity"),
+        F.min("l_extendedprice"), F.max("l_extendedprice"),
+    ).first()
+    key = zorder_key(
+        F.col("l_quantity"), F.col("l_extendedprice"),
+        x_bounds=(float(b[0]), float(b[1])),
+        y_bounds=(float(b[2]), float(b[3])),
+        bits=_Z_BITS,
+    )
+    return (
+        li.select(key.alias("zcell"), "l_quantity", "l_extendedprice")
+        .groupBy("zcell")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.round(F.min("l_quantity"), 6).alias("min_qty"),
+            F.round(F.max("l_quantity"), 6).alias("max_qty"),
+            F.round(F.min("l_extendedprice"), 6).alias("min_price"),
+            F.round(F.max("l_extendedprice"), 6).alias("max_price"),
+        )
+    )
+
+
+def _zorder_oracle() -> str:
+    n = 1 << _Z_BITS
+    bx = (
+        f"CAST(least(greatest(floor((l_quantity - (SELECT min(l_quantity) FROM lineitem))"
+        f" / ((SELECT max(l_quantity) FROM lineitem) - (SELECT min(l_quantity) FROM lineitem))"
+        f" * {n}), 0), {n - 1}) AS BIGINT)"
+    )
+    by = (
+        f"CAST(least(greatest(floor((l_extendedprice - (SELECT min(l_extendedprice) FROM lineitem))"
+        f" / ((SELECT max(l_extendedprice) FROM lineitem) - (SELECT min(l_extendedprice) FROM lineitem))"
+        f" * {n}), 0), {n - 1}) AS BIGINT)"
+    )
+    interleave = " + ".join(
+        f"((bx // {1 << i}) % 2) * {1 << (2 * i)}"
+        f" + ((by // {1 << i}) % 2) * {1 << (2 * i + 1)}"
+        for i in range(_Z_BITS)
+    )
+    return f"""
+WITH bucketed AS (
+  SELECT {bx} AS bx, {by} AS by, l_quantity, l_extendedprice FROM lineitem
+)
+SELECT CAST({interleave} AS BIGINT) AS zcell,
+       count(*) AS n_rows,
+       round(min(l_quantity), 6) AS min_qty,
+       round(max(l_quantity), 6) AS max_qty,
+       round(min(l_extendedprice), 6) AS min_price,
+       round(max(l_extendedprice), 6) AS max_price
+FROM bucketed GROUP BY 1
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "zorder_cells": QuerySpec(
+        "zorder_cells", q_zorder_cells, _zorder_oracle(),
+        "Morton bit-interleave 2-D clustering cells, value-checked"
+        " bucketize+interleave arithmetic",
+    ),
     "graph_pagerank": QuerySpec(
         "graph_pagerank", q_graph_pagerank, _pagerank_oracle(),
         "iterative PageRank (5 rounds) over part↔supplier graph,"
