@@ -133,22 +133,31 @@ _METRIC_BANDS = {
     "f1_score": (0.50, 0.70),
 }
 
-_QUICK_GRID_VALUES: dict[str, dict[str, set[str]]] = {
-    "logistic_regression": {"regParam": {"0.1", "0.01"}},
-    "decision_tree": {"impurity": {"gini", "entropy"}, "maxDepth": {"5"}},
-    "random_forest": {"maxDepth": {"5"}, "numTrees": {"5"}},
-    "gbt": {"maxDepth": {"5"}},
-    "linear_svc": {"regParam": {"0.5"}},
-    "naive_bayes": {"smoothing": {"0.5", "1.0"}},
-    "mlp": {},
-}
-
-
 def _canon_param(v: object) -> str:
     if isinstance(v, (int, float)):
         f = float(v)
         return str(int(f)) if f == int(f) else str(f)
     return str(v)
+
+
+# Raw grid values (ml/estimators.py quick_grid), canonicalized below
+# with the SAME function the membership check uses — writing the sets
+# as pre-canonicalized strings is how round 4 briefly shipped a bug
+# (smoothing=1.0 canonicalizes to "1", not "1.0").
+_QUICK_GRID_RAW: dict[str, dict[str, list]] = {
+    "logistic_regression": {"regParam": [0.1, 0.01]},
+    "decision_tree": {"impurity": ["gini", "entropy"], "maxDepth": [5]},
+    "random_forest": {"maxDepth": [5], "numTrees": [5]},
+    "gbt": {"maxDepth": [5]},
+    "linear_svc": {"regParam": [0.5]},
+    "naive_bayes": {"smoothing": [0.5, 1.0]},
+    "mlp": {},
+}
+
+_QUICK_GRID_VALUES: dict[str, dict[str, set[str]]] = {
+    fam: {p: {_canon_param(v) for v in vals} for p, vals in params.items()}
+    for fam, params in _QUICK_GRID_RAW.items()
+}
 
 
 def _metrics_banded_query(family: str, tuner: str = "tvs"):
