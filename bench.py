@@ -91,6 +91,9 @@ R4_OPS = [
     "events_sliding_stream",
     "events_session_stream",
     "events_interval_join_stream",
+    "graph_pagerank",
+    "zorder_cells",
+    "sink_partitioned_roundtrip",
 ]
 
 

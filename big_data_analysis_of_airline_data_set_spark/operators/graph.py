@@ -53,17 +53,20 @@ def pagerank(
 
     ranks = nodes.select("node", F.round(F.lit(1.0 / n), round_dp).alias("rank"))
     ranks.persist().count()
+    outdeg = outdeg.persist()
     for _ in range(iterations):
+        # join outdeg into the NODE-sized ranks table first (small ⋈
+        # small), so the edge table — the big side at scale — is joined
+        # exactly once per iteration, not twice
+        rate = ranks.join(outdeg, ranks.node == outdeg[src]).select(
+            "node",
+            F.round(F.col("rank") / F.col("deg"), round_dp)
+            .cast(f"decimal(30,{round_dp})")
+            .alias("c"),
+        )
         contribs = (
-            e.join(ranks, e[src] == ranks.node)
-            .join(outdeg, src)
-            .select(
-                F.col(dst).alias("node"),
-                F.round(F.col("rank") / F.col("deg"), round_dp)
-                .cast(f"decimal(30,{round_dp})")
-                .alias("c"),
-            )
-            .groupBy("node")
+            e.join(rate, e[src] == rate.node)
+            .groupBy(F.col(dst).alias("node"))
             .agg(F.sum("c").alias("mass"))
         )
         new_ranks = (
@@ -83,4 +86,5 @@ def pagerank(
         ranks = new_ranks
     e.unpersist()
     nodes.unpersist()
+    outdeg.unpersist()
     return ranks

@@ -345,9 +345,12 @@ GROUP BY term, exact_count
 
 # ------------------------- sink round-trips (S4/S5) -------------------------
 
-# temp sink dirs, removed at interpreter exit (same discipline as the
-# landed-events cache in events_queries)
+# temp sink dirs: bounded (oldest removed once >8 live — each round-trip
+# query consumes its own dir before returning control, so only the most
+# recent handful can still be referenced) and removed at interpreter
+# exit — the round-3 unbounded-session-cache lesson applied here too.
 _SINK_DIRS: list[str] = []
+_SINK_DIRS_MAX = 8
 _SINK_CLEANUP_REGISTERED = False
 
 
@@ -364,6 +367,8 @@ def _sink_dir(prefix: str) -> str:
 
         atexit.register(_cleanup)
         _SINK_CLEANUP_REGISTERED = True
+    while len(_SINK_DIRS) >= _SINK_DIRS_MAX:
+        shutil.rmtree(_SINK_DIRS.pop(0), ignore_errors=True)
     d = tempfile.mkdtemp(prefix=prefix)
     _SINK_DIRS.append(d)
     return d

@@ -68,3 +68,20 @@ def test_schema_verdict_cache_bounded_across_many_dirs():
     for i in range(cap * 3):
         _SCHEMA_VERDICT_CACHE.put(("app", f"/fake/sf{i}/lineitem.parquet"), "pin")
     assert len(_SCHEMA_VERDICT_CACHE) <= cap
+
+
+def test_sink_dirs_bounded():
+    import os
+
+    from big_data_analysis_of_airline_data_set_spark.plans import patterns
+
+    made = [patterns._sink_dir("cache_test_sink_") for _ in range(20)]
+    assert len(patterns._SINK_DIRS) <= patterns._SINK_DIRS_MAX
+    # evicted dirs are actually gone; the newest survive
+    assert not os.path.isdir(made[0])
+    assert os.path.isdir(made[-1])
+    patterns._SINK_DIRS.clear()
+    for d in made:
+        import shutil
+
+        shutil.rmtree(d, ignore_errors=True)
