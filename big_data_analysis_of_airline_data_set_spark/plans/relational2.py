@@ -162,6 +162,37 @@ FROM lineitem
 """
 
 
+def q_approx_distinct_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The grouped HLL form — per-group sketches merge map-side
+    (partial aggregation) before one shuffle on the group key, the
+    shape that matters at scale where a per-group exact distinct would
+    shuffle every row. Same within-bound contract as the global query,
+    with a wider 8% band (smaller per-group cardinalities sit further
+    from the HLL asymptotic regime)."""
+    o = _t(spark, sf_dir, "orders")
+    agg = o.groupBy("o_orderpriority").agg(
+        F.count_distinct("o_custkey").alias("n_custs_exact"),
+        F.approx_count_distinct("o_custkey", rsd=0.02).alias("_approx"),
+    )
+    return agg.select(
+        "o_orderpriority",
+        "n_custs_exact",
+        (
+            F.abs(F.col("_approx") - F.col("n_custs_exact"))
+            / F.col("n_custs_exact")
+            <= F.lit(0.08)
+        ).alias("within_bound"),
+    )
+
+
+_APPROX_DISTINCT_GROUP_ORACLE = """
+SELECT o_orderpriority,
+       CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_custs_exact,
+       TRUE AS within_bound
+FROM orders GROUP BY o_orderpriority
+"""
+
+
 def q_scalar_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.8 families in one projection: regexp, substring_index, string
     ops, conditionals, date arithmetic, math — all cross-checked."""
@@ -368,6 +399,11 @@ QUERIES: dict[str, QuerySpec] = {
     "set_except": QuerySpec("set_except", q_set_except, _EXCEPT_ORACLE, "EXCEPT"),
     "distinct_count": QuerySpec(
         "distinct_count", q_distinct_count, _DISTINCT_COUNT_ORACLE, "exact distinct counts"
+    ),
+    "approx_distinct_by_group": QuerySpec(
+        "approx_distinct_by_group", q_approx_distinct_by_group,
+        _APPROX_DISTINCT_GROUP_ORACLE,
+        "per-group HLL++ distinct sketches (map-side partial merge), within-bound contract",
     ),
     "approx_distinct_count": QuerySpec(
         "approx_distinct_count", q_approx_distinct_count, _APPROX_DISTINCT_ORACLE,
