@@ -967,6 +967,56 @@ SELECT doc_id, term, tf, df, tfidf FROM ranked WHERE rn <= 5
 """
 
 
+def q_text_token_rarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perplexity-proxy rarity score: per doc, the mean INVERSE corpus
+    frequency of its tokens — documents dense in rare tokens score
+    high, the same signal LM-perplexity filters rank on. Formulated in
+    pure integer arithmetic (``total_tokens div token_count`` per
+    token, decimal-summed) so both engines compute identical values —
+    a log-probability form would hinge on ln() agreeing to the last
+    ulp across libm implementations, which no engine guarantees.
+
+    Scale shape: one explode→groupBy builds the corpus frequency table
+    (heavy-hitter shape, partial aggregation); the per-doc pass joins
+    tokens to frequencies and aggregates — two shuffles total, both on
+    bounded keys."""
+    from ..text.analysis import tokens_col
+
+    d = read_testdata_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.explode(tokens_col(F.col("text"))).alias("tok")
+    )
+    freq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("n_tok"))
+    total = toks.count()  # scalar driver boundary
+    rarity = F.expr(f"CAST({total} div n_tok AS decimal(28,0))")
+    return (
+        toks.join(freq, "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.round(
+                F.sum(rarity).cast("double") / F.count(F.lit(1)), 6
+            ).alias("mean_inv_freq"),
+        )
+    )
+
+
+_TOKEN_RARITY_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
+  FROM documents
+), freq AS (
+  SELECT tok, count(*) AS n_tok FROM toks GROUP BY tok
+), total AS (SELECT count(*) AS t FROM toks)
+SELECT t2.doc_id,
+       CAST(count(*) AS BIGINT) AS n_tokens,
+       round(CAST(sum(CAST((SELECT t FROM total) // f.n_tok AS DECIMAL(28,0)))
+                  AS DOUBLE) / count(*), 6) AS mean_inv_freq
+FROM toks t2 JOIN freq f USING (tok)
+GROUP BY t2.doc_id
+"""
+
+
 def q_text_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """fastText-shaped hashed-n-gram linear scorer
     (text/quality_classifier.py): unigram+bigram feature hashing →
@@ -1023,6 +1073,10 @@ QUERIES: dict[str, QuerySpec] = {
         "text_quality_classifier", q_text_quality_classifier,
         _quality_classifier_oracle(),
         "fastText-shaped hashed-ngram linear quality scorer, shuffle-free",
+    ),
+    "text_token_rarity": QuerySpec(
+        "text_token_rarity", q_text_token_rarity, _TOKEN_RARITY_ORACLE,
+        "perplexity-proxy mean inverse token frequency (integer-exact)",
     ),
     "text_tfidf": QuerySpec(
         "text_tfidf", q_text_tfidf, _TFIDF_ORACLE,

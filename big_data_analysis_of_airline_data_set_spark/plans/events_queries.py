@@ -307,6 +307,51 @@ SELECT event_id, user_id, event_type, value FROM events
 """
 
 
+def q_rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 7-day distinct active users per day — the DAU/WAU
+    hypertable staple. Scale shape: dedupe to (user, day) FIRST (one
+    shuffle that collapses the event volume), then each (user, day)
+    contributes to ≤7 window days via a generated-sequence explode, and
+    the per-day distinct count partially aggregates map-side. No
+    self-join over raw events, no unbounded window frame."""
+    from pyspark.sql import functions as F
+
+    ev = _events(spark, sf_dir)
+    user_days = ev.select(
+        F.to_date("ts").alias("day"), "user_id"
+    ).distinct()
+    contrib = user_days.select(
+        "user_id",
+        F.explode(
+            F.sequence(F.col("day"), F.date_add(F.col("day"), 6))
+        ).alias("window_day"),
+    )
+    active_days = ev.select(F.to_date("ts").alias("window_day")).distinct()
+    return (
+        contrib.join(active_days, "window_day")
+        .groupBy("window_day")
+        .agg(F.count_distinct("user_id").alias("active_users_7d"))
+        .select(
+            F.date_format("window_day", "yyyy-MM-dd").alias("window_day"),
+            "active_users_7d",
+        )
+    )
+
+
+_ROLLING_ACTIVE_ORACLE = """
+WITH ud AS (
+  SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events
+), days AS (
+  SELECT DISTINCT CAST(ts AS DATE) AS window_day FROM events
+)
+SELECT strftime(d.window_day, '%Y-%m-%d') AS window_day,
+       count(DISTINCT u.user_id) AS active_users_7d
+FROM days d
+JOIN ud u ON u.day BETWEEN d.window_day - INTERVAL 6 DAY AND d.window_day
+GROUP BY 1
+"""
+
+
 def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     return json_extract_k(_events(spark, sf_dir))
 
@@ -598,5 +643,11 @@ QUERIES: dict[str, QuerySpec] = {
         _USER_TOTALS_STREAM_ORACLE,
         "custom applyInPandasWithState running totals across 4 micro-"
         "batches ≡ batch groupBy (integer-cents exact state)",
+    ),
+    "events_rolling_active_users": QuerySpec(
+        "events_rolling_active_users", q_rolling_active_users,
+        _ROLLING_ACTIVE_ORACLE,
+        "trailing 7-day distinct active users per day (dedupe-then-"
+        "explode, no raw self-join)",
     ),
 }
