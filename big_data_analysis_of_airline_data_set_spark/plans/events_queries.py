@@ -307,6 +307,57 @@ SELECT event_id, user_id, event_type, value FROM events
 """
 
 
+def q_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First- and last-touch attribution: each purchase credits the
+    FIRST and the LAST click by the same user inside the 10-minute
+    lookback. Scale shape: the bounded interval join (same predicate as
+    events_interval_join) followed by one min/max aggregate per
+    purchase — no window function, no unbounded state; deterministic
+    because (c_ts, click_id) ordering is total."""
+    from pyspark.sql import functions as F
+
+    ev = _events(spark, sf_dir)
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("event_id").alias("purchase_id"), F.col("ts").alias("p_ts")
+    )
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"), F.col("event_id").alias("click_id"),
+        F.col("ts").alias("c_ts"),
+    )
+    joined = p.join(
+        c,
+        (F.col("user_id") == F.col("c_user"))
+        & (F.col("c_ts") <= F.col("p_ts"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 10 MINUTES")),
+    )
+    # struct min/max orders by (ts, id) lexicographically → total order
+    touch = F.struct(F.col("c_ts"), F.col("click_id"))
+    return (
+        joined.groupBy("user_id", "purchase_id")
+        .agg(
+            F.min(touch).getField("click_id").alias("first_touch_click"),
+            F.max(touch).getField("click_id").alias("last_touch_click"),
+            F.count(F.lit(1)).alias("n_touches"),
+        )
+    )
+
+
+_ATTRIBUTION_ORACLE = """
+WITH pairs AS (
+  SELECT p.user_id, p.event_id AS purchase_id, c.event_id AS click_id, c.ts AS c_ts
+  FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+  JOIN (SELECT * FROM events WHERE event_type = 'click') c
+    ON p.user_id = c.user_id
+   AND c.ts <= p.ts AND c.ts >= p.ts - INTERVAL '10 minutes'
+)
+SELECT user_id, purchase_id,
+       (min(struct_pack(t := c_ts, i := click_id))).i AS first_touch_click,
+       (max(struct_pack(t := c_ts, i := click_id))).i AS last_touch_click,
+       count(*) AS n_touches
+FROM pairs GROUP BY user_id, purchase_id
+"""
+
+
 def q_rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Trailing 7-day distinct active users per day — the DAU/WAU
     hypertable staple. Scale shape: dedupe to (user, day) FIRST (one
@@ -649,5 +700,10 @@ QUERIES: dict[str, QuerySpec] = {
         _ROLLING_ACTIVE_ORACLE,
         "trailing 7-day distinct active users per day (dedupe-then-"
         "explode, no raw self-join)",
+    ),
+    "events_attribution": QuerySpec(
+        "events_attribution", q_attribution, _ATTRIBUTION_ORACLE,
+        "first/last-touch purchase attribution over the bounded click"
+        " lookback (struct-min/max, no window)",
     ),
 }
