@@ -96,6 +96,15 @@ R4_OPS = [
     "sink_partitioned_roundtrip",
 ]
 
+# Late round-4 operators, tracked as their own number so earlier suite
+# totals stay comparable across records.
+R4B_OPS = [
+    "approx_distinct_by_group",
+    "events_rolling_active_users",
+    "events_attribution",
+    "text_token_rarity",
+]
+
 
 WARM_DIR = "/root/testdata/sf0.001"
 
@@ -183,6 +192,10 @@ def main() -> None:
     r4_timings, r4_total = _run_suite(specs, spark, R4_OPS, sf_dir, repeats, "r4_ops")
     print(f"# r4_ops_suite: {r4_total}s {r4_timings}", file=sys.stderr)
 
+    _warm(specs, spark, R4B_OPS, sf_dir)
+    r4b_timings, r4b_total = _run_suite(specs, spark, R4B_OPS, sf_dir, repeats, "r4b_ops")
+    print(f"# r4b_ops_suite: {r4b_total}s {r4b_timings}", file=sys.stderr)
+
     # Skew stress (round-3 verdict #8): one deliberately hot key carries
     # ~70% of lineitem; time the three join strategies so the skew
     # posture is a tracked number. Results are asserted identical first
@@ -229,6 +242,8 @@ def main() -> None:
                 "r3_ops_queries": r3_timings,
                 "r4_ops_suite": r4_total,
                 "r4_ops_queries": r4_timings,
+                "r4b_ops_suite": r4b_total,
+                "r4b_ops_queries": r4b_timings,
                 "skew_suite": skew_total,
                 "skew_queries": skew_timings,
                 "sf": float(sf),

@@ -986,10 +986,12 @@ def q_text_token_rarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = d.select(
         "doc_id", F.explode(tokens_col(F.col("text"))).alias("tok")
     )
-    freq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("n_tok"))
-    total = toks.count()  # scalar driver boundary
+    freq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("n_tok")).persist()
+    # the corpus total folds out of the (vocabulary-sized) freq table —
+    # no third pass over the exploded tokens for one scalar
+    total = freq.agg(F.sum("n_tok")).first()[0]
     rarity = F.expr(f"CAST({total} div n_tok AS decimal(28,0))")
-    return (
+    out = (
         toks.join(freq, "tok")
         .groupBy("doc_id")
         .agg(
@@ -999,6 +1001,7 @@ def q_text_token_rarity(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("mean_inv_freq"),
         )
     )
+    return out
 
 
 _TOKEN_RARITY_ORACLE = """
