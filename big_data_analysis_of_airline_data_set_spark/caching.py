@@ -42,6 +42,11 @@ class BoundedCache(Generic[K, V]):
         return hit
 
     def put(self, key: K, value: V) -> None:
+        if value is None:
+            # get() signals a miss with None, so a stored None would be
+            # invisible: recomputed every call and never LRU-refreshed.
+            # Fail loudly instead of caching a value that can't be hit.
+            raise ValueError("BoundedCache cannot store None (miss sentinel)")
         if key in self._data:
             self._data.move_to_end(key)
         self._data[key] = value

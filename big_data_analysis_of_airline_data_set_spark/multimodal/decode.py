@@ -87,18 +87,22 @@ def extract_fake_features(assets: DataFrame) -> DataFrame:
 
 
 def extract_image_features(assets: DataFrame) -> DataFrame:
-    """(asset_id, features array<float>) from REAL BMP decode: the
-    feature vector is the per-channel [mean, std] of decoded RGB pixels
-    plus [height, width] — a miniature of what a vision encoder's
-    pooling layer emits, computed from actual decoded pixel arrays."""
+    """(asset_id, features array<double>) from REAL BMP decode: the
+    feature vector is [height, width, mean_R, mean_G, mean_B] of the
+    decoded pixels — a miniature of what a vision encoder's pooling
+    layer emits, computed from actual decoded pixel arrays. Means are
+    exact-integer sums divided once and rounded (engine-deterministic;
+    a std would hinge on float accumulation internals), so the catalog
+    query's formula oracle checks these values bit-for-bit
+    (plans/multimodal_queries.py:multimodal_image_features)."""
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         def feats(b: bytes) -> list[float]:
-            px = decode_bmp(b).astype(np.float64)
-            means = px.mean(axis=(0, 1))
-            stds = px.std(axis=(0, 1))
-            return [float(px.shape[0]), float(px.shape[1])] + [
-                float(x) for pair in zip(means, stds) for x in pair
+            px = decode_bmp(b).astype(np.int64)
+            h, w, _ = px.shape
+            n = h * w
+            return [float(h), float(w)] + [
+                round(int(px[:, :, k].sum()) / n, 6) for k in range(3)
             ]
 
         for pdf in it:

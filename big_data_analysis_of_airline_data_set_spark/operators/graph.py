@@ -39,7 +39,13 @@ def pagerank(
     round_dp: int = 12,
 ) -> DataFrame:
     """(node, rank) after ``iterations`` synchronous PageRank rounds
-    over the DISTINCT directed edge set."""
+    over the DISTINCT directed edge set.
+
+    The returned DataFrame is PERSISTED (unpersisting here would force
+    the whole iteration chain to recompute at collection, since every
+    intermediate has already been released). The CALLER owns the
+    release: consume the result, then ``result.unpersist()`` — see
+    plans/patterns.py:q_graph_pagerank."""
     e = edges.select(src, dst).distinct().persist()
     nodes = (
         e.select(F.col(src).alias("node"))

@@ -31,12 +31,18 @@ SALT = 8
 
 def skewed_fact(li: DataFrame) -> DataFrame:
     """(skew_key, amount): ~70% of rows collapse onto key 0, the rest
-    spread over 1..N_KEYS-1 — deterministic (xxhash64 of the order key),
-    so every bench run stresses the identical distribution."""
-    h = F.xxhash64("l_orderkey", "l_linenumber")
+    spread over the full key space — deterministic (xxhash64 of the
+    order key), so every bench run stresses the identical distribution.
+
+    The cold branch uses an INDEPENDENT hash: pmod(h, N_KEYS)
+    conditioned on pmod(h, 10) >= HOT_SHARE would inherit the residue
+    (only keys ≡ 7,8,9 mod 10 ever occur), silently concentrating the
+    cold side on ~30% of the dim and mis-measuring the comparison."""
+    h_hot = F.xxhash64("l_orderkey", "l_linenumber")
+    h_cold = F.xxhash64("l_orderkey", "l_linenumber", F.lit("cold"))
     key = (
-        F.when(F.pmod(h, F.lit(10)) < HOT_SHARE, F.lit(0))
-        .otherwise(F.pmod(h, F.lit(N_KEYS)))
+        F.when(F.pmod(h_hot, F.lit(10)) < HOT_SHARE, F.lit(0))
+        .otherwise(F.pmod(h_cold, F.lit(N_KEYS)))
         .cast("long")
     )
     return li.select(key.alias("skew_key"), F.col("l_extendedprice").alias("amount"))

@@ -17,6 +17,7 @@ Closes the round-3 "decode is a NotImplementedError" gap
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from ..multimodal.synthetic import (
     audio_decode_audit,
@@ -133,7 +134,57 @@ FROM grid GROUP BY asset_id
 """
 
 
+def q_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decoded-pixel feature vectors ([h, w, mean_R, mean_G, mean_B])
+    via real BMP decode inside mapInPandas — the vision-encoder pooling
+    shape, flattened to columns so the formula oracle hash-checks every
+    component."""
+    from ..multimodal.decode import extract_image_features
+
+    feats = extract_image_features(synthetic_image_assets(_doc_ids(spark, sf_dir)))
+    f = F.col("features")
+    return feats.select(
+        "asset_id",
+        f.getItem(0).cast("long").alias("height"),
+        f.getItem(1).cast("long").alias("width"),
+        f.getItem(2).alias("mean_r"),
+        f.getItem(3).alias("mean_g"),
+        f.getItem(4).alias("mean_b"),
+    )
+
+
+_IMAGE_FEATURES_ORACLE = """
+WITH dims AS (
+  SELECT doc_id AS asset_id,
+         4 + doc_id % 4 AS h, 8 + doc_id % 8 AS w
+  FROM documents
+), px AS (
+  SELECT asset_id, h, w, k.k,
+         (asset_id * 31 + r.r * 7 + c.c * 3 + k.k * 11) % 256 AS v
+  FROM dims
+  JOIN (SELECT unnest(generate_series(0, 6)) AS r) r ON r.r < h
+  JOIN (SELECT unnest(generate_series(0, 14)) AS c) c ON c.c < w
+  CROSS JOIN (SELECT unnest(generate_series(0, 2)) AS k) k
+)
+SELECT asset_id,
+       CAST(max(h) AS BIGINT) AS height,
+       CAST(max(w) AS BIGINT) AS width,
+       round(CAST(sum(CASE WHEN k = 0 THEN v ELSE 0 END) AS DOUBLE)
+             / (max(h) * max(w)), 6) AS mean_r,
+       round(CAST(sum(CASE WHEN k = 1 THEN v ELSE 0 END) AS DOUBLE)
+             / (max(h) * max(w)), 6) AS mean_g,
+       round(CAST(sum(CASE WHEN k = 2 THEN v ELSE 0 END) AS DOUBLE)
+             / (max(h) * max(w)), 6) AS mean_b
+FROM px GROUP BY asset_id
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "multimodal_image_features": QuerySpec(
+        "multimodal_image_features", q_image_features, _IMAGE_FEATURES_ORACLE,
+        "decoded-pixel feature vectors (vision-encoder pooling shape),"
+        " formula-oracled per component",
+    ),
     "multimodal_decode_image": QuerySpec(
         "multimodal_decode_image", q_decode_image, _DECODE_IMAGE_ORACLE,
         "real BMP encode→decode round-trip vs pixel-formula replay",

@@ -390,7 +390,7 @@ def q_sink_partitioned_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = _sink_dir("sink_part_rt_")
     write_parquet(li, out, partition_by=["ship_year"])
     back = spark.read.parquet(out)
-    return (
+    agg = (
         back.groupBy(F.col("ship_year").cast("long").alias("ship_year"))
         .agg(
             F.count(F.lit(1)).alias("n_rows"),
@@ -398,6 +398,12 @@ def q_sink_partitioned_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("double")
             .alias("sum_price"),
         )
+    )
+    # materialize NOW (a handful of per-year rows): the returned frame
+    # must not lazily read a temp dir that eviction/atexit may remove
+    # before a caller collects
+    return spark.createDataFrame(
+        agg.collect(), "ship_year long, n_rows long, sum_price double"
     )
 
 
@@ -427,11 +433,11 @@ def q_sink_report_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = _sink_dir("sink_csv_rt_")
     write_report_csv(report, out)
-    return spark.read.csv(
-        out,
-        header=True,
-        schema="o_orderpriority string, n_orders long, total_price double",
-    )
+    schema = "o_orderpriority string, n_orders long, total_price double"
+    back = spark.read.csv(out, header=True, schema=schema)
+    # materialize NOW — same temp-dir-lifetime reasoning as the
+    # partitioned round-trip above
+    return spark.createDataFrame(back.collect(), schema)
 
 
 _SINK_CSV_ORACLE = """
@@ -483,11 +489,19 @@ def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     edges = fwd.union(fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
     ranks = pagerank(edges, iterations=_PR_ITERS, round_dp=_PR_DP)
-    return (
+    # pagerank returns its result PERSISTED (caller-owns-release
+    # contract — unpersisting inside would force a full loop recompute
+    # at collection). The top-20 rows are a legitimate driver boundary,
+    # so materialize them and release the node-sized rank table now
+    # instead of leaking one persisted copy per invocation.
+    rows = (
         ranks.select("node", F.round("rank", 9).alias("rank"))
         .orderBy(F.desc("rank"), F.asc("node"))
         .limit(20)
+        .collect()
     )
+    ranks.unpersist()
+    return spark.createDataFrame(rows, "node string, rank double")
 
 
 def _pagerank_oracle() -> str:

@@ -11,7 +11,6 @@ the watermarked windows in streaming.jobs.
 
 from __future__ import annotations
 
-import tempfile
 from collections.abc import Iterator
 
 import pandas as pd
@@ -69,26 +68,17 @@ def running_user_totals_stream(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
-    saved = None
-    if stream_shuffle_partitions is not None:
-        saved = spark.conf.get("spark.sql.shuffle.partitions")
-        spark.conf.set(
-            "spark.sql.shuffle.partitions", str(stream_shuffle_partitions)
-        )
-    try:
-        checkpoint = tempfile.mkdtemp(prefix=f"ckpt-{query_name}-")
-        q = (
-            updated.writeStream.format("memory")
-            .queryName(query_name)
-            .outputMode("update")
-            .option("checkpointLocation", checkpoint)
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
-    finally:
-        if saved is not None:
-            spark.conf.set("spark.sql.shuffle.partitions", saved)
+    from .jobs import _run_to_memory
+
+    # one shared drain helper owns the memory sink + conf-override
+    # plumbing (round-4 review: a second hand-rolled copy here would
+    # silently miss future fixes to the shared path)
+    _run_to_memory(
+        updated,
+        query_name=query_name,
+        output_mode="update",
+        shuffle_partitions=stream_shuffle_partitions,
+    )
     # memory sink holds one row per update; the last per user is final
     snap = spark.table(query_name)
     w_latest = snap.groupBy("user_id").agg(

@@ -57,8 +57,9 @@ def test_module_caches_are_bounded():
     assert isinstance(ml_queries._FIT_CACHE, BoundedCache)
     assert isinstance(ml_queries._REF_BANDS_CACHE, BoundedCache)
     assert isinstance(content._IVF_CACHE, BoundedCache)
+    assert isinstance(content._FREQ_CACHE, BoundedCache)
     assert isinstance(readers._SCHEMA_VERDICT_CACHE, BoundedCache)
-    assert events_queries._LANDED_CACHE_MAX >= 1  # dict with inline eviction
+    assert isinstance(events_queries._LANDED_CACHE, BoundedCache)
 
 
 def test_schema_verdict_cache_bounded_across_many_dirs():
@@ -85,3 +86,11 @@ def test_sink_dirs_bounded():
         import shutil
 
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_rejects_none_values():
+    import pytest as _pytest
+
+    c = BoundedCache(2)
+    with _pytest.raises(ValueError, match="None"):
+        c.put("k", None)

@@ -303,4 +303,7 @@ def test_winsorize_approx_uses_sketch_not_sort(spark, sf_dir):
     assert "approx_percentile" in plan
     exact_df = all_queries()["feature_winsorize_exact"].fn(spark, sf_dir)
     exact_plan = exact_df._jdf.queryExecution().executedPlan().toString().lower()
+    # negative check required: "approx_percentile(" contains
+    # "percentile(", so the positive match alone is vacuous
+    assert "approx_percentile" not in exact_plan
     assert "percentile(" in exact_plan

@@ -28,6 +28,16 @@ def test_distribution_is_actually_skewed(spark):
     hot = fact.filter(F.col("skew_key") == 0).count()
     share = hot / total
     assert abs(share - HOT_SHARE / 10) < 0.05, f"hot share {share:.3f}"
+    # the cold side must cover the whole key space, not a residue class
+    # (the round-4 review caught pmod(h,1000) conditioned on pmod(h,10)
+    # touching only keys ≡ 7,8,9 mod 10)
+    cold_keys = (
+        fact.filter(F.col("skew_key") != 0)
+        .select(F.pmod("skew_key", F.lit(10)).alias("r"))
+        .distinct()
+        .count()
+    )
+    assert cold_keys == 10, f"cold keys hit only {cold_keys}/10 residues"
 
 
 def test_all_strategies_agree(plans):
