@@ -103,6 +103,9 @@ R4B_OPS = [
     "events_rolling_active_users",
     "events_attribution",
     "text_token_rarity",
+    "multimodal_audio_features",
+    "curation_dsir_resample",
+    "ann_quantized_rerank",
 ]
 
 

@@ -115,10 +115,12 @@ _CORRECTNESS_WINDOW = [
     "grouping_sets_agg",
     "correlation_pairs",
     "delay_group_counts",
-    # expression families.
-    "array_functions",
-    "lateral_explode",
-    "string_functions",
+    # late round-4 additions (never driver-checked beats re-proving
+    # r1 evidence — the expression-family queries they displace keep
+    # green r1 rows on record):
+    "multimodal_audio_features",
+    "curation_dsir_resample",
+    "ann_quantized_rerank",
     "flagship_sql",
 ]
 

@@ -715,6 +715,56 @@ def q_ann_bruteforce_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     return brute_force_topk_pandas(e, qv, id_col="vec_id", vec_col="embedding", k=10)
 
 
+_QR_K, _QR_CANDIDATES = 10, 30
+
+
+def q_ann_quantized_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage retrieval (similarity/quantized_rerank.py): int8
+    dot-product first pass → 30-candidate pool → exact-cosine rerank.
+    The oracle replays the quantized pass itself (floor(x·127/m + 0.5)
+    codes, integer dot products), not a brute-force assumption."""
+    from ..similarity.quantized_rerank import quantized_rerank_topk
+
+    e = read_testdata_table(spark, sf_dir, "embeddings")
+    qv = _query_vector(spark, sf_dir)
+    return quantized_rerank_topk(
+        e, qv, id_col="vec_id", vec_col="embedding",
+        k=_QR_K, candidates=_QR_CANDIDATES,
+    )
+
+
+# list_dot_product over floor()-valued double lists IS exact integer
+# arithmetic: |score| ≤ d·127² ≪ 2⁵³.
+_ANN_QUANT_RERANK_ORACLE = f"""
+WITH q AS (
+  SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0
+), qc AS (
+  SELECT qv,
+         list_transform(qv, x -> floor(x * (127.0 /
+             list_max(list_transform(qv, y -> abs(y)))) + 0.5)) AS qcodes
+  FROM q
+), cc AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+         list_transform(CAST(embedding AS DOUBLE[]),
+             x -> floor(x * (127.0 /
+                 list_max(list_transform(CAST(embedding AS DOUBLE[]),
+                                         y -> abs(y)))) + 0.5)) AS codes
+  FROM embeddings
+), scored AS (
+  SELECT vec_id, v,
+         CAST(list_dot_product(codes, qcodes) AS BIGINT) AS int_score
+  FROM cc CROSS JOIN qc
+), cand AS (
+  SELECT * FROM scored
+  ORDER BY int_score DESC, vec_id ASC LIMIT {_QR_CANDIDATES}
+)
+SELECT c.vec_id AS id, c.int_score,
+       round(list_cosine_similarity(c.v, qc.qv), 6) AS cosine
+FROM cand c CROSS JOIN qc
+ORDER BY cosine DESC, id ASC LIMIT {_QR_K}
+"""
+
+
 def q_text_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..text.analysis import bpe_style_token_count
 
@@ -1178,6 +1228,12 @@ QUERIES: dict[str, QuerySpec] = {
     "ann_bruteforce_pandas": QuerySpec(
         "ann_bruteforce_pandas", q_ann_bruteforce_pandas, _ANN_BRUTE_ORACLE,
         "vectorized pandas-UDF cosine top-k (same oracle as the JVM path)",
+    ),
+    "ann_quantized_rerank": QuerySpec(
+        "ann_quantized_rerank", q_ann_quantized_rerank,
+        _ANN_QUANT_RERANK_ORACLE,
+        "int8 dot-product first pass + exact-cosine rerank; oracle"
+        " replays the quantized pipeline itself",
     ),
     "ann_hard_negatives": QuerySpec(
         "ann_hard_negatives", q_ann_hard_negatives, _HARD_NEG_ORACLE,

@@ -401,7 +401,79 @@ GROUP BY 1, 2
 """
 
 
+_DSIR_TARGETS = ("src0", "src1")
+_DSIR_BUCKETS = 256
+_DSIR_K = 100
+
+
+def q_dsir_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style importance resampling (curation/dsir.py): hashed-
+    unigram target/proposal models over the ``src0``/``src1`` target
+    slice, integer-exact smoothed probability ratios, top-100 most
+    target-like documents."""
+    from ..curation.dsir import dsir_resample
+
+    d = read_testdata_table(spark, sf_dir, "documents")
+    return dsir_resample(
+        d,
+        id_col="doc_id",
+        text_col="text",
+        domain_col="source",
+        target_domains=_DSIR_TARGETS,
+        k=_DSIR_K,
+        n_buckets=_DSIR_BUCKETS,
+    )
+
+
+# md5('d_' || token) 14-hex prefix → bigint, mod B — same strpos replay
+# as _MD5_56 but keyed by token.
+_DSIR_MD5 = (
+    "list_sum(list_transform(generate_series(1, 14), j -> "
+    "CAST(strpos('0123456789abcdef', "
+    "substr(md5('d_' || tok), j, 1)) - 1 AS BIGINT) "
+    "* (CAST(1 AS BIGINT) << (4 * (14 - j)))))"
+)
+
+_DSIR_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, source,
+         unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
+  FROM documents
+), bt AS (
+  SELECT doc_id, source, ({_DSIR_MD5}) % {_DSIR_BUCKETS} AS bucket FROM toks
+), bc AS (
+  SELECT bucket,
+         CAST(count(*) AS BIGINT) AS cp,
+         CAST(sum(CASE WHEN source IN {_DSIR_TARGETS} THEN 1 ELSE 0 END)
+              AS BIGINT) AS ct
+  FROM bt GROUP BY bucket
+), tot AS (
+  SELECT CAST(sum(cp) AS BIGINT) AS np, CAST(sum(ct) AS BIGINT) AS nt
+  FROM bc
+), br AS (
+  SELECT bucket,
+         ((ct + 1) * (np + {_DSIR_BUCKETS}) * 1000000)
+           // ((cp + 1) * (nt + {_DSIR_BUCKETS})) AS ratio
+  FROM bc CROSS JOIN tot
+), scored AS (
+  SELECT doc_id,
+         CAST(count(*) AS BIGINT) AS n_tokens,
+         round(CAST(sum(CAST(ratio AS DECIMAL(28,0))) AS DOUBLE)
+               / count(*) / 1000000, 6) AS dsir_score
+  FROM bt JOIN br USING (bucket) GROUP BY doc_id
+)
+SELECT d.doc_id, d.source, s.n_tokens, s.dsir_score
+FROM scored s JOIN documents d USING (doc_id)
+ORDER BY dsir_score DESC, doc_id ASC LIMIT {_DSIR_K}
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "curation_dsir_resample": QuerySpec(
+        "curation_dsir_resample", q_dsir_resample, _DSIR_ORACLE,
+        "DSIR-style hashed-unigram importance resampling, integer-exact"
+        " ratio arithmetic, deterministic top-k selection",
+    ),
     "curation_stratified_split": QuerySpec(
         "curation_stratified_split", q_stratified_split, _STRATIFIED_ORACLE,
         "stratified md5-ranked 80/10/10 split audit per source domain",

@@ -179,7 +179,66 @@ FROM px GROUP BY asset_id
 """
 
 
+_N_FRAMES = 4
+
+
+def q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decode → audio front-end features (energy, zero crossings, peak,
+    loudest balanced frame) — the speech-pipeline filter stage, all
+    integer-exact so the sample-formula oracle hash-checks it."""
+    from ..multimodal.synthetic import audio_feature_audit
+
+    return audio_feature_audit(
+        synthetic_audio_assets(_doc_ids(spark, sf_dir)), n_frames=_N_FRAMES
+    )
+
+
+# Frame of sample i = (i·4) div n (balanced partition); loudest frame =
+# arg_max over frame energies with ties to the LOWEST index — encoded
+# as arg_max(f, e·8 − f): energies dominate (·8 > max frame index) and
+# equal energies make the smaller f win.
+_AUDIO_FEATURES_ORACLE = f"""
+WITH dims AS (
+  SELECT doc_id AS asset_id, 256 + doc_id % 128 AS n FROM documents
+), smp AS (
+  SELECT asset_id, n, i.i,
+         (asset_id * 17 + i.i * 13) % 4096 - 2048 AS s
+  FROM dims
+  JOIN (SELECT unnest(generate_series(0, 383)) AS i) i ON i.i < n
+), base AS (
+  SELECT asset_id, n,
+         CAST(sum(s * s) AS BIGINT) AS energy,
+         CAST(max(abs(s)) AS BIGINT) AS peak
+  FROM smp GROUP BY asset_id, n
+), lagged AS (
+  SELECT asset_id, s,
+         lag(s) OVER (PARTITION BY asset_id ORDER BY i) AS prev
+  FROM smp
+), zc AS (
+  SELECT asset_id,
+         CAST(count(*) FILTER (WHERE prev * s < 0) AS BIGINT)
+           AS zero_crossings
+  FROM lagged GROUP BY asset_id
+), fe AS (
+  SELECT asset_id, (i * {_N_FRAMES}) // n AS f, sum(s * s) AS e
+  FROM smp GROUP BY asset_id, (i * {_N_FRAMES}) // n
+), lf AS (
+  SELECT asset_id,
+         CAST(arg_max(f, e * 8 - f) AS BIGINT) AS loudest_frame
+  FROM fe GROUP BY asset_id
+)
+SELECT b.asset_id, CAST(n AS BIGINT) AS n_samples, energy,
+       zero_crossings, peak, loudest_frame
+FROM base b JOIN zc USING (asset_id) JOIN lf USING (asset_id)
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "multimodal_audio_features": QuerySpec(
+        "multimodal_audio_features", q_audio_features, _AUDIO_FEATURES_ORACLE,
+        "decode → audio front-end features (energy/ZCR/peak/loudest"
+        " frame), integer-exact formula oracle",
+    ),
     "multimodal_image_features": QuerySpec(
         "multimodal_image_features", q_image_features, _IMAGE_FEATURES_ORACLE,
         "decoded-pixel feature vectors (vision-encoder pooling shape),"
