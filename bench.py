@@ -106,6 +106,8 @@ R4B_OPS = [
     "multimodal_audio_features",
     "curation_dsir_resample",
     "ann_quantized_rerank",
+    "dedup_span_scrub",
+    "text_gopher_rules",
 ]
 
 

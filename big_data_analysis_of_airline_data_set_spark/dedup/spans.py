@@ -93,3 +93,109 @@ def cross_doc_span_stats(
             .alias("dup_span_ratio"),
         )
     )
+
+
+def scrub_duplicate_spans(
+    df: DataFrame,
+    *,
+    id_col: str,
+    text_col: str,
+    span_words: int = 8,
+) -> DataFrame:
+    """Exact substring dedup WITH document rewrite (the Lee et al. 2022
+    "Deduplicating Training Data Makes Language Models Better" shape):
+    drop every non-overlapping ``span_words``-token span whose
+    fingerprint has an earlier occurrence anywhere in the corpus, then
+    reassemble each document from its kept spans plus the ragged tail.
+
+    First-occurrence semantics: occurrences are ordered by
+    (document id, span index); only the lexicographically first copy of
+    each fingerprint survives. Intra-document repeats therefore also
+    collapse to their first occurrence. The tail (tokens past the last
+    full span) is never dropped — it is not span-aligned, so treating
+    it as a span would create false cross-doc matches between unrelated
+    short suffixes.
+
+    Output: (id, n_spans, n_spans_dropped, new_n_tokens, new_fp) where
+    ``new_fp`` is md5 of the space-joined rewritten text — one scalar a
+    SQL oracle can replay to prove the whole rewrite byte-for-byte.
+
+    Scale shape: explode to one row per span, ONE window over the
+    md5-fingerprint key (well-distributed — no skew) for the
+    first-occurrence rank, then a per-document sort-aggregate to
+    reassemble. Two shuffles, both on bounded keys; no driver state.
+    """
+    toks = df.select(
+        F.col(id_col).alias("_id"), tokens_col(F.col(text_col)).alias("_toks")
+    )
+    n_spans = F.floor(F.size("_toks") / span_words).cast("int")
+    span_idx = F.sequence(F.lit(0), n_spans - 1)
+    span_str = lambda j: F.concat_ws(  # noqa: E731
+        " ", F.slice("_toks", j * span_words + 1, span_words)
+    )
+    tail = F.concat_ws(
+        " ", F.slice("_toks", n_spans * span_words + 1, F.size("_toks"))
+    )
+    base = toks.select(
+        "_id",
+        n_spans.alias("_n_spans"),
+        F.when(n_spans > 0, F.transform(span_idx, span_str))
+        .otherwise(F.array().cast("array<string>"))
+        .alias("_spans"),
+        tail.alias("_tail"),
+    )
+    # consumed twice (span explode + per-doc tail rejoin) WITHOUT a
+    # persist: the recompute is one extra tokenize scan that stays
+    # pipelined, cheaper than owning an unpersist contract here
+
+    from pyspark.sql.window import Window
+
+    spans = base.select(
+        "_id", F.posexplode("_spans").alias("_idx", "_span")
+    ).withColumn("_fp", F.md5("_span"))
+    w = Window.partitionBy("_fp").orderBy(F.asc("_id"), F.asc("_idx"))
+    kept = (
+        spans.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .groupBy("_id")
+        .agg(
+            F.count(F.lit(1)).alias("_n_kept"),
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("_idx", "_span"))),
+                    lambda s: s["_span"],
+                ),
+            ).alias("_kept_text"),
+        )
+    )
+    out = (
+        base.join(kept, "_id", "left")
+        .select(
+            F.col("_id").alias(id_col),
+            F.col("_n_spans").cast("long").alias("n_spans"),
+            (F.col("_n_spans") - F.coalesce("_n_kept", F.lit(0)))
+            .cast("long")
+            .alias("n_spans_dropped"),
+            F.concat_ws(
+                " ", F.coalesce("_kept_text", F.lit("")), F.col("_tail")
+            ).alias("_joined"),
+            F.coalesce("_n_kept", F.lit(0)).alias("_n_kept"),
+            F.col("_tail"),
+        )
+        .select(
+            id_col,
+            "n_spans",
+            "n_spans_dropped",
+            (
+                F.col("_n_kept") * span_words
+                + F.when(F.col("_tail") == "", 0).otherwise(
+                    F.size(F.split("_tail", " "))
+                )
+            )
+            .cast("long")
+            .alias("new_n_tokens"),
+            F.md5(F.trim("_joined")).alias("new_fp"),
+        )
+    )
+    return out

@@ -113,8 +113,8 @@ _CORRECTNESS_WINDOW = [
     "window_frames",
     # aggregation shapes,
     "grouping_sets_agg",
-    "correlation_pairs",
-    "delay_group_counts",
+    "dedup_span_scrub",
+    "text_gopher_rules",
     # late round-4 additions (never driver-checked beats re-proving
     # r1 evidence — the expression-family queries they displace keep
     # green r1 rows on record):

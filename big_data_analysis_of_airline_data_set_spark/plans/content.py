@@ -205,6 +205,60 @@ FROM documents d LEFT JOIN per_doc p USING (doc_id)
 """
 
 
+def q_dedup_span_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact substring dedup WITH rewrite (dedup/spans.py
+    scrub_duplicate_spans): corpus-global first-occurrence keep over
+    8-token spans, documents reassembled from surviving spans + ragged
+    tail. ``new_fp`` = md5 of the rewritten text, so the oracle proves
+    the full rewrite byte-for-byte, not just the drop counts."""
+    from ..dedup.spans import scrub_duplicate_spans
+
+    d = read_testdata_table(spark, sf_dir, "documents")
+    return scrub_duplicate_spans(
+        d, id_col="doc_id", text_col="text", span_words=_SPAN_WORDS
+    )
+
+
+_SPAN_SCRUB_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t FROM documents
+), d AS (
+  SELECT doc_id, t, CAST(len(t) // {_SPAN_WORDS} AS BIGINT) AS n_spans FROM toks
+), sp AS (
+  SELECT doc_id, n_spans, j AS idx,
+         array_to_string(
+             list_slice(t, j*{_SPAN_WORDS} + 1, j*{_SPAN_WORDS} + {_SPAN_WORDS}),
+             ' ') AS span
+  FROM d, unnest(generate_series(0, n_spans - 1)) AS u(j)
+), ranked AS (
+  SELECT doc_id, idx, span,
+         row_number() OVER (PARTITION BY md5(span)
+                            ORDER BY doc_id, idx) AS rn
+  FROM sp
+), kept AS (
+  SELECT doc_id, count(*) AS n_kept,
+         string_agg(span, ' ' ORDER BY idx) AS kept_text
+  FROM ranked WHERE rn = 1 GROUP BY doc_id
+), tails AS (
+  -- list_slice with start past the end yields NULL (not []) in DuckDB
+  SELECT doc_id, n_spans,
+         coalesce(array_to_string(
+             list_slice(t, n_spans*{_SPAN_WORDS} + 1, len(t)), ' '), '')
+           AS tail
+  FROM d
+)
+SELECT ta.doc_id,
+       n_spans,
+       CAST(n_spans - coalesce(k.n_kept, 0) AS BIGINT) AS n_spans_dropped,
+       CAST(coalesce(k.n_kept, 0) * {_SPAN_WORDS}
+            + CASE WHEN tail = '' THEN 0
+                   ELSE len(string_split(tail, ' ')) END AS BIGINT)
+         AS new_n_tokens,
+       md5(trim(coalesce(k.kept_text, '') || ' ' || tail)) AS new_fp
+FROM tails ta LEFT JOIN kept k USING (doc_id)
+"""
+
+
 _TEXT_REPETITION_ORACLE = """
 WITH g AS (
   SELECT doc_id,
@@ -765,6 +819,58 @@ ORDER BY cosine DESC, id ASC LIMIT {_QR_K}
 """
 
 
+def q_text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Published Gopher quality-filter heuristics (text/analysis.py
+    gopher_rules) as per-document booleans + the AND'd keep decision —
+    one shuffle-free codegen projection over the corpus."""
+    from ..text.analysis import gopher_rules
+
+    d = read_testdata_table(spark, sf_dir, "documents")
+    rules = gopher_rules(F.col("text"))
+    keep = None
+    cols = [F.col("doc_id")]
+    for name, expr in rules.items():
+        cols.append(expr.alias(name))
+        keep = expr if keep is None else (keep & expr)
+    cols.append(keep.alias("keep"))
+    return d.select(*cols)
+
+
+_GOPHER_ORACLE = r"""
+WITH t AS (
+  SELECT doc_id, text,
+         regexp_split_to_array(trim(text), '\s+') AS toks
+  FROM documents
+), m AS (
+  SELECT doc_id,
+         CAST(len(toks) AS BIGINT) AS n,
+         CAST(length(regexp_replace(text, '\s', '', 'g')) AS BIGINT)
+           AS non_space,
+         CAST(len(regexp_extract_all(text, '#|\.\.\.')) AS BIGINT)
+           AS n_symbols,
+         CAST(len(list_filter(toks, x -> regexp_matches(x, '[a-zA-Z]')))
+              AS BIGINT) AS n_alpha,
+         CAST(len(list_filter(toks, x -> list_contains(
+             ['the','be','to','of','and','that','have','with'], x)))
+              AS BIGINT) AS stop_hits
+  FROM t
+), r AS (
+  SELECT doc_id,
+         (n >= 50 AND n <= 100000) AS words_in_range,
+         (CAST(non_space AS DOUBLE) / n >= 3.0
+          AND CAST(non_space AS DOUBLE) / n <= 10.0) AS mean_word_len_ok,
+         (CAST(n_symbols AS DOUBLE) / n <= 0.1) AS symbol_ratio_ok,
+         (CAST(n_alpha AS DOUBLE) / n >= 0.8) AS alpha_word_ratio_ok,
+         (stop_hits >= 2) AS stopwords_ok
+  FROM m
+)
+SELECT *,
+       (words_in_range AND mean_word_len_ok AND symbol_ratio_ok
+        AND alpha_word_ratio_ok AND stopwords_ok) AS keep
+FROM r
+"""
+
+
 def q_text_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..text.analysis import bpe_style_token_count
 
@@ -1172,6 +1278,11 @@ QUERIES: dict[str, QuerySpec] = {
         "text_repetition", q_text_repetition, _TEXT_REPETITION_ORACLE,
         "repeated-3-gram ratio quality gate (boilerplate/spam signal)",
     ),
+    "dedup_span_scrub": QuerySpec(
+        "dedup_span_scrub", q_dedup_span_scrub, _SPAN_SCRUB_ORACLE,
+        "exact substring dedup with document rewrite: first-occurrence"
+        " span keep + reassembly, rewrite proven via md5",
+    ),
     "dedup_spans_crossdoc": QuerySpec(
         "dedup_spans_crossdoc", q_dedup_spans_crossdoc, _SPANS_CROSSDOC_ORACLE,
         "cross-document span-dedup signal: per-doc duplicated 8-token-span counts",
@@ -1242,6 +1353,11 @@ QUERIES: dict[str, QuerySpec] = {
     "embedding_class_profile": QuerySpec(
         "embedding_class_profile", q_embedding_class_profile, _CLASS_PROFILE_ORACLE,
         "per-label class sizes + integer-exact coordinate checksums (balance/drift QA)",
+    ),
+    "text_gopher_rules": QuerySpec(
+        "text_gopher_rules", q_text_gopher_rules, _GOPHER_ORACLE,
+        "published Gopher quality heuristics as per-doc booleans +"
+        " keep decision, one shuffle-free projection",
     ),
     "text_bpe_tokens": QuerySpec(
         "text_bpe_tokens", q_text_bpe_tokens, _BPE_ORACLE,

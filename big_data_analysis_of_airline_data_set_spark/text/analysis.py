@@ -199,3 +199,56 @@ def oov_stats(
         .otherwise(F.lit(0.0))
         .alias("oov_rate"),
     )
+
+
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_rules(
+    text: Column,
+    *,
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_ratio: float = 0.1,
+    min_alpha_word_ratio: float = 0.8,
+    min_stopword_hits: int = 2,
+) -> dict[str, Column]:
+    """The published Gopher quality-filter heuristics (Rae et al. 2021,
+    appendix A) as boolean Column expressions — the standard pre-filter
+    a web-scale corpus runs before any model-based scoring:
+
+    - ``words_in_range``       min_words ≤ #words ≤ max_words
+    - ``mean_word_len_ok``     3 ≤ mean word length ≤ 10
+    - ``symbol_ratio_ok``      (# of '#' or '…'/'...') / words ≤ 0.1
+    - ``alpha_word_ratio_ok``  ≥ 80 % of words contain a letter
+    - ``stopwords_ok``         ≥ 2 occurrences from the 8-word list
+
+    Engine parity: every ratio is one double division of two exact
+    integers, compared with ≤/≥ — both engines compute the identical
+    IEEE double, so the booleans match bit-for-bit. All five rules and
+    the AND fold into one shuffle-free codegen projection.
+    """
+    toks = tokens_col(text)
+    n = F.size(toks).cast("long")
+    non_space = F.length(F.regexp_replace(text, r"\s", "")).cast("long")
+    n_symbols = (
+        F.size(F.regexp_extract_all(text, F.lit(r"#|\.\.\."), 0)).cast("long")
+    )
+    n_alpha_words = F.size(
+        F.filter(toks, lambda t: t.rlike("[a-zA-Z]"))
+    ).cast("long")
+    stop_hits = stopword_count(text, GOPHER_STOPWORDS)
+    return {
+        "words_in_range": (n >= min_words) & (n <= max_words),
+        "mean_word_len_ok": (
+            (non_space.cast("double") / n >= min_mean_word_len)
+            & (non_space.cast("double") / n <= max_mean_word_len)
+        ),
+        "symbol_ratio_ok": (n_symbols.cast("double") / n <= max_symbol_ratio),
+        "alpha_word_ratio_ok": (
+            n_alpha_words.cast("double") / n >= min_alpha_word_ratio
+        ),
+        "stopwords_ok": stop_hits >= min_stopword_hits,
+    }

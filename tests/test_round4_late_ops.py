@@ -157,3 +157,70 @@ def test_quantized_rerank_int_score_bound(spark, sf_dir):
     # the query itself is its own nearest neighbor with max int score
     top = quant.first()
     assert top.id == 0 and top.cosine == pytest.approx(1.0)
+
+
+# ------------------------- span scrub -------------------------
+
+
+def test_span_scrub_first_occurrence_and_reassembly(spark):
+    from big_data_analysis_of_airline_data_set_spark.dedup.spans import (
+        scrub_duplicate_spans,
+    )
+
+    boiler = "a b c d"  # 4-token span unit for span_words=4
+    rows = [
+        (1, f"{boiler} x y z w tail1"),        # first occurrence of boiler
+        (2, f"{boiler} p q r s"),              # dup boiler, unique 2nd span
+        (3, f"{boiler} {boiler}"),             # dup twice (cross + intra)
+        (4, "only three toks"),                # no full span at all
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r.doc_id: r
+        for r in scrub_duplicate_spans(
+            df, id_col="doc_id", text_col="text", span_words=4
+        ).collect()
+    }
+    # doc 1 keeps everything (it owns the first occurrence)
+    assert out[1].n_spans == 2 and out[1].n_spans_dropped == 0
+    assert out[1].new_n_tokens == 9
+    # doc 2 drops the boilerplate span, keeps its own second span
+    assert out[2].n_spans == 2 and out[2].n_spans_dropped == 1
+    assert out[2].new_n_tokens == 4
+    # doc 3 drops BOTH copies (first occurrence lives in doc 1)
+    assert out[3].n_spans == 2 and out[3].n_spans_dropped == 2
+    assert out[3].new_n_tokens == 0
+    # doc 4: too short for any span — text survives untouched as tail
+    assert out[4].n_spans == 0 and out[4].new_n_tokens == 3
+    import hashlib
+
+    assert out[2].new_fp == hashlib.md5(b"p q r s").hexdigest()
+    assert out[3].new_fp == hashlib.md5(b"").hexdigest()
+    assert out[4].new_fp == hashlib.md5(b"only three toks").hexdigest()
+
+
+# ------------------------- gopher rules -------------------------
+
+
+def test_gopher_rules_booleans(spark):
+    from big_data_analysis_of_airline_data_set_spark.text.analysis import (
+        gopher_rules,
+    )
+
+    rows = [
+        (1, "the cat and the hat sat with a bat"),   # 9 words, 2+ stopwords
+        (2, "1 2 3 4 5 6 7 8 9 10"),                 # numeric: alpha ratio 0
+        (3, "# # # the and of x y z w"),             # symbol-heavy
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    rules = gopher_rules(F.col("text"), min_words=5, max_words=100)
+    out = {
+        r.doc_id: r
+        for r in df.select("doc_id", *[v.alias(k) for k, v in rules.items()]).collect()
+    }
+    assert out[1].words_in_range and out[1].stopwords_ok
+    assert out[1].alpha_word_ratio_ok and out[1].symbol_ratio_ok
+    assert not out[2].alpha_word_ratio_ok
+    assert not out[2].stopwords_ok
+    assert not out[3].symbol_ratio_ok  # 3 symbols / 10 words = 0.3 > 0.1
+    assert out[3].stopwords_ok
