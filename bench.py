@@ -108,6 +108,8 @@ R4B_OPS = [
     "ann_quantized_rerank",
     "dedup_span_scrub",
     "text_gopher_rules",
+    "dedup_attribution",
+    "curation_length_buckets",
 ]
 
 

@@ -259,6 +259,115 @@ FROM tails ta LEFT JOIN kept k USING (doc_id)
 """
 
 
+def q_dedup_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pipeline observability: per-source token accounting for the span
+    scrub — who contributed the boilerplate and how much of each
+    source survives the rewrite. The number a curation team actually
+    watches after turning on dedup (a source losing 40% of its tokens
+    is either template-heavy or over-represented)."""
+    from ..dedup.spans import scrub_duplicate_spans
+    from ..text.analysis import token_count
+
+    d = read_testdata_table(spark, sf_dir, "documents")
+    scrubbed = scrub_duplicate_spans(
+        d, id_col="doc_id", text_col="text", span_words=_SPAN_WORDS
+    )
+    before = d.select(
+        "doc_id", "source", token_count(F.col("text")).alias("_before")
+    )
+    return (
+        before.join(scrubbed, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("_before").cast("long").alias("tokens_before"),
+            F.sum("new_n_tokens").cast("long").alias("tokens_after"),
+            F.round(
+                (F.sum("_before") - F.sum("new_n_tokens")).cast("double")
+                / F.sum("_before"),
+                6,
+            ).alias("drop_pct"),
+        )
+    )
+
+
+# reuses the scrub replay wholesale as a derived table — the
+# attribution numbers are only trustworthy if the underlying rewrite
+# replays exactly.
+def _dedup_attribution_oracle() -> str:
+    return f"""
+SELECT d.source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(len(regexp_split_to_array(trim(d.text), '\\s+')))
+            AS BIGINT) AS tokens_before,
+       CAST(sum(s.new_n_tokens) AS BIGINT) AS tokens_after,
+       round(CAST(sum(len(regexp_split_to_array(trim(d.text), '\\s+')))
+                  - sum(s.new_n_tokens) AS DOUBLE)
+             / sum(len(regexp_split_to_array(trim(d.text), '\\s+'))), 6)
+         AS drop_pct
+FROM ({_SPAN_SCRUB_ORACLE}) s JOIN documents d USING (doc_id)
+GROUP BY d.source
+"""
+
+
+_LEN_BUCKETS = (16, 32, 64, 128, 256)
+
+
+def q_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-bucketed batch planning: assign each document to the
+    smallest bucket cap ≥ its token count (overflow rides the largest
+    cap) and report per-bucket document counts, token totals, and the
+    padding waste a fixed-length batcher would pay — the standard
+    pre-training dynamic-batching audit. Pure integer arithmetic, one
+    aggregate."""
+    from ..text.analysis import token_count
+
+    d = read_testdata_table(spark, sf_dir, "documents")
+    n = token_count(F.col("text"))
+    cap = F.lit(_LEN_BUCKETS[-1])
+    for b in reversed(_LEN_BUCKETS[:-1]):
+        cap = F.when(n <= b, F.lit(b)).otherwise(cap)
+    return (
+        d.select(n.alias("_n"), cap.cast("long").alias("bucket_cap"))
+        .groupBy("bucket_cap")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("_n").cast("long").alias("total_tokens"),
+            F.sum(F.col("bucket_cap") - F.col("_n")).cast("long").alias(
+                "padding_waste"
+            ),
+            F.round(
+                F.sum(F.col("bucket_cap") - F.col("_n")).cast("double")
+                / (F.count(F.lit(1)) * F.first("bucket_cap")),
+                6,
+            ).alias("waste_pct"),
+        )
+    )
+
+
+def _length_buckets_oracle() -> str:
+    cases = " ".join(
+        f"WHEN n <= {b} THEN {b}" for b in _LEN_BUCKETS[:-1]
+    )
+    return f"""
+WITH t AS (
+  SELECT CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS n
+  FROM documents
+), b AS (
+  SELECT n, CAST(CASE {cases} ELSE {_LEN_BUCKETS[-1]} END AS BIGINT)
+           AS bucket_cap
+  FROM t
+)
+SELECT bucket_cap,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n) AS BIGINT) AS total_tokens,
+       CAST(sum(bucket_cap - n) AS BIGINT) AS padding_waste,
+       round(CAST(sum(bucket_cap - n) AS DOUBLE)
+             / (count(*) * bucket_cap), 6) AS waste_pct
+FROM b GROUP BY bucket_cap
+"""
+
+
 _TEXT_REPETITION_ORACLE = """
 WITH g AS (
   SELECT doc_id,
@@ -1282,6 +1391,16 @@ QUERIES: dict[str, QuerySpec] = {
         "dedup_span_scrub", q_dedup_span_scrub, _SPAN_SCRUB_ORACLE,
         "exact substring dedup with document rewrite: first-occurrence"
         " span keep + reassembly, rewrite proven via md5",
+    ),
+    "dedup_attribution": QuerySpec(
+        "dedup_attribution", q_dedup_attribution, _dedup_attribution_oracle(),
+        "per-source token accounting for the span scrub (who lost what"
+        " to dedup)",
+    ),
+    "curation_length_buckets": QuerySpec(
+        "curation_length_buckets", q_length_buckets, _length_buckets_oracle(),
+        "length-bucketed batch planning: per-bucket docs/tokens/padding"
+        " waste, integer-exact",
     ),
     "dedup_spans_crossdoc": QuerySpec(
         "dedup_spans_crossdoc", q_dedup_spans_crossdoc, _SPANS_CROSSDOC_ORACLE,

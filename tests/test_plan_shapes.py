@@ -307,3 +307,37 @@ def test_winsorize_approx_uses_sketch_not_sort(spark, sf_dir):
     # "percentile(", so the positive match alone is vacuous
     assert "approx_percentile" not in exact_plan
     assert "percentile(" in exact_plan
+
+
+def test_quantized_rerank_partial_topk_no_shuffle_scoring(spark, sf_dir):
+    """The int8 first pass must stay a single scan feeding per-partition
+    heaps (TakeOrderedAndProject), with the scoring UDF Arrow-batched —
+    never a global sort or a cartesian."""
+    plan = _plan(spark, sf_dir, "ann_quantized_rerank")
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+    assert "ArrowEvalPython" in plan  # pandas_udf, not row-at-a-time
+
+
+def test_dsir_bucket_table_broadcasts(spark, sf_dir):
+    """The B-row bucket-ratio table must broadcast back over the token
+    stream (map-side join), and the heavy aggregates must combine
+    map-side before the shuffle."""
+    plan = _plan(spark, sf_dir, "curation_dsir_resample")
+    assert "BroadcastHashJoin" in plan
+    assert "partial_" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_gopher_rules_single_projection_no_shuffle(spark, sf_dir):
+    """All five rules + keep must fold into ONE projection directly over
+    a pruned scan — zero exchanges. (The higher-order lambda filters
+    keep this Project out of whole-stage codegen by design; shuffle-
+    freedom and scan pruning are the properties that matter at scale.)"""
+    plan = _plan(spark, sf_dir, "text_gopher_rules")
+    assert "Exchange" not in plan
+    # formatted mode prints each node in the tree AND a detail section —
+    # exactly one numbered scan node means exactly one scan
+    assert plan.count("Scan parquet  (") == 1
+    read = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    assert "text" in read and "n_chars" not in read
