@@ -27,13 +27,13 @@ oracle, same discipline as text_token_rarity / graph.pagerank):
   stand-in for Gumbel-top-k resampling; executed as
   TakeOrderedAndProject (per-partition heaps), never a global sort.
 
-Scale shape: one explode→groupBy builds the B-row bucket table (B is
-a constant ≤ a few thousand → broadcast); the scoring pass is a
-map-side broadcast join + one doc-keyed aggregate. Two shuffles total,
-both on bounded keys — the same plan at 100 TB.
-
-int64 bounds: (ct+1) ≤ Nt, so num·SCALE ≤ Nt·(Np+B)·10⁶; at 2·10⁵
-target tokens against 2·10⁶ corpus tokens that is 4·10¹⁷ < 2⁶³.
+Scale shape: one explode→groupBy fits the B-row bucket table (B is a
+constant ≤ a few thousand — collecting the fitted model is a bounded
+driver artifact at any corpus size); ratios are computed driver-side
+in arbitrary-precision Python integers and re-broadcast as a literal
+table, so the scoring pass is a map-side broadcast join + one
+doc-keyed aggregate. Two corpus passes, two bounded-key shuffles —
+the same plan at 100 TB.
 """
 
 from __future__ import annotations
@@ -70,15 +70,31 @@ def dsir_scores(
         F.explode(tokens_col(F.col(text_col))).alias("tok"),
     ).select(id_col, "is_target", _bucket(F.col("tok"), n_buckets))
 
-    bc = toks.groupBy("bucket").agg(
-        F.count(F.lit(1)).alias("cp"), F.sum("is_target").alias("ct")
+    # The fitted "model" is the B-row bucket table — a bounded artifact
+    # (B is a constant, independent of corpus size), so collecting it is
+    # a legitimate driver boundary at any scale, exactly like
+    # _query_vector / the correlation matrix. Materializing it ONCE and
+    # re-broadcasting a literal table keeps the corpus at two
+    # tokenize+hash passes total (count fit + scoring); leaving it lazy
+    # triples that, because Spark does not share the aggregation subtree
+    # between the ratio branch and the totals branch.
+    counts = {
+        int(r.bucket): (int(r.cp), int(r.ct))
+        for r in toks.groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("cp"), F.sum("is_target").alias("ct"))
+        .collect()
+    }
+    np_ = sum(cp for cp, _ in counts.values()) + n_buckets
+    nt = sum(ct for _, ct in counts.values()) + n_buckets
+    # Python // on positives == Spark's div == DuckDB's // — exact,
+    # and arbitrary-precision so no overflow headroom to audit
+    br = docs.sparkSession.createDataFrame(
+        [
+            (b, ((ct + 1) * np_ * _SCALE) // ((cp + 1) * nt))
+            for b, (cp, ct) in sorted(counts.items())
+        ],
+        "bucket long, ratio long",
     )
-    np_, nt = bc.agg(F.sum("cp"), F.sum("ct")).first()  # two scalars to driver
-    ratio = F.expr(
-        f"((ct + 1) * {int(np_) + n_buckets} * {_SCALE})"
-        f" div ((cp + 1) * {int(nt) + n_buckets})"
-    ).alias("ratio")
-    br = bc.select("bucket", ratio)
 
     return (
         toks.join(F.broadcast(br), "bucket")
