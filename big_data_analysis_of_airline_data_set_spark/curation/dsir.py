@@ -61,7 +61,7 @@ def dsir_scores(
     target_domains: tuple[str, ...],
     n_buckets: int = 256,
 ) -> DataFrame:
-    """(id, n_tokens, dsir_score) — per-document mean smoothed
+    """(id, n_tokens, score_e9) — per-document mean smoothed
     target/proposal bucket-probability ratio; higher = more
     target-domain-like."""
     toks = docs.select(
@@ -96,17 +96,21 @@ def dsir_scores(
         "bucket long, ratio long",
     )
 
+    # score_e9 = mean token ratio in 1e-9 units, as (Σratio·1000) div n —
+    # INTEGER end to end. A round(mean, 6) double here is tie-PRONE by
+    # construction (integer ratios over 1e6 make exact decimal midpoints
+    # common, and engines disagree on double rounding at midpoints —
+    # caught by the sf0.1 cross-scale sweep); integer floor division is
+    # bit-identical everywhere.
     return (
         toks.join(F.broadcast(br), "bucket")
         .groupBy(id_col)
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_tokens"),
-            F.round(
-                F.sum(F.col("ratio").cast("decimal(28,0)")).cast("double")
-                / F.count(F.lit(1))
-                / _SCALE,
-                6,
-            ).alias("dsir_score"),
+            F.expr(
+                "CAST((sum(CAST(ratio AS DECIMAL(28,0))) * 1000)"
+                " div count(1) AS BIGINT)"
+            ).alias("score_e9"),
         )
     )
 
@@ -134,6 +138,6 @@ def dsir_resample(
     return (
         docs.select(id_col, domain_col)
         .join(scored, id_col)
-        .orderBy(F.desc("dsir_score"), F.asc(id_col))
+        .orderBy(F.desc("score_e9"), F.asc(id_col))
         .limit(k)
     )

@@ -458,13 +458,15 @@ WITH toks AS (
 ), scored AS (
   SELECT doc_id,
          CAST(count(*) AS BIGINT) AS n_tokens,
-         round(CAST(sum(CAST(ratio AS DECIMAL(28,0))) AS DOUBLE)
-               / count(*) / 1000000, 6) AS dsir_score
+         -- HUGEINT, not DECIMAL: DuckDB's // on DECIMAL is true
+         -- division, only integer types floor
+         CAST((CAST(sum(CAST(ratio AS DECIMAL(28,0))) AS HUGEINT) * 1000)
+              // count(*) AS BIGINT) AS score_e9
   FROM bt JOIN br USING (bucket) GROUP BY doc_id
 )
-SELECT d.doc_id, d.source, s.n_tokens, s.dsir_score
+SELECT d.doc_id, d.source, s.n_tokens, s.score_e9
 FROM scored s JOIN documents d USING (doc_id)
-ORDER BY dsir_score DESC, doc_id ASC LIMIT {_DSIR_K}
+ORDER BY score_e9 DESC, doc_id ASC LIMIT {_DSIR_K}
 """
 
 

@@ -89,7 +89,7 @@ def test_dsir_scores_rank_target_vocab_higher(spark):
         target_domains=("t",),
         n_buckets=64,
     )
-    s = {r.doc_id: r.dsir_score for r in scored.collect()}
+    s = {r.doc_id: r.score_e9 for r in scored.collect()}
     # pure target-vocab docs beat pure background-vocab docs; the mixed
     # doc sits strictly between
     assert min(s[1], s[2]) > s[5] > max(s[3], s[4])
