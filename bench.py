@@ -110,6 +110,7 @@ R4B_OPS = [
     "text_gopher_rules",
     "dedup_attribution",
     "curation_length_buckets",
+    "sketch_kmv_distinct",
 ]
 
 

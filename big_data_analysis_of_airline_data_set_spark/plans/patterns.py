@@ -343,6 +343,67 @@ GROUP BY term, exact_count
 """
 
 
+# ------------------------- KMV distinct sketch -------------------------
+
+_KMV_K = 96
+_KMV_SPACE = 1 << 56
+
+
+def q_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-minimum-values distinct sketch (sketches/kmv.py) over
+    lineitem's order keys by return flag, plus the 'ALL' row whose
+    sketch is the elementwise MERGE of the per-group sketches — the
+    union-cardinality op HLL offers but with EXACT md5 replay instead
+    of a within-bound contract. Exact distincts ride along as the
+    accuracy reference."""
+    from ..sketches.kmv import kmv_distinct_by_group
+    from ..sources.readers import read_testdata_table
+
+    li = read_testdata_table(spark, sf_dir, "lineitem")
+    return kmv_distinct_by_group(
+        li, group_col="l_returnflag", value_col="l_orderkey", k=_KMV_K
+    )
+
+
+def _kmv_oracle() -> str:
+    h = (
+        "list_sum(list_transform(generate_series(1, 14), j -> "
+        "CAST(strpos('0123456789abcdef', substr(md5('{p}_' || val), j, 1)) - 1"
+        " AS BIGINT) * (CAST(1 AS BIGINT) << (4 * (14 - j)))))"
+    )
+    h1, h2 = h.format(p="ka"), h.format(p="kb")
+    return f"""
+WITH base AS (
+  SELECT l_returnflag AS "group", CAST(l_orderkey AS VARCHAR) AS val
+  FROM lineitem
+), hashed AS (
+  SELECT "group", {h1} AS h1, {h2} AS h2 FROM base
+), sk AS (
+  SELECT "group", j, min((h1 + j * h2) % {_KMV_SPACE}) AS min_h
+  FROM hashed
+  CROSS JOIN (SELECT unnest(generate_series(0, {_KMV_K - 1})) AS j)
+  GROUP BY 1, 2
+), merged AS (
+  SELECT 'ALL' AS "group", j, min(min_h) AS min_h FROM sk GROUP BY j
+), allsk AS (
+  SELECT * FROM sk UNION ALL SELECT * FROM merged
+), est AS (
+  SELECT "group",
+         CAST(count(*) AS BIGINT) AS k_minima,
+         CAST((count(*) * {_KMV_SPACE}) // sum(min_h) - 1 AS BIGINT)
+           AS distinct_estimate
+  FROM allsk GROUP BY "group"
+), ex AS (
+  SELECT "group", CAST(count(DISTINCT val) AS BIGINT) AS exact_distinct
+  FROM base GROUP BY "group"
+  UNION ALL
+  SELECT 'ALL', CAST(count(DISTINCT val) AS BIGINT) FROM base
+)
+SELECT "group", k_minima, distinct_estimate, exact_distinct
+FROM est JOIN ex USING ("group")
+"""
+
+
 # ------------------------- sink round-trips (S4/S5) -------------------------
 
 # temp sink dirs: bounded (oldest removed once >8 live — each round-trip
@@ -636,6 +697,11 @@ QUERIES: dict[str, QuerySpec] = {
         "projection_name_pattern", q_projection_name_pattern,
         _PROJECTION_PATTERN_ORACLE,
         "P2: name-predicate column projection (pattern-matched keep list)",
+    ),
+    "sketch_kmv_distinct": QuerySpec(
+        "sketch_kmv_distinct", q_kmv_distinct, _kmv_oracle(),
+        "k-minimum-values distinct sketch + sketch-merge union row,"
+        " exact md5 replay (no within-bound fallback)",
     ),
     "sketch_count_min_heavy_hitters": QuerySpec(
         "sketch_count_min_heavy_hitters", q_count_min_heavy_hitters,

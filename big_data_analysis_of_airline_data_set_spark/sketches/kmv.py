@@ -1,0 +1,117 @@
+"""K-minimum-values distinct sketch (k independent minima variant).
+
+The mergeable distinct-count sketch for a 100 TB corpus: per group keep
+the MINIMUM of k independent 56-bit hashes of each value. Uniform
+hashes of D distinct values have E[min] ≈ 2⁵⁶/(D+1), so
+
+    D̂ = (k · 2⁵⁶) div Σⱼ minⱼ − 1
+
+(the average-of-minima estimator from the Flajolet-Martin / Cohen size-
+estimation family). Properties that matter at scale:
+
+- The sketch build is ONE groupBy with k ``min`` aggregates — partial
+  (map-side) aggregation collapses every partition to one k-vector per
+  group, so the shuffle is k·groups values regardless of data size.
+  No window sort, no collected sets, no per-group state beyond k longs.
+- Sketches MERGE by elementwise min — union cardinality across groups
+  (or across days/partitions) without touching the raw data again.
+  That is the op HLL shares but exact distinct cannot have.
+- Hash families are the md5 Kirsch-Mitzenmacher construction shared
+  with sketches.countmin / dedup.minhash (h_j = h1 + j·h2 mod 2⁵⁶,
+  2 md5s per value for any k), so a SQL oracle replays every minimum
+  and therefore every estimate EXACTLY — no within-bound contract
+  needed, unlike HLL whose register layout is engine-private.
+
+Estimator arithmetic is integer end to end: k·2⁵⁶ < 2⁶³ for k ≤ 127,
+and Σ of k minima < k·2⁵⁶ likewise — both engines floor-divide
+identically (DuckDB via HUGEINT).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_HASH_BITS = 56
+_HASH_SPACE = 1 << _HASH_BITS
+
+
+def _h56(prefix: str, col: Column) -> Column:
+    return F.conv(
+        F.substring(F.md5(F.concat(F.lit(prefix), col)), 1, 14), 16, 10
+    ).cast("long")
+
+
+def kmv_sketch(
+    df: DataFrame,
+    *,
+    group_col: str,
+    value_col: str,
+    k: int = 64,
+) -> DataFrame:
+    """(group, j, min_h): the k-minima sketch per group — one groupBy,
+    constant-size shuffle. Kept in long form (k rows per group) so
+    merging is a further groupBy-min over the same shape."""
+    if not 1 <= k <= 127:
+        raise ValueError("k must be in [1, 127] to keep k*2^56 inside int64")
+    h1 = _h56("ka_", F.col(value_col).cast("string"))
+    h2 = _h56("kb_", F.col(value_col).cast("string"))
+    js = F.explode(F.sequence(F.lit(0), F.lit(k - 1))).alias("j")
+    return (
+        df.select(F.col(group_col).alias("group"), h1.alias("_h1"), h2.alias("_h2"))
+        .select("group", "_h1", "_h2", js)
+        .select(
+            "group",
+            "j",
+            ((F.col("_h1") + F.col("j") * F.col("_h2")) % _HASH_SPACE).alias("h"),
+        )
+        .groupBy("group", "j")
+        .agg(F.min("h").alias("min_h"))
+    )
+
+
+def kmv_estimate(sketch: DataFrame) -> DataFrame:
+    """(group, k_minima, distinct_estimate) from a long-form sketch."""
+    return sketch.groupBy("group").agg(
+        F.count(F.lit(1)).cast("long").alias("k_minima"),
+        F.expr(
+            f"CAST((count(1) * {_HASH_SPACE}) div sum(min_h) - 1 AS BIGINT)"
+        ).alias("distinct_estimate"),
+    )
+
+
+def kmv_distinct_by_group(
+    df: DataFrame,
+    *,
+    group_col: str,
+    value_col: str,
+    k: int = 64,
+    with_union: bool = True,
+) -> DataFrame:
+    """(group, k_minima, distinct_estimate, exact_distinct) per group,
+    plus an 'ALL' row whose sketch is the elementwise MERGE (min) of the
+    per-group sketches — the union-cardinality op raw exact counts
+    can't provide without a second full scan. ``exact_distinct`` rides
+    along as the accuracy reference (itself a plain distinct-agg)."""
+    sk = kmv_sketch(df, group_col=group_col, value_col=value_col, k=k)
+    sketches = sk
+    if with_union:
+        merged = sk.groupBy("j").agg(F.min("min_h").alias("min_h")).select(
+            F.lit("ALL").alias("group"), "j", "min_h"
+        )
+        sketches = sk.unionByName(merged)
+    est = kmv_estimate(sketches)
+
+    exact = df.groupBy(F.col(group_col).alias("group")).agg(
+        F.count_distinct(F.col(value_col)).alias("exact_distinct")
+    )
+    if with_union:
+        exact = exact.unionByName(
+            df.agg(
+                F.lit("ALL").alias("group"),
+                F.count_distinct(F.col(value_col)).alias("exact_distinct"),
+            )
+        )
+    return est.join(exact, "group").select(
+        "group", "k_minima", "distinct_estimate", "exact_distinct"
+    )

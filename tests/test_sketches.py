@@ -45,3 +45,55 @@ def test_cms_table_mass_conservation(spark):
     per_level = {r["j"]: r["total"] for r in
                  tbl.groupBy("j").agg(F.sum("s").alias("total")).collect()}
     assert per_level == {0: 100, 1: 100, 2: 100, 3: 100}
+
+
+# ------------------------- KMV distinct sketch -------------------------
+
+
+def test_kmv_estimate_within_band_and_merge(spark):
+    from pyspark.sql import functions as F
+
+    from big_data_analysis_of_airline_data_set_spark.sketches.kmv import (
+        kmv_distinct_by_group,
+        kmv_sketch,
+    )
+
+    rows = [(("g1" if i % 2 else "g2"), f"v{i % 400}") for i in range(2000)]
+    df = spark.createDataFrame(rows, "grp string, val string")
+    out = {
+        r.group: r
+        for r in kmv_distinct_by_group(
+            df, group_col="grp", value_col="val", k=96
+        ).collect()
+    }
+    # g1 sees odd residues (200 distinct), g2 even (200), union 400
+    assert out["g1"].exact_distinct == 200
+    assert out["ALL"].exact_distinct == 400
+    for r in out.values():
+        # 1/sqrt(96) ≈ 10% std error; Kirsch-Mitzenmacher correlation
+        # inflates it — 35% is the loose determinism-safe band
+        assert abs(r.distinct_estimate - r.exact_distinct) <= 0.35 * r.exact_distinct
+    # merge property: the ALL sketch is the elementwise min of groups
+    sk = kmv_sketch(df, group_col="grp", value_col="val", k=96)
+    mins = {
+        (r.group, r.j): r.min_h for r in sk.collect()
+    }
+    merged = sk.groupBy("j").agg(F.min("min_h").alias("m")).collect()
+    for r in merged:
+        assert r.m == min(mins[("g1", r.j)], mins[("g2", r.j)])
+
+
+def test_kmv_small_group_estimate_sane(spark):
+    from big_data_analysis_of_airline_data_set_spark.sketches.kmv import (
+        kmv_distinct_by_group,
+    )
+
+    df = spark.createDataFrame(
+        [("g", f"x{i}") for i in range(3)], "grp string, val string"
+    )
+    row = kmv_distinct_by_group(
+        df, group_col="grp", value_col="val", k=8, with_union=False
+    ).first()
+    assert row.exact_distinct == 3
+    # tiny-D estimates are noisy but must stay positive and bounded
+    assert 1 <= row.distinct_estimate <= 30
