@@ -111,6 +111,7 @@ R4B_OPS = [
     "dedup_attribution",
     "curation_length_buckets",
     "sketch_kmv_distinct",
+    "events_kmv_stream",
 ]
 
 

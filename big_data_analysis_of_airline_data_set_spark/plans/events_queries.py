@@ -204,6 +204,91 @@ def q_tumbling_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return result
 
 
+_KMV_STREAM_K = 64
+
+
+def q_kmv_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct users per event type via a KMV sketch maintained
+    INCREMENTALLY by the streaming runtime (streaming.jobs
+    run_kmv_sketch_stream_available_now): the streaming state IS the
+    sketch — groups × k longs, constant for any stream volume, which is
+    why no watermark is needed. Estimates, the merged union row, and
+    the exact reference counts are computed over the drained sketch in
+    batch (the production split: streams maintain sketches, queries
+    read them). Oracle = full batch md5 replay, so the incremental
+    min-maintenance must converge to exactly the batch sketch."""
+    from pyspark.sql import functions as F
+
+    from ..sketches.kmv import kmv_estimate
+    from ..streaming.jobs import run_kmv_sketch_stream_available_now
+
+    sk = run_kmv_sketch_stream_available_now(
+        spark,
+        _landed_events_dir(spark, sf_dir),
+        k=_KMV_STREAM_K,
+        max_files_per_trigger=None,
+        stream_shuffle_partitions=8,
+    )
+    merged = sk.groupBy("j").agg(F.min("min_h").alias("min_h")).select(
+        F.lit("ALL").alias("group"), "j", "min_h"
+    )
+    est = kmv_estimate(sk.unionByName(merged))
+    ev = _events(spark, sf_dir)
+    exact = ev.groupBy(F.col("event_type").alias("group")).agg(
+        F.count_distinct("user_id").alias("exact_distinct")
+    ).unionByName(
+        ev.agg(
+            F.lit("ALL").alias("group"),
+            F.count_distinct("user_id").alias("exact_distinct"),
+        )
+    )
+    return est.join(exact, "group").select(
+        "group", "k_minima", "distinct_estimate", "exact_distinct"
+    )
+
+
+def _kmv_stream_oracle() -> str:
+    space = 1 << 56
+    h = (
+        "list_sum(list_transform(generate_series(1, 14), j -> "
+        "CAST(strpos('0123456789abcdef', substr(md5('{p}_' || val), j, 1)) - 1"
+        " AS BIGINT) * (CAST(1 AS BIGINT) << (4 * (14 - j)))))"
+    )
+    h1, h2 = h.format(p="ka"), h.format(p="kb")
+    return f"""
+WITH base AS (
+  SELECT event_type AS "group", CAST(user_id AS VARCHAR) AS val FROM events
+), hashed AS (
+  SELECT "group", {h1} AS h1, {h2} AS h2 FROM base
+), sk AS (
+  SELECT "group", j, min((h1 + j * h2) % {space}) AS min_h
+  FROM hashed
+  CROSS JOIN (SELECT unnest(generate_series(0, {_KMV_STREAM_K - 1})) AS j)
+  GROUP BY 1, 2
+), merged AS (
+  SELECT 'ALL' AS "group", j, min(min_h) AS min_h FROM sk GROUP BY j
+), allsk AS (
+  SELECT * FROM sk UNION ALL SELECT * FROM merged
+), est AS (
+  SELECT "group",
+         CAST(count(*) AS BIGINT) AS k_minima,
+         CAST((count(*) * {space}) // sum(min_h) - 1 AS BIGINT)
+           AS distinct_estimate
+  FROM allsk GROUP BY "group"
+), ex AS (
+  SELECT "group", CAST(count(DISTINCT val) AS BIGINT) AS exact_distinct
+  FROM base GROUP BY "group"
+  UNION ALL
+  SELECT 'ALL', CAST(count(DISTINCT val) AS BIGINT) FROM base
+)
+SELECT "group", k_minima, distinct_estimate, exact_distinct
+FROM est JOIN ex USING ("group")
+"""
+
+
+_KMV_STREAM_ORACLE = _kmv_stream_oracle()
+
+
 def q_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sliding_counts(_events(spark, sf_dir), width="1 hour", slide="30 minutes")
 
@@ -681,6 +766,12 @@ QUERIES: dict[str, QuerySpec] = {
         _USER_TOTALS_STREAM_ORACLE,
         "custom applyInPandasWithState running totals across 4 micro-"
         "batches ≡ batch groupBy (integer-cents exact state)",
+    ),
+    "events_kmv_stream": QuerySpec(
+        "events_kmv_stream", q_kmv_stream, _KMV_STREAM_ORACLE,
+        "KMV distinct sketch maintained INCREMENTALLY by the streaming"
+        " runtime (constant state = the sketch itself); estimates + "
+        "merge row computed over the drained sketch ≡ batch replay",
     ),
     "events_rolling_active_users": QuerySpec(
         "events_rolling_active_users", q_rolling_active_users,

@@ -266,3 +266,43 @@ def run_dedup_stream_available_now(
         shuffle_partitions=stream_shuffle_partitions,
     )
     return spark.table(query_name)
+
+
+def run_kmv_sketch_stream_available_now(
+    spark: SparkSession,
+    events_dir: str,
+    *,
+    k: int = 64,
+    query_name: str = "events_kmv_sketch_stream",
+    max_files_per_trigger: int | None = 1,
+    stream_shuffle_partitions: int | None = None,
+) -> DataFrame:
+    """Incrementally maintain the KMV distinct sketch (sketches.kmv)
+    under the streaming runtime: per (event_type, j) the running MIN of
+    the j-th hash of user_id, drained with availableNow.
+
+    This is the sketch's headline property made executable: the
+    streaming STATE is the sketch itself — groups × k longs, CONSTANT
+    regardless of stream volume — so no watermark is needed and
+    complete-mode output is cheap. (An exact streaming distinct-count
+    would hold every user id in state.) Estimates are then computed
+    over the drained sketch table in batch, the production split:
+    the stream maintains the sketch, queries read it."""
+    from ..sketches.kmv import kmv_sketch
+
+    stream = events_stream_reader(
+        spark, events_dir, max_files_per_trigger=max_files_per_trigger
+    )
+    sk = kmv_sketch(
+        stream.select("event_type", "user_id"),
+        group_col="event_type",
+        value_col="user_id",
+        k=k,
+    )
+    _run_to_memory(
+        sk,
+        query_name=query_name,
+        output_mode="complete",
+        shuffle_partitions=stream_shuffle_partitions,
+    )
+    return spark.table(query_name)

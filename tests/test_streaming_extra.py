@@ -102,3 +102,41 @@ def test_sliding_and_session_windows_stream(spark, events_dir, transform):
     q.awaitTermination()
     got = {tuple(r) for r in spark.table(name).collect()}
     assert got == batch_expected
+
+
+def test_kmv_sketch_stream_incremental_equals_batch(spark, sf_dir):
+    """File-granular micro-batches (maxFilesPerTrigger=1) force the
+    sketch state to be maintained ACROSS batches; the drained result
+    must still equal the batch-computed sketch exactly."""
+    from pyspark.sql import functions as F
+
+    from big_data_analysis_of_airline_data_set_spark.plans.events_queries import (
+        _landed_events_dir,
+    )
+    from big_data_analysis_of_airline_data_set_spark.sketches.kmv import kmv_sketch
+    from big_data_analysis_of_airline_data_set_spark.sources.readers import (
+        read_testdata_table,
+    )
+    from big_data_analysis_of_airline_data_set_spark.streaming.jobs import (
+        run_kmv_sketch_stream_available_now,
+    )
+
+    landed = _landed_events_dir(spark, sf_dir)
+    streamed = run_kmv_sketch_stream_available_now(
+        spark,
+        landed,
+        k=16,
+        query_name="kmv_stream_incr_test",
+        max_files_per_trigger=1,  # several micro-batches
+        stream_shuffle_partitions=4,
+    )
+    ev = read_testdata_table(spark, sf_dir, "events")
+    batch = kmv_sketch(
+        ev.select("event_type", "user_id"),
+        group_col="event_type",
+        value_col="user_id",
+        k=16,
+    )
+    s = {(r.group, r.j): r.min_h for r in streamed.collect()}
+    b = {(r.group, r.j): r.min_h for r in batch.collect()}
+    assert s == b
