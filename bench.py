@@ -112,6 +112,7 @@ R4B_OPS = [
     "curation_length_buckets",
     "sketch_kmv_distinct",
     "events_kmv_stream",
+    "dedup_fuzzy_pairs",
 ]
 
 

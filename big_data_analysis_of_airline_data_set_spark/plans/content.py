@@ -205,6 +205,43 @@ FROM documents d LEFT JOIN per_doc p USING (doc_id)
 """
 
 
+_FUZZY_Q, _FUZZY_MAXD = 2, 2
+
+
+def q_dedup_fuzzy_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate string join (dedup/fuzzy.py): distinct part names
+    within 2 edits of each other, found by 2-gram blocking + exact
+    Levenshtein verify on candidates only — the char-level complement
+    to the token-level near-dup family."""
+    from ..dedup.fuzzy import fuzzy_pairs
+
+    p = read_testdata_table(spark, sf_dir, "part")
+    return fuzzy_pairs(p, name_col="p_name", q=_FUZZY_Q, max_distance=_FUZZY_MAXD)
+
+
+# Spark's substr(i, q) never over-runs (short tail grams are produced,
+# then matched identically on both sides); DuckDB substr behaves the
+# same. levenshtein() is the standard unit-cost edit distance in both
+# engines.
+_FUZZY_ORACLE = f"""
+WITH names AS (
+  SELECT DISTINCT p_name AS name FROM part
+), grams AS (
+  SELECT name, unnest(list_distinct(list_transform(
+      generate_series(1, len(name) - {_FUZZY_Q - 1}),
+      i -> substr(name, i, {_FUZZY_Q})))) AS gram
+  FROM names
+), cand AS (
+  SELECT DISTINCT a.name AS name_a, b.name AS name_b
+  FROM grams a JOIN grams b ON a.gram = b.gram AND a.name < b.name
+)
+SELECT name_a, name_b,
+       CAST(levenshtein(name_a, name_b) AS BIGINT) AS lev
+FROM cand
+WHERE levenshtein(name_a, name_b) <= {_FUZZY_MAXD}
+"""
+
+
 def q_dedup_span_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact substring dedup WITH rewrite (dedup/spans.py
     scrub_duplicate_spans): corpus-global first-occurrence keep over
@@ -1386,6 +1423,11 @@ QUERIES: dict[str, QuerySpec] = {
     "text_repetition": QuerySpec(
         "text_repetition", q_text_repetition, _TEXT_REPETITION_ORACLE,
         "repeated-3-gram ratio quality gate (boilerplate/spam signal)",
+    ),
+    "dedup_fuzzy_pairs": QuerySpec(
+        "dedup_fuzzy_pairs", q_dedup_fuzzy_pairs, _FUZZY_ORACLE,
+        "approximate string join: q-gram blocking + Levenshtein verify"
+        " on candidates only",
     ),
     "dedup_span_scrub": QuerySpec(
         "dedup_span_scrub", q_dedup_span_scrub, _SPAN_SCRUB_ORACLE,

@@ -224,3 +224,29 @@ def test_gopher_rules_booleans(spark):
     assert not out[2].stopwords_ok
     assert not out[3].symbol_ratio_ok  # 3 symbols / 10 words = 0.3 > 0.1
     assert out[3].stopwords_ok
+
+
+# ------------------------- fuzzy pairs -------------------------
+
+
+def test_fuzzy_pairs_blocking_and_verify(spark):
+    from big_data_analysis_of_airline_data_set_spark.dedup.fuzzy import fuzzy_pairs
+
+    rows = [(1, "red bolt"), (2, "red belt"), (3, "blue gear"),
+            (4, "red bolt"), (5, "xz")]  # dup name collapses; "xz" isolated
+    df = spark.createDataFrame(rows, "id long, name string")
+    out = [(r.name_a, r.name_b, r.lev) for r in
+           fuzzy_pairs(df, name_col="name", q=2, max_distance=2).collect()]
+    assert out == [("red belt", "red bolt", 1)]
+
+
+def test_fuzzy_pairs_no_self_or_reversed(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from big_data_analysis_of_airline_data_set_spark.dedup.fuzzy import fuzzy_pairs
+
+    p = spark.read.parquet(f"{sf_dir}/part.parquet")
+    out = fuzzy_pairs(p, name_col="p_name")
+    assert out.filter(F.col("name_a") >= F.col("name_b")).count() == 0
+    n = out.count()
+    assert out.distinct().count() == n and n > 0
