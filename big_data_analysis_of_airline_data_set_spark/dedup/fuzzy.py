@@ -43,6 +43,12 @@ def fuzzy_pairs(
     all unordered pairs within ``max_distance`` edits that share at
     least one q-gram (name_a < name_b lexicographically)."""
     names = df.select(F.col(name_col).alias("name")).distinct()
+    # names shorter than q emit no grams (they can't share one anyway).
+    # The explicit filter matters for engine parity: Spark's
+    # sequence(1, 0) produces a DESCENDING [1, 0] while SQL
+    # generate_series(1, 0) is empty — without the guard a 1-char name
+    # would gram on Spark only.
+    names = names.filter(F.length("name") >= q)
     grams = names.select(
         "name",
         F.explode(

@@ -250,3 +250,17 @@ def test_fuzzy_pairs_no_self_or_reversed(spark, sf_dir):
     assert out.filter(F.col("name_a") >= F.col("name_b")).count() == 0
     n = out.count()
     assert out.distinct().count() == n and n > 0
+
+
+def test_fuzzy_pairs_short_names_emit_no_grams(spark):
+    """sequence(1,0) is DESCENDING in Spark but empty in SQL engines;
+    the length guard keeps sub-q names out of blocking on both sides."""
+    from big_data_analysis_of_airline_data_set_spark.dedup.fuzzy import fuzzy_pairs
+
+    df = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "ab"), (4, "ac")], "id long, name string"
+    )
+    out = [(r.name_a, r.name_b) for r in
+           fuzzy_pairs(df, name_col="name", q=2, max_distance=2).collect()]
+    # 1-char names never block; "ab"/"ac" share no 2-gram so no pair
+    assert out == []
