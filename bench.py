@@ -113,6 +113,7 @@ R4B_OPS = [
     "sketch_kmv_distinct",
     "events_kmv_stream",
     "dedup_fuzzy_pairs",
+    "curation_group_split",
 ]
 
 

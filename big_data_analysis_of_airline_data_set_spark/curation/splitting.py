@@ -89,3 +89,54 @@ def split_summary(
         assigned.groupBy(group_col, "split")
         .agg(F.count(F.lit(1)).cast("long").alias("n_rows"))
     )
+
+
+_HASH_BITS = 56
+_HASH_SPACE = 1 << _HASH_BITS
+
+
+def group_split(
+    df: DataFrame,
+    *,
+    group_col: str,
+    train_frac: float = 0.8,
+    val_frac: float = 0.1,
+) -> DataFrame:
+    """Adds a ``split`` column assigned per GROUP, not per row: every
+    row of a group lands in the same partition — the leakage-free split
+    (all documents of one user/author/session must not straddle train
+    and test, or evaluation measures memorization of the group, not
+    generalization). Complements ``stratified_split``, which balances
+    proportions by splitting rows WITHIN groups — the opposite
+    trade-off.
+
+    Assignment hashes the GROUP KEY to a 56-bit integer u and cuts
+    [0, 2⁵⁶) at floor(train_frac·2⁵⁶) and floor((train+val)·2⁵⁶):
+    a pure function of the group value — stable under retries, stable
+    when a group gains rows (the property row-ranked splits lack), and
+    replayable by any SQL engine. Proportions hold in expectation over
+    groups (exact-count splits per group are impossible without
+    breaking groups).
+
+    Scale shape: zero shuffles — the split is a map-side expression on
+    the group column; no window, no join.
+    """
+    from fractions import Fraction
+
+    f_train = Fraction(train_frac).limit_denominator(10**6)
+    f_tv = f_train + Fraction(val_frac).limit_denominator(10**6)
+    # integer thresholds: floor(frac * 2^56) built from integer
+    # numerators (same rationale as stratified_split's boundaries)
+    t_train = (f_train.numerator * _HASH_SPACE) // f_train.denominator
+    t_val = (f_tv.numerator * _HASH_SPACE) // f_tv.denominator
+    u = F.conv(
+        F.substring(F.md5(F.concat(F.lit("gs_"), F.col(group_col).cast("string"))), 1, 14),
+        16,
+        10,
+    ).cast("long")
+    split = (
+        F.when(u < t_train, F.lit("train"))
+        .when(u < t_val, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    return df.withColumn("split", split)

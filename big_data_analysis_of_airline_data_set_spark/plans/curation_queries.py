@@ -470,7 +470,57 @@ ORDER BY score_e9 DESC, doc_id ASC LIMIT {_DSIR_K}
 """
 
 
+def q_group_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-free group-aware 80/10/10 split (curation/splitting.py
+    group_split): every event of a user lands in ONE split — the
+    assignment is a zero-shuffle expression on the group key. Audit
+    output: per-split row and distinct-user counts (a user in two
+    splits would split its rows across rows of this table — the oracle
+    hash would catch it)."""
+    from ..curation.splitting import group_split
+
+    ev = read_testdata_table(spark, sf_dir, "events")
+    return (
+        group_split(ev, group_col="user_id")
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.count_distinct("user_id").alias("n_users"),
+        )
+    )
+
+
+def _group_split_oracle() -> str:
+    space = 1 << 56
+    t_train = (4 * space) // 5           # floor(0.8 · 2^56)
+    t_val = (9 * space) // 10            # floor(0.9 · 2^56)
+    u = (
+        "list_sum(list_transform(generate_series(1, 14), j -> "
+        "CAST(strpos('0123456789abcdef', "
+        "substr(md5('gs_' || CAST(user_id AS VARCHAR)), j, 1)) - 1 AS BIGINT) "
+        "* (CAST(1 AS BIGINT) << (4 * (14 - j)))))"
+    )
+    return f"""
+WITH s AS (
+  SELECT user_id,
+         CASE WHEN ({u}) < {t_train} THEN 'train'
+              WHEN ({u}) < {t_val} THEN 'val'
+              ELSE 'test' END AS split
+  FROM events
+)
+SELECT split,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+FROM s GROUP BY split
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "curation_group_split": QuerySpec(
+        "curation_group_split", q_group_split, _group_split_oracle(),
+        "leakage-free group-aware split: whole groups per partition,"
+        " zero-shuffle assignment expression",
+    ),
     "curation_dsir_resample": QuerySpec(
         "curation_dsir_resample", q_dsir_resample, _DSIR_ORACLE,
         "DSIR-style hashed-unigram importance resampling, integer-exact"

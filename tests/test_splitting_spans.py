@@ -69,3 +69,43 @@ def test_cross_doc_span_stats_detects_planted_boilerplate(spark):
     assert got[2][0] >= 1 and got[2][1] == 1
     assert got[3] == (2, 0, 0.0)
     assert got[4] == (0, 0, 0.0)
+
+
+# ------------------------- group-aware split -------------------------
+
+
+def test_group_split_no_leakage_and_stability(spark):
+    from pyspark.sql import functions as F
+
+    from big_data_analysis_of_airline_data_set_spark.curation.splitting import (
+        group_split,
+    )
+
+    rows = [(u, i) for u in range(200) for i in range(3)]
+    df = spark.createDataFrame(rows, "user_id long, seq long")
+    out = group_split(df, group_col="user_id")
+    # leakage-free: every group maps to exactly one split
+    leaks = (
+        out.groupBy("user_id")
+        .agg(F.count_distinct("split").alias("k"))
+        .filter(F.col("k") > 1)
+        .count()
+    )
+    assert leaks == 0
+    # proportions hold loosely over 200 groups (binomial, ±4σ-ish)
+    frac = {
+        r.split: r.n for r in
+        out.select("user_id", "split").distinct()
+        .groupBy("split").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert 0.65 * 200 <= frac["train"] <= 0.95 * 200
+    assert frac.get("val", 0) + frac.get("test", 0) == 200 - frac["train"]
+    # stability: adding rows to a group cannot move it between splits
+    df2 = spark.createDataFrame(
+        [(u, i) for u in range(200) for i in range(5)], "user_id long, seq long"
+    )
+    a = {r.user_id: r.split for r in
+         group_split(df, group_col="user_id").select("user_id", "split").distinct().collect()}
+    b = {r.user_id: r.split for r in
+         group_split(df2, group_col="user_id").select("user_id", "split").distinct().collect()}
+    assert a == b
