@@ -114,6 +114,7 @@ R4B_OPS = [
     "events_kmv_stream",
     "dedup_fuzzy_pairs",
     "curation_group_split",
+    "coreset_kcenter",
 ]
 
 

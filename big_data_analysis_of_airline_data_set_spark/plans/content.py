@@ -1017,6 +1017,61 @@ FROM r
 """
 
 
+_CORESET_K = 5
+
+
+def q_coreset_kcenter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy k-center coreset selection in int8-quantized space
+    (similarity/quantized_rerank.py) — the diversity-maximizing data-
+    selection pass, integer-exact so the oracle replays the whole
+    greedy trajectory as unrolled CTEs (the iterative-selection analog
+    of graph_pagerank's unrolled replay)."""
+    from ..similarity.quantized_rerank import kcenter_coreset_quantized
+
+    e = read_testdata_table(spark, sf_dir, "embeddings")
+    return kcenter_coreset_quantized(
+        e, id_col="vec_id", vec_col="embedding", k=_CORESET_K
+    )
+
+
+def _coreset_oracle(k: int = _CORESET_K) -> str:
+    codes = (
+        "list_transform(CAST(embedding AS DOUBLE[]), x -> floor(x * (127.0 /"
+        " list_max(list_transform(CAST(embedding AS DOUBLE[]),"
+        " y -> abs(y)))) + 0.5))"
+    )
+    ctes = [
+        f"e AS (SELECT vec_id AS id, {codes} AS codes FROM embeddings)",
+        "c0 AS (SELECT id, codes FROM e ORDER BY id ASC LIMIT 1)",
+    ]
+    for r in range(1, k):
+        joins = " ".join(
+            f"CROSS JOIN (SELECT codes AS codes_{i} FROM c{i}) j{i}"
+            for i in range(r)
+        )
+        dots = ", ".join(
+            f"CAST(list_dot_product(e.codes, codes_{i}) AS BIGINT)"
+            for i in range(r)
+        )
+        chosen = " UNION ALL ".join(f"SELECT id FROM c{i}" for i in range(r))
+        ctes.append(
+            f"""c{r} AS (
+  SELECT id, codes, s FROM (
+    SELECT e.id, e.codes, greatest({dots}) AS s
+    FROM e {joins}
+    WHERE e.id NOT IN ({chosen})
+  ) ORDER BY s ASC, id ASC LIMIT 1
+)"""
+        )
+    finals = ["SELECT CAST(0 AS BIGINT) AS center_rank, id,"
+              " CAST(0 AS BIGINT) AS max_center_sim FROM c0"]
+    for r in range(1, k):
+        finals.append(
+            f"SELECT CAST({r} AS BIGINT), id, CAST(s AS BIGINT) FROM c{r}"
+        )
+    return "WITH " + ",\n".join(ctes) + "\n" + "\nUNION ALL\n".join(finals)
+
+
 def q_text_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..text.analysis import bpe_style_token_count
 
@@ -1500,6 +1555,11 @@ QUERIES: dict[str, QuerySpec] = {
     "ann_bruteforce_pandas": QuerySpec(
         "ann_bruteforce_pandas", q_ann_bruteforce_pandas, _ANN_BRUTE_ORACLE,
         "vectorized pandas-UDF cosine top-k (same oracle as the JVM path)",
+    ),
+    "coreset_kcenter": QuerySpec(
+        "coreset_kcenter", q_coreset_kcenter, _coreset_oracle(),
+        "greedy k-center coreset selection in int8 space — full greedy"
+        " trajectory replayed by unrolled-CTE oracle",
     ),
     "ann_quantized_rerank": QuerySpec(
         "ann_quantized_rerank", q_ann_quantized_rerank,

@@ -88,3 +88,61 @@ def quantized_rerank_topk(
         .orderBy(F.desc("cosine"), F.asc("id"))
         .limit(k)
     )
+
+
+def kcenter_coreset_quantized(
+    df: DataFrame,
+    *,
+    id_col: str,
+    vec_col: str,
+    k: int = 5,
+) -> DataFrame:
+    """Greedy k-center coreset selection in the int8-quantized space —
+    the diversity-maximizing data-selection pass (pick the point least
+    similar to everything already chosen, k times; Sener & Savarese's
+    coreset shape) run on quantized codes so every comparison is
+    INTEGER-exact and a SQL oracle replays the full greedy trajectory:
+    float k-center argmaxes can flip on last-ulp distance ties across
+    engines; int8 dot products cannot.
+
+    Semantics: seed = lowest id. Each round scores every row by its
+    MAX int8 dot product against the chosen centers (signed similarity
+    — higher means closer) and picks the row with the MINIMUM score,
+    ties to the lowest id. The seed's score is reported as 0 by
+    convention (it has no prior centers).
+
+    Scale shape: k scans, each a map-side Arrow-batched scoring pass +
+    TakeOrderedAndProject(1); centers are a k-row driver artifact
+    (bounded, like the DSIR bucket model). No shuffle anywhere.
+    """
+    ordered = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("_v"))
+    seed = ordered.orderBy(F.asc("id")).first()
+    centers = [(0, int(seed.id), 0)]
+    center_codes = [_int8_codes(np.asarray(seed._v, dtype=np.float64))]
+
+    for rank in range(1, k):
+        codes_snapshot = [c.copy() for c in center_codes]
+
+        @pandas_udf(LongType())
+        def max_center_sim(vecs: pd.Series) -> pd.Series:
+            out = []
+            for v in vecs:
+                c = _int8_codes(np.asarray(v, dtype=np.float64))
+                out.append(max(int(c @ cc) for cc in codes_snapshot))
+            return pd.Series(out, dtype="int64")
+
+        chosen_ids = [cid for _, cid, _ in centers]
+        far = (
+            ordered.filter(~F.col("id").isin(chosen_ids))
+            .select("id", "_v", max_center_sim(F.col("_v").cast("array<double>")).alias("s"))
+            .orderBy(F.asc("s"), F.asc("id"))
+            .limit(1)
+            .first()
+        )
+        centers.append((rank, int(far.id), int(far.s)))
+        center_codes.append(_int8_codes(np.asarray(far._v, dtype=np.float64)))
+
+    spark = df.sparkSession
+    return spark.createDataFrame(
+        centers, "center_rank long, id long, max_center_sim long"
+    )

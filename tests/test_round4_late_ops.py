@@ -264,3 +264,43 @@ def test_fuzzy_pairs_short_names_emit_no_grams(spark):
            fuzzy_pairs(df, name_col="name", q=2, max_distance=2).collect()]
     # 1-char names never block; "ab"/"ac" share no 2-gram so no pair
     assert out == []
+
+
+# ------------------------- k-center coreset -------------------------
+
+
+def test_kcenter_coreset_greedy_semantics(spark):
+    from big_data_analysis_of_airline_data_set_spark.similarity.quantized_rerank import (
+        kcenter_coreset_quantized,
+    )
+
+    # three orthogonal directions + one duplicate of the seed direction:
+    # greedy must pick the orthogonal ones before the duplicate
+    rows = [
+        (1, [1.0, 0.0, 0.0]),
+        (2, [1.0, 0.0, 0.0]),   # duplicate of seed
+        (3, [0.0, 1.0, 0.0]),
+        (4, [0.0, 0.0, 1.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = kcenter_coreset_quantized(df, id_col="vec_id", vec_col="embedding", k=3)
+    sel = [(r.center_rank, r.id) for r in out.collect()]
+    assert sel[0] == (0, 1)          # seed = lowest id
+    assert {s[1] for s in sel[1:]} == {3, 4}  # orthogonals, not the dup
+    for r in out.collect():
+        if r.center_rank > 0:
+            assert r.max_center_sim == 0  # orthogonal → zero dot
+
+
+def test_kcenter_coreset_deterministic_on_testdata(spark, sf_dir):
+    from big_data_analysis_of_airline_data_set_spark.similarity.quantized_rerank import (
+        kcenter_coreset_quantized,
+    )
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    a = [(r.center_rank, r.id, r.max_center_sim) for r in
+         kcenter_coreset_quantized(e, id_col="vec_id", vec_col="embedding", k=4).collect()]
+    b = [(r.center_rank, r.id, r.max_center_sim) for r in
+         kcenter_coreset_quantized(e, id_col="vec_id", vec_col="embedding", k=4).collect()]
+    assert a == b and len(a) == 4
+    assert len({x[1] for x in a}) == 4  # all distinct centers
