@@ -115,6 +115,7 @@ R4B_OPS = [
     "dedup_fuzzy_pairs",
     "curation_group_split",
     "coreset_kcenter",
+    "incremental_mv_merge",
 ]
 
 

@@ -1,0 +1,70 @@
+"""Incremental aggregate maintenance: algebraic state merge.
+
+The materialized-view maintenance primitive: a running summary table
+holds per-group ALGEBRAIC aggregate states (count, sum, min, max — each
+mergeable by a further count-preserving aggregate), and each new batch
+contributes a delta state table. Merging states is a groupBy over the
+UNION of state tables — the raw history is never rescanned, which is
+the entire point at 100 TB: the daily job touches one day of data plus
+a groups-sized summary, not the full fact table.
+
+Derived measures (avg = sum/count) are computed AFTER the merge — they
+are not algebraic and must never be averaged across states.
+
+Correctness contract: merge(state(A), state(B)) must equal
+state(A ∪ B) exactly. Exactness comes from the state encoding: counts
+are longs, sums accumulate in DECIMAL(18,2) (order-independent,
+engine-identical), min/max are trivially mergeable. The catalog
+query's oracle computes the full aggregate directly from raw rows —
+green means the merge is genuinely lossless, not just shaped right.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def aggregate_state(
+    df: DataFrame,
+    *,
+    keys: list[str],
+    value_col: str,
+) -> DataFrame:
+    """Per-group algebraic state: (keys…, cnt, sum_v DECIMAL(18,2),
+    min_v, max_v)."""
+    v = F.col(value_col)
+    return df.groupBy(*keys).agg(
+        F.count(F.lit(1)).cast("long").alias("cnt"),
+        F.sum(v.cast("decimal(18,2)")).cast("decimal(18,2)").alias("sum_v"),
+        F.min(v).alias("min_v"),
+        F.max(v).alias("max_v"),
+    )
+
+
+def merge_aggregate_states(*states: DataFrame, keys: list[str]) -> DataFrame:
+    """Merge any number of state tables into one — a further aggregate
+    over their union; never touches raw rows."""
+    merged = states[0]
+    for s in states[1:]:
+        merged = merged.unionByName(s)
+    return merged.groupBy(*keys).agg(
+        F.sum("cnt").cast("long").alias("cnt"),
+        F.sum("sum_v").cast("decimal(18,2)").alias("sum_v"),
+        F.min("min_v").alias("min_v"),
+        F.max("max_v").alias("max_v"),
+    )
+
+
+def finalize_measures(state: DataFrame, *, keys: list[str]) -> DataFrame:
+    """Derived (non-algebraic) measures from a merged state: exact
+    double sum, avg = sum/cnt (identical IEEE division on any engine —
+    no rounding needed because both operands are exact)."""
+    return state.select(
+        *keys,
+        "cnt",
+        F.col("sum_v").cast("double").alias("total"),
+        (F.col("sum_v").cast("double") / F.col("cnt")).alias("avg_v"),
+        "min_v",
+        "max_v",
+    )

@@ -343,6 +343,51 @@ GROUP BY term, exact_count
 """
 
 
+# ------------------------- incremental MV maintenance -------------------------
+
+_MV_CUTOFF = "1998-01-01"
+
+
+def q_incremental_mv_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized-view maintenance (operators/incremental.py): the
+    pre-cutoff orders play the EXISTING per-status summary, the
+    post-cutoff orders the new delta batch; their algebraic states
+    merge without rescanning history. The oracle aggregates the raw
+    table directly, so green proves merge(state(A), state(B)) ==
+    state(A ∪ B) value-for-value — the lossless-merge contract, not
+    just the shape."""
+    from ..operators.incremental import (
+        aggregate_state,
+        finalize_measures,
+        merge_aggregate_states,
+    )
+
+    o = _t(spark, sf_dir, "orders")
+    cutoff = F.lit(_MV_CUTOFF).cast("timestamp")
+    existing = aggregate_state(
+        o.filter(F.col("o_orderdate") < cutoff),
+        keys=["o_orderstatus"], value_col="o_totalprice",
+    )
+    delta = aggregate_state(
+        o.filter(F.col("o_orderdate") >= cutoff),
+        keys=["o_orderstatus"], value_col="o_totalprice",
+    )
+    merged = merge_aggregate_states(existing, delta, keys=["o_orderstatus"])
+    return finalize_measures(merged, keys=["o_orderstatus"])
+
+
+_MV_MERGE_ORACLE = """
+SELECT o_orderstatus,
+       CAST(count(*) AS BIGINT) AS cnt,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / count(*)
+         AS avg_v,
+       min(o_totalprice) AS min_v,
+       max(o_totalprice) AS max_v
+FROM orders GROUP BY o_orderstatus
+"""
+
+
 # ------------------------- KMV distinct sketch -------------------------
 
 _KMV_K = 96
@@ -697,6 +742,11 @@ QUERIES: dict[str, QuerySpec] = {
         "projection_name_pattern", q_projection_name_pattern,
         _PROJECTION_PATTERN_ORACLE,
         "P2: name-predicate column projection (pattern-matched keep list)",
+    ),
+    "incremental_mv_merge": QuerySpec(
+        "incremental_mv_merge", q_incremental_mv_merge, _MV_MERGE_ORACLE,
+        "algebraic aggregate-state merge (MV maintenance): merged"
+        " partials proven == full recompute",
     ),
     "sketch_kmv_distinct": QuerySpec(
         "sketch_kmv_distinct", q_kmv_distinct, _kmv_oracle(),

@@ -80,3 +80,41 @@ def test_write_report_csv_guards_large_tables(spark, sf_dir):
         assert any(f.endswith(".csv") for f in files)
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+# ------------------------- incremental MV merge -------------------------
+
+
+def test_aggregate_state_merge_associative(spark):
+    from pyspark.sql import functions as F
+
+    from big_data_analysis_of_airline_data_set_spark.operators.incremental import (
+        aggregate_state,
+        finalize_measures,
+        merge_aggregate_states,
+    )
+
+    rows = [("a", float(i)) for i in range(10)] + [("b", 100.0), ("b", -3.5)]
+    df = spark.createDataFrame(rows, "k string, v double")
+    full = {
+        r.k: r for r in finalize_measures(
+            aggregate_state(df, keys=["k"], value_col="v"), keys=["k"]
+        ).collect()
+    }
+    # split three ways, merge pairwise in two different orders
+    parts = [df.filter(F.col("v") < 3), df.filter((F.col("v") >= 3) & (F.col("v") < 7)),
+             df.filter(F.col("v") >= 7)]
+    states = [aggregate_state(p, keys=["k"], value_col="v") for p in parts]
+    m1 = merge_aggregate_states(
+        merge_aggregate_states(states[0], states[1], keys=["k"]), states[2], keys=["k"]
+    )
+    m2 = merge_aggregate_states(
+        states[0], merge_aggregate_states(states[2], states[1], keys=["k"]), keys=["k"]
+    )
+    for merged in (m1, m2):
+        got = {r.k: r for r in finalize_measures(merged, keys=["k"]).collect()}
+        for k in full:
+            assert got[k].cnt == full[k].cnt
+            assert got[k].total == full[k].total
+            assert got[k].avg_v == full[k].avg_v
+            assert got[k].min_v == full[k].min_v and got[k].max_v == full[k].max_v
