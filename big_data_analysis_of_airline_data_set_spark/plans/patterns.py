@@ -586,7 +586,7 @@ def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     iterations as unrolled CTEs with the identical per-iteration
     DECIMAL-summed rounding, so the whole iterative computation — not
     just its shape — is value-checked."""
-    from ..operators.graph import pagerank
+    from ..operators.graph import pagerank, release_pagerank
 
     li = _t(spark, sf_dir, "lineitem")
     fwd = li.select(
@@ -595,18 +595,17 @@ def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     edges = fwd.union(fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
     ranks = pagerank(edges, iterations=_PR_ITERS, round_dp=_PR_DP)
-    # pagerank returns its result PERSISTED (caller-owns-release
-    # contract — unpersisting inside would force a full loop recompute
-    # at collection). The top-20 rows are a legitimate driver boundary,
-    # so materialize them and release the node-sized rank table now
-    # instead of leaking one persisted copy per invocation.
+    # pagerank returns a LAZY persisted chain (caller-owns-release
+    # contract): this collect is the ONE action that executes the whole
+    # loop. The top-20 rows are a legitimate driver boundary; release
+    # every cache the loop pinned right after.
     rows = (
         ranks.select("node", F.round("rank", 9).alias("rank"))
         .orderBy(F.desc("rank"), F.asc("node"))
         .limit(20)
         .collect()
     )
-    ranks.unpersist()
+    release_pagerank(ranks)
     return spark.createDataFrame(rows, "node string, rank double")
 
 

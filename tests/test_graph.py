@@ -6,7 +6,16 @@ from __future__ import annotations
 
 import pytest
 
-from big_data_analysis_of_airline_data_set_spark.operators.graph import pagerank
+from big_data_analysis_of_airline_data_set_spark.operators.graph import (
+    pagerank,
+    release_pagerank,
+)
+
+
+def _collect_and_release(df):
+    rows = df.collect()
+    release_pagerank(df)
+    return rows
 
 
 @pytest.fixture(scope="module")
@@ -16,7 +25,7 @@ def star_ranks(spark):
         [("a", "hub"), ("b", "hub"), ("c", "hub"), ("d", "hub"), ("hub", "a")],
         "src string, dst string",
     )
-    return {r.node: r.rank for r in pagerank(edges, iterations=10).collect()}
+    return {r.node: r.rank for r in _collect_and_release(pagerank(edges, iterations=10))}
 
 
 def test_hub_dominates(star_ranks):
@@ -39,8 +48,8 @@ def test_deterministic_across_runs(spark):
         [(f"n{i}", f"n{(i * 3) % 7}") for i in range(20)],
         "src string, dst string",
     )
-    a = sorted((r.node, r.rank) for r in pagerank(edges, iterations=4).collect())
-    b = sorted((r.node, r.rank) for r in pagerank(edges, iterations=4).collect())
+    a = sorted((r.node, r.rank) for r in _collect_and_release(pagerank(edges, iterations=4)))
+    b = sorted((r.node, r.rank) for r in _collect_and_release(pagerank(edges, iterations=4)))
     assert a == b
 
 
@@ -50,6 +59,6 @@ def test_uniform_cycle_stays_uniform(spark):
         [("w", "x"), ("x", "y"), ("y", "z"), ("z", "w")],
         "src string, dst string",
     )
-    ranks = {r.node: r.rank for r in pagerank(edges, iterations=6).collect()}
+    ranks = {r.node: r.rank for r in _collect_and_release(pagerank(edges, iterations=6))}
     for v in ranks.values():
         assert abs(v - 0.25) < 1e-9
