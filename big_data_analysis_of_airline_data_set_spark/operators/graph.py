@@ -65,13 +65,13 @@ def pagerank(
         e.select(F.col(src).alias("node"))
         .union(e.select(F.col(dst).alias("node")))
         .distinct()
-        .repartition("node")
-        .persist()
     )
-    n = nodes.count()  # scalar driver boundary, like stats/variance.py
     # out-degree is STATIC — fold it into the node table once, so each
     # iteration's rank table carries its own deg and needs no
-    # ranks ⋈ outdeg join (one fewer join per iteration)
+    # ranks ⋈ outdeg join (one fewer join per iteration). Only
+    # nodes_deg is cached: the plain node set is consumed exactly once
+    # here, so pinning it too would hold a redundant node-sized table
+    # for the whole loop.
     outdeg = e.groupBy(F.col(src).alias("node")).agg(
         F.count(F.lit(1)).alias("deg")
     )
@@ -81,6 +81,7 @@ def pagerank(
         .repartition("node")
         .persist()
     )
+    n = nodes_deg.count()  # scalar driver boundary, like stats/variance.py
     teleport = (1.0 - damping) / n
 
     ranks = nodes_deg.select(
@@ -124,15 +125,23 @@ def pagerank(
             pending = [ranks]
     # deg was loop plumbing — the public result is (node, rank)
     final = ranks.select("node", "rank")
-    final._pagerank_handles = [e, nodes, nodes_deg, *pending]  # type: ignore[attr-defined]
+    final._pagerank_handles = [e, nodes_deg, *pending]  # type: ignore[attr-defined]
     return final
 
 
 def release_pagerank(result: DataFrame) -> None:
-    """Unpersist every cache pinned by a ``pagerank`` call, given its
-    returned DataFrame. Safe to call more than once; a DataFrame that
-    did not come from ``pagerank`` is a no-op."""
-    for h in getattr(result, "_pagerank_handles", ()):  # type: ignore[attr-defined]
+    """Unpersist every cache pinned by a ``pagerank`` call, given the
+    EXACT DataFrame it returned. Safe to call more than once on that
+    frame. Raises on any other DataFrame — the handles ride on the
+    returned object, so a derived frame (``pagerank(e).filter(...)``)
+    silently drops them; failing loudly here beats leaking ~8 persisted
+    tables with no symptom."""
+    if not hasattr(result, "_pagerank_handles"):
+        raise ValueError(
+            "release_pagerank: not the DataFrame returned by pagerank() "
+            "(derived frames drop the cache handles — keep the original "
+            "reference and release that)"
+        )
+    for h in result._pagerank_handles:  # type: ignore[attr-defined]
         h.unpersist()
-    if hasattr(result, "_pagerank_handles"):
-        result._pagerank_handles = ()  # type: ignore[attr-defined]
+    result._pagerank_handles = ()  # type: ignore[attr-defined]

@@ -992,7 +992,7 @@ WITH t AS (
          CAST(len(toks) AS BIGINT) AS n,
          CAST(length(regexp_replace(text, '\s', '', 'g')) AS BIGINT)
            AS non_space,
-         CAST(len(regexp_extract_all(text, '#|\.\.\.')) AS BIGINT)
+         CAST(len(regexp_extract_all(text, '#|\.\.\.|…')) AS BIGINT)
            AS n_symbols,
          CAST(len(list_filter(toks, x -> regexp_matches(x, '[a-zA-Z]')))
               AS BIGINT) AS n_alpha,

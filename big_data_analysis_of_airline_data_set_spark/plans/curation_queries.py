@@ -451,9 +451,13 @@ WITH toks AS (
   SELECT CAST(sum(cp) AS BIGINT) AS np, CAST(sum(ct) AS BIGINT) AS nt
   FROM bc
 ), br AS (
+  -- HUGEINT promotion BEFORE the multiply: the BIGINT product
+  -- (ct+1)*(np+B)*1e6 overflows 2^63 once the corpus passes ~7e7
+  -- tokens, while the Spark side (arbitrary-precision Python ints)
+  -- keeps working — the oracle must not be the side that breaks first
   SELECT bucket,
-         ((ct + 1) * (np + {_DSIR_BUCKETS}) * 1000000)
-           // ((cp + 1) * (nt + {_DSIR_BUCKETS})) AS ratio
+         (CAST(ct + 1 AS HUGEINT) * (np + {_DSIR_BUCKETS}) * 1000000)
+           // (CAST(cp + 1 AS HUGEINT) * (nt + {_DSIR_BUCKETS})) AS ratio
   FROM bc CROSS JOIN tot
 ), scored AS (
   SELECT doc_id,

@@ -217,9 +217,7 @@ def q_kmv_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch (the production split: streams maintain sketches, queries
     read them). Oracle = full batch md5 replay, so the incremental
     min-maintenance must converge to exactly the batch sketch."""
-    from pyspark.sql import functions as F
-
-    from ..sketches.kmv import kmv_estimate
+    from ..sketches.kmv import kmv_report
     from ..streaming.jobs import run_kmv_sketch_stream_available_now
 
     sk = run_kmv_sketch_stream_available_now(
@@ -229,64 +227,20 @@ def q_kmv_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         max_files_per_trigger=None,
         stream_shuffle_partitions=8,
     )
-    merged = sk.groupBy("j").agg(F.min("min_h").alias("min_h")).select(
-        F.lit("ALL").alias("group"), "j", "min_h"
-    )
-    est = kmv_estimate(sk.unionByName(merged))
-    ev = _events(spark, sf_dir)
-    exact = ev.groupBy(F.col("event_type").alias("group")).agg(
-        F.count_distinct("user_id").alias("exact_distinct")
-    ).unionByName(
-        ev.agg(
-            F.lit("ALL").alias("group"),
-            F.count_distinct("user_id").alias("exact_distinct"),
-        )
-    )
-    return est.join(exact, "group").select(
-        "group", "k_minima", "distinct_estimate", "exact_distinct"
+    # the merge/estimate/exact assembly is SHARED with the batch query
+    # (sketches.kmv.kmv_report) — only the sketch's provenance differs
+    return kmv_report(
+        sk, _events(spark, sf_dir), group_col="event_type", value_col="user_id"
     )
 
 
-def _kmv_stream_oracle() -> str:
-    space = 1 << 56
-    h = (
-        "list_sum(list_transform(generate_series(1, 14), j -> "
-        "CAST(strpos('0123456789abcdef', substr(md5('{p}_' || val), j, 1)) - 1"
-        " AS BIGINT) * (CAST(1 AS BIGINT) << (4 * (14 - j)))))"
-    )
-    h1, h2 = h.format(p="ka"), h.format(p="kb")
-    return f"""
-WITH base AS (
-  SELECT event_type AS "group", CAST(user_id AS VARCHAR) AS val FROM events
-), hashed AS (
-  SELECT "group", {h1} AS h1, {h2} AS h2 FROM base
-), sk AS (
-  SELECT "group", j, min((h1 + j * h2) % {space}) AS min_h
-  FROM hashed
-  CROSS JOIN (SELECT unnest(generate_series(0, {_KMV_STREAM_K - 1})) AS j)
-  GROUP BY 1, 2
-), merged AS (
-  SELECT 'ALL' AS "group", j, min(min_h) AS min_h FROM sk GROUP BY j
-), allsk AS (
-  SELECT * FROM sk UNION ALL SELECT * FROM merged
-), est AS (
-  SELECT "group",
-         CAST(count(*) AS BIGINT) AS k_minima,
-         CAST((count(*) * {space}) // sum(min_h) - 1 AS BIGINT)
-           AS distinct_estimate
-  FROM allsk GROUP BY "group"
-), ex AS (
-  SELECT "group", CAST(count(DISTINCT val) AS BIGINT) AS exact_distinct
-  FROM base GROUP BY "group"
-  UNION ALL
-  SELECT 'ALL', CAST(count(DISTINCT val) AS BIGINT) FROM base
+# oracle shared with the batch KMV entry — one builder, different base
+from .patterns import kmv_oracle_sql as _kmv_oracle_sql  # noqa: E402
+
+_KMV_STREAM_ORACLE = _kmv_oracle_sql(
+    'SELECT event_type AS "group", CAST(user_id AS VARCHAR) AS val FROM events',
+    _KMV_STREAM_K,
 )
-SELECT "group", k_minima, distinct_estimate, exact_distinct
-FROM est JOIN ex USING ("group")
-"""
-
-
-_KMV_STREAM_ORACLE = _kmv_stream_oracle()
 
 
 def q_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -410,7 +410,11 @@ def q_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _kmv_oracle() -> str:
+def kmv_oracle_sql(base_select: str, k: int) -> str:
+    """DuckDB replay of the KMV sketch + merge + estimate + exact
+    counts over any ``base_select`` yielding ("group", val) columns —
+    ONE builder for the batch (lineitem) and streaming (events)
+    catalog entries, mirroring sketches.kmv.kmv_report Spark-side."""
     h = (
         "list_sum(list_transform(generate_series(1, 14), j -> "
         "CAST(strpos('0123456789abcdef', substr(md5('{p}_' || val), j, 1)) - 1"
@@ -419,14 +423,13 @@ def _kmv_oracle() -> str:
     h1, h2 = h.format(p="ka"), h.format(p="kb")
     return f"""
 WITH base AS (
-  SELECT l_returnflag AS "group", CAST(l_orderkey AS VARCHAR) AS val
-  FROM lineitem
+  {base_select}
 ), hashed AS (
   SELECT "group", {h1} AS h1, {h2} AS h2 FROM base
 ), sk AS (
   SELECT "group", j, min((h1 + j * h2) % {_KMV_SPACE}) AS min_h
   FROM hashed
-  CROSS JOIN (SELECT unnest(generate_series(0, {_KMV_K - 1})) AS j)
+  CROSS JOIN (SELECT unnest(generate_series(0, {k - 1})) AS j)
   GROUP BY 1, 2
 ), merged AS (
   SELECT 'ALL' AS "group", j, min(min_h) AS min_h FROM sk GROUP BY j
@@ -748,7 +751,12 @@ QUERIES: dict[str, QuerySpec] = {
         " partials proven == full recompute",
     ),
     "sketch_kmv_distinct": QuerySpec(
-        "sketch_kmv_distinct", q_kmv_distinct, _kmv_oracle(),
+        "sketch_kmv_distinct", q_kmv_distinct,
+        kmv_oracle_sql(
+            'SELECT l_returnflag AS "group",'
+            " CAST(l_orderkey AS VARCHAR) AS val FROM lineitem",
+            _KMV_K,
+        ),
         "k-minimum-values distinct sketch + sketch-merge union row,"
         " exact md5 replay (no within-bound fallback)",
     ),

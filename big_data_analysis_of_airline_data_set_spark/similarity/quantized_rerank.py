@@ -117,6 +117,8 @@ def kcenter_coreset_quantized(
     """
     ordered = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("_v"))
     seed = ordered.orderBy(F.asc("id")).first()
+    if seed is None:
+        raise ValueError("kcenter_coreset_quantized: empty input")
     centers = [(0, int(seed.id), 0)]
     center_codes = [_int8_codes(np.asarray(seed._v, dtype=np.float64))]
 
@@ -139,6 +141,8 @@ def kcenter_coreset_quantized(
             .limit(1)
             .first()
         )
+        if far is None:  # fewer than k rows — return what exists
+            break
         centers.append((rank, int(far.id), int(far.s)))
         center_codes.append(_int8_codes(np.asarray(far._v, dtype=np.float64)))
 

@@ -29,17 +29,13 @@ identically (DuckDB via HUGEINT).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+from .countmin import _h56  # one md5-prefix hash construction per package
 
 _HASH_BITS = 56
 _HASH_SPACE = 1 << _HASH_BITS
-
-
-def _h56(prefix: str, col: Column) -> Column:
-    return F.conv(
-        F.substring(F.md5(F.concat(F.lit(prefix), col)), 1, 14), 16, 10
-    ).cast("long")
 
 
 def kmv_sketch(
@@ -80,6 +76,46 @@ def kmv_estimate(sketch: DataFrame) -> DataFrame:
     )
 
 
+def kmv_report(
+    sketch: DataFrame,
+    raw: DataFrame,
+    *,
+    group_col: str,
+    value_col: str,
+    with_union: bool = True,
+) -> DataFrame:
+    """(group, k_minima, distinct_estimate, exact_distinct) from an
+    already-built long-form sketch plus the raw table for the exact
+    reference counts. ONE assembly for however the sketch was
+    maintained — the batch catalog query builds it in the same plan,
+    the streaming one reads it from a drained memory sink; keeping the
+    merge/estimate/exact join here means the estimator (including its
+    −1 correction) cannot diverge between the two paths."""
+    sketches = sketch
+    if with_union:
+        merged = (
+            sketch.groupBy("j")
+            .agg(F.min("min_h").alias("min_h"))
+            .select(F.lit("ALL").alias("group"), "j", "min_h")
+        )
+        sketches = sketch.unionByName(merged)
+    est = kmv_estimate(sketches)
+
+    exact = raw.groupBy(F.col(group_col).alias("group")).agg(
+        F.count_distinct(F.col(value_col)).alias("exact_distinct")
+    )
+    if with_union:
+        exact = exact.unionByName(
+            raw.agg(
+                F.lit("ALL").alias("group"),
+                F.count_distinct(F.col(value_col)).alias("exact_distinct"),
+            )
+        )
+    return est.join(exact, "group").select(
+        "group", "k_minima", "distinct_estimate", "exact_distinct"
+    )
+
+
 def kmv_distinct_by_group(
     df: DataFrame,
     *,
@@ -94,24 +130,6 @@ def kmv_distinct_by_group(
     can't provide without a second full scan. ``exact_distinct`` rides
     along as the accuracy reference (itself a plain distinct-agg)."""
     sk = kmv_sketch(df, group_col=group_col, value_col=value_col, k=k)
-    sketches = sk
-    if with_union:
-        merged = sk.groupBy("j").agg(F.min("min_h").alias("min_h")).select(
-            F.lit("ALL").alias("group"), "j", "min_h"
-        )
-        sketches = sk.unionByName(merged)
-    est = kmv_estimate(sketches)
-
-    exact = df.groupBy(F.col(group_col).alias("group")).agg(
-        F.count_distinct(F.col(value_col)).alias("exact_distinct")
-    )
-    if with_union:
-        exact = exact.unionByName(
-            df.agg(
-                F.lit("ALL").alias("group"),
-                F.count_distinct(F.col(value_col)).alias("exact_distinct"),
-            )
-        )
-    return est.join(exact, "group").select(
-        "group", "k_minima", "distinct_estimate", "exact_distinct"
+    return kmv_report(
+        sk, df, group_col=group_col, value_col=value_col, with_union=with_union
     )

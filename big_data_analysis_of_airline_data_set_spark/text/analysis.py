@@ -234,7 +234,7 @@ def gopher_rules(
     n = F.size(toks).cast("long")
     non_space = F.length(F.regexp_replace(text, r"\s", "")).cast("long")
     n_symbols = (
-        F.size(F.regexp_extract_all(text, F.lit(r"#|\.\.\."), 0)).cast("long")
+        F.size(F.regexp_extract_all(text, F.lit(r"#|\.\.\.|…"), 0)).cast("long")
     )
     n_alpha_words = F.size(
         F.filter(toks, lambda t: t.rlike("[a-zA-Z]"))

@@ -211,6 +211,7 @@ def test_gopher_rules_booleans(spark):
         (1, "the cat and the hat sat with a bat"),   # 9 words, 2+ stopwords
         (2, "1 2 3 4 5 6 7 8 9 10"),                 # numeric: alpha ratio 0
         (3, "# # # the and of x y z w"),             # symbol-heavy
+        (4, "… … … the and of x y z w"),             # unicode-ellipsis heavy
     ]
     df = spark.createDataFrame(rows, "doc_id long, text string")
     rules = gopher_rules(F.col("text"), min_words=5, max_words=100)
@@ -224,6 +225,9 @@ def test_gopher_rules_booleans(spark):
     assert not out[2].stopwords_ok
     assert not out[3].symbol_ratio_ok  # 3 symbols / 10 words = 0.3 > 0.1
     assert out[3].stopwords_ok
+    # the published rule counts '…' too — regex must match the unicode
+    # ellipsis, not just '...'
+    assert not out[4].symbol_ratio_ok
 
 
 # ------------------------- fuzzy pairs -------------------------
