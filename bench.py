@@ -116,6 +116,8 @@ R4B_OPS = [
     "curation_group_split",
     "coreset_kcenter",
     "incremental_mv_merge",
+    "pit_join_versions",
+    "snapshot_diff",
 ]
 
 

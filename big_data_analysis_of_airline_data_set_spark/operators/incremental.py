@@ -68,3 +68,44 @@ def finalize_measures(state: DataFrame, *, keys: list[str]) -> DataFrame:
         "min_v",
         "max_v",
     )
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    *,
+    key: str,
+    compare_cols: list[str],
+) -> DataFrame:
+    """Row-level CDC delta between two snapshots of the same keyed
+    table: one full-outer join on the key classifies every row as
+    'added' (key only in new), 'removed' (only in old), 'changed'
+    (both, any compare column differs — null-safe), or 'unchanged'.
+    The change feed a MERGE/SCD pipeline consumes when the source can
+    only deliver snapshots.
+
+    Scale shape: ONE shuffle (the full-outer hash join on the key);
+    classification is a map-side expression. Emits (key, change_type)
+    plus old_/new_ copies of the compare columns for downstream apply.
+    """
+    o = old.select(key, *compare_cols)
+    n = new.select(key, *compare_cols)
+    joined = o.alias("o").join(n.alias("n"), F.col(f"o.{key}") == F.col(f"n.{key}"), "full_outer")
+    changed = None
+    for c in compare_cols:
+        ne = ~F.col(f"o.{c}").eqNullSafe(F.col(f"n.{c}"))
+        changed = ne if changed is None else (changed | ne)
+    change_type = (
+        F.when(F.col(f"o.{key}").isNull(), F.lit("added"))
+        .when(F.col(f"n.{key}").isNull(), F.lit("removed"))
+        .when(changed, F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+    )
+    cols = [
+        F.coalesce(F.col(f"o.{key}"), F.col(f"n.{key}")).alias(key),
+        change_type.alias("change_type"),
+    ]
+    for c in compare_cols:
+        cols.append(F.col(f"o.{c}").alias(f"old_{c}"))
+        cols.append(F.col(f"n.{c}").alias(f"new_{c}"))
+    return joined.select(*cols)

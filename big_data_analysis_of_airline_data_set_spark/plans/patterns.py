@@ -343,6 +343,147 @@ GROUP BY term, exact_count
 """
 
 
+# ------------------------- PIT join + snapshot diff -------------------------
+
+_PIT_LO, _PIT_SPLIT, _PIT_HI = "1900-01-01", "1998-01-01", "9999-12-31"
+
+
+def _scd2_dim_with_ranges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic SCD2 customer dimension WITH validity ranges:
+    pending-order customers get v1 [lo, split) and v2 [split, hi) with
+    +100 balance; everyone else one all-time version — the same change
+    rule as q_scd2_upsert, extended to the time axis."""
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
+    changed = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "P")
+        .select(F.col("o_custkey").alias("c_custkey"))
+        .distinct()
+    )
+    lo = F.lit(_PIT_LO).cast("timestamp")
+    mid = F.lit(_PIT_SPLIT).cast("timestamp")
+    hi = F.lit(_PIT_HI).cast("timestamp")
+    one_ver = c.join(changed, "c_custkey", "left_anti").select(
+        "c_custkey", "c_acctbal", F.lit(1).cast("long").alias("version"),
+        lo.alias("valid_from"), hi.alias("valid_to"),
+    )
+    v1 = c.join(changed, "c_custkey", "left_semi").select(
+        "c_custkey", "c_acctbal", F.lit(1).cast("long").alias("version"),
+        lo.alias("valid_from"), mid.alias("valid_to"),
+    )
+    v2 = c.join(changed, "c_custkey", "left_semi").select(
+        "c_custkey", (F.col("c_acctbal") + 100.0).alias("c_acctbal"),
+        F.lit(2).cast("long").alias("version"),
+        mid.alias("valid_from"), hi.alias("valid_to"),
+    )
+    return one_ver.unionByName(v1).unionByName(v2)
+
+
+def q_pit_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time join (operators/pit.py): every order sees the
+    customer version valid AT ITS ORDER DATE — the feature-store
+    lookup that prevents label leakage. Aggregated per version so the
+    oracle hash covers which side of the validity split every order
+    landed on."""
+    from ..operators.pit import point_in_time_join
+
+    fact = _t(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("c_custkey"), "o_orderdate", "o_totalprice"
+    )
+    dim = _scd2_dim_with_ranges(spark, sf_dir)
+    joined = point_in_time_join(
+        fact, dim, key="c_custkey", time_col="o_orderdate"
+    )
+    return joined.groupBy("version").agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.count_distinct("c_custkey").alias("n_custs"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("total"),
+    )
+
+
+_PIT_ORACLE = f"""
+WITH changed AS (
+  SELECT DISTINCT o_custkey AS k FROM orders WHERE o_orderstatus = 'P'
+), dim AS (
+  SELECT c_custkey, c_acctbal, CAST(1 AS BIGINT) AS version,
+         TIMESTAMP '{_PIT_LO}' AS vf, TIMESTAMP '{_PIT_HI}' AS vt
+  FROM customer WHERE c_custkey NOT IN (SELECT k FROM changed)
+  UNION ALL
+  SELECT c_custkey, c_acctbal, 1,
+         TIMESTAMP '{_PIT_LO}', TIMESTAMP '{_PIT_SPLIT}'
+  FROM customer WHERE c_custkey IN (SELECT k FROM changed)
+  UNION ALL
+  SELECT c_custkey, c_acctbal + 100.0, 2,
+         TIMESTAMP '{_PIT_SPLIT}', TIMESTAMP '{_PIT_HI}'
+  FROM customer WHERE c_custkey IN (SELECT k FROM changed)
+)
+SELECT version,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(count(DISTINCT o.o_custkey) AS BIGINT) AS n_custs,
+       CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+FROM orders o JOIN dim d
+  ON o.o_custkey = d.c_custkey
+ AND o.o_orderdate >= d.vf AND o.o_orderdate < d.vt
+GROUP BY version
+"""
+
+
+_DIFF_ADD_MOD, _DIFF_DROP_MOD = 89, 97
+
+
+def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot CDC (operators/incremental.py snapshot_diff): two
+    deterministic snapshots of customer — 'old' missing every
+    custkey % 89 == 0 row (added later), 'new' missing % 97 == 0
+    (removed) and carrying +100 balances for pending-order customers
+    (changed) — classified row-by-row with one full-outer join."""
+    from ..operators.incremental import snapshot_diff
+
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
+    changed = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "P")
+        .select(F.col("o_custkey").alias("c_custkey"))
+        .distinct()
+    )
+    old = c.filter(F.col("c_custkey") % _DIFF_ADD_MOD != 0)
+    new = (
+        c.filter(F.col("c_custkey") % _DIFF_DROP_MOD != 0)
+        .join(changed.withColumn("_chg", F.lit(1)), "c_custkey", "left")
+        .select(
+            "c_custkey",
+            (F.col("c_acctbal") + F.when(F.col("_chg").isNotNull(), 100.0)
+             .otherwise(0.0)).alias("c_acctbal"),
+        )
+    )
+    return snapshot_diff(old, new, key="c_custkey", compare_cols=["c_acctbal"])
+
+
+_SNAPSHOT_DIFF_ORACLE = f"""
+WITH changed AS (
+  SELECT DISTINCT o_custkey AS k FROM orders WHERE o_orderstatus = 'P'
+), old AS (
+  SELECT c_custkey, c_acctbal FROM customer
+  WHERE c_custkey % {_DIFF_ADD_MOD} != 0
+), new AS (
+  SELECT c_custkey,
+         c_acctbal + CASE WHEN c_custkey IN (SELECT k FROM changed)
+                          THEN 100.0 ELSE 0.0 END AS c_acctbal
+  FROM customer WHERE c_custkey % {_DIFF_DROP_MOD} != 0
+)
+SELECT coalesce(o.c_custkey, n.c_custkey) AS c_custkey,
+       CASE WHEN o.c_custkey IS NULL THEN 'added'
+            WHEN n.c_custkey IS NULL THEN 'removed'
+            WHEN o.c_acctbal IS DISTINCT FROM n.c_acctbal THEN 'changed'
+            ELSE 'unchanged' END AS change_type,
+       o.c_acctbal AS old_c_acctbal,
+       n.c_acctbal AS new_c_acctbal
+FROM old o FULL OUTER JOIN new n ON o.c_custkey = n.c_custkey
+"""
+
+
 # ------------------------- incremental MV maintenance -------------------------
 
 _MV_CUTOFF = "1998-01-01"
@@ -744,6 +885,16 @@ QUERIES: dict[str, QuerySpec] = {
         "projection_name_pattern", q_projection_name_pattern,
         _PROJECTION_PATTERN_ORACLE,
         "P2: name-predicate column projection (pattern-matched keep list)",
+    ),
+    "pit_join_versions": QuerySpec(
+        "pit_join_versions", q_pit_join, _PIT_ORACLE,
+        "point-in-time join to SCD2 versions (feature-store lookup,"
+        " hash join + range filter — never a range join)",
+    ),
+    "snapshot_diff": QuerySpec(
+        "snapshot_diff", q_snapshot_diff, _SNAPSHOT_DIFF_ORACLE,
+        "snapshot CDC delta: one full-outer join classifies every row"
+        " added/removed/changed/unchanged",
     ),
     "incremental_mv_merge": QuerySpec(
         "incremental_mv_merge", q_incremental_mv_merge, _MV_MERGE_ORACLE,

@@ -118,3 +118,62 @@ def test_aggregate_state_merge_associative(spark):
             assert got[k].total == full[k].total
             assert got[k].avg_v == full[k].avg_v
             assert got[k].min_v == full[k].min_v and got[k].max_v == full[k].max_v
+
+
+# ------------------------- PIT join + snapshot diff -------------------------
+
+
+def test_point_in_time_join_picks_version_at_event_time(spark):
+    from pyspark.sql import functions as F
+
+    from big_data_analysis_of_airline_data_set_spark.operators.pit import (
+        point_in_time_join,
+    )
+
+    dim = spark.createDataFrame(
+        [
+            (1, 10.0, "2020-01-01", "2021-01-01"),
+            (1, 20.0, "2021-01-01", "9999-12-31"),
+            (2, 5.0, "2020-01-01", "9999-12-31"),
+        ],
+        "k long, val double, valid_from string, valid_to string",
+    ).select("k", "val",
+             F.col("valid_from").cast("timestamp").alias("valid_from"),
+             F.col("valid_to").cast("timestamp").alias("valid_to"))
+    fact = spark.createDataFrame(
+        [(100, 1, "2020-06-01"), (101, 1, "2021-06-01"),
+         (102, 2, "2022-01-01"), (103, 3, "2022-01-01")],
+        "fid long, k long, t string",
+    ).select("fid", "k", F.col("t").cast("timestamp").alias("t"))
+    got = {
+        r.fid: r.val
+        for r in point_in_time_join(fact, dim, key="k", time_col="t").collect()
+    }
+    # boundary: an event AT valid_from belongs to the NEW version
+    assert got == {100: 10.0, 101: 20.0, 102: 5.0}  # fid 103: no version
+    left = point_in_time_join(fact, dim, key="k", time_col="t", how="left")
+    assert left.count() == 4  # audit mode keeps the uncovered fact
+    boundary = spark.createDataFrame(
+        [(104, 1, "2021-01-01")], "fid long, k long, t string"
+    ).select("fid", "k", F.col("t").cast("timestamp").alias("t"))
+    assert point_in_time_join(boundary, dim, key="k", time_col="t").first().val == 20.0
+
+
+def test_snapshot_diff_classification(spark):
+    from big_data_analysis_of_airline_data_set_spark.operators.incremental import (
+        snapshot_diff,
+    )
+
+    old = spark.createDataFrame(
+        [(1, 10.0), (2, 20.0), (3, None)], "k long, v double"
+    )
+    new = spark.createDataFrame(
+        [(1, 10.0), (2, 25.0), (4, 40.0), (5, None)], "k long, v double"
+    )
+    got = {
+        r.k: r.change_type
+        for r in snapshot_diff(old, new, key="k", compare_cols=["v"]).collect()
+    }
+    # null-safe compare: k=3 removed (not 'changed by null'), k=5 added
+    assert got == {1: "unchanged", 2: "changed", 3: "removed",
+                   4: "added", 5: "added"}
