@@ -93,35 +93,41 @@ _CORRECTNESS_WINDOW = [
     "events_dedup_stream",
     # plus the custom applyInPandasWithState operator, oracled ≡ batch.
     "events_user_totals_stream",
-    # (c) oldest-evidence rotation: bench headline set first,
-    "flagship_delay_summary_by_carrier",
-    "tpch_q1_style",
-    "join_inner_agg",
-    "sum_by_year",
-    "top_k",
-    "window_top_order",
-    "chi_square_sql",
-    # joins,
-    "join_semi",
-    "join_anti",
-    "join_full_outer",
-    "salted_join_agg",
-    "range_join_bucketized",
-    # window functions (window_analytics keeps its green r1 row; its
-    # slot goes to the never-checked streaming sketch),
-    "window_ranking",
+    # (c) the late-round-4 operator wave — every entry below is
+    # never-driver-checked, which beats re-proving r1 evidence (the
+    # displaced re-proof queries ALL keep green r1/r2/r3 rows on
+    # record): streaming-maintained KMV sketch, span-scrub rewrite,
+    # Gopher rules, audio features, DSIR resampling, quantized-rerank
+    # ANN, batch KMV + merge row, fuzzy string join, group-aware split,
+    # k-center coreset, MV state merge, per-source dedup accounting,
+    # length-bucket planning, PIT join, snapshot CDC diff.
     "events_kmv_stream",
-    "window_frames",
-    # aggregation shapes,
-    "grouping_sets_agg",
     "dedup_span_scrub",
     "text_gopher_rules",
-    # late round-4 additions (never driver-checked beats re-proving
-    # r1 evidence — the expression-family queries they displace keep
-    # green r1 rows on record):
     "multimodal_audio_features",
     "curation_dsir_resample",
     "ann_quantized_rerank",
+    "sketch_kmv_distinct",
+    "dedup_fuzzy_pairs",
+    "curation_group_split",
+    "coreset_kcenter",
+    "incremental_mv_merge",
+    "dedup_attribution",
+    "curation_length_buckets",
+    "pit_join_versions",
+    "snapshot_diff",
+    # plus the vision-pooling feature query (added late in the previous
+    # session — also never inside the first-50 window until now)
+    "multimodal_image_features",
+    # (d) oldest-evidence re-proofs — the load-bearing shapes only
+    # (flagship pivot + its SQL twin, TPC-H Q1, one broadcast join, one
+    # window, the chi-square stat): the other r1 joins/windows/agg
+    # shapes rotate out with green rows standing.
+    "flagship_delay_summary_by_carrier",
+    "tpch_q1_style",
+    "join_inner_agg",
+    "window_ranking",
+    "chi_square_sql",
     "flagship_sql",
 ]
 
