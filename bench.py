@@ -118,6 +118,8 @@ R4B_OPS = [
     "incremental_mv_merge",
     "pit_join_versions",
     "snapshot_diff",
+    "stats_mad_by_group",
+    "fd_violations",
 ]
 
 

@@ -370,7 +370,104 @@ GROUP BY l.l_returnflag, p.lo, p.hi
 """
 
 
+
+
+def q_stats_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust location/scale per group: exact interpolated median plus
+    the median absolute deviation (MAD) — the outlier-resistant stddev
+    replacement every data-quality monitor reaches for when means drift
+    on heavy tails. Two passes by necessity (the deviations need the
+    median first): pass 1 is one hash aggregate; its per-group medians
+    broadcast back (group-cardinality rows) so pass 2 stays a single
+    scan + aggregate. Same interpolation (percentile / quantile_cont)
+    on both engines, round(6)."""
+    li = read_testdata_table(spark, sf_dir, "lineitem")
+    med = li.groupBy("l_returnflag").agg(
+        F.expr("percentile(l_extendedprice, 0.5)").alias("_med")
+    )
+    return (
+        li.join(F.broadcast(med), "l_returnflag")
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.round(F.first("_med"), 6).alias("median_price"),
+            F.round(
+                F.expr("percentile(abs(l_extendedprice - _med), 0.5)"), 6
+            ).alias("mad_price"),
+        )
+    )
+
+
+_MAD_ORACLE = """
+WITH med AS (
+  SELECT l_returnflag, quantile_cont(l_extendedprice, 0.5) AS m
+  FROM lineitem GROUP BY l_returnflag
+)
+SELECT l.l_returnflag,
+       CAST(count(*) AS BIGINT) AS n,
+       round(any_value(m), 6) AS median_price,
+       round(quantile_cont(abs(l.l_extendedprice - m), 0.5), 6) AS mad_price
+FROM lineitem l JOIN med USING (l_returnflag)
+GROUP BY l.l_returnflag
+"""
+
+
+_FD_CANDIDATES = [
+    ("o_custkey", "o_orderpriority"),
+    ("o_custkey", "o_orderstatus"),
+    ("o_orderkey", "o_orderstatus"),
+]
+
+
+def q_fd_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Functional-dependency profiling (the data-quality rule-mining
+    primitive): for each candidate X → Y, how many X values map to more
+    than one distinct Y. One hash aggregate per candidate (distinct-agg
+    on the pair), unioned — the per-candidate scans share the cached
+    source. A candidate with 0 violations HOLDS and can be enforced as
+    a constraint downstream."""
+    o = read_testdata_table(spark, sf_dir, "orders")
+    parts = []
+    for lhs, rhs in _FD_CANDIDATES:
+        per_lhs = o.groupBy(lhs).agg(
+            F.count_distinct(F.col(rhs)).alias("_nd")
+        )
+        parts.append(
+            per_lhs.agg(
+                F.lit(lhs).alias("fd_lhs"),
+                F.lit(rhs).alias("fd_rhs"),
+                F.count(F.lit(1)).cast("long").alias("n_lhs"),
+                F.sum((F.col("_nd") > 1).cast("long")).alias("n_violating"),
+                (F.sum((F.col("_nd") > 1).cast("long")) == 0).alias("holds"),
+            )
+        )
+    out = parts[0]
+    for p_ in parts[1:]:
+        out = out.unionByName(p_)
+    return out
+
+
+def _fd_oracle() -> str:
+    selects = []
+    for lhs, rhs in _FD_CANDIDATES:
+        selects.append(f"""
+SELECT '{lhs}' AS fd_lhs, '{rhs}' AS fd_rhs,
+       CAST(count(*) AS BIGINT) AS n_lhs,
+       CAST(sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_violating,
+       sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) = 0 AS holds
+FROM (SELECT {lhs}, count(DISTINCT {rhs}) AS nd FROM orders GROUP BY {lhs})""")
+    return "\nUNION ALL\n".join(selects)
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "stats_mad_by_group": QuerySpec(
+        "stats_mad_by_group", q_stats_mad, _MAD_ORACLE,
+        "robust per-group median + MAD (two-pass, broadcast medians)",
+    ),
+    "fd_violations": QuerySpec(
+        "fd_violations", q_fd_violations, _fd_oracle(),
+        "functional-dependency profiling: violations per candidate X->Y",
+    ),
     "feature_winsorize": QuerySpec(
         "feature_winsorize",
         q_feature_winsorize,
