@@ -120,6 +120,7 @@ R4B_OPS = [
     "snapshot_diff",
     "stats_mad_by_group",
     "fd_violations",
+    "ri_orphans",
 ]
 
 

@@ -459,7 +459,69 @@ FROM (SELECT {lhs}, count(DISTINCT {rhs}) AS nd FROM orders GROUP BY {lhs})""")
     return "\nUNION ALL\n".join(selects)
 
 
+_RI_EDGES = [
+    # (child table, child FK col, parent table, parent key col)
+    ("lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("orders", "o_custkey", "customer", "c_custkey"),
+    ("lineitem", "l_partkey", "part", "p_partkey"),
+    ("events", "user_id", "customer", "c_custkey"),
+    # deliberate tripwire: a MISWIRED edge (nation keys checked against
+    # the region table) — only keys 0..4 find a parent
+    ("supplier", "s_nationkey", "region", "r_regionkey"),
+]
+
+
+def q_ri_orphans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit: per FK edge, how many child rows
+    have no matching parent (anti-join counts). The real star-schema
+    edges hold by construction (including events→customer — verified,
+    the generator draws user ids from the customer key space); the
+    supplier→REGION edge is the deliberately MISWIRED tripwire (nation
+    keys checked against the 5-row region table), so the report shows
+    a failing edge's shape — same philosophy as data_quality_report's
+    quantity tripwire. Each edge is one anti-join
+    (broadcast for dimension parents) + count — no row ever leaves the
+    executors."""
+    rows = []
+    for child, fk, parent, pk in _RI_EDGES:
+        c = read_testdata_table(spark, sf_dir, child)
+        p = read_testdata_table(spark, sf_dir, parent)
+        n_child = c.count()
+        n_orphans = (
+            c.select(F.col(fk)).join(
+                p.select(F.col(pk).alias(fk)), fk, "left_anti"
+            ).count()
+        )
+        rows.append(
+            (f"{child}.{fk}", f"{parent}.{pk}", n_child, n_orphans, n_orphans == 0)
+        )
+    return spark.createDataFrame(
+        rows, "child_fk string, parent_key string, n_child long,"
+        " n_orphans long, holds boolean"
+    )
+
+
+def _ri_oracle() -> str:
+    selects = []
+    for child, fk, parent, pk in _RI_EDGES:
+        selects.append(f"""
+SELECT '{child}.{fk}' AS child_fk, '{parent}.{pk}' AS parent_key,
+       CAST((SELECT count(*) FROM {child}) AS BIGINT) AS n_child,
+       CAST((SELECT count(*) FROM {child} c
+             WHERE NOT EXISTS (SELECT 1 FROM {parent} p
+                               WHERE p.{pk} = c.{fk})) AS BIGINT) AS n_orphans,
+       (SELECT count(*) FROM {child} c
+        WHERE NOT EXISTS (SELECT 1 FROM {parent} p
+                          WHERE p.{pk} = c.{fk})) = 0 AS holds""")
+    return "\nUNION ALL\n".join(selects)
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "ri_orphans": QuerySpec(
+        "ri_orphans", q_ri_orphans, _ri_oracle(),
+        "referential-integrity audit: orphan counts per FK edge"
+        " (anti-join per edge, deliberate tripwire edge included)",
+    ),
     "stats_mad_by_group": QuerySpec(
         "stats_mad_by_group", q_stats_mad, _MAD_ORACLE,
         "robust per-group median + MAD (two-pass, broadcast medians)",
