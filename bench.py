@@ -121,6 +121,7 @@ R4B_OPS = [
     "stats_mad_by_group",
     "fd_violations",
     "ri_orphans",
+    "graph_triangles",
 ]
 
 

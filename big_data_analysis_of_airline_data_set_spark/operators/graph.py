@@ -145,3 +145,27 @@ def release_pagerank(result: DataFrame) -> None:
     for h in result._pagerank_handles:  # type: ignore[attr-defined]
         h.unpersist()
     result._pagerank_handles = ()  # type: ignore[attr-defined]
+
+
+def triangle_counts(edges: DataFrame, *, u: str = "u", v: str = "v") -> DataFrame:
+    """(vertex, n_triangles): per-vertex triangle participation over a
+    simple undirected graph given as DISTINCT ordered pairs (u < v).
+
+    The canonical distributed formulation: with every edge stored once
+    in ascending-id order, each triangle a<b<c is found exactly once by
+    the two-join wedge closure e(a,b) ⋈ e(b,c) ⋈ e(a,c) — two shuffles
+    total (one on the wedge midpoint, one on the closing pair), no
+    per-vertex adjacency materialization. Scale refinement when degree
+    skew bites: order endpoints by DEGREE rather than id before the
+    ordered-pair dedup, which bounds every wedge fan-out by the smaller
+    degree (the standard Cohen/Vassilevska trick) — unnecessary at the
+    catalog scales, noted for 100 TB graphs."""
+    e1 = edges.select(F.col(u).alias("a"), F.col(v).alias("b"))
+    e2 = edges.select(F.col(u).alias("b"), F.col(v).alias("c"))
+    e3 = edges.select(F.col(u).alias("a"), F.col(v).alias("c"))
+    tri = e1.join(e2, "b").join(e3, ["a", "c"])
+    return (
+        tri.select(F.explode(F.array("a", "b", "c")).alias("vertex"))
+        .groupBy("vertex")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_triangles"))
+    )

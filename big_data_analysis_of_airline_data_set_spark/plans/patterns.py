@@ -791,6 +791,83 @@ ORDER BY rank DESC, node ASC LIMIT 20
 """
 
 
+# ------------------------- triangle counting -------------------------
+
+_TRI_TOPK = 10
+_TRI_PCT = 0.9
+
+
+def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle counting (operators/graph.py triangle_counts) over the
+    strong co-supplier graph: suppliers become neighbors when their
+    shared-part count exceeds the 90th percentile of all co-occurrence
+    counts (a RELATIVE threshold, so the graph stays non-trivial at
+    every scale factor). Output: the top-10 vertices by triangle
+    participation plus a TOTAL row. The co-occurrence table and the
+    thresholded edge set are persisted for the duration (consumed by
+    the threshold scalar + three wedge-join scans), collected, and
+    released — the pagerank result-materialization pattern."""
+    from ..operators.graph import triangle_counts
+
+    li = _t(spark, sf_dir, "lineitem")
+    ps = li.select(
+        F.col("l_partkey").alias("p"), F.col("l_suppkey").alias("s")
+    ).distinct()
+    a, b = ps.alias("a"), ps.alias("b")
+    co = (
+        a.join(b, (F.col("a.p") == F.col("b.p")) & (F.col("a.s") < F.col("b.s")))
+        .groupBy(F.col("a.s").alias("u"), F.col("b.s").alias("v"))
+        .agg(F.count(F.lit(1)).alias("c"))
+        .persist()
+    )
+    thr = co.agg(F.expr(f"percentile(c, {_TRI_PCT})")).first()[0]
+    e = co.filter(F.col("c") > thr).select("u", "v").persist()
+    per_vertex = triangle_counts(e, u="u", v="v")
+    top = (
+        per_vertex.select(
+            F.col("vertex").cast("string").alias("vertex"), "n_triangles"
+        )
+        .orderBy(F.desc("n_triangles"), F.asc("vertex"))
+        .limit(_TRI_TOPK)
+        .collect()
+    )
+    # each triangle contributes 3 vertex participations
+    total = per_vertex.agg((F.sum("n_triangles") / 3).cast("long")).first()[0]
+    co.unpersist()
+    e.unpersist()
+    rows = [("TOTAL", int(total or 0))] + [(r.vertex, r.n_triangles) for r in top]
+    return spark.createDataFrame(rows, "vertex string, n_triangles long")
+
+
+_TRIANGLES_ORACLE = f"""
+WITH ps AS (
+  SELECT DISTINCT l_partkey AS p, l_suppkey AS s FROM lineitem
+), co AS (
+  SELECT a.s AS u, b.s AS v, count(*) AS c
+  FROM ps a JOIN ps b ON a.p = b.p AND a.s < b.s
+  GROUP BY 1, 2
+), thr AS (SELECT quantile_cont(c, {_TRI_PCT}) AS t FROM co),
+e AS (SELECT u, v FROM co CROSS JOIN thr WHERE c > t),
+tri AS (
+  SELECT e1.u AS a, e1.v AS b, e2.v AS c
+  FROM e e1 JOIN e e2 ON e1.v = e2.u
+  JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v
+), pv AS (
+  SELECT vertex, CAST(count(*) AS BIGINT) AS n_triangles
+  FROM (SELECT a AS vertex FROM tri UNION ALL
+        SELECT b FROM tri UNION ALL SELECT c FROM tri)
+  GROUP BY vertex
+)
+SELECT 'TOTAL' AS vertex,
+       CAST(coalesce((SELECT count(*) FROM tri), 0) AS BIGINT) AS n_triangles
+UNION ALL
+SELECT * FROM (
+  SELECT CAST(vertex AS VARCHAR), n_triangles FROM pv
+  ORDER BY n_triangles DESC, CAST(vertex AS VARCHAR) ASC LIMIT {_TRI_TOPK}
+)
+"""
+
+
 # ------------------------- Z-order layout cells -------------------------
 
 _Z_BITS = 4  # 16x16 grid → 256 cells
@@ -885,6 +962,11 @@ QUERIES: dict[str, QuerySpec] = {
         "projection_name_pattern", q_projection_name_pattern,
         _PROJECTION_PATTERN_ORACLE,
         "P2: name-predicate column projection (pattern-matched keep list)",
+    ),
+    "graph_triangles": QuerySpec(
+        "graph_triangles", q_graph_triangles, _TRIANGLES_ORACLE,
+        "triangle counting via ordered-edge wedge closure over the"
+        " percentile-thresholded co-supplier graph",
     ),
     "pit_join_versions": QuerySpec(
         "pit_join_versions", q_pit_join, _PIT_ORACLE,

@@ -62,3 +62,27 @@ def test_uniform_cycle_stays_uniform(spark):
     ranks = {r.node: r.rank for r in _collect_and_release(pagerank(edges, iterations=6))}
     for v in ranks.values():
         assert abs(v - 0.25) < 1e-9
+
+
+def test_triangle_counts_known_graph(spark):
+    from big_data_analysis_of_airline_data_set_spark.operators.graph import (
+        triangle_counts,
+    )
+
+    # K4 on {1,2,3,4} plus a pendant 5: C(4,3)=4 triangles; each K4
+    # vertex sits in C(3,2)=3 of them; the pendant in none.
+    edges = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4), (4, 5)]
+    df = spark.createDataFrame(edges, "u long, v long")
+    got = {r.vertex: r.n_triangles for r in triangle_counts(df).collect()}
+    assert got == {1: 3, 2: 3, 3: 3, 4: 3}
+    assert sum(got.values()) // 3 == 4
+
+
+def test_triangle_counts_triangle_free(spark):
+    from big_data_analysis_of_airline_data_set_spark.operators.graph import (
+        triangle_counts,
+    )
+
+    # even cycle: 1-2-3-4-1 has no triangles
+    df = spark.createDataFrame([(1, 2), (2, 3), (3, 4), (1, 4)], "u long, v long")
+    assert triangle_counts(df).count() == 0
