@@ -122,6 +122,7 @@ R4B_OPS = [
     "fd_violations",
     "ri_orphans",
     "graph_triangles",
+    "stats_bootstrap_means",
 ]
 
 

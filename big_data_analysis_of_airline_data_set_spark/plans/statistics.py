@@ -516,7 +516,61 @@ SELECT '{child}.{fk}' AS child_fk, '{parent}.{pk}' AS parent_key,
     return "\nUNION ALL\n".join(selects)
 
 
+_BS_REPLICAS = 32
+
+
+def q_bootstrap_means(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic Poisson bootstrap (stats/bootstrap.py): 32 replica
+    means of o_totalprice whose spread is the sampling uncertainty —
+    resampling with zero RNG state, every weight an md5 pure function
+    the oracle replays."""
+    from ..stats.bootstrap import bootstrap_replica_means
+
+    o = read_testdata_table(spark, sf_dir, "orders")
+    return bootstrap_replica_means(
+        o, id_col="o_orderkey", value_col="o_totalprice",
+        n_replicas=_BS_REPLICAS,
+    )
+
+
+def _bootstrap_oracle() -> str:
+    from ..stats.bootstrap import POISSON1_CUTPOINTS
+
+    u = (
+        "list_sum(list_transform(generate_series(1, 14), j -> "
+        "CAST(strpos('0123456789abcdef', substr(md5('bs_' || replica ||"
+        " '_' || o_orderkey), j, 1)) - 1 AS BIGINT)"
+        " * (CAST(1 AS BIGINT) << (4 * (14 - j)))))"
+    )
+    t0, t1, t2, t3 = POISSON1_CUTPOINTS
+    return f"""
+WITH r AS (
+  SELECT o_orderkey, o_totalprice, CAST(b AS VARCHAR) AS replica_s,
+         CAST(b AS BIGINT) AS replica
+  FROM orders, unnest(generate_series(0, {_BS_REPLICAS - 1})) AS t(b)
+), w AS (
+  SELECT replica, o_totalprice,
+         CASE WHEN ({u.replace("replica", "replica_s")}) < {t0} THEN 0
+              WHEN ({u.replace("replica", "replica_s")}) < {t1} THEN 1
+              WHEN ({u.replace("replica", "replica_s")}) < {t2} THEN 2
+              WHEN ({u.replace("replica", "replica_s")}) < {t3} THEN 3
+              ELSE 4 END AS wgt
+  FROM r
+)
+SELECT replica,
+       CAST(sum(wgt) AS BIGINT) AS n_eff,
+       round(CAST(sum(wgt * CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             / sum(wgt), 6) AS mean_value
+FROM w GROUP BY replica
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "stats_bootstrap_means": QuerySpec(
+        "stats_bootstrap_means", q_bootstrap_means, _bootstrap_oracle(),
+        "deterministic Poisson-bootstrap replica means (md5-weighted,"
+        " zero RNG state, exact replay)",
+    ),
     "ri_orphans": QuerySpec(
         "ri_orphans", q_ri_orphans, _ri_oracle(),
         "referential-integrity audit: orphan counts per FK edge"

@@ -54,3 +54,41 @@ def test_multi_column_indexer_frequency_desc(spark, sf_dir):
             indexed.filter(F.col(idx) == 0.0).select(src).distinct().collect()
         )
         assert len(top_indexed) == 1 and top_indexed[0][0] == modal
+
+
+# ------------------------- Poisson bootstrap -------------------------
+
+
+def test_bootstrap_weights_distribution_and_determinism(spark):
+    from pyspark.sql import functions as F
+
+    from big_data_analysis_of_airline_data_set_spark.stats.bootstrap import (
+        bootstrap_replica_means,
+        poisson_weight_expr,
+    )
+
+    df = spark.createDataFrame([(i, 1.0) for i in range(4000)], "id long, v double")
+    w = df.select(
+        poisson_weight_expr(F.lit(0), F.col("id")).alias("w")
+    ).groupBy("w").count().collect()
+    dist = {r.w: r["count"] for r in w}
+    # Poisson(1): P(0)=P(1)=e^-1≈0.368 — both bins near 1470/4000;
+    # weights stay within the documented cap
+    assert set(dist) <= {0, 1, 2, 3, 4}
+    assert abs(dist[0] - dist[1]) < 250
+    assert 0.30 < dist[0] / 4000 < 0.44
+    a = sorted(
+        (r.replica, r.n_eff, r.mean_value)
+        for r in bootstrap_replica_means(
+            df, id_col="id", value_col="v", n_replicas=8
+        ).collect()
+    )
+    b = sorted(
+        (r.replica, r.n_eff, r.mean_value)
+        for r in bootstrap_replica_means(
+            df, id_col="id", value_col="v", n_replicas=8
+        ).collect()
+    )
+    assert a == b and len(a) == 8
+    # constant value → every replica mean is exactly 1.0
+    assert all(m == 1.0 for _, _, m in a)
