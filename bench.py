@@ -123,6 +123,8 @@ R4B_OPS = [
     "ri_orphans",
     "graph_triangles",
     "stats_bootstrap_means",
+    "events_markov_transitions",
+    "text_inverted_index",
 ]
 
 

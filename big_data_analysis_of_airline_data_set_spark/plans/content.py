@@ -965,6 +965,82 @@ ORDER BY cosine DESC, id ASC LIMIT {_QR_K}
 """
 
 
+_INVIDX_TOPK = 20
+
+
+def q_text_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Positional inverted-index build (the IR/search indexing op) for
+    the top-20 document-frequency tokens: per token, document
+    frequency, total postings, and the md5 of the fully ORDERED
+    positional posting list 'doc:pos,doc:pos,…' — one scalar that
+    pins every posting and its order, so the oracle certifies the
+    whole index segment, not just its counts.
+
+    Scale shape: posexplode → one hash-agg for the df ranking
+    (TakeOrderedAndProject) → semi-join the postings stream down to
+    the selected tokens → per-token sort-agg. The per-token
+    collect_list is bounded by that token's corpus frequency; a
+    100 TB index builds per-SEGMENT posting lists under the same
+    shape and merges segments (document ranges are disjoint, so
+    segment lists concatenate without re-sorting)."""
+    from ..text.analysis import tokens_col
+
+    d = read_testdata_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.posexplode(tokens_col(F.col("text"))).alias("pos0", "tok")
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "tok")
+    top = (
+        toks.groupBy("tok")
+        .agg(F.count_distinct("doc_id").alias("df"),
+             F.count(F.lit(1)).alias("n_postings"))
+        .orderBy(F.desc("df"), F.asc("tok"))
+        .limit(_INVIDX_TOPK)
+    )
+    postings = toks.join(F.broadcast(top.select("tok")), "tok")
+    lists = postings.groupBy("tok").agg(
+        F.md5(
+            F.concat_ws(
+                ",",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("doc_id", "pos"))),
+                    lambda s: F.concat_ws(":", s["doc_id"], s["pos"]),
+                ),
+            )
+        ).alias("postings_fp")
+    )
+    return top.join(lists, "tok").select(
+        F.col("tok").alias("token"),
+        F.col("df").cast("long").alias("df"),
+        F.col("n_postings").cast("long").alias("n_postings"),
+        "postings_fp",
+    )
+
+
+_INVIDX_ORACLE = f"""
+WITH toks AS (
+  -- no WITH ORDINALITY in DuckDB: index the array via generate_series
+  SELECT doc_id, i AS pos, arr[i] AS tok
+  FROM (SELECT doc_id,
+               regexp_split_to_array(trim(text), '\\s+') AS arr
+        FROM documents) d,
+       unnest(generate_series(1, len(arr))) AS u(i)
+), top AS (
+  SELECT tok, CAST(count(DISTINCT doc_id) AS BIGINT) AS df,
+         CAST(count(*) AS BIGINT) AS n_postings
+  FROM toks GROUP BY tok
+  ORDER BY df DESC, tok ASC LIMIT {_INVIDX_TOPK}
+), lists AS (
+  SELECT tok,
+         md5(string_agg(doc_id || ':' || pos, ',' ORDER BY doc_id, pos))
+           AS postings_fp
+  FROM toks WHERE tok IN (SELECT tok FROM top)
+  GROUP BY tok
+)
+SELECT t.tok AS token, t.df, t.n_postings, l.postings_fp
+FROM top t JOIN lists l USING (tok)
+"""
+
+
 def q_text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Published Gopher quality-filter heuristics (text/analysis.py
     gopher_rules) as per-document booleans + the AND'd keep decision —
@@ -1574,6 +1650,11 @@ QUERIES: dict[str, QuerySpec] = {
     "embedding_class_profile": QuerySpec(
         "embedding_class_profile", q_embedding_class_profile, _CLASS_PROFILE_ORACLE,
         "per-label class sizes + integer-exact coordinate checksums (balance/drift QA)",
+    ),
+    "text_inverted_index": QuerySpec(
+        "text_inverted_index", q_text_inverted_index, _INVIDX_ORACLE,
+        "positional inverted-index segment for top-df tokens; ordered"
+        " posting lists pinned via md5",
     ),
     "text_gopher_rules": QuerySpec(
         "text_gopher_rules", q_text_gopher_rules, _GOPHER_ORACLE,

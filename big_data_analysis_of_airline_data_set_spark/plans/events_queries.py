@@ -243,6 +243,57 @@ _KMV_STREAM_ORACLE = _kmv_oracle_sql(
 )
 
 
+def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over each user's event
+    stream: P(next event type | current), from lag pairs ordered by
+    (ts, event_id) within user — the behavioral-model fit step
+    (next-action prediction, anomaly scoring against the matrix).
+    One window shuffle on user_id + one pair aggregate; probabilities
+    are exact-count ratios rounded at display."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
+    pairs = (
+        ev.select("user_id", "ts", "event_id", "event_type")
+        .withColumn("next_type", F.lead("event_type").over(w))
+        .filter(F.col("next_type").isNotNull())
+        .groupBy(
+            F.col("event_type").alias("from_type"),
+            F.col("next_type").alias("to_type"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    wf = Window.partitionBy("from_type")
+    return pairs.select(
+        "from_type",
+        "to_type",
+        "n",
+        F.round(F.col("n") / F.sum("n").over(wf), 6).alias("p"),
+    )
+
+
+_TRANSITIONS_ORACLE = """
+WITH ordered AS (
+  SELECT user_id, event_type,
+         lead(event_type) OVER (
+             PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+         ) AS next_type
+  FROM events
+), pairs AS (
+  SELECT event_type AS from_type, next_type AS to_type,
+         CAST(count(*) AS BIGINT) AS n
+  FROM ordered WHERE next_type IS NOT NULL
+  GROUP BY 1, 2
+)
+SELECT from_type, to_type, n,
+       round(CAST(n AS DOUBLE)
+             / sum(n) OVER (PARTITION BY from_type), 6) AS p
+FROM pairs
+"""
+
+
 def q_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sliding_counts(_events(spark, sf_dir), width="1 hour", slide="30 minutes")
 
@@ -720,6 +771,11 @@ QUERIES: dict[str, QuerySpec] = {
         _USER_TOTALS_STREAM_ORACLE,
         "custom applyInPandasWithState running totals across 4 micro-"
         "batches ≡ batch groupBy (integer-cents exact state)",
+    ),
+    "events_markov_transitions": QuerySpec(
+        "events_markov_transitions", q_event_transitions, _TRANSITIONS_ORACLE,
+        "first-order Markov transition matrix over per-user event"
+        " streams (lead pairs -> exact-count probabilities)",
     ),
     "events_kmv_stream": QuerySpec(
         "events_kmv_stream", q_kmv_stream, _KMV_STREAM_ORACLE,
