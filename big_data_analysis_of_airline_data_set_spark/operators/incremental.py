@@ -91,10 +91,11 @@ def snapshot_diff(
     o = old.select(key, *compare_cols)
     n = new.select(key, *compare_cols)
     joined = o.alias("o").join(n.alias("n"), F.col(f"o.{key}") == F.col(f"n.{key}"), "full_outer")
-    changed = None
+    # no compare columns → pure membership CDC: rows present on both
+    # sides are 'unchanged' by definition
+    changed = F.lit(False)
     for c in compare_cols:
-        ne = ~F.col(f"o.{c}").eqNullSafe(F.col(f"n.{c}"))
-        changed = ne if changed is None else (changed | ne)
+        changed = changed | ~F.col(f"o.{c}").eqNullSafe(F.col(f"n.{c}"))
     change_type = (
         F.when(F.col(f"o.{key}").isNull(), F.lit("added"))
         .when(F.col(f"n.{key}").isNull(), F.lit("removed"))

@@ -191,12 +191,7 @@ def q_scd2_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     from semi/anti joins + union — the v1 CDC recipe where Delta's
     MERGE INTO isn't available."""
     c = _t(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
-    changed_keys = (
-        _t(spark, sf_dir, "orders")
-        .filter(F.col("o_orderstatus") == "P")
-        .select(F.col("o_custkey").alias("c_custkey"))
-        .distinct()
-    )
+    changed_keys = _pending_custkeys(spark, sf_dir)
     unchanged = c.join(changed_keys, "c_custkey", "left_anti").select(
         "c_custkey", "c_acctbal",
         F.lit(1).cast("long").alias("version"),
@@ -345,6 +340,21 @@ GROUP BY term, exact_count
 
 # ------------------------- PIT join + snapshot diff -------------------------
 
+# Shared "changed customers" rule: one definition for the SCD2/PIT/diff
+# family (review finding: four copy-pasted sites could drift).
+_PENDING_SQL = "SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'P'"
+
+
+def _pending_custkeys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "P")
+        .select(F.col("o_custkey").alias("c_custkey"))
+        .distinct()
+    )
+
+
+
 _PIT_LO, _PIT_SPLIT, _PIT_HI = "1900-01-01", "1998-01-01", "9999-12-31"
 
 
@@ -354,12 +364,7 @@ def _scd2_dim_with_ranges(spark: SparkSession, sf_dir: str) -> DataFrame:
     +100 balance; everyone else one all-time version — the same change
     rule as q_scd2_upsert, extended to the time axis."""
     c = _t(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
-    changed = (
-        _t(spark, sf_dir, "orders")
-        .filter(F.col("o_orderstatus") == "P")
-        .select(F.col("o_custkey").alias("c_custkey"))
-        .distinct()
-    )
+    changed = _pending_custkeys(spark, sf_dir)
     lo = F.lit(_PIT_LO).cast("timestamp")
     mid = F.lit(_PIT_SPLIT).cast("timestamp")
     hi = F.lit(_PIT_HI).cast("timestamp")
@@ -405,7 +410,7 @@ def q_pit_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _PIT_ORACLE = f"""
 WITH changed AS (
-  SELECT DISTINCT o_custkey AS k FROM orders WHERE o_orderstatus = 'P'
+  SELECT o_custkey AS k FROM ({_PENDING_SQL}) p
 ), dim AS (
   SELECT c_custkey, c_acctbal, CAST(1 AS BIGINT) AS version,
          TIMESTAMP '{_PIT_LO}' AS vf, TIMESTAMP '{_PIT_HI}' AS vt
@@ -442,12 +447,7 @@ def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.incremental import snapshot_diff
 
     c = _t(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
-    changed = (
-        _t(spark, sf_dir, "orders")
-        .filter(F.col("o_orderstatus") == "P")
-        .select(F.col("o_custkey").alias("c_custkey"))
-        .distinct()
-    )
+    changed = _pending_custkeys(spark, sf_dir)
     old = c.filter(F.col("c_custkey") % _DIFF_ADD_MOD != 0)
     new = (
         c.filter(F.col("c_custkey") % _DIFF_DROP_MOD != 0)
@@ -463,7 +463,7 @@ def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _SNAPSHOT_DIFF_ORACLE = f"""
 WITH changed AS (
-  SELECT DISTINCT o_custkey AS k FROM orders WHERE o_orderstatus = 'P'
+  SELECT o_custkey AS k FROM ({_PENDING_SQL}) p
 ), old AS (
   SELECT c_custkey, c_acctbal FROM customer
   WHERE c_custkey % {_DIFF_ADD_MOD} != 0
@@ -822,7 +822,9 @@ def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     thr = co.agg(F.expr(f"percentile(c, {_TRI_PCT})")).first()[0]
     e = co.filter(F.col("c") > thr).select("u", "v").persist()
-    per_vertex = triangle_counts(e, u="u", v="v")
+    # per_vertex feeds TWO actions (top-10 collect + total agg) — persist
+    # it too, or the whole wedge closure runs twice (review finding)
+    per_vertex = triangle_counts(e, u="u", v="v").persist()
     top = (
         per_vertex.select(
             F.col("vertex").cast("string").alias("vertex"), "n_triangles"
@@ -833,6 +835,7 @@ def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # each triangle contributes 3 vertex participations
     total = per_vertex.agg((F.sum("n_triangles") / 3).cast("long")).first()[0]
+    per_vertex.unpersist()
     co.unpersist()
     e.unpersist()
     rows = [("TOTAL", int(total or 0))] + [(r.vertex, r.n_triangles) for r in top]

@@ -423,9 +423,11 @@ def q_fd_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Functional-dependency profiling (the data-quality rule-mining
     primitive): for each candidate X → Y, how many X values map to more
     than one distinct Y. One hash aggregate per candidate (distinct-agg
-    on the pair), unioned — the per-candidate scans share the cached
-    source. A candidate with 0 violations HOLDS and can be enforced as
-    a constraint downstream."""
+    on the pair), unioned — three scans of the source, one per
+    candidate (at production scale, cache the source table around the
+    loop; the catalog-scale scans are cheaper than owning a release
+    contract here). A candidate with 0 violations HOLDS and can be
+    enforced as a constraint downstream."""
     o = read_testdata_table(spark, sf_dir, "orders")
     parts = []
     for lhs, rhs in _FD_CANDIDATES:

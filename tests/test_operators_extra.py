@@ -177,3 +177,17 @@ def test_snapshot_diff_classification(spark):
     # null-safe compare: k=3 removed (not 'changed by null'), k=5 added
     assert got == {1: "unchanged", 2: "changed", 3: "removed",
                    4: "added", 5: "added"}
+
+
+def test_snapshot_diff_membership_only(spark):
+    """compare_cols=[] is the pure-membership CDC: present-in-both rows
+    are 'unchanged' (review finding: this used to TypeError)."""
+    from big_data_analysis_of_airline_data_set_spark.operators.incremental import (
+        snapshot_diff,
+    )
+
+    old = spark.createDataFrame([(1,), (2,)], "k long")
+    new = spark.createDataFrame([(2,), (3,)], "k long")
+    got = {r.k: r.change_type
+           for r in snapshot_diff(old, new, key="k", compare_cols=[]).collect()}
+    assert got == {1: "removed", 2: "unchanged", 3: "added"}
