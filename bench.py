@@ -125,6 +125,7 @@ R4B_OPS = [
     "stats_bootstrap_means",
     "events_markov_transitions",
     "text_inverted_index",
+    "stats_benford_audit",
 ]
 
 

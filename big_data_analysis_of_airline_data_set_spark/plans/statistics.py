@@ -14,6 +14,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from ..sources.readers import read_testdata_table
 from ..stats.chisquare import chi_square_test
@@ -567,7 +568,66 @@ FROM w GROUP BY replica
 """
 
 
+# log10(1 + 1/d) for d = 1..9, precomputed so neither engine's log10
+# participates in the comparison
+_BENFORD = (0.30103, 0.176091, 0.124939, 0.09691,
+            0.079181, 0.066947, 0.057992, 0.051153, 0.045757)
+
+
+def q_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-digit audit over order totals — the classic
+    fabricated-numbers screen: naturally occurring multi-magnitude
+    amounts follow log10(1+1/d); a flat or spiky digit histogram flags
+    synthetic or constrained data. First digit extracted from the
+    string form (portable; no float log in the hot path), expected
+    shares are fixed literals. One scan, one 9-group aggregate.
+    (TPC-H-ish uniform prices are NOT Benford-distributed — the audit
+    correctly reports that, which is the point of running it on
+    synthetic data.)"""
+    o = read_testdata_table(spark, sf_dir, "orders")
+    digit = F.substring(
+        F.regexp_replace(F.col("o_totalprice").cast("string"), r"[^1-9]", ""),
+        1, 1,
+    ).cast("long")
+    per = o.select(digit.alias("digit")).groupBy("digit").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    total = F.sum("n").over(Window.partitionBy())
+    expected = F.element_at(
+        F.array(*[F.lit(x) for x in _BENFORD]), F.col("digit").cast("int")
+    )
+    return per.select(
+        "digit",
+        "n",
+        F.round(F.col("n") / total, 6).alias("share"),
+        expected.alias("benford_expected"),
+    )
+
+
+def _benford_oracle() -> str:
+    arr = ", ".join(str(x) for x in _BENFORD)
+    return f"""
+WITH d AS (
+  SELECT CAST(substr(regexp_replace(CAST(o_totalprice AS VARCHAR),
+                                    '[^1-9]', '', 'g'), 1, 1) AS BIGINT)
+           AS digit
+  FROM orders
+), per AS (
+  SELECT digit, CAST(count(*) AS BIGINT) AS n FROM d GROUP BY digit
+)
+SELECT digit, n,
+       round(CAST(n AS DOUBLE) / sum(n) OVER (), 6) AS share,
+       ([{arr}])[digit] AS benford_expected
+FROM per
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "stats_benford_audit": QuerySpec(
+        "stats_benford_audit", q_benford_audit, _benford_oracle(),
+        "Benford first-digit screen: observed vs log10(1+1/d) shares"
+        " (literal expectations, string-extracted digits)",
+    ),
     "stats_bootstrap_means": QuerySpec(
         "stats_bootstrap_means", q_bootstrap_means, _bootstrap_oracle(),
         "deterministic Poisson-bootstrap replica means (md5-weighted,"
