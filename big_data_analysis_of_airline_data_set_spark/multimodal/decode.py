@@ -1,12 +1,12 @@
 """Decode / feature-extraction for multimodal payloads.
 
-Round-4 upgrade: BMP (BI_RGB 24-bit) and WAV (PCM16 mono) decode are
-REAL — pure-numpy parsers in multimodal/codecs.py, no codec library
-needed. ``decode_image`` / ``decode_audio`` / ``resize_image`` dispatch
-on mime type; formats that genuinely require a codec library
-(JPEG/PNG/MP3/...) raise ``NotImplementedError`` with a clear message —
-an environment boundary (no PIL/ffmpeg in this container), not a stub
-of the plumbing.
+BMP (BI_RGB 24-bit), PNG (8-bit truecolor, zlib + all five scanline
+predictors), and WAV (PCM16 mono) decode are REAL — pure numpy/stdlib
+parsers in multimodal/codecs.py, no codec library needed.
+``decode_image`` / ``decode_audio`` / ``resize_image`` dispatch on mime
+type; formats that genuinely require a codec library (JPEG/MP3/...)
+raise ``NotImplementedError`` with a clear message — an environment
+boundary (no PIL/ffmpeg in this container), not a stub of the plumbing.
 
 Execution shape: all per-payload work happens inside Arrow-batched
 ``mapInPandas`` (multimodal/assets.py, plans/content.py) — payloads
@@ -22,13 +22,13 @@ import pandas as pd
 
 from pyspark.sql import DataFrame
 
-from .codecs import decode_bmp, decode_wav_pcm16, encode_bmp, resize_nearest
+from .codecs import decode_bmp, decode_png, decode_wav_pcm16, encode_bmp, resize_nearest
 
 FEATURE_DIM = 8
 
 _CODEC_MSG = (
     "{kind} ({mime}) requires a codec library (PIL/ffmpeg) not present in "
-    "this environment; BMP/WAV decode IS implemented (multimodal/codecs.py) "
+    "this environment; BMP/PNG/WAV decode IS implemented (multimodal/codecs.py) "
     "— wire additional decoders here. The surrounding Spark plumbing "
     "(binary columns, Arrow batches, schema) is production-shaped."
 )
@@ -39,6 +39,8 @@ def decode_image(payload: bytes, mime_type: str) -> np.ndarray:
     real; other formats need an external codec."""
     if mime_type in ("image/bmp", "image/x-ms-bmp"):
         return decode_bmp(payload)
+    if mime_type == "image/png":
+        return decode_png(payload)
     raise NotImplementedError(_CODEC_MSG.format(kind="Image", mime=mime_type))
 
 

@@ -32,7 +32,15 @@ import pandas as pd
 
 from pyspark.sql import DataFrame
 
-from .codecs import decode_bmp, decode_wav_pcm16, encode_bmp, encode_wav_pcm16, resize_nearest
+from .codecs import (
+    decode_bmp,
+    decode_png,
+    decode_wav_pcm16,
+    encode_bmp,
+    encode_png,
+    encode_wav_pcm16,
+    resize_nearest,
+)
 
 # positional weights for the decode checksums: any pixel/sample landing
 # at the wrong (r, c, k) / i changes the weighted sum
@@ -73,6 +81,86 @@ def synthetic_image_assets(ids: DataFrame, id_col: str = "doc_id") -> DataFrame:
     return ids.select(id_col).mapInPandas(
         batches,
         schema="asset_id long, modality string, payload binary, mime_type string",
+    )
+
+
+def _png_pixels(asset_id: int) -> np.ndarray:
+    """PNG asset formula — distinct constants from the BMP formula so
+    the two decode oracles cannot mask each other, and h = 5..8 so the
+    row-cycled encoder filter (row % 5) exercises ALL five predictors
+    on every asset."""
+    w = 5 + asset_id % 7
+    h = 5 + asset_id % 4
+    r = np.arange(h)[:, None, None]
+    c = np.arange(w)[None, :, None]
+    k = np.arange(3)[None, None, :]
+    return ((asset_id * 37 + r * 5 + c * 13 + k * 7) % 256).astype(np.uint8)
+
+
+def synthetic_png_assets(ids: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """(asset_id, modality, payload, mime_type) with real PNG bytes —
+    zlib-compressed, filter types cycling None/Sub/Up/Average/Paeth,
+    IDAT split across two chunks."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids_ = pdf[id_col].astype("int64")
+            yield pd.DataFrame(
+                {
+                    "asset_id": ids_,
+                    "modality": "image",
+                    "payload": [encode_png(_png_pixels(int(i))) for i in ids_],
+                    "mime_type": "image/png",
+                }
+            )
+
+    return ids.select(id_col).mapInPandas(
+        batches,
+        schema="asset_id long, modality string, payload binary, mime_type string",
+    )
+
+
+def png_decode_audit(assets: DataFrame) -> DataFrame:
+    """Decode each PNG payload and aggregate the pixel array exactly as
+    ``image_decode_audit`` does for BMP — dimensions, exact integer
+    channel sums, position-weighted checksum. Any defilter defect
+    (Paeth tie-breaking, Average floor, Sub carry, chunk concatenation)
+    shifts a decoded byte and fails the value hash."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for asset_id, payload in zip(pdf["asset_id"], pdf["payload"]):
+                px = decode_png(payload).astype(np.int64)
+                h, w, _ = px.shape
+                weights = (
+                    np.arange(h)[:, None, None] * _W_ROW
+                    + np.arange(w)[None, :, None] * _W_COL
+                    + np.arange(3)[None, None, :] * _W_CHAN
+                )
+                rows.append(
+                    (
+                        int(asset_id), h, w,
+                        int(px[:, :, 0].sum()),
+                        int(px[:, :, 1].sum()),
+                        int(px[:, :, 2].sum()),
+                        int((px * weights).sum()),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "asset_id", "height", "width",
+                    "sum_r", "sum_g", "sum_b", "pos_checksum",
+                ],
+            )
+
+    return assets.mapInPandas(
+        batches,
+        schema=(
+            "asset_id long, height long, width long, "
+            "sum_r long, sum_g long, sum_b long, pos_checksum long"
+        ),
     )
 
 

@@ -23,8 +23,10 @@ from ..multimodal.synthetic import (
     audio_decode_audit,
     image_decode_audit,
     image_resize_audit,
+    png_decode_audit,
     synthetic_audio_assets,
     synthetic_image_assets,
+    synthetic_png_assets,
 )
 from ..sources.readers import read_testdata_table
 from .spec import QuerySpec
@@ -55,6 +57,40 @@ WITH dims AS (
   FROM dims
   JOIN (SELECT unnest(generate_series(0, 6)) AS r) r ON r.r < h
   JOIN (SELECT unnest(generate_series(0, 14)) AS c) c ON c.c < w
+  CROSS JOIN (SELECT unnest(generate_series(0, 2)) AS k) k
+)
+SELECT asset_id,
+       CAST(max(h) AS BIGINT) AS height,
+       CAST(max(w) AS BIGINT) AS width,
+       CAST(sum(CASE WHEN k = 0 THEN v ELSE 0 END) AS BIGINT) AS sum_r,
+       CAST(sum(CASE WHEN k = 1 THEN v ELSE 0 END) AS BIGINT) AS sum_g,
+       CAST(sum(CASE WHEN k = 2 THEN v ELSE 0 END) AS BIGINT) AS sum_b,
+       CAST(sum((r * 1000003 + c * 1009 + k) * v) AS BIGINT) AS pos_checksum
+FROM px GROUP BY asset_id
+"""
+
+
+def q_decode_png(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Formula → encode_png (zlib, row-cycled filters, split IDAT) →
+    decode_png → per-asset pixel aggregates. The oracle replays the
+    pixel formula only — so the compressed/predicted byte path must
+    reproduce every pixel exactly for the value hash to match."""
+    return png_decode_audit(synthetic_png_assets(_doc_ids(spark, sf_dir)))
+
+
+# PNG pixel formula replay: v(r,c,k) = (id·37 + r·5 + c·13 + k·7) % 256
+# over r < 5+id%4, c < 5+id%7; checksum weights as for BMP.
+_DECODE_PNG_ORACLE = """
+WITH dims AS (
+  SELECT doc_id AS asset_id,
+         5 + doc_id % 4 AS h, 5 + doc_id % 7 AS w
+  FROM documents
+), px AS (
+  SELECT asset_id, h, w, r.r, c.c, k.k,
+         (asset_id * 37 + r.r * 5 + c.c * 13 + k.k * 7) % 256 AS v
+  FROM dims
+  JOIN (SELECT unnest(generate_series(0, 7)) AS r) r ON r.r < h
+  JOIN (SELECT unnest(generate_series(0, 10)) AS c) c ON c.c < w
   CROSS JOIN (SELECT unnest(generate_series(0, 2)) AS k) k
 )
 SELECT asset_id,
@@ -247,6 +283,11 @@ QUERIES: dict[str, QuerySpec] = {
     "multimodal_decode_image": QuerySpec(
         "multimodal_decode_image", q_decode_image, _DECODE_IMAGE_ORACLE,
         "real BMP encode→decode round-trip vs pixel-formula replay",
+    ),
+    "multimodal_decode_png": QuerySpec(
+        "multimodal_decode_png", q_decode_png, _DECODE_PNG_ORACLE,
+        "real PNG (zlib + Sub/Up/Average/Paeth defilter, split IDAT)"
+        " encode→decode round-trip vs pixel-formula replay",
     ),
     "multimodal_decode_audio": QuerySpec(
         "multimodal_decode_audio", q_decode_audio, _DECODE_AUDIO_ORACLE,
