@@ -264,6 +264,181 @@ def _family_entries(family: str, m_tag: str, label: str) -> dict[str, QuerySpec]
 
 
 # ---------------------------------------------------------------------
+# Three-feature-set variant sweep — the reference's full/uni/var
+# comparison (Scripts/3_cs_777_logistic_regression.py:84-86 fits
+# pipeline_full_data / pipeline_uni_data / pipeline_var_data; every
+# family script repeats it, and Scripts/9_...py:113-115 hard-codes the
+# resulting dims 827/438/823). Re-expressed end-to-end: the univariate
+# and variance selections are COMPUTED (feature-selection job feeding
+# the training job, reference S3 handoff), each variant's column set
+# goes through build_pipeline + TVS, and the emitted row carries the
+# fully deterministic invariants of each fit. The oracle replays the
+# selections in SQL — χ² over equal-cardinality %5 bands (statistic
+# ordering ≡ p-value ordering), explicit one-way ANOVA F, k-th-largest
+# variance threshold — and derives each variant's feature_dim from
+# train-distinct cardinalities (OHE dropLast layout), so a drifted
+# selection, split, or vector layout fails the hash.
+
+_SWEEP_CATS = ["ok_band", "pk_band", "sk_band"]
+_SWEEP_NUMS = ["l_extendedprice", "l_linenumber", "l_quantity"]
+
+_SWEEP_CACHE: BoundedCache[tuple, list] = BoundedCache(4)
+
+
+def _sweep_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = read_testdata_table(spark, sf_dir, "lineitem")
+    return li.select(
+        (F.col("l_orderkey") % 5).cast("string").alias("ok_band"),
+        (F.col("l_partkey") % 5).cast("string").alias("pk_band"),
+        (F.col("l_suppkey") % 5).cast("string").alias("sk_band"),
+        *_SWEEP_NUMS,
+        F.year("l_shipdate").alias("Year"),
+        delay_status(F.col("l_discount") - 0.05, F.col("l_tax") - 0.04)
+        .cast("double")
+        .alias("label"),
+    )
+
+
+def q_ml_variant_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..stats.selectors import (
+        select_univariate_categorical,
+        select_univariate_continuous,
+    )
+    from ..stats.variance import variance_threshold_select
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    rows = _SWEEP_CACHE.get(key)
+    if rows is None:
+        df = _sweep_frame(spark, sf_dir)
+        # selection on the full frame — the reference runs script 2 on
+        # the whole cleaned table and hands the lists to scripts 3-10
+        sel_cat = select_univariate_categorical(df, _SWEEP_CATS, "label", num_top=2)
+        sel_num = select_univariate_continuous(df, _SWEEP_NUMS, "label", num_top=2)
+        var_num, _ = variance_threshold_select(df, _SWEEP_NUMS, k=2)
+        variants = [
+            ("full_data", _SWEEP_CATS, _SWEEP_NUMS),
+            ("uni_data", sorted(sel_cat), sorted(sel_num)),
+            ("var_data", _SWEEP_CATS, sorted(var_num)),
+        ]
+        rows = []
+        for name, cats, nums in variants:
+            model, train, test, param_maps = fit_family(
+                df,
+                categorical_cols=cats,
+                numeric_cols=nums,
+                family="logistic_regression",
+                test_year=_TEST_YEAR,
+                tuner="tvs",
+                grid="quick",
+            )
+            clf = model.bestModel.stages[-1]
+            rows.append(
+                (
+                    name, len(cats), len(nums), len(param_maps),
+                    train.count(), test.count(),
+                    int(clf.numFeatures), int(clf.numClasses),
+                )
+            )
+        _SWEEP_CACHE.put(key, rows)
+    return spark.createDataFrame(
+        rows,
+        "variant string, n_categorical long, n_numeric long, "
+        "n_param_combos long, train_rows long, test_rows long, "
+        "feature_dim long, n_classes long",
+    )
+
+
+def _sweep_anova_sql(col: str) -> str:
+    """One-way ANOVA F for one numeric vs the binary sweep label (k=2 →
+    F-ordering ≡ p-value ordering; same closed form as the M9 oracle in
+    plans/statistics.py, parameterized on the sup CTE)."""
+    return f"""
+    SELECT '{col}' AS feature,
+           (n0*(m0-m)*(m0-m) + n1*(m1-m)*(m1-m))
+             / ((n0*v0 + n1*v1) / (n - 2)) AS f
+    FROM (
+      SELECT CAST(count(*) AS DOUBLE) AS n, avg({col}) AS m,
+             CAST(count(*) FILTER (WHERE label = 0) AS DOUBLE) AS n0,
+             avg({col}) FILTER (WHERE label = 0) AS m0,
+             var_pop({col}) FILTER (WHERE label = 0) AS v0,
+             CAST(count(*) FILTER (WHERE label = 1) AS DOUBLE) AS n1,
+             avg({col}) FILTER (WHERE label = 1) AS m1,
+             var_pop({col}) FILTER (WHERE label = 1) AS v1
+      FROM sup
+    )"""
+
+
+def _variant_sweep_oracle() -> str:
+    from .statistics import _chi2_feature_sql
+
+    cat_stats = " UNION ALL ".join(
+        _chi2_feature_sql(c, table="sup", label="label") for c in _SWEEP_CATS
+    )
+    cont_stats = "\n  UNION ALL\n".join(_sweep_anova_sql(c) for c in _SWEEP_NUMS)
+    var_long = " UNION ALL ".join(
+        f"SELECT '{c}' AS feature, var_samp({c}) AS x FROM sup"
+        for c in _SWEEP_NUMS
+    )
+    cat_dims = " UNION ALL ".join(
+        f"SELECT '{c}' AS feature, count(DISTINCT {c}) - 1 AS dim FROM train"
+        for c in _SWEEP_CATS
+    )
+    return f"""
+WITH sup AS (
+  SELECT CAST(l_orderkey % 5 AS VARCHAR) AS ok_band,
+         CAST(l_partkey % 5 AS VARCHAR) AS pk_band,
+         CAST(l_suppkey % 5 AS VARCHAR) AS sk_band,
+         l_extendedprice, l_linenumber, l_quantity,
+         year(l_shipdate) AS yr,
+         CASE WHEN l_discount - 0.05 <= 0 AND l_tax - 0.04 <= 0
+              THEN 0 ELSE 1 END AS label
+  FROM lineitem
+),
+train AS (SELECT * FROM sup WHERE yr <> {_TEST_YEAR}),
+counts AS (
+  SELECT (SELECT count(*) FROM train) AS train_rows,
+         (SELECT count(*) FROM sup WHERE yr = {_TEST_YEAR}) AS test_rows,
+         (SELECT count(DISTINCT label) FROM train) AS n_classes
+),
+cat_dims AS ({cat_dims}),
+cat_stats AS ({cat_stats}),
+sel_cat AS (SELECT feature FROM cat_stats ORDER BY statistic DESC LIMIT 2),
+cont_stats AS ({cont_stats}),
+sel_num AS (SELECT feature FROM cont_stats ORDER BY f DESC LIMIT 2),
+var_long AS ({var_long}),
+var_thr AS (SELECT x AS t FROM var_long ORDER BY x DESC LIMIT 1 OFFSET 1),
+sel_var AS (SELECT feature FROM var_long CROSS JOIN var_thr WHERE x > t)
+SELECT 'full_data' AS variant,
+       CAST({len(_SWEEP_CATS)} AS BIGINT) AS n_categorical,
+       CAST({len(_SWEEP_NUMS)} AS BIGINT) AS n_numeric,
+       CAST(2 AS BIGINT) AS n_param_combos,
+       train_rows, test_rows,
+       (SELECT CAST(sum(dim) + {len(_SWEEP_NUMS)} AS BIGINT) FROM cat_dims)
+         AS feature_dim,
+       n_classes
+FROM counts
+UNION ALL
+SELECT 'uni_data',
+       (SELECT count(*) FROM sel_cat), (SELECT count(*) FROM sel_num),
+       CAST(2 AS BIGINT), train_rows, test_rows,
+       (SELECT CAST(sum(dim) AS BIGINT) FROM cat_dims
+        WHERE feature IN (SELECT feature FROM sel_cat))
+         + (SELECT count(*) FROM sel_num),
+       n_classes
+FROM counts
+UNION ALL
+SELECT 'var_data',
+       CAST({len(_SWEEP_CATS)} AS BIGINT),
+       (SELECT count(*) FROM sel_var),
+       CAST(2 AS BIGINT), train_rows, test_rows,
+       (SELECT CAST(sum(dim) AS BIGINT) FROM cat_dims)
+         + (SELECT count(*) FROM sel_var),
+       n_classes
+FROM counts
+"""
+
+
+# ---------------------------------------------------------------------
 # Reference golden-pattern check, driver-grade: the published report's
 # metric pattern (report ¶132-268: LR AUC mid-0.65 band, DT carves the
 # sample rule to ≈1.0 on the notebook sample, trees dominate linear;
@@ -377,6 +552,14 @@ QUERIES: dict[str, QuerySpec] = {
         _REF_BANDS_ORACLE,
         "published report metric pattern (LR/DT AUC bands, chi2 dof vector,"
         " vocab-derived dims) on the reference-shaped sample — constant oracle",
+    ),
+    "ml_variant_sweep": QuerySpec(
+        "ml_variant_sweep",
+        q_ml_variant_sweep,
+        _variant_sweep_oracle(),
+        "Scripts/3:84-86 full/uni/var feature-set sweep — computed"
+        " selections through build_pipeline+TVS, per-variant invariants"
+        " (selection replayed in SQL, dims from train cardinalities)",
     ),
     **_family_entries("logistic_regression", "M12", "LR"),
     **_family_entries("decision_tree", "M13", "DT"),
