@@ -43,7 +43,7 @@ def pagerank(
     damping: float = 0.85,
     iterations: int = 5,
     round_dp: int = 12,
-    barrier_every: int = 8,
+    barrier_every: int = 4,
 ) -> DataFrame:
     """(node, rank) after ``iterations`` synchronous PageRank rounds
     over the DISTINCT directed edge set.
@@ -51,12 +51,26 @@ def pagerank(
     The returned DataFrame is a LAZY persisted chain — no action runs
     here, so the caller's first action executes the whole loop as one
     job (measured ~25% faster end-to-end than materializing inside and
-    collecting separately: one fewer walk over the job graph). The
-    CALLER owns the release: consume the result, then call
+    collecting separately: one fewer walk over the job graph).
+
+    RELEASE CONTRACT (changed in round 4 — read this): the CALLER owns
+    the release. Consume the result, then call
     ``release_pagerank(result)``, which unpersists every handle the
-    loop pinned — a bare ``result.unpersist()`` is NOT enough (and on
-    the projection it would be a no-op) — see
-    plans/patterns.py:q_graph_pagerank."""
+    loop pinned (edges, the degree table, and up to barrier_every+1
+    rank tables). A bare ``result.unpersist()`` — the pre-round-4
+    contract — releases ONLY the returned projection's own cache; the
+    loop-internal handles it used to release now require
+    ``release_pagerank``. The projection IS persisted precisely so the
+    old call is not a silent total leak, but it is no longer the full
+    release. See plans/patterns.py:q_graph_pagerank.
+
+    ``barrier_every`` bounds BOTH lineage depth and the persisted
+    working set: between barriers up to barrier_every+1 node-sized
+    rank tables stay pinned alongside edges and the degree table, so
+    deep runs on memory-tight executors should lower it further (the
+    default of 4 keeps ≤5 rank tables resident; the pre-advice default
+    of 8 could evict/spill under pressure and silently lose the
+    single-computation benefit)."""
     # distinct() leaves hashpartitioning(src, dst) — it does NOT satisfy
     # a join on src alone, so repartition by src before caching: the big
     # table is shuffled once, here, instead of once per iteration.
@@ -123,10 +137,138 @@ def pagerank(
             for h in pending[:-1]:
                 h.unpersist()
             pending = [ranks]
-    # deg was loop plumbing — the public result is (node, rank)
+    # deg was loop plumbing — the public result is (node, rank).
+    # Persisted so the OLD contract's bare result.unpersist() releases
+    # at least the result's own cache (see release contract above).
+    final = ranks.select("node", "rank").persist()
+    final._pagerank_handles = [e, nodes_deg, *pending, final]  # type: ignore[attr-defined]
+    return final
+
+
+def pagerank_converged(
+    edges: DataFrame,
+    *,
+    src: str = "src",
+    dst: str = "dst",
+    damping: float = 0.85,
+    max_iterations: int = 10,
+    tol: float = 1e-6,
+    round_dp: int = 12,
+    check_every: int = 2,
+) -> tuple[DataFrame, int]:
+    """Full-semantics PageRank: dangling-node mass IS redistributed
+    (each round every node receives d·D/N where D = Σ rank over
+    out-degree-0 nodes — the textbook fix ``pagerank`` documents as
+    simplified away), and the loop STOPS once the L1 rank delta
+    between consecutive iterations drops under ``tol``.
+
+    Convergence checking requires driver actions, so it rides the
+    existing barrier mechanism: every ``check_every`` iterations the
+    chain materializes and the L1 delta — an exact DECIMAL(30,dp) sum
+    of dp-rounded per-node diffs, so both engines agree on the stop
+    decision bit-for-bit — is evaluated against ``tol`` on the two
+    cached frames. Between barriers no action runs.
+
+    Dangling mass stays in the lazy plan: D is a one-row aggregate
+    broadcast-crossed into the update (no driver collect), and its
+    DECIMAL sum keeps the recirculated mass exact. That aggregate is a
+    SECOND plan reference to the previous iteration — which doubles
+    the logical plan per round (2^t subtrees; ``pagerank``'s single
+    reference grows only linearly), so here the barrier does more than
+    bound the persisted set: each barrier frame is an eager
+    ``localCheckpoint``, truncating lineage so the plan between
+    barriers holds at most 2^check_every copies of a shallow base.
+    Checkpoint storage is freed by the ContextCleaner when the frame
+    is dropped (barrier frames are superseded each barrier; the
+    returned final frame survives ``release_pagerank`` because it is
+    already materialized).
+
+    Returns ``(ranks, stopped_at)``; ranks carries the same
+    caller-owns-release contract as ``pagerank`` (release with
+    ``release_pagerank``)."""
+    e = edges.select(src, dst).distinct().repartition(F.col(src)).persist()
+    nodes = (
+        e.select(F.col(src).alias("node"))
+        .union(e.select(F.col(dst).alias("node")))
+        .distinct()
+    )
+    outdeg = e.groupBy(F.col(src).alias("node")).agg(
+        F.count(F.lit(1)).alias("deg")
+    )
+    nodes_deg = (
+        nodes.join(outdeg, "node", "left")
+        .select("node", F.coalesce("deg", F.lit(0)).alias("deg"))
+        .repartition("node")
+        .persist()
+    )
+    n = nodes_deg.count()
+    teleport = (1.0 - damping) / n
+
+    ranks = nodes_deg.select(
+        "node", "deg", F.round(F.lit(1.0 / n), round_dp).alias("rank")
+    ).persist()
+    pending = [ranks]
+    stopped_at = max_iterations
+    dec = f"decimal(30,{round_dp})"
+    for it in range(1, max_iterations + 1):
+        prev = ranks
+        rate = ranks.filter(F.col("deg") > 0).select(
+            "node",
+            F.round(F.col("rank") / F.col("deg"), round_dp).cast(dec).alias("c"),
+        )
+        contribs = (
+            e.join(rate, e[src] == rate.node)
+            .groupBy(F.col(dst).alias("node"))
+            .agg(F.sum("c").alias("mass"))
+        )
+        dangling = ranks.filter(F.col("deg") == 0).agg(
+            F.sum(F.col("rank").cast(dec)).alias("dm")
+        )
+        ranks = (
+            nodes_deg.join(contribs, "node", "left")
+            .crossJoin(F.broadcast(dangling))
+            .select(
+                "node",
+                "deg",
+                F.round(
+                    F.lit(teleport)
+                    + F.lit(damping)
+                    * (
+                        F.coalesce(F.col("mass").cast("double"), F.lit(0.0))
+                        + F.coalesce(F.col("dm").cast("double"), F.lit(0.0)) / n
+                    ),
+                    round_dp,
+                ).alias("rank"),
+            )
+            .persist()
+        )
+        pending.append(ranks)
+        if it % check_every == 0 or it == max_iterations:
+            # barrier: materialize AND truncate lineage (see docstring —
+            # the dangling aggregate makes plan growth exponential
+            # without the checkpoint)
+            ranks = ranks.localCheckpoint(eager=True)
+            cur, prv = ranks.alias("cur"), prev.alias("prv")
+            delta = (
+                cur.join(prv, "node")
+                .agg(
+                    F.sum(
+                        F.round(
+                            F.abs(F.col("cur.rank") - F.col("prv.rank")), round_dp
+                        ).cast(dec)
+                    ).alias("d")
+                )
+                .first()[0]
+            )
+            for h in pending:
+                h.unpersist()
+            pending = []
+            if delta is not None and float(delta) < tol:
+                stopped_at = it
+                break
     final = ranks.select("node", "rank")
     final._pagerank_handles = [e, nodes_deg, *pending]  # type: ignore[attr-defined]
-    return final
+    return final, stopped_at
 
 
 def release_pagerank(result: DataFrame) -> None:

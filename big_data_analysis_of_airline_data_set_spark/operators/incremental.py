@@ -76,6 +76,7 @@ def snapshot_diff(
     *,
     key: str,
     compare_cols: list[str],
+    check_unique: bool = False,
 ) -> DataFrame:
     """Row-level CDC delta between two snapshots of the same keyed
     table: one full-outer join on the key classifies every row as
@@ -84,12 +85,30 @@ def snapshot_diff(
     The change feed a MERGE/SCD pipeline consumes when the source can
     only deliver snapshots.
 
+    CONTRACT: ``key`` must be unique within each snapshot — duplicate
+    keys multiply through the full-outer join, fanning out misclassified
+    rows silently. Pass ``check_unique=True`` to pay one
+    count-vs-distinct aggregate per side and fail loudly instead (off
+    by default: at 100 TB the caller usually knows the key is a
+    primary key and shouldn't pay two extra scans).
+
     Scale shape: ONE shuffle (the full-outer hash join on the key);
     classification is a map-side expression. Emits (key, change_type)
     plus old_/new_ copies of the compare columns for downstream apply.
     """
     o = old.select(key, *compare_cols)
     n = new.select(key, *compare_cols)
+    if check_unique:
+        for side, df in (("old", o), ("new", n)):
+            total, distinct = df.agg(
+                F.count(F.lit(1)), F.count_distinct(F.col(key))
+            ).first()
+            if total != distinct:
+                raise ValueError(
+                    f"snapshot_diff: {side} snapshot has duplicate keys "
+                    f"({total} rows, {distinct} distinct {key!r}) — the "
+                    "full-outer join would fan out and misclassify rows"
+                )
     joined = o.alias("o").join(n.alias("n"), F.col(f"o.{key}") == F.col(f"n.{key}"), "full_outer")
     # no compare columns → pure membership CDC: rows present on both
     # sides are 'unchanged' by definition

@@ -39,99 +39,76 @@ _MODULES = [
 ]
 
 # The driver's correctness harness records only the first 50 registry
-# entries.  Round-4 window (r3 verdict, Next round #1): (a) every
-# oracled query that has NEVER had a driver row across r1-r3 — the 5
-# flagged by the verdict plus this round's new entries (multimodal
-# decode round-trips, sliding/session streaming drains, the banded
-# metrics upgrade, ml_reference_bands); (b) the 7 ml_*_metrics
-# rows-only entries rotate OUT — their banded twins carry the same
-# fits as HARD oracled signal, so no window slot records err:no_oracle
-# anymore; (c) the remaining slots re-prove the OLDEST evidence: r1-era
-# queries whose only driver rows predate two testdata generations
-# (the round-2 events.ts lesson: stale green rows can hide drift).
-# Every rotated-out query keeps a green r1/r2/r3 row on record.
+# entries.  Round-5 window (r4 verdict, Next round #1): (a) the 5
+# oracled queries that have NEVER had a driver row across r1-r4, plus
+# the never-checked slow twin feature_winsorize_exact; (b) queries
+# whose CODE changes this round (fuzzy hot-gram prefix filter) and the
+# round-5 additions (PNG decode, feature-set variant sweep, IVF+int8
+# rerank stack, converged PageRank); (c) the remaining slots re-prove
+# the OLDEST evidence: the 44 queries whose latest driver row is r1 —
+# three testdata generations old (the round-2 events.ts lesson: stale
+# green rows can hide drift). Every rotated-out query keeps a green
+# r4 (or earlier) row on record; the flagship stays driver-evidenced
+# every round through the t1 entry() smoke check.
 _CORRECTNESS_WINDOW = [
-    # (a) never driver-checked — verdict's 5 (cv_metrics via its new
-    # banded twin) ...
-    "feature_winsorize",
-    # (feature_winsorize_exact — the slow oracle TWIN of the entry
-    # above, same code path — yields its slot to a never-checked op)
-    "text_oov_rate",
-    "quantiles_approx_by_group",
-    "embedding_class_profile",
-    # ... and round-4 additions: real BMP/WAV codec round-trips,
-    "multimodal_decode_image",
-    "multimodal_decode_audio",
-    "multimodal_image_resize",
-    # the shuffle-free hashed-ngram quality scorer,
-    "text_quality_classifier",
-    # the sink round-trips + name-pattern projection — the LAST
-    # driver-unverified reference ops (S4/S5/P2 were pytest-only r1-r3),
-    "sink_partitioned_roundtrip",
-    "sink_report_csv_roundtrip",
-    "projection_name_pattern",
-    # iterative PageRank, value-checked via unrolled-CTE replay,
-    "graph_pagerank",
-    # Morton bit-interleave 2-D clustering cells,
-    "zorder_cells",
-    # the published-report golden-pattern check,
-    "ml_reference_bands",
-    # the banded metrics upgrade (constant oracle; reuse cached fits),
-    "ml_logistic_regression_metrics_banded",
-    "ml_decision_tree_metrics_banded",
-    "ml_random_forest_metrics_banded",
-    "ml_gbt_metrics_banded",
-    "ml_linear_svc_metrics_banded",
-    "ml_naive_bayes_metrics_banded",
-    "ml_mlp_metrics_banded",
-    "ml_logistic_regression_cv_metrics_banded",
-    # and the four new real streaming executions (oracled ≡ batch):
-    # sliding + session drains, the watermarked STREAM-STREAM interval
-    # join, and exact-dedup over an at-least-once doubled landing.
-    "events_sliding_stream",
-    "events_session_stream",
-    "events_interval_join_stream",
-    "events_dedup_stream",
-    # plus the custom applyInPandasWithState operator, oracled ≡ batch.
-    "events_user_totals_stream",
-    # (c) the late-round-4 operator wave — every entry below is
-    # never-driver-checked, which beats re-proving r1 evidence (the
-    # displaced re-proof queries ALL keep green r1/r2/r3 rows on
-    # record): streaming-maintained KMV sketch, span-scrub rewrite,
-    # Gopher rules, audio features, DSIR resampling, quantized-rerank
-    # ANN, batch KMV + merge row, fuzzy string join, group-aware split,
-    # k-center coreset, MV state merge, per-source dedup accounting,
-    # length-bucket planning, PIT join, snapshot CDC diff.
-    "events_kmv_stream",
-    "dedup_span_scrub",
-    "text_gopher_rules",
-    "multimodal_audio_features",
-    "curation_dsir_resample",
-    "ann_quantized_rerank",
-    "sketch_kmv_distinct",
+    # (a) never driver-checked across r1-r4 (verdict Next #1)
+    "approx_distinct_by_group",
+    "stats_benford_audit",
+    "text_token_rarity",
+    "events_rolling_active_users",
+    "events_attribution",
+    "feature_winsorize_exact",
+    # (b) code changed this round: q-gram blocking gains the hot-gram
+    # prefix filter — the r4 green row predates the new plan.
     "dedup_fuzzy_pairs",
-    "curation_group_split",
-    "coreset_kcenter",
-    "incremental_mv_merge",
-    "dedup_attribution",
-    "curation_length_buckets",
-    "pit_join_versions",
-    "snapshot_diff",
-    # plus the vision-pooling feature query (added late in the previous
-    # session — also never inside the first-50 window until now)
-    "multimodal_image_features",
-    # (d) the closing operator wave — ALL never driver-checked, which
-    # beats re-proving r1 evidence (review finding: the window's own
-    # policy). The displaced re-proof slots' queries keep green
-    # r1/r2/r3 rows; the flagship query stays driver-evidenced every
-    # round through the t1 entry() smoke check.
-    "graph_triangles",
-    "stats_mad_by_group",
-    "fd_violations",
-    "ri_orphans",
-    "stats_bootstrap_means",
-    "events_markov_transitions",
-    "text_inverted_index",
+    # (b) new round-5 operators
+    "multimodal_decode_png",
+    "ml_variant_sweep",
+    "ann_ivf_quantized_rerank",
+    "graph_pagerank_converged",
+    # (c) r1-era re-proof — latest driver row is round 1, three
+    # testdata generations ago. Ordered roughly by substance.
+    "tpch_q1_style",
+    "union_reassembly",
+    "flagship_sql",
+    "grouping_sets_agg",
+    "cube_agg",
+    "rollup_agg",
+    "window_top_order",
+    "window_ranking",
+    "window_analytics",
+    "window_frames",
+    "join_inner_agg",
+    "join_semi",
+    "join_anti",
+    "join_full_outer",
+    "range_join_bucketized",
+    "salted_join_agg",
+    "set_except",
+    "set_intersect",
+    "conditional_aggregates",
+    "correlation_pairs",
+    "chi_square_sql",
+    "variance",
+    "stats_moments",
+    "delay_group_counts",
+    "case_label",
+    "time_digits",
+    "city_split",
+    "cast_chain",
+    "deterministic_sample",
+    "distinct_values",
+    # (distinct_count — approx-twin of distinct_values, keeps its green
+    # r1 row — yields its slot so the window holds exactly 50)
+    "sum_by_year",
+    "count_by_month",
+    "count_by_dow",
+    "top_k",
+    "scalar_functions",
+    "string_functions",
+    "array_functions",
+    "map_functions",
+    "lateral_explode",
 ]
 
 

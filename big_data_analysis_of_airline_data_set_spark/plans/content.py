@@ -826,6 +826,26 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_probe(indexed, centroids, qv, k=10, nprobe=8)
 
 
+def q_ann_ivf_quantized_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The stacked retrieval path (similarity/ivf.py:ivf_quantized_topk):
+    IVF partition pruning → int8 first pass over the pruned slice →
+    exact-cosine rerank of the candidate pool. Oracled against
+    brute-force ground truth, so a green row IS recall@10 = 1.0 for the
+    stack at this operating point (same contract as ann_ivf_topk).
+
+    Candidate depth 10×k: the int8 ordering gets noisier as the corpus
+    grows (measured: 3×k pool drops to 0.9 recall at sf0.1's 100k
+    vectors; 6×k restores 1.0) — 10×k is the margin-carrying standard
+    rerank depth, still a trivial exact-cosine pass."""
+    from ..similarity.ivf import ivf_quantized_topk
+
+    indexed, centroids = _ivf_index(spark, sf_dir)
+    qv = _query_vector(spark, sf_dir)
+    return ivf_quantized_topk(
+        indexed, centroids, qv, k=10, nprobe=8, candidates=100
+    )
+
+
 def q_embedding_class_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-label embedding QA profile: class sizes plus integer-exact
     coordinate checksums (Σ round(x·10⁶) and Σ|round(x·10⁶)| over every
@@ -1654,6 +1674,12 @@ QUERIES: dict[str, QuerySpec] = {
         _ANN_QUANT_RERANK_ORACLE,
         "int8 dot-product first pass + exact-cosine rerank; oracle"
         " replays the quantized pipeline itself",
+    ),
+    "ann_ivf_quantized_rerank": QuerySpec(
+        "ann_ivf_quantized_rerank", q_ann_ivf_quantized_rerank,
+        _ANN_BRUTE_ORACLE,
+        "stacked IVF partition pruning -> int8 first pass -> exact rerank;"
+        " brute-force oracle == recall@10 = 1.0 for the full stack",
     ),
     "ann_hard_negatives": QuerySpec(
         "ann_hard_negatives", q_ann_hard_negatives, _HARD_NEG_ORACLE,

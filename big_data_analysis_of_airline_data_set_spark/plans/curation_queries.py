@@ -402,6 +402,9 @@ GROUP BY 1, 2
 
 
 _DSIR_TARGETS = ("src0", "src1")
+# explicit IN-list (not the tuple repr: a 1-element Python tuple
+# renders as "('src0',)" — invalid SQL)
+_DSIR_TARGETS_SQL = "(" + ", ".join(f"'{d}'" for d in _DSIR_TARGETS) + ")"
 _DSIR_BUCKETS = 256
 _DSIR_K = 100
 
@@ -444,7 +447,7 @@ WITH toks AS (
 ), bc AS (
   SELECT bucket,
          CAST(count(*) AS BIGINT) AS cp,
-         CAST(sum(CASE WHEN source IN {_DSIR_TARGETS} THEN 1 ELSE 0 END)
+         CAST(sum(CASE WHEN source IN {_DSIR_TARGETS_SQL} THEN 1 ELSE 0 END)
               AS BIGINT) AS ct
   FROM bt GROUP BY bucket
 ), tot AS (

@@ -791,6 +791,122 @@ ORDER BY rank DESC, node ASC LIMIT 20
 """
 
 
+# ------------------ converged PageRank (dangling + early stop) ------------------
+
+_PRC_MAX, _PRC_TOL, _PRC_CHECK = 10, 0.4, 2
+
+
+def q_graph_pagerank_converged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-semantics PageRank (operators/graph.py:pagerank_converged)
+    over the DIRECTED part→supplier graph — suppliers have no
+    out-edges, so every round carries real dangling mass to
+    redistribute (the bipartite double-edged graph of q_graph_pagerank
+    has none) — stopping when the exact DECIMAL L1 delta between
+    consecutive iterations drops under tol at a barrier check.
+
+    tol=0.4 stops the 10-round budget at round 8 on this graph
+    (delta ≈ 1.54·0.81^t, scale-free across sfs), so the early-exit
+    path executes, not just compiles. The oracle unrolls all 10
+    rounds + the barrier delta decisions as CTEs and selects the
+    SAME stopping iteration — the convergence decision itself is
+    value-checked."""
+    from ..operators.graph import pagerank_converged, release_pagerank
+
+    li = _t(spark, sf_dir, "lineitem")
+    edges = li.select(
+        F.concat(F.lit("p"), F.col("l_partkey")).alias("src"),
+        F.concat(F.lit("s"), F.col("l_suppkey")).alias("dst"),
+    )
+    ranks, stopped = pagerank_converged(
+        edges,
+        max_iterations=_PRC_MAX,
+        tol=_PRC_TOL,
+        check_every=_PRC_CHECK,
+        round_dp=_PR_DP,
+    )
+    rows = (
+        ranks.select("node", F.round("rank", 9).alias("rank"))
+        .orderBy(F.desc("rank"), F.asc("node"))
+        .limit(20)
+        .collect()
+    )
+    release_pagerank(ranks)
+    return spark.createDataFrame(
+        [(r.node, r.rank, stopped) for r in rows],
+        "node string, rank double, stopped_at long",
+    )
+
+
+def _pagerank_converged_oracle() -> str:
+    dp = _PR_DP
+    dec = f"DECIMAL(30,{dp})"
+    iter_ctes = []
+    prev = "r0"
+    # AS MATERIALIZED is load-bearing: DuckDB inlines plain CTEs, and
+    # each r_i references r_{i-1} twice (mass + dangling) — inlined,
+    # the expansion is 2^10 scans of lineitem (measured: fd exhaustion);
+    # materialized, each round is computed once, mirroring the Spark
+    # side's per-iteration persist.
+    for i in range(1, _PRC_MAX + 1):
+        iter_ctes.append(f"""
+r{i} AS MATERIALIZED (
+  SELECT n.node, n.deg,
+         round((1 - 0.85) / (SELECT cnt FROM nn)
+               + 0.85 * (CAST(coalesce(s.mass, 0) AS DOUBLE)
+                         + CAST(coalesce(
+                             (SELECT SUM(CAST(rank AS {dec}))
+                              FROM {prev} WHERE deg = 0), 0) AS DOUBLE)
+                           / (SELECT cnt FROM nn)),
+               {dp}) AS rank
+  FROM nd n LEFT JOIN (
+    SELECT e.dst AS node,
+           SUM(CAST(round(r.rank / r.deg, {dp}) AS {dec})) AS mass
+    FROM edges e
+    JOIN {prev} r ON e.src = r.node AND r.deg > 0
+    GROUP BY e.dst
+  ) s USING (node)
+)""")
+        prev = f"r{i}"
+    barriers = [
+        i for i in range(1, _PRC_MAX + 1)
+        if i % _PRC_CHECK == 0 or i == _PRC_MAX
+    ]
+    deltas = " UNION ALL ".join(
+        f"SELECT {i} AS iter, (SELECT SUM(CAST(round(abs(a.rank - b.rank), {dp})"
+        f" AS {dec})) FROM r{i} a JOIN r{i - 1} b USING (node)) AS delta"
+        for i in barriers
+    )
+    allr = " UNION ALL ".join(
+        f"SELECT {i} AS iter, node, rank FROM r{i}" for i in barriers
+    )
+    return f"""
+WITH edges AS MATERIALIZED (
+  SELECT DISTINCT 'p' || l_partkey AS src, 's' || l_suppkey AS dst FROM lineitem
+), nodes AS (
+  SELECT DISTINCT src AS node FROM edges
+  UNION SELECT DISTINCT dst FROM edges
+), nn AS MATERIALIZED (SELECT count(*) AS cnt FROM nodes),
+outdeg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src),
+nd AS MATERIALIZED (
+  SELECT n.node, coalesce(o.deg, 0) AS deg
+  FROM nodes n LEFT JOIN outdeg o ON n.node = o.src
+),
+r0 AS MATERIALIZED (
+  SELECT node, deg, round(1.0 / (SELECT cnt FROM nn), {dp}) AS rank FROM nd
+),{",".join(iter_ctes)},
+deltas AS ({deltas}),
+stop AS (
+  SELECT coalesce(min(iter) FILTER (WHERE delta < {_PRC_TOL}), {_PRC_MAX}) AS si
+  FROM deltas
+),
+allr AS ({allr})
+SELECT node, round(rank, 9) AS rank,
+       (SELECT CAST(si AS BIGINT) FROM stop) AS stopped_at
+FROM allr WHERE iter = (SELECT si FROM stop)
+ORDER BY rank DESC, node ASC LIMIT 20
+"""
+
+
 # ------------------------- triangle counting -------------------------
 
 _TRI_TOPK = 10
@@ -950,6 +1066,12 @@ QUERIES: dict[str, QuerySpec] = {
         "graph_pagerank", q_graph_pagerank, _pagerank_oracle(),
         "iterative PageRank (5 rounds) over part↔supplier graph,"
         " value-checked via unrolled-CTE replay",
+    ),
+    "graph_pagerank_converged": QuerySpec(
+        "graph_pagerank_converged", q_graph_pagerank_converged,
+        _pagerank_converged_oracle(),
+        "full-semantics PageRank: dangling-mass redistribution + exact"
+        " DECIMAL L1 early stop; the stop decision itself is oracled",
     ),
     "sink_partitioned_roundtrip": QuerySpec(
         "sink_partitioned_roundtrip", q_sink_partitioned_roundtrip,

@@ -25,12 +25,18 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 _HASH_SPACE = 1 << 56
-# floor(CDF_Poisson(1)(k) * 2^56) for k = 0..3; weights above cap at 4
+# floor(CDF_Poisson(1)(k) · 2^56) for k = 0..3, computed at 80-digit
+# decimal precision (CDF(k) = e⁻¹·Σ_{i≤k} 1/i!); weights above cap at
+# 4. Verify: decimal.getcontext().prec = 80;
+# int(Decimal(-1).exp() * sum(1/factorial(i)) * Decimal(2**56)).
+# The oracle SQL interpolates these same literals
+# (plans/statistics.py:548), so both engines share them by
+# construction.
 POISSON1_CUTPOINTS = (
-    26508507426831584,
-    53017014853663168,
-    66271268567078960,
-    70689353138217560,
+    26508507426831583,
+    53017014853663166,
+    66271268567078957,
+    70689353138217554,
 )
 
 

@@ -82,6 +82,20 @@ def test_ann_ivf_recall_vs_bruteforce(spark, sf_dir):
     assert recall >= 0.9, f"IVF recall@10 = {recall}"
 
 
+def test_ann_ivf_quantized_stack_recall_vs_bruteforce(spark, sf_dir):
+    from big_data_analysis_of_airline_data_set_spark.plans.content import (
+        q_ann_ivf_quantized_rerank,
+    )
+
+    exact = [(r.id, r.cosine) for r in q_ann_bruteforce(spark, sf_dir).collect()]
+    stack = [(r.id, r.cosine) for r in q_ann_ivf_quantized_rerank(spark, sf_dir).collect()]
+    # the full stack (IVF pruning -> int8 pool -> exact rerank) is
+    # hash-identical to brute force at the catalog operating point
+    # (nprobe=8/16 multi_assign=2, 10xk pool — measured: 3xk loses a
+    # neighbor by sf0.1); the driver oracle enforces the same equality
+    assert stack == exact
+
+
 def test_pandas_cosine_equals_jvm_cosine(spark, sf_dir):
     from big_data_analysis_of_airline_data_set_spark.plans.content import (
         q_ann_bruteforce_pandas,
@@ -200,8 +214,23 @@ def test_winnowing_shared_fingerprints_detect_overlap(spark):
 
 
 def test_decode_stub_raises(spark):
+    # JPEG genuinely needs a codec library; PNG is now dispatched to
+    # the real pure-stdlib decoder (bad bytes → loud ValueError)
     with pytest.raises(NotImplementedError):
+        decode_image(b"\x00", "image/jpeg")
+    with pytest.raises(ValueError, match="signature"):
         decode_image(b"\x00", "image/png")
+
+
+def test_decode_image_dispatches_png(spark):
+    import numpy as np
+
+    from big_data_analysis_of_airline_data_set_spark.multimodal.codecs import (
+        encode_png,
+    )
+
+    px = (np.arange(6 * 4 * 3) % 256).astype(np.uint8).reshape(6, 4, 3)
+    assert np.array_equal(decode_image(encode_png(px), "image/png"), px)
 
 
 def test_fake_features_shape_and_determinism(spark, sf_dir):

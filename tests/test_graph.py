@@ -64,6 +64,60 @@ def test_uniform_cycle_stays_uniform(spark):
         assert abs(v - 0.25) < 1e-9
 
 
+def test_converged_mass_conservation_with_dangling(spark):
+    from big_data_analysis_of_airline_data_set_spark.operators.graph import (
+        pagerank_converged,
+    )
+
+    # star with a dangling hub successor: 'sink' has no out-edges, so
+    # every round redistributes its mass; with redistribution total
+    # rank mass stays 1 (the simplified pagerank() leaks it)
+    edges = spark.createDataFrame(
+        [("a", "sink"), ("b", "sink"), ("c", "sink"), ("sink2", "a")],
+        "src string, dst string",
+    )
+    ranks, stopped = pagerank_converged(edges, max_iterations=6, tol=0.0)
+    rows = _collect_and_release(ranks)
+    assert stopped == 6  # tol=0 never triggers the early exit
+    assert abs(sum(r.rank for r in rows) - 1.0) < 1e-6
+
+
+def test_converged_early_stop_on_fixed_point(spark):
+    from big_data_analysis_of_airline_data_set_spark.operators.graph import (
+        pagerank_converged,
+    )
+
+    # symmetric directed 4-cycle is a fixed point from the uniform
+    # start: delta is ~0 at the first barrier → stops at iteration 2
+    edges = spark.createDataFrame(
+        [("w", "x"), ("x", "y"), ("y", "z"), ("z", "w")],
+        "src string, dst string",
+    )
+    ranks, stopped = pagerank_converged(
+        edges, max_iterations=10, tol=1e-9, check_every=2
+    )
+    rows = _collect_and_release(ranks)
+    assert stopped == 2
+    for r in rows:
+        assert abs(r.rank - 0.25) < 1e-9
+
+
+def test_converged_deterministic_across_runs(spark):
+    from big_data_analysis_of_airline_data_set_spark.operators.graph import (
+        pagerank_converged,
+    )
+
+    edges = spark.createDataFrame(
+        [(f"n{i}", f"n{(i * 3) % 7}") for i in range(20)],
+        "src string, dst string",
+    )
+    out = []
+    for _ in range(2):
+        ranks, stopped = pagerank_converged(edges, max_iterations=4, tol=0.0)
+        out.append((stopped, sorted((r.node, r.rank) for r in _collect_and_release(ranks))))
+    assert out[0] == out[1]
+
+
 def test_triangle_counts_known_graph(spark):
     from big_data_analysis_of_airline_data_set_spark.operators.graph import (
         triangle_counts,
