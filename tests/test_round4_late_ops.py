@@ -244,6 +244,40 @@ def test_fuzzy_pairs_blocking_and_verify(spark):
     assert out == [("red belt", "red bolt", 1)]
 
 
+def test_fuzzy_prefix_filter_shrinks_candidates_same_output(spark):
+    """The ED-Join prefix filter must (a) cut candidate volume on a
+    hot-gram-skewed fixture and (b) leave the VERIFIED output
+    byte-identical — the losslessness argument in the module
+    docstring, pinned empirically."""
+    from big_data_analysis_of_airline_data_set_spark.dedup.fuzzy import (
+        candidate_pairs,
+        fuzzy_pairs,
+    )
+
+    # every name shares the hot suffix 'XXXXXX' (hot gram 'XX'); the
+    # hex heads are gram-diverse, so each name owns ≥ 5 rare grams and
+    # its (d·q+1)-prefix excludes the hot tail entirely — except the
+    # two planted near-duplicates, whose shared rare grams survive
+    rows = [(i, f"{(i * 2654435761) % 2**32:08x}XXXXXX") for i in range(40)]
+    rows += [(100, "widgetXXXXXX"), (101, "widgatXXXXXX")]
+    df = spark.createDataFrame(rows, "id long, name string")
+    full = candidate_pairs(df, name_col="name", prefix_filter=False).count()
+    pruned = candidate_pairs(df, name_col="name", prefix_filter=True).count()
+    # without the filter the hot 'XX' gram blocks every pair: 42C2=861
+    assert full == 861
+    assert pruned < full / 4, (pruned, full)
+    out_full = sorted(
+        (r.name_a, r.name_b, r.lev)
+        for r in fuzzy_pairs(df, name_col="name", prefix_filter=False).collect()
+    )
+    out_pruned = sorted(
+        (r.name_a, r.name_b, r.lev)
+        for r in fuzzy_pairs(df, name_col="name", prefix_filter=True).collect()
+    )
+    assert out_full == out_pruned
+    assert ("widgatXXXXXX", "widgetXXXXXX", 1) in out_pruned
+
+
 def test_fuzzy_pairs_no_self_or_reversed(spark, sf_dir):
     from pyspark.sql import functions as F
 
