@@ -1,0 +1,143 @@
+"""Bloom-filter pre-filtered join — shrink the big side BEFORE the
+shuffle when the filtering side is too big to broadcast raw.
+
+The 100 TB join problem this solves: a selective dimension/key set
+(say 10^8 keys after a filter) is too big for a raw broadcast-hash
+join, so Spark falls back to shuffling BOTH sides — including the fact
+table's rows that can never match. A Bloom filter of the key set is
+thousands of times smaller than the keys themselves (ε=1% needs
+~9.6 bits/key), broadcasts trivially, and drops the vast majority of
+non-matching fact rows map-side, before they pay the shuffle. Bloom
+filters have NO false negatives, so the subsequent exact join returns
+byte-identical results — which is exactly what the catalog oracle
+checks (plain-join SQL, no bloom anywhere): the optimization must be
+invisible in the output.
+
+This is the same idea as Spark's own runtime row-level filtering
+(`spark.sql.optimizer.runtime.bloomFilter.enabled`, the Catalyst
+`BloomFilterAggregate` rewrite) — implemented here as an explicit,
+plan-stable operator because (a) the runtime rewrite only triggers
+under cost heuristics the user can't pin, and (b) the explicit form
+works on any join the planner can't see through (UDF-derived keys,
+unions, non-equi pre-stages).
+
+Construction is fully distributed and deterministic:
+- k hash positions per key via the Kirsch-Mitzenmacher double-hashing
+  trick (h1 + i·h2 mod m) over two independent md5-derived 56-bit
+  integers — the same engine-neutral hashing discipline as
+  dedup/minhash.py;
+- positions aggregate into m/64 longs with bit_or grouped by word
+  index — the shuffle carries AT MOST m/64 rows regardless of input
+  size;
+- the finished word table is collected once (bounded by the FILTER
+  size, a few KB–MB, never by data size — the same driver-boundary
+  class as the DSIR bucket model) and re-broadcast as a literal array
+  column, so membership tests run inside whole-stage codegen with no
+  Python in the hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+# 2^k as signed-long literals (k=63 is the sign bit in two's
+# complement); a literal array because shiftleft() takes only a
+# Python-int shift amount, not a per-row Column
+_POW2 = [1 << k for k in range(63)] + [-(1 << 63)]
+
+
+def _bit_mask(pos_in_word: F.Column) -> F.Column:
+    return F.element_at(
+        F.array(*[F.lit(w) for w in _POW2]), pos_in_word.cast("int") + 1
+    )
+
+
+def _hash56(col: F.Column, seed: str) -> F.Column:
+    """Engine-neutral 56-bit integer from md5 (14 hex chars), same
+    contract as dedup/minhash.py and stats/bootstrap.py."""
+    return F.conv(
+        F.substring(F.md5(F.concat(F.lit(seed), col.cast("string"))), 1, 14),
+        16,
+        10,
+    ).cast("long")
+
+
+def _positions(col: F.Column, *, m_bits: int, k: int) -> F.Column:
+    """array<long> of the k Bloom bit positions for a key:
+    (h1 + i·h2) mod m, i = 0..k-1 (Kirsch-Mitzenmacher)."""
+    h1 = _hash56(col, "bf1_")
+    h2 = _hash56(col, "bf2_")
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(k - 1)),
+        lambda i: (h1 + i.cast("long") * h2) % m_bits,
+    )
+
+
+def build_bloom_words(
+    keys: DataFrame, key_col: str, *, m_bits: int = 1 << 16, k: int = 7
+) -> list[int]:
+    """Distributed Bloom build → dense little list of m/64 words.
+
+    Shuffle volume: ≤ m/64 rows (the word table), independent of
+    |keys|. The returned list is the broadcastable artifact — persist
+    it next to the dataset it summarizes and reuse across queries."""
+    n_words = m_bits // 64
+    words = (
+        keys.select(F.explode(_positions(F.col(key_col), m_bits=m_bits, k=k)).alias("pos"))
+        .select(
+            (F.col("pos") / 64).cast("long").alias("w"),
+            _bit_mask(F.col("pos") % 64).alias("bit"),
+        )
+        .groupBy("w")
+        .agg(F.bit_or("bit").alias("word"))
+        .collect()
+    )
+    dense = [0] * n_words
+    for r in words:
+        dense[int(r.w)] = int(r.word)
+    return dense
+
+
+def bloom_might_contain(
+    col: F.Column, words: list[int], *, m_bits: int, k: int
+) -> F.Column:
+    """Boolean Column: all k bits set (no false negatives; false
+    positives at the configured ε). Pure Column expressions over a
+    literal word array — whole-stage codegen, no shuffle, no Python."""
+    arr = F.array(*[F.lit(w) for w in words])
+    pos = _positions(col, m_bits=m_bits, k=k)
+    return F.forall(
+        pos,
+        lambda p: (
+            F.element_at(arr, (p / 64).cast("int") + 1).bitwiseAND(_bit_mask(p % 64))
+        )
+        != 0,
+    )
+
+
+def bloom_prefiltered_join(
+    big: DataFrame,
+    small: DataFrame,
+    on: str,
+    *,
+    how: str = "inner",
+    m_bits: int = 1 << 16,
+    k: int = 7,
+) -> DataFrame:
+    """``big ⋈ small`` on ``on`` with a Bloom pre-filter of small's key
+    set applied to ``big`` before the shuffle. Result is EXACTLY the
+    plain join (no false negatives; false positives are eliminated by
+    the real join) — only the shuffle volume changes.
+
+    ``how`` supports 'inner' and 'left_semi' (the shapes where rows of
+    ``big`` without a match are dropped anyway; outer joins must keep
+    non-matching rows and cannot be pre-filtered this way)."""
+    if how not in ("inner", "left_semi"):
+        raise ValueError(f"bloom_prefiltered_join: unsupported how={how!r}")
+    words = build_bloom_words(small.select(on), on, m_bits=m_bits, k=k)
+    pruned = big.filter(
+        bloom_might_contain(F.col(on), words, m_bits=m_bits, k=k)
+    )
+    return pruned.join(small, on, how)

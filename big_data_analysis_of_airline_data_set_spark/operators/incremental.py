@@ -129,3 +129,31 @@ def snapshot_diff(
         cols.append(F.col(f"o.{c}").alias(f"old_{c}"))
         cols.append(F.col(f"n.{c}").alias(f"new_{c}"))
     return joined.select(*cols)
+
+
+def insert_only_join_delta(
+    base_a: DataFrame,
+    delta_a: DataFrame,
+    base_b: DataFrame,
+    delta_b: DataFrame,
+    on: str,
+) -> DataFrame:
+    """Δ(A ⋈ B) under insert-only deltas, WITHOUT recomputing A ⋈ B:
+
+        Δ(A⋈B) = ΔA ⋈ (B ∪ ΔB)  ∪  A ⋈ ΔB
+
+    (the first term covers ΔA⋈B and ΔA⋈ΔB in one join). This is the
+    join analog of ``merge_aggregate_states``: an incrementally
+    maintained join view applies exactly these delta rows instead of
+    re-joining the full tables — at 100 TB the base⋈base bulk, which
+    dominates the full join, is never touched; both joins here have a
+    DELTA on one side, so their shuffles are delta-sized on that side.
+
+    Exactness: for inserts, new-join minus old-join is precisely the
+    pairs with at least one delta row — which is what the two terms
+    enumerate, disjointly (a-side delta | a-side base & b-side delta).
+    Updates/deletes need the retraction form (emit old rows negated) —
+    out of scope for this operator, stated so nobody feeds it CDC
+    update streams."""
+    full_b = base_b.unionByName(delta_b)
+    return delta_a.join(full_b, on).unionByName(base_a.join(delta_b, on))

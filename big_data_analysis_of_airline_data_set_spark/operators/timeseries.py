@@ -77,6 +77,63 @@ def session_stats(
     )
 
 
+def resample_ffill(
+    df: DataFrame,
+    *,
+    key_col,
+    ts_col: str,
+    value_col: str,
+    unit: str = "hour",
+) -> DataFrame:
+    """Dense time-grid resampling with forward fill — the telemetry
+    regularization op: per series, truncate events to ``unit`` buckets
+    (bucket reduction = MAX, a deterministic engine-neutral pick),
+    generate the FULL bucket grid from the series' first to last
+    observed bucket, and carry the last observation forward across
+    gaps. Output: (series, bucket, value_ffill, is_gap).
+
+    Scale shape: one groupBy to buckets (shuffle carries ≤ one row per
+    (series, bucket), not raw events), a per-series bounds agg feeding
+    a sequence() explode (grid rows are generated distributed, never
+    collected), a left join grid⋈buckets co-partitioned on the same
+    keys, and one window for the fill. Grid density is bounded by
+    (span/unit) per series — choose ``unit`` so that stays sane, the
+    same judgment call any resampler demands.
+
+    ``key_col`` may be a Column expression (e.g. a banding of a
+    high-cardinality id) or a column name."""
+    from pyspark.sql.window import Window as W
+
+    key = key_col if not isinstance(key_col, str) else F.col(key_col)
+    obs = (
+        df.select(
+            key.alias("series"),
+            F.date_trunc(unit, F.col(ts_col)).alias("bucket"),
+            F.col(value_col).alias("_v"),
+        )
+        .groupBy("series", "bucket")
+        .agg(F.max("_v").alias("v"))
+    )
+    bounds = obs.groupBy("series").agg(
+        F.min("bucket").alias("lo"), F.max("bucket").alias("hi")
+    )
+    grid = bounds.select(
+        "series",
+        F.explode(
+            F.sequence("lo", "hi", F.expr(f"INTERVAL 1 {unit}"))
+        ).alias("bucket"),
+    )
+    w = W.partitionBy("series").orderBy("bucket").rowsBetween(
+        W.unboundedPreceding, 0
+    )
+    return grid.join(obs, ["series", "bucket"], "left").select(
+        "series",
+        "bucket",
+        F.last("v", ignorenulls=True).over(w).alias("value_ffill"),
+        F.col("v").isNull().alias("is_gap"),
+    )
+
+
 def trailing_ewma(
     df: DataFrame,
     *,

@@ -242,6 +242,55 @@ WHERE levenshtein(name_a, name_b) <= {_FUZZY_MAXD}
 """
 
 
+def q_dedup_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity resolution end-to-end: the approximate string join
+    (prefix-filtered q-gram blocking + Levenshtein verify,
+    dedup/fuzzy.py) produces match edges; matches are transitive, so
+    connected components (dedup/components.py) turns them into entity
+    clusters; the minimum name is the canonical surface form — the
+    customer/vendor-mastering pipeline shape. Oracled end-to-end: the
+    fuzzy edge set is replayed in SQL and the closure via WITH
+    RECURSIVE reachability."""
+    from ..dedup.components import connected_components
+    from ..dedup.fuzzy import fuzzy_pairs
+
+    p = read_testdata_table(spark, sf_dir, "part")
+    pairs = fuzzy_pairs(p, name_col="p_name", q=_FUZZY_Q, max_distance=_FUZZY_MAXD)
+    names = p.select(F.col("p_name").alias("name")).distinct()
+    cc = connected_components(
+        names,
+        pairs.select("name_a", "name_b"),
+        id_col="name",
+        src_col="name_a",
+        dst_col="name_b",
+    )
+    return cc.select(
+        "name",
+        F.col("cluster_id").alias("entity_id"),
+        (F.col("cluster_id") == F.col("name")).alias("is_canonical"),
+    )
+
+
+_ENTITY_RESOLUTION_ORACLE = f"""
+WITH RECURSIVE
+names AS (SELECT DISTINCT p_name AS name FROM part),
+fp AS (SELECT name_a, name_b FROM ({_FUZZY_ORACLE}) t),
+sym AS (
+  SELECT name_a AS src, name_b AS dst FROM fp
+  UNION
+  SELECT name_b, name_a FROM fp
+),
+reach(id, lab) AS (
+  SELECT name, name FROM names
+  UNION
+  SELECT s.dst, r.lab FROM reach r JOIN sym s ON s.src = r.id
+)
+SELECT id AS name, min(lab) AS entity_id,
+       (min(lab) = id) AS is_canonical
+FROM reach GROUP BY id
+"""
+
+
 def q_dedup_span_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact substring dedup WITH rewrite (dedup/spans.py
     scrub_duplicate_spans): corpus-global first-occurrence keep over
@@ -1674,6 +1723,12 @@ QUERIES: dict[str, QuerySpec] = {
         _ANN_QUANT_RERANK_ORACLE,
         "int8 dot-product first pass + exact-cosine rerank; oracle"
         " replays the quantized pipeline itself",
+    ),
+    "dedup_entity_resolution": QuerySpec(
+        "dedup_entity_resolution", q_dedup_entity_resolution,
+        _ENTITY_RESOLUTION_ORACLE,
+        "entity mastering: fuzzy string join -> transitive closure ->"
+        " canonical surface form (recursive-CTE oracle)",
     ),
     "ann_ivf_quantized_rerank": QuerySpec(
         "ann_ivf_quantized_rerank", q_ann_ivf_quantized_rerank,

@@ -704,7 +704,61 @@ GROUP BY cd, day_offset
 """
 
 
+def q_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense hourly regularization + forward fill
+    (operators/timeseries.py:resample_ffill) over 8 user-band series —
+    the telemetry gap-repair op. is_gap marks carried-forward rows, so
+    the oracle (grid via generate_series + IGNORE NULLS last_value)
+    verifies both the grid construction and the fill values."""
+    from pyspark.sql import functions as F
+
+    from ..operators.timeseries import resample_ffill
+
+    ev = _events(spark, sf_dir)
+    out = resample_ffill(
+        ev,
+        key_col=(F.col("user_id") % 8),
+        ts_col="ts",
+        value_col="value",
+        unit="hour",
+    )
+    # timestamps serialize to strings for the cross-engine compare —
+    # module convention (see window queries above)
+    return out.select(
+        "series",
+        F.date_format("bucket", "yyyy-MM-dd HH:mm:ss").alias("bucket"),
+        "value_ffill",
+        "is_gap",
+    )
+
+
+_RESAMPLE_FFILL_ORACLE = """
+WITH obs AS (
+  SELECT user_id % 8 AS series, date_trunc('hour', ts) AS bucket,
+         max(value) AS v
+  FROM events GROUP BY 1, 2
+), bounds AS (
+  SELECT series, min(bucket) AS lo, max(bucket) AS hi FROM obs GROUP BY series
+), grid AS (
+  SELECT series, unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS bucket
+  FROM bounds
+)
+SELECT g.series,
+       strftime(g.bucket, '%Y-%m-%d %H:%M:%S') AS bucket,
+       last_value(o.v IGNORE NULLS) OVER (
+         PARTITION BY g.series ORDER BY g.bucket
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value_ffill,
+       o.v IS NULL AS is_gap
+FROM grid g LEFT JOIN obs o ON g.series = o.series AND g.bucket = o.bucket
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "events_resample_ffill": QuerySpec(
+        "events_resample_ffill", q_resample_ffill, _RESAMPLE_FFILL_ORACLE,
+        "hourly time-grid resample + forward fill over user-band series"
+        " (gap repair; grid generated distributed)",
+    ),
     "events_funnel": QuerySpec(
         "events_funnel", q_funnel, _FUNNEL_ORACLE,
         "ordered view→click→purchase conversion funnel",

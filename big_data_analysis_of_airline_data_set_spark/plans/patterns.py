@@ -529,6 +529,52 @@ FROM orders GROUP BY o_orderstatus
 """
 
 
+_JD_CUTOFF = "2001-01-01"
+
+
+def q_incremental_join_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental JOIN maintenance
+    (operators/incremental.py:insert_only_join_delta): orders and
+    lineitem each split at the cutoff into (base, delta); the operator
+    produces Δ(orders⋈lineitem) from two delta-sided joins without
+    touching base⋈base. The oracle computes the delta directly as the
+    full join filtered to at-least-one-side-new — equality proves the
+    delta algebra enumerates exactly the new pairs, no more, no
+    less (the MV-merge lossless contract, for joins)."""
+    from ..operators.incremental import insert_only_join_delta
+
+    cutoff = F.lit(_JD_CUTOFF).cast("timestamp")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("o_orderkey"),
+        "l_shipdate", "l_returnflag", "l_extendedprice",
+    )
+    delta = insert_only_join_delta(
+        o.filter(F.col("o_orderdate") < cutoff),
+        o.filter(F.col("o_orderdate") >= cutoff),
+        li.filter(F.col("l_shipdate") < cutoff),
+        li.filter(F.col("l_shipdate") >= cutoff),
+        "o_orderkey",
+    )
+    return delta.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("revenue"),
+    )
+
+
+_JOIN_DELTA_ORACLE = f"""
+SELECT l_returnflag,
+       count(*) AS n_pairs,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+WHERE o_orderdate >= TIMESTAMP '{_JD_CUTOFF}'
+   OR l_shipdate >= TIMESTAMP '{_JD_CUTOFF}'
+GROUP BY l_returnflag
+"""
+
+
 # ------------------------- KMV distinct sketch -------------------------
 
 _KMV_K = 96
@@ -1107,6 +1153,11 @@ QUERIES: dict[str, QuerySpec] = {
         "incremental_mv_merge", q_incremental_mv_merge, _MV_MERGE_ORACLE,
         "algebraic aggregate-state merge (MV maintenance): merged"
         " partials proven == full recompute",
+    ),
+    "incremental_join_delta": QuerySpec(
+        "incremental_join_delta", q_incremental_join_delta, _JOIN_DELTA_ORACLE,
+        "insert-only join-view delta (dA⋈B ∪ A⋈dB), proven == direct"
+        " at-least-one-side-new join",
     ),
     "sketch_kmv_distinct": QuerySpec(
         "sketch_kmv_distinct", q_kmv_distinct,

@@ -354,6 +354,42 @@ JOIN nation ON c_nationkey = n_nationkey GROUP BY n_name
 """
 
 
+def q_join_bloom_prefiltered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-prefiltered join (operators/bloom_join.py): lineitem rows
+    are dropped map-side — before the shuffle — by a broadcast Bloom
+    filter of the URGENT orders' key set, then exactly joined and
+    aggregated. The oracle is the PLAIN join+agg SQL with no bloom
+    anywhere: equality proves the pre-filter is invisible in the output
+    (no false negatives), exactly like the salted-join contract. The
+    pruning effect itself (≥ the non-matching fraction modulo ε) is
+    pinned in tests/test_operators_extra.py."""
+    from ..operators.bloom_join import bloom_prefiltered_join
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("okey"), "l_extendedprice"
+    )
+    urgent = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    ).select(F.col("o_orderkey").alias("okey"), "o_orderpriority")
+    joined = bloom_prefiltered_join(li, urgent, "okey")
+    return joined.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("revenue"),
+    )
+
+
+_BLOOM_JOIN_ORACLE = """
+SELECT o_orderpriority,
+       count(*) AS n_items,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE o_orderpriority = '1-URGENT'
+GROUP BY o_orderpriority
+"""
+
+
 def q_array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.8 array family: collect_list → sort_array → array_join /
     contains / size, plus higher-order filter — grouped per order.
@@ -428,5 +464,10 @@ QUERIES: dict[str, QuerySpec] = {
     "salted_join_agg": QuerySpec(
         "salted_join_agg", q_salted_join_agg, _SALTED_ORACLE,
         "skew-salted join, result-equal to plain join",
+    ),
+    "join_bloom_prefiltered": QuerySpec(
+        "join_bloom_prefiltered", q_join_bloom_prefiltered, _BLOOM_JOIN_ORACLE,
+        "broadcast-Bloom pre-filtered join (map-side pruning before the"
+        " shuffle), result-equal to plain join",
     ),
 }

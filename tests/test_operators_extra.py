@@ -191,3 +191,129 @@ def test_snapshot_diff_membership_only(spark):
     got = {r.k: r.change_type
            for r in snapshot_diff(old, new, key="k", compare_cols=[]).collect()}
     assert got == {1: "removed", 2: "unchanged", 3: "added"}
+
+
+def test_snapshot_diff_check_unique_guard(spark):
+    from big_data_analysis_of_airline_data_set_spark.operators.incremental import (
+        snapshot_diff,
+    )
+
+    old = spark.createDataFrame([(1, "a"), (1, "b")], "k long, v string")
+    new = spark.createDataFrame([(1, "a")], "k long, v string")
+    # silent by default (documented contract) ...
+    assert snapshot_diff(old, new, key="k", compare_cols=["v"]).count() == 2
+    # ... loud on request
+    with pytest.raises(ValueError, match="duplicate keys"):
+        snapshot_diff(old, new, key="k", compare_cols=["v"], check_unique=True)
+
+
+# ------------------------- bloom-prefiltered join -------------------------
+
+
+def test_bloom_filter_no_false_negatives_and_prunes(spark):
+    from pyspark.sql import functions as F
+
+    from big_data_analysis_of_airline_data_set_spark.operators.bloom_join import (
+        bloom_might_contain,
+        build_bloom_words,
+    )
+
+    keys = spark.createDataFrame([(i * 7,) for i in range(200)], "k long")
+    words = build_bloom_words(keys, "k", m_bits=1 << 14, k=7)
+    probe = spark.range(0, 3000).select(F.col("id").alias("k"))
+    hit = probe.filter(bloom_might_contain(F.col("k"), words, m_bits=1 << 14, k=7))
+    hit_keys = {r.k for r in hit.collect()}
+    member = {i * 7 for i in range(200)}
+    # no false negatives: every member key passes
+    assert member <= hit_keys
+    # real pruning: false positives stay near epsilon (~1% at 9.6
+    # bits/key; 2^14 bits / 200 keys is far above that) — allow 5%
+    fp = len(hit_keys - member) / (3000 - len(member & set(range(3000))))
+    assert fp < 0.05, fp
+
+
+def test_bloom_prefiltered_join_equals_plain_join(spark):
+    from pyspark.sql import functions as F
+
+    from big_data_analysis_of_airline_data_set_spark.operators.bloom_join import (
+        bloom_prefiltered_join,
+    )
+
+    big = spark.range(0, 5000).select(
+        F.col("id").alias("k"), (F.col("id") % 97).alias("v")
+    )
+    small = spark.createDataFrame([(i * 13, f"s{i}") for i in range(50)], "k long, tag string")
+    got = sorted(
+        (r.k, r.v, r.tag) for r in bloom_prefiltered_join(big, small, "k").collect()
+    )
+    want = sorted((r.k, r.v, r.tag) for r in big.join(small, "k").collect())
+    assert got == want and len(got) > 0
+
+
+def test_bloom_join_rejects_outer(spark):
+    from big_data_analysis_of_airline_data_set_spark.operators.bloom_join import (
+        bloom_prefiltered_join,
+    )
+
+    df = spark.range(3).selectExpr("id AS k")
+    with pytest.raises(ValueError, match="unsupported how"):
+        bloom_prefiltered_join(df, df, "k", how="left_outer")
+
+
+# ------------------------- insert-only join delta -------------------------
+
+
+def test_insert_only_join_delta_equals_direct_difference(spark):
+    from big_data_analysis_of_airline_data_set_spark.operators.incremental import (
+        insert_only_join_delta,
+    )
+
+    base_a = spark.createDataFrame([(1, "a1"), (2, "a2")], "k long, av string")
+    delta_a = spark.createDataFrame([(2, "a2new"), (3, "a3")], "k long, av string")
+    base_b = spark.createDataFrame([(1, "b1"), (3, "b3old")], "k long, bv string")
+    delta_b = spark.createDataFrame([(2, "b2"), (3, "b3new")], "k long, bv string")
+
+    got = sorted(
+        (r.k, r.av, r.bv)
+        for r in insert_only_join_delta(base_a, delta_a, base_b, delta_b, "k").collect()
+    )
+    new_join = base_a.unionByName(delta_a).join(
+        base_b.unionByName(delta_b), "k"
+    )
+    old_join = base_a.join(base_b, "k")
+    want = sorted(
+        (r.k, r.av, r.bv)
+        for r in new_join.exceptAll(old_join).collect()
+    )
+    assert got == want and len(got) > 0
+
+
+# ------------------------- resample + forward fill -------------------------
+
+
+def test_resample_ffill_fills_gaps_hand_checked(spark):
+    import datetime as dt
+
+    from big_data_analysis_of_airline_data_set_spark.operators.timeseries import (
+        resample_ffill,
+    )
+
+    t0 = dt.datetime(2024, 1, 1, 0, 30)
+    rows = [
+        (1, t0, 10.0),                                # hour 0
+        (1, t0 + dt.timedelta(hours=3), 7.0),         # hour 3 (gap 1-2)
+        (2, t0 + dt.timedelta(hours=1), 5.0),         # single point
+    ]
+    df = spark.createDataFrame(rows, "series long, ts timestamp, value double")
+    out = {
+        (r.series, r.bucket.hour): (r.value_ffill, r.is_gap)
+        for r in resample_ffill(
+            df, key_col="series", ts_col="ts", value_col="value"
+        ).collect()
+    }
+    assert out[(1, 0)] == (10.0, False)
+    assert out[(1, 1)] == (10.0, True)   # carried forward
+    assert out[(1, 2)] == (10.0, True)
+    assert out[(1, 3)] == (7.0, False)
+    assert out[(2, 1)] == (5.0, False)
+    assert len(out) == 5                 # series 2 grid is one bucket
