@@ -138,6 +138,10 @@ R5_OPS = [
     "multimodal_decode_png",
     "ann_ivf_quantized_rerank",
     "graph_pagerank_converged",
+    "join_bloom_prefiltered",
+    "dedup_entity_resolution",
+    "events_resample_ffill",
+    "incremental_join_delta",
 ]
 
 # Like ml_quick_fit: 3 TVS LR fits (full/uni/var feature sets) timed
