@@ -341,3 +341,44 @@ def test_gopher_rules_single_projection_no_shuffle(spark, sf_dir):
     assert plan.count("Scan parquet  (") == 1
     read = [l for l in plan.splitlines() if "ReadSchema" in l][0]
     assert "text" in read and "n_chars" not in read
+
+
+def test_bloom_prefilter_is_map_side_before_shuffle(spark, sf_dir):
+    """The Bloom membership test must run in the scan/project stage of
+    the big side — BELOW the join's exchange — and stay a Column
+    expression (no Python UDF)."""
+    plan = _plan(spark, sf_dir, "join_bloom_prefiltered", mode="extended")
+    # the literal-array bit tests stay Column expressions (codegen),
+    # never a Python eval node
+    assert "element_at" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    # the membership filter must appear as a Filter on the lineitem
+    # side (map-side, pre-shuffle) — i.e. a Filter node mentioning the
+    # bit-mask array test, not a post-join condition
+    assert any(
+        "Filter" in l and "element_at" in l
+        for l in plan.splitlines()
+    ), "bloom membership test is not a pre-join Filter"
+
+
+def test_entity_resolution_no_cartesian(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "dedup_entity_resolution")
+    assert "CartesianProduct" not in plan
+
+
+def test_resample_ffill_two_shuffles_max(spark, sf_dir):
+    """obs groupBy shuffles on (series, bucket); the grid join and the
+    window both run on series-partitioned data. The grid explode must
+    NOT shuffle per generated row, and nothing may fall back to a
+    cartesian join."""
+    plan = _plan(spark, sf_dir, "events_resample_ffill")
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+    assert plan.count("Exchange hashpartitioning") <= 4  # agg + bounds + join sides + window
+
+
+def test_join_delta_both_joins_keyed(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "incremental_join_delta")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
