@@ -142,6 +142,7 @@ R5_OPS = [
     "dedup_entity_resolution",
     "events_resample_ffill",
     "incremental_join_delta",
+    "curation_chunking",
 ]
 
 # Like ml_quick_fit: 3 TVS LR fits (full/uni/var feature sets) timed

@@ -70,6 +70,7 @@ _CORRECTNESS_WINDOW = [
     "dedup_entity_resolution",
     "events_resample_ffill",
     "incremental_join_delta",
+    "curation_chunking",
     # (c) r1-era re-proof — latest driver row is round 1, three
     # testdata generations ago. Ordered roughly by substance.
     "tpch_q1_style",
@@ -106,11 +107,11 @@ _CORRECTNESS_WINDOW = [
     # deterministic_sample → ml_reference_bands' sample artifact (r4);
     # distinct_values/distinct_count → union_reassembly + dedup_exact;
     # top_k → the flagship's orderBy+limit, smoke-checked every round;
-    # scalar_functions → case_label's when/otherwise, still windowed)
+    # scalar_functions → case_label's when/otherwise, still windowed;
+    # string_functions → city_split + projection_name_pattern paths)
     "sum_by_year",
     "count_by_month",
     "count_by_dow",
-    "string_functions",
     "array_functions",
     "map_functions",
     "lateral_explode",

@@ -522,7 +522,56 @@ FROM s GROUP BY split
 """
 
 
+_CHUNK_SIZE, _CHUNK_STRIDE = 32, 24
+
+
+def q_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window chunking (curation/chunking.py): every document
+    split into 32-token windows at stride 24 (8 tokens of overlap) —
+    the long-document sequence-prep / RAG-indexing unit. chunk_fp =
+    md5 of the rejoined slice, so the oracle pins every chunk's exact
+    token content, offsets, and the tail-chunk clamp."""
+    from ..curation.chunking import chunk_documents
+    from ..sources.readers import read_testdata_table
+
+    d = read_testdata_table(spark, sf_dir, "documents")
+    out = chunk_documents(
+        d, id_col="doc_id", text_col="text",
+        chunk_size=_CHUNK_SIZE, stride=_CHUNK_STRIDE,
+    )
+    return out.withColumnRenamed("id", "doc_id")
+
+
+_CHUNKING_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t FROM documents
+), d AS (
+  SELECT doc_id, t, len(t) AS n FROM toks
+), k AS (
+  SELECT doc_id, t, n,
+         unnest(generate_series(0, greatest((n - 1) // {_CHUNK_STRIDE}, 0)))
+           AS chunk_idx
+  FROM d
+)
+SELECT doc_id,
+       CAST(chunk_idx AS BIGINT) AS chunk_idx,
+       CAST(chunk_idx * {_CHUNK_STRIDE} AS BIGINT) AS start_token,
+       CAST(len(t[chunk_idx * {_CHUNK_STRIDE} + 1 :
+                  chunk_idx * {_CHUNK_STRIDE} + {_CHUNK_SIZE}]) AS BIGINT)
+         AS n_tokens,
+       md5(array_to_string(
+           t[chunk_idx * {_CHUNK_STRIDE} + 1 :
+             chunk_idx * {_CHUNK_STRIDE} + {_CHUNK_SIZE}], ' ')) AS chunk_fp
+FROM k
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "curation_chunking": QuerySpec(
+        "curation_chunking", q_chunking, _CHUNKING_ORACLE,
+        "sliding-window doc chunking (32-tok windows, stride 24),"
+        " md5-pinned chunk content, map-only",
+    ),
     "curation_group_split": QuerySpec(
         "curation_group_split", q_group_split, _group_split_oracle(),
         "leakage-free group-aware split: whole groups per partition,"

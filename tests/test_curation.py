@@ -149,3 +149,28 @@ def test_quantize_zero_vector_and_bounds(spark):
     # floor(-63.5 + 0.5) = -63 (floor(+0.5) semantics, NOT half-away -64)
     assert out[2]["q_norm_sq"] == 127 * 127 + 63 * 63 + 32 * 32
     assert out[2]["n_dims"] == 3
+
+
+def test_chunking_edges_hand_checked(spark):
+    from big_data_analysis_of_airline_data_set_spark.curation.chunking import (
+        chunk_documents,
+    )
+
+    rows = [
+        (1, "a b c"),                       # shorter than chunk → 1 chunk
+        (2, " ".join(f"t{i}" for i in range(32))),  # exactly chunk_size
+        (3, " ".join(f"t{i}" for i in range(33))),  # one over → 2 chunks
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = chunk_documents(df, id_col="doc_id", text_col="text",
+                          chunk_size=32, stride=24)
+    got = {(r.id, r.chunk_idx): (r.start_token, r.n_tokens) for r in out.collect()}
+    assert got[(1, 0)] == (0, 3)          # short doc → one clamped chunk
+    assert got[(2, 0)] == (0, 32)
+    # every k·stride < n starts a chunk: 24 < 32, so an 8-token tail
+    # window exists even at exactly chunk_size (deterministic rule the
+    # oracle replays; consumers drop fully-overlapped tails if unwanted)
+    assert got[(2, 1)] == (24, 8)
+    assert got[(3, 0)] == (0, 32)
+    assert got[(3, 1)] == (24, 9)
+    assert len(got) == 5
