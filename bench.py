@@ -143,6 +143,7 @@ R5_OPS = [
     "events_resample_ffill",
     "incremental_join_delta",
     "curation_chunking",
+    "events_enrich_stream",
 ]
 
 # Like ml_quick_fit: 3 TVS LR fits (full/uni/var feature sets) timed

@@ -71,6 +71,7 @@ _CORRECTNESS_WINDOW = [
     "events_resample_ffill",
     "incremental_join_delta",
     "curation_chunking",
+    "events_enrich_stream",
     # (c) r1-era re-proof — latest driver row is round 1, three
     # testdata generations ago. Ordered roughly by substance.
     "tpch_q1_style",
@@ -108,10 +109,11 @@ _CORRECTNESS_WINDOW = [
     # distinct_values/distinct_count → union_reassembly + dedup_exact;
     # top_k → the flagship's orderBy+limit, smoke-checked every round;
     # scalar_functions → case_label's when/otherwise, still windowed;
-    # string_functions → city_split + projection_name_pattern paths)
+    # string_functions → city_split + projection_name_pattern paths;
+    # count_by_dow → count_by_month, the same groupBy-count shape on
+    # the same derived column family)
     "sum_by_year",
     "count_by_month",
-    "count_by_dow",
     "array_functions",
     "map_functions",
     "lateral_explode",

@@ -316,6 +316,43 @@ def q_sliding_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_enrich_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-STATIC enrichment join under the real streaming runtime
+    (streaming/jobs.py:run_enrich_stream_available_now): the event
+    stream is broadcast-joined per micro-batch to the customer
+    dimension (stateless), then window-aggregated per market segment
+    (the only stateful operator). Oracled ≡ the batch join+window."""
+    from pyspark.sql import functions as F
+
+    from ..sources.readers import read_testdata_table
+    from ..streaming.jobs import run_enrich_stream_available_now
+
+    dim = read_testdata_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("dim_key"),
+        F.col("c_mktsegment").alias("segment"),
+    )
+    return run_enrich_stream_available_now(
+        spark,
+        _landed_events_dir(spark, sf_dir),
+        dim,
+        watermark="30 minutes",
+        width="1 hour",
+        max_files_per_trigger=None,
+        stream_shuffle_partitions=8,
+    )
+
+
+_ENRICH_STREAM_ORACLE = """
+SELECT strftime(time_bucket(INTERVAL '1 hour', CAST(e.ts AS TIMESTAMP)),
+                '%Y-%m-%d %H:%M:%S') AS window_start,
+       coalesce(c.c_mktsegment, 'UNKNOWN') AS segment,
+       count(*) AS n_events,
+       CAST(sum(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
+GROUP BY 1, 2
+"""
+
+
 def q_session_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The session-window aggregation under the real streaming runtime
     — the state-heavy case (merging windows) — oracled ≡ batch."""
@@ -796,6 +833,11 @@ QUERIES: dict[str, QuerySpec] = {
     "events_sliding_window": QuerySpec(
         "events_sliding_window", q_sliding, _SLIDING_ORACLE,
         "1h/30m sliding window counts",
+    ),
+    "events_enrich_stream": QuerySpec(
+        "events_enrich_stream", q_enrich_stream, _ENRICH_STREAM_ORACLE,
+        "REAL stream-static enrichment join (stateless broadcast per"
+        " micro-batch) + windowed segment rollup, oracled ≡ batch",
     ),
     "events_sliding_stream": QuerySpec(
         "events_sliding_stream", q_sliding_stream, _SLIDING_ORACLE,

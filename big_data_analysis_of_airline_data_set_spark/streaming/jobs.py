@@ -306,3 +306,37 @@ def run_kmv_sketch_stream_available_now(
         shuffle_partitions=stream_shuffle_partitions,
     )
     return spark.table(query_name)
+
+
+def run_enrich_stream_available_now(
+    spark: SparkSession,
+    events_dir: str,
+    dim: DataFrame,
+    *,
+    watermark: str = "30 minutes",
+    width: str = "1 hour",
+    query_name: str = "events_enrich_stream",
+    max_files_per_trigger: int | None = 1,
+    stream_shuffle_partitions: int | None = None,
+) -> DataFrame:
+    """Stream-STATIC enrichment join under the real streaming runtime
+    (streaming.windows.enriched_segment_counts drained availableNow,
+    complete mode). The join itself is stateless — per micro-batch the
+    static dim is broadcast-hash-joined map-side; only the downstream
+    window aggregate commits state — which is why this is the shape for
+    dimension enrichment at stream time, while stream-STREAM joins
+    (run_interval_join_stream_available_now) pay watermark-deep state
+    on both sides."""
+    from .windows import enriched_segment_counts
+
+    stream = events_stream_reader(
+        spark, events_dir, max_files_per_trigger=max_files_per_trigger
+    ).withWatermark("ts", watermark)
+    result = enriched_segment_counts(stream, dim, width=width)
+    _run_to_memory(
+        result,
+        query_name=query_name,
+        output_mode="complete",
+        shuffle_partitions=stream_shuffle_partitions,
+    )
+    return spark.table(query_name)

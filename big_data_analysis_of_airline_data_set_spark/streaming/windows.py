@@ -68,3 +68,35 @@ def json_extract_k(events: DataFrame) -> DataFrame:
         "event_id",
         F.get_json_object("props", "$.k").cast("long").alias("k"),
     )
+
+
+def enriched_segment_counts(
+    events: DataFrame, dim: DataFrame, *, width: str = "1 hour"
+) -> DataFrame:
+    """Stream-static enrichment join + tumbling rollup: events joined
+    (left) to a STATIC dimension keyed ``dim_key`` carrying ``segment``,
+    then counted per (window, segment) with unmatched users bucketed as
+    'UNKNOWN'. The identical expression works as a batch plan and as a
+    streaming plan: a stream-static equi-join is STATELESS in
+    Structured Streaming (each micro-batch hash-joins against the
+    static side — broadcast here, since the dim is dimension-sized),
+    so only the windowed aggregate holds state."""
+    joined = events.join(
+        F.broadcast(dim), events["user_id"] == dim["dim_key"], "left"
+    )
+    return (
+        joined.groupBy(
+            F.window("ts", width).alias("w"),
+            F.coalesce(F.col("segment"), F.lit("UNKNOWN")).alias("segment"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
+        )
+        .select(
+            F.date_format("w.start", _TS_FMT).alias("window_start"),
+            "segment",
+            "n_events",
+            "sum_value",
+        )
+    )

@@ -140,3 +140,25 @@ def test_kmv_sketch_stream_incremental_equals_batch(spark, sf_dir):
     s = {(r.group, r.j): r.min_h for r in streamed.collect()}
     b = {(r.group, r.j): r.min_h for r in batch.collect()}
     assert s == b
+
+
+def test_enriched_segment_counts_unknown_bucket(spark):
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from big_data_analysis_of_airline_data_set_spark.streaming.windows import (
+        enriched_segment_counts,
+    )
+
+    t = dt.datetime(2024, 1, 1, 10, 15)
+    ev = spark.createDataFrame(
+        [(1, t, 100, "view", 2.0, "{}"), (2, t, 999, "view", 3.0, "{}")],
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    dim = spark.createDataFrame([(100, "RETAIL")], "dim_key long, segment string")
+    out = {r.segment: (r.n_events, r.sum_value)
+           for r in enriched_segment_counts(ev, dim).collect()}
+    assert out["RETAIL"] == (1, 2.0)
+    assert out["UNKNOWN"] == (1, 3.0)   # user 999 has no dim row
