@@ -144,6 +144,7 @@ R5_OPS = [
     "incremental_join_delta",
     "curation_chunking",
     "events_enrich_stream",
+    "stats_group_ols",
 ]
 
 # Like ml_quick_fit: 3 TVS LR fits (full/uni/var feature sets) timed

@@ -72,6 +72,7 @@ _CORRECTNESS_WINDOW = [
     "incremental_join_delta",
     "curation_chunking",
     "events_enrich_stream",
+    "stats_group_ols",
     # (c) r1-era re-proof — latest driver row is round 1, three
     # testdata generations ago. Ordered roughly by substance.
     "tpch_q1_style",
@@ -110,10 +111,9 @@ _CORRECTNESS_WINDOW = [
     # top_k → the flagship's orderBy+limit, smoke-checked every round;
     # scalar_functions → case_label's when/otherwise, still windowed;
     # string_functions → city_split + projection_name_pattern paths;
-    # count_by_dow → count_by_month, the same groupBy-count shape on
-    # the same derived column family)
+    # count_by_dow/count_by_month → sum_by_year, the same
+    # derived-column groupBy-agg shape, which stays windowed)
     "sum_by_year",
-    "count_by_month",
     "array_functions",
     "map_functions",
     "lateral_explode",

@@ -210,6 +210,50 @@ _UNIVARIATE_CONT_ORACLE = (
 )
 
 
+def q_stats_group_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group closed-form OLS (stats/regression.py): price ~
+    quantity per return flag — slope/intercept/R² from exact DECIMAL
+    moment sums, one aggregation pass. The oracle replays the same
+    closed form from the same exact sums (NOT regr_slope, whose float
+    accumulation order is engine-specific)."""
+    from ..stats.regression import group_ols
+
+    li = read_testdata_table(spark, sf_dir, "lineitem")
+    return group_ols(
+        li,
+        group_cols=["l_returnflag"],
+        x_col="l_quantity",
+        y_col="l_extendedprice",
+        x_scale=2,
+        y_scale=2,
+    )
+
+
+_GROUP_OLS_ORACLE = """
+WITH m AS (
+  SELECT l_returnflag,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CAST(CAST(l_quantity AS DECIMAL(19,2)) AS DECIMAL(38,2))) AS DOUBLE) AS sx,
+         CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(19,2)) AS DECIMAL(38,2))) AS DOUBLE) AS sy,
+         CAST(sum(CAST(CAST(l_quantity AS DECIMAL(19,2)) * CAST(l_extendedprice AS DECIMAL(19,2)) AS DECIMAL(38,4))) AS DOUBLE) AS sxy,
+         CAST(sum(CAST(CAST(l_quantity AS DECIMAL(19,2)) * CAST(l_quantity AS DECIMAL(19,2)) AS DECIMAL(38,4))) AS DOUBLE) AS sxx,
+         CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(19,2)) * CAST(l_extendedprice AS DECIMAL(19,2)) AS DECIMAL(38,4))) AS DOUBLE) AS syy
+  FROM lineitem GROUP BY l_returnflag
+)
+SELECT l_returnflag, n,
+       round((CAST(n AS DOUBLE) * sxy - sx * sy)
+             / nullif(CAST(n AS DOUBLE) * sxx - sx * sx, 0.0), 6) AS slope,
+       round((sy - ((CAST(n AS DOUBLE) * sxy - sx * sy)
+                    / nullif(CAST(n AS DOUBLE) * sxx - sx * sx, 0.0)) * sx)
+             / CAST(n AS DOUBLE), 6) AS intercept,
+       round((CAST(n AS DOUBLE) * sxy - sx * sy)
+             * (CAST(n AS DOUBLE) * sxy - sx * sy)
+             / (nullif(CAST(n AS DOUBLE) * sxx - sx * sx, 0.0)
+                * nullif(CAST(n AS DOUBLE) * syy - sy * sy, 0.0)), 6) AS r2
+FROM m
+"""
+
+
 def q_feature_selection_job(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Entry-point B end-to-end (Scripts/2_...py): correlation →
     chi-square → univariate selectors → variance threshold, returning
@@ -637,6 +681,11 @@ QUERIES: dict[str, QuerySpec] = {
         "ri_orphans", q_ri_orphans, _ri_oracle(),
         "referential-integrity audit: orphan counts per FK edge"
         " (anti-join per edge, deliberate tripwire edge included)",
+    ),
+    "stats_group_ols": QuerySpec(
+        "stats_group_ols", q_stats_group_ols, _GROUP_OLS_ORACLE,
+        "per-group closed-form OLS (slope/intercept/R²) from exact"
+        " DECIMAL moment sums — one map-combined aggregation",
     ),
     "stats_mad_by_group": QuerySpec(
         "stats_mad_by_group", q_stats_mad, _MAD_ORACLE,

@@ -92,3 +92,33 @@ def test_bootstrap_weights_distribution_and_determinism(spark):
     assert a == b and len(a) == 8
     # constant value → every replica mean is exactly 1.0
     assert all(m == 1.0 for _, _, m in a)
+
+
+def test_group_ols_hand_checked_exact_line(spark):
+    from big_data_analysis_of_airline_data_set_spark.stats.regression import group_ols
+
+    # y = 3 + 2x exactly → slope 2, intercept 3, r² 1
+    rows = [("g", float(x), float(3 + 2 * x)) for x in range(1, 6)]
+    # and a noisy group with a known hand-computed fit:
+    # x=[1,2,3], y=[1,2,4]: b = (3*17-6*7)/(3*14-36) = 9/6 = 1.5,
+    # a = (7-1.5*6)/3 = -2/3 ≈ -0.666667, r² = 81/(6*3*14-...)
+    rows += [("h", 1.0, 1.0), ("h", 2.0, 2.0), ("h", 3.0, 4.0)]
+    df = spark.createDataFrame(rows, "g string, x double, y double")
+    out = {r.g: (r.n, r.slope, r.intercept, r.r2)
+           for r in group_ols(df, group_cols=["g"], x_col="x", y_col="y").collect()}
+    assert out["g"] == (5, 2.0, 3.0, 1.0)
+    n, b, a, r2 = out["h"]
+    assert (n, b) == (3, 1.5)
+    assert abs(a - (-0.666667)) < 1e-6
+    # r² = cov²/(varx·vary) = 9²/(6·(3·21-49)) = 81/84
+    assert abs(r2 - round(81 / 84, 6)) < 1e-9
+
+
+def test_group_ols_constant_x_null_slope(spark):
+    from big_data_analysis_of_airline_data_set_spark.stats.regression import group_ols
+
+    df = spark.createDataFrame(
+        [("g", 2.0, 1.0), ("g", 2.0, 5.0)], "g string, x double, y double"
+    )
+    r = group_ols(df, group_cols=["g"], x_col="x", y_col="y").collect()[0]
+    assert r.slope is None and r.r2 is None
