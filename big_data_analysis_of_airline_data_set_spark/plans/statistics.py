@@ -254,6 +254,48 @@ FROM m
 """
 
 
+_KS_A, _KS_B = "1-URGENT", "5-LOW"
+
+
+def q_stats_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact two-sample KS distance (stats/regression.py:ks_two_sample)
+    between order-value distributions of two priority classes — the
+    snapshot/source drift test. Range-frame CDFs make ties exact, so
+    the statistic is value-hash stable across engines."""
+    from ..stats.regression import ks_two_sample
+
+    o = read_testdata_table(spark, sf_dir, "orders")
+    return ks_two_sample(
+        o,
+        group_col="o_orderpriority",
+        value_col="o_totalprice",
+        group_a=_KS_A,
+        group_b=_KS_B,
+    )
+
+
+_KS_DRIFT_ORACLE = f"""
+WITH pooled AS (
+  SELECT o_orderpriority AS g, o_totalprice AS v FROM orders
+  WHERE o_orderpriority IN ('{_KS_A}', '{_KS_B}')
+), c AS (
+  SELECT v,
+         sum(CASE WHEN g = '{_KS_A}' THEN 1 ELSE 0 END) OVER (
+           ORDER BY v RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ca,
+         sum(CASE WHEN g = '{_KS_B}' THEN 1 ELSE 0 END) OVER (
+           ORDER BY v RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cb,
+         sum(CASE WHEN g = '{_KS_A}' THEN 1 ELSE 0 END) OVER () AS na,
+         sum(CASE WHEN g = '{_KS_B}' THEN 1 ELSE 0 END) OVER () AS nb
+  FROM pooled
+)
+SELECT '{_KS_A}' AS group_a, '{_KS_B}' AS group_b,
+       CAST(max(na) AS BIGINT) AS n_a, CAST(max(nb) AS BIGINT) AS n_b,
+       round(max(abs(CAST(ca AS DOUBLE) / na - CAST(cb AS DOUBLE) / nb)), 6)
+         AS ks_d
+FROM c
+"""
+
+
 def q_feature_selection_job(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Entry-point B end-to-end (Scripts/2_...py): correlation →
     chi-square → univariate selectors → variance threshold, returning
@@ -681,6 +723,11 @@ QUERIES: dict[str, QuerySpec] = {
         "ri_orphans", q_ri_orphans, _ri_oracle(),
         "referential-integrity audit: orphan counts per FK edge"
         " (anti-join per edge, deliberate tripwire edge included)",
+    ),
+    "stats_ks_drift": QuerySpec(
+        "stats_ks_drift", q_stats_ks_drift, _KS_DRIFT_ORACLE,
+        "exact two-sample Kolmogorov-Smirnov drift distance,"
+        " tie-exact range-frame CDFs",
     ),
     "stats_group_ols": QuerySpec(
         "stats_group_ols", q_stats_group_ols, _GROUP_OLS_ORACLE,

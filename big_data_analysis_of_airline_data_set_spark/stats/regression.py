@@ -1,4 +1,4 @@
-"""Per-group closed-form OLS — distributed regression without MLlib.
+"""Closed-form distributional statistics: per-group OLS, two-sample KS.
 
 The analytic companion to correlation (stats/correlation.py): for each
 group, fit y = a + b·x by least squares using only ALGEBRAIC moment
@@ -68,4 +68,66 @@ def group_ols(
         F.round(slope, round_dp).alias("slope"),
         F.round((F.col("sy") - slope * F.col("sx")) / n, round_dp).alias("intercept"),
         F.round(cov_n * cov_n / (var_x * var_y), round_dp).alias("r2"),
+    )
+
+
+def ks_two_sample(
+    df: DataFrame,
+    *,
+    group_col: str,
+    value_col: str,
+    group_a: str,
+    group_b: str,
+    round_dp: int = 6,
+) -> DataFrame:
+    """Exact two-sample Kolmogorov-Smirnov distance between the
+    ``value_col`` distributions of two groups — the drift test a data
+    pipeline runs between snapshots/sources when a mean shift isn't
+    enough (KS sees shape changes the mean hides).
+
+    D = max over pooled values x of |F_a(x) − F_b(x)|, computed exactly:
+    one window over the pooled rows ordered by value with a RANGE frame
+    (ties included on both CDFs simultaneously — the textbook
+    right-continuous empirical CDF), cumulative counts divided by group
+    sizes. Integer counts → identical IEEE divisions on every engine,
+    so the statistic is value-hash stable. MLlib's KolmogorovSmirnovTest
+    is one-sample-vs-theoretical only; this is the two-sample form.
+
+    Scale shape: one shuffle (the global ordering window). For 100 TB
+    drift checks, run it per partition-key stratum (add the stratum to
+    the window's partitionBy) so no global sort is needed.
+    """
+    from pyspark.sql.window import Window as W
+
+    g = F.col(group_col)
+    pooled = df.filter(g.isin([group_a, group_b])).select(
+        g.alias("_g"), F.col(value_col).alias("_v")
+    )
+    w = W.orderBy("_v").rangeBetween(W.unboundedPreceding, 0)
+    ca = F.sum(F.when(F.col("_g") == group_a, 1).otherwise(0)).over(w)
+    cb = F.sum(F.when(F.col("_g") == group_b, 1).otherwise(0)).over(w)
+    na = F.sum(F.when(F.col("_g") == group_a, 1).otherwise(0)).over(
+        W.partitionBy()
+    )
+    nb = F.sum(F.when(F.col("_g") == group_b, 1).otherwise(0)).over(
+        W.partitionBy()
+    )
+    diffs = pooled.select(
+        F.abs(
+            ca.cast("double") / na.cast("double")
+            - cb.cast("double") / nb.cast("double")
+        ).alias("_d"),
+        na.alias("_na"),
+        nb.alias("_nb"),
+    )
+    return diffs.agg(
+        F.max("_na").cast("long").alias("n_a"),
+        F.max("_nb").cast("long").alias("n_b"),
+        F.round(F.max("_d"), round_dp).alias("ks_d"),
+    ).select(
+        F.lit(group_a).alias("group_a"),
+        F.lit(group_b).alias("group_b"),
+        "n_a",
+        "n_b",
+        "ks_d",
     )

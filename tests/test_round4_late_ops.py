@@ -399,3 +399,26 @@ def test_inverted_index_postings_exact(spark, sf_dir):
     want = hashlib.md5(",".join(postings).encode()).hexdigest()
     assert out[token].postings_fp == want
     assert out[token].n_postings == len(postings)
+
+
+def test_entity_resolution_transitive_clusters(spark):
+    """A≈B and B≈C must land in ONE entity even though A and C are 3
+    edits apart (beyond max_distance) — the closure semantics that raw
+    pair output cannot express."""
+    from big_data_analysis_of_airline_data_set_spark.dedup.components import (
+        connected_components,
+    )
+    from big_data_analysis_of_airline_data_set_spark.dedup.fuzzy import fuzzy_pairs
+
+    rows = [(1, "acme corp"), (2, "acme c0rp"), (3, "acme c0rq"),
+            (4, "zzz unrelated")]
+    df = spark.createDataFrame(rows, "id long, name string")
+    pairs = fuzzy_pairs(df, name_col="name", q=2, max_distance=2)
+    names = df.selectExpr("name").distinct()
+    cc = connected_components(
+        names, pairs.select("name_a", "name_b"),
+        id_col="name", src_col="name_a", dst_col="name_b",
+    )
+    got = {r.name: r.cluster_id for r in cc.collect()}
+    assert got["acme corp"] == got["acme c0rp"] == got["acme c0rq"] == "acme c0rp"
+    assert got["zzz unrelated"] == "zzz unrelated"
