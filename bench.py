@@ -145,6 +145,7 @@ R5_OPS = [
     "curation_chunking",
     "events_enrich_stream",
     "stats_group_ols",
+    "stats_ks_drift",
 ]
 
 # Like ml_quick_fit: 3 TVS LR fits (full/uni/var feature sets) timed

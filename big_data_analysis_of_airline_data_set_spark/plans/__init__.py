@@ -73,6 +73,7 @@ _CORRECTNESS_WINDOW = [
     "curation_chunking",
     "events_enrich_stream",
     "stats_group_ols",
+    "stats_ks_drift",
     # (c) r1-era re-proof — latest driver row is round 1, three
     # testdata generations ago. Ordered roughly by substance.
     "tpch_q1_style",
@@ -102,7 +103,8 @@ _CORRECTNESS_WINDOW = [
     "case_label",
     "time_digits",
     "city_split",
-    "cast_chain",
+    # (cast_chain displaced for stats_ks_drift — cast chains are
+    # exercised by every DECIMAL-summed query still in the window)
     # (displaced to make room for the four late-round-5 operators, all
     # never-driver-checked — each displaced query keeps its green r1
     # row AND its operator stays exercised by a remaining green query:
