@@ -146,6 +146,7 @@ R5_OPS = [
     "events_enrich_stream",
     "stats_group_ols",
     "stats_ks_drift",
+    "sketch_kmv_join_cardinality",
 ]
 
 # Like ml_quick_fit: 3 TVS LR fits (full/uni/var feature sets) timed

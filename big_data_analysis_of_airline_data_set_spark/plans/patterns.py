@@ -639,6 +639,95 @@ FROM est JOIN ex USING ("group")
 """
 
 
+# -------------------- KMV join-cardinality estimation --------------------
+
+_KMVJ_K = 96
+
+
+def q_kmv_join_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-size estimation from sketches alone (sketches/kmv.py):
+    KMV sketches of the orders and customer key sets merge by
+    elementwise min into the UNION sketch, and inclusion-exclusion
+    (D̂_A + D̂_B − D̂_{A∪B}) estimates the key overlap — the planner-
+    style cardinality estimate a 100 TB engine computes WITHOUT
+    scanning either table again (sketches are build artifacts; this
+    query carries k·3 longs end to end). The exact overlap rides along
+    for the error audit; every number is integer arithmetic, so the
+    oracle replays estimates AND error exactly."""
+    from ..sketches.kmv import kmv_estimate, kmv_sketch
+
+    o = _t(spark, sf_dir, "orders").select(
+        F.lit("a").alias("g"), F.col("o_custkey").cast("string").alias("v")
+    )
+    c = _t(spark, sf_dir, "customer").select(
+        F.lit("b").alias("g"), F.col("c_custkey").cast("string").alias("v")
+    )
+    sk = kmv_sketch(o.union(c), group_col="g", value_col="v", k=_KMVJ_K)
+    union_sk = sk.groupBy("j").agg(F.min("min_h").alias("min_h")).select(
+        F.lit("u").alias("group"), "j", "min_h"
+    )
+    est = kmv_estimate(sk.unionByName(union_sk))
+    wide = est.groupBy().pivot("group", ["a", "b", "u"]).sum("distinct_estimate")
+    exact = (
+        _t(spark, sf_dir, "orders")
+        .select(F.col("o_custkey").alias("k"))
+        .intersect(_t(spark, sf_dir, "customer").select(F.col("c_custkey").alias("k")))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return wide.crossJoin(exact).select(
+        F.col("a").alias("est_orders_keys"),
+        F.col("b").alias("est_customer_keys"),
+        F.col("u").alias("est_union_keys"),
+        (F.col("a") + F.col("b") - F.col("u")).alias("est_overlap"),
+        F.col("n").cast("long").alias("exact_overlap"),
+    )
+
+
+def _kmv_join_cardinality_oracle() -> str:
+    h = (
+        "list_sum(list_transform(generate_series(1, 14), j -> "
+        "CAST(strpos('0123456789abcdef', substr(md5('{p}_' || val), j, 1)) - 1"
+        " AS BIGINT) * (CAST(1 AS BIGINT) << (4 * (14 - j)))))"
+    )
+    h1, h2 = h.format(p="ka"), h.format(p="kb")
+    return f"""
+WITH base AS (
+  SELECT 'a' AS g, CAST(o_custkey AS VARCHAR) AS val FROM orders
+  UNION ALL
+  SELECT 'b', CAST(c_custkey AS VARCHAR) FROM customer
+), hashed AS (
+  SELECT g, {h1} AS h1, {h2} AS h2 FROM base
+), sk AS (
+  SELECT g, j, min((h1 + j * h2) % {_KMV_SPACE}) AS min_h
+  FROM hashed
+  CROSS JOIN (SELECT unnest(generate_series(0, {_KMVJ_K - 1})) AS j)
+  GROUP BY 1, 2
+), allsk AS (
+  SELECT * FROM sk
+  UNION ALL
+  SELECT 'u', j, min(min_h) FROM sk GROUP BY j
+), est AS (
+  SELECT g,
+         CAST((count(*) * {_KMV_SPACE}) // sum(min_h) - 1 AS BIGINT) AS d
+  FROM allsk GROUP BY g
+), wide AS (
+  SELECT max(CASE WHEN g = 'a' THEN d END) AS a,
+         max(CASE WHEN g = 'b' THEN d END) AS b,
+         max(CASE WHEN g = 'u' THEN d END) AS u
+  FROM est
+), exact AS (
+  SELECT CAST(count(*) AS BIGINT) AS n FROM (
+    SELECT o_custkey AS k FROM orders
+    INTERSECT
+    SELECT c_custkey FROM customer
+  )
+)
+SELECT a AS est_orders_keys, b AS est_customer_keys, u AS est_union_keys,
+       a + b - u AS est_overlap, n AS exact_overlap
+FROM wide CROSS JOIN exact
+"""
+
+
 # ------------------------- sink round-trips (S4/S5) -------------------------
 
 # temp sink dirs: bounded (oldest removed once >8 live — each round-trip
@@ -1153,6 +1242,12 @@ QUERIES: dict[str, QuerySpec] = {
         "incremental_mv_merge", q_incremental_mv_merge, _MV_MERGE_ORACLE,
         "algebraic aggregate-state merge (MV maintenance): merged"
         " partials proven == full recompute",
+    ),
+    "sketch_kmv_join_cardinality": QuerySpec(
+        "sketch_kmv_join_cardinality", q_kmv_join_cardinality,
+        _kmv_join_cardinality_oracle(),
+        "join-key-overlap estimation by KMV sketch algebra"
+        " (inclusion-exclusion over elementwise-min merge)",
     ),
     "incremental_join_delta": QuerySpec(
         "incremental_join_delta", q_incremental_join_delta, _JOIN_DELTA_ORACLE,
