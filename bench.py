@@ -147,6 +147,7 @@ R5_OPS = [
     "stats_group_ols",
     "stats_ks_drift",
     "sketch_kmv_join_cardinality",
+    "events_upsert_sink_stream",
 ]
 
 # Like ml_quick_fit: 3 TVS LR fits (full/uni/var feature sets) timed

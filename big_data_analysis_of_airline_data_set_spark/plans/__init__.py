@@ -74,6 +74,8 @@ _CORRECTNESS_WINDOW = [
     "events_enrich_stream",
     "stats_group_ols",
     "stats_ks_drift",
+    "sketch_kmv_join_cardinality",
+    "events_upsert_sink_stream",
     # (c) r1-era re-proof — latest driver row is round 1, three
     # testdata generations ago. Ordered roughly by substance.
     "tpch_q1_style",
@@ -93,8 +95,10 @@ _CORRECTNESS_WINDOW = [
     "range_join_bucketized",
     "salted_join_agg",
     "set_except",
-    "set_intersect",
-    "conditional_aggregates",
+    # (set_intersect displaced — set_except stays as the §2.7 family
+    # representative; conditional_aggregates displaced — when/otherwise
+    # aggregation is the flagship pivot's own shape, windowed via
+    # case_label + the every-round entry() smoke)
     "correlation_pairs",
     "chi_square_sql",
     "variance",

@@ -353,6 +353,48 @@ GROUP BY 1, 2
 """
 
 
+def q_upsert_sink_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming UPSERT sink (streaming/jobs.py
+    run_upsert_sink_stream_available_now): micro-batches merge into a
+    keyed parquet state via foreachBatch (generation-swap writes);
+    the final serving table must equal the batch latest-event-per-user
+    — which is exactly what the oracle computes. max_files_per_trigger
+    = 4 forces MULTIPLE merge generations over the landed directory,
+    so the cross-batch upsert path executes, not just the first-batch
+    bootstrap."""
+    from pyspark.sql import functions as F
+
+    from ..streaming.jobs import run_upsert_sink_stream_available_now
+
+    out = run_upsert_sink_stream_available_now(
+        spark,
+        _landed_events_dir(spark, sf_dir),
+        max_files_per_trigger=4,
+    )
+    return out.select(
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("last_ts"),
+        F.col("event_id").alias("last_event_id"),
+        F.col("value").alias("last_value"),
+    )
+
+
+_UPSERT_SINK_ORACLE = """
+WITH ranked AS (
+  SELECT user_id, ts, event_id, value,
+         row_number() OVER (
+           PARTITION BY user_id ORDER BY ts DESC, event_id DESC, value DESC
+         ) AS rn
+  FROM events
+)
+SELECT user_id,
+       strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d %H:%M:%S') AS last_ts,
+       event_id AS last_event_id,
+       value AS last_value
+FROM ranked WHERE rn = 1
+"""
+
+
 def q_session_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The session-window aggregation under the real streaming runtime
     — the state-heavy case (merging windows) — oracled ≡ batch."""
@@ -833,6 +875,12 @@ QUERIES: dict[str, QuerySpec] = {
     "events_sliding_window": QuerySpec(
         "events_sliding_window", q_sliding, _SLIDING_ORACLE,
         "1h/30m sliding window counts",
+    ),
+    "events_upsert_sink_stream": QuerySpec(
+        "events_upsert_sink_stream", q_upsert_sink_stream,
+        _UPSERT_SINK_ORACLE,
+        "REAL streaming upsert sink: foreachBatch keyed-state merge"
+        " across generations, proven == batch latest-per-key",
     ),
     "events_enrich_stream": QuerySpec(
         "events_enrich_stream", q_enrich_stream, _ENRICH_STREAM_ORACLE,

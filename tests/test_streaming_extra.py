@@ -162,3 +162,29 @@ def test_enriched_segment_counts_unknown_bucket(spark):
            for r in enriched_segment_counts(ev, dim).collect()}
     assert out["RETAIL"] == (1, 2.0)
     assert out["UNKNOWN"] == (1, 3.0)   # user 999 has no dim row
+
+
+def test_upsert_latest_state_merge_associative(spark):
+    import datetime as dt
+
+    from big_data_analysis_of_airline_data_set_spark.streaming.jobs import (
+        upsert_latest_state,
+    )
+
+    t = dt.datetime(2024, 1, 1, 8, 0)
+    schema = "user_id long, ts timestamp, event_id long, value double"
+    b1 = spark.createDataFrame(
+        [(1, t, 10, 1.0), (2, t, 11, 2.0)], schema
+    )
+    b2 = spark.createDataFrame(
+        [(1, t + dt.timedelta(minutes=5), 12, 9.0),   # newer → wins
+         (2, t - dt.timedelta(minutes=5), 9, 8.0)],   # older → loses
+        schema,
+    )
+    merged = upsert_latest_state(upsert_latest_state(None, b1), b2)
+    direct = upsert_latest_state(None, b1.unionByName(b2))
+    as_rows = lambda df: sorted(map(tuple, df.collect()))
+    assert as_rows(merged) == as_rows(direct)
+    got = {r.user_id: (r.event_id, r.value) for r in merged.collect()}
+    assert got[1] == (12, 9.0)
+    assert got[2] == (11, 2.0)
