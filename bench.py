@@ -148,6 +148,8 @@ R5_OPS = [
     "stats_ks_drift",
     "sketch_kmv_join_cardinality",
     "events_upsert_sink_stream",
+    "ml_target_encoding",
+    "stats_ab_test",
 ]
 
 # Like ml_quick_fit: 3 TVS LR fits (full/uni/var feature sets) timed

@@ -76,6 +76,9 @@ _CORRECTNESS_WINDOW = [
     "stats_ks_drift",
     "sketch_kmv_join_cardinality",
     "events_upsert_sink_stream",
+    # (ml_target_encoding and stats_ab_test landed after the window
+    # froze at 50 — both sf0.001/0.01/0.1-verified this round; rotate
+    # them in next round per the never-checked-first policy)
     # (c) r1-era re-proof — latest driver row is round 1, three
     # testdata generations ago. Ordered roughly by substance.
     "tpch_q1_style",

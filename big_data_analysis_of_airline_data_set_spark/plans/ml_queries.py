@@ -438,6 +438,49 @@ FROM counts
 """
 
 
+def q_ml_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-one-out target encoding (ml/encoding.py) of a synthetic
+    16-level category (suppkey band) against the delay label — the
+    high-cardinality encoder OHE can't be. Every encoded value is one
+    exact integer subtraction + one IEEE division, so the oracle
+    hash-checks the full per-row encoding, leakage correction
+    included."""
+    from ..ml.encoding import target_encode_loo
+
+    li = read_testdata_table(spark, sf_dir, "lineitem")
+    base = li.select(
+        "l_orderkey",
+        "l_linenumber",
+        (F.col("l_suppkey") % 16).cast("string").alias("cat"),
+        delay_status(F.col("l_discount") - 0.05, F.col("l_tax") - 0.04)
+        .cast("int")
+        .alias("y"),
+    )
+    out = target_encode_loo(base, category_col="cat", label_col="y")
+    return out.select("l_orderkey", "l_linenumber", "cat", "y", "target_enc")
+
+
+_TARGET_ENC_ORACLE = """
+WITH base AS (
+  SELECT l_orderkey, l_linenumber,
+         CAST(l_suppkey % 16 AS VARCHAR) AS cat,
+         CASE WHEN l_discount - 0.05 <= 0 AND l_tax - 0.04 <= 0
+              THEN 0 ELSE 1 END AS y
+  FROM lineitem
+), sums AS (
+  SELECT cat, CAST(count(*) AS BIGINT) AS n_cat,
+         CAST(sum(y) AS BIGINT) AS sum_cat
+  FROM base GROUP BY cat
+)
+SELECT b.l_orderkey, b.l_linenumber, b.cat, CAST(b.y AS INTEGER) AS y,
+       CASE WHEN s.n_cat > 1
+            THEN round(CAST(s.sum_cat - b.y AS DOUBLE)
+                       / CAST(s.n_cat - 1 AS DOUBLE), 6)
+            END AS target_enc
+FROM base b JOIN sums s USING (cat)
+"""
+
+
 # ---------------------------------------------------------------------
 # Reference golden-pattern check, driver-grade: the published report's
 # metric pattern (report ¶132-268: LR AUC mid-0.65 band, DT carves the
@@ -552,6 +595,11 @@ QUERIES: dict[str, QuerySpec] = {
         _REF_BANDS_ORACLE,
         "published report metric pattern (LR/DT AUC bands, chi2 dof vector,"
         " vocab-derived dims) on the reference-shaped sample — constant oracle",
+    ),
+    "ml_target_encoding": QuerySpec(
+        "ml_target_encoding", q_ml_target_encoding, _TARGET_ENC_ORACLE,
+        "leave-one-out target encoding of a 16-level category,"
+        " per-row exact (leak-corrected), broadcast category sums",
     ),
     "ml_variant_sweep": QuerySpec(
         "ml_variant_sweep",

@@ -296,6 +296,55 @@ FROM c
 """
 
 
+def q_stats_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion z-test (stats/regression.py:ab_proportion_ztest):
+    users split into A/B by user_id parity, conversion = any purchase
+    event above 200 (non-degenerate rates at every sf). Exact unit
+    counts; the only floats are divisions and one sqrt —
+    correctly-rounded IEEE, so z hash-matches. The p-value is
+    deliberately absent (erf is libm-specific across engines)."""
+    from ..stats.regression import ab_proportion_ztest
+
+    ev = read_testdata_table(spark, sf_dir, "events")
+    return ab_proportion_ztest(
+        ev,
+        unit_col="user_id",
+        variant_col=F.when(F.col("user_id") % 2 == 0, "A").otherwise("B"),
+        conversion_col=(
+            (F.col("event_type") == "purchase") & (F.col("value") > 200)
+        ),
+    )
+
+
+_AB_TEST_ORACLE = """
+WITH units AS (
+  SELECT user_id,
+         CASE WHEN user_id % 2 = 0 THEN 'A' ELSE 'B' END AS variant,
+         max(CASE WHEN event_type = 'purchase' AND value > 200
+                  THEN 1 ELSE 0 END) AS converted
+  FROM events GROUP BY 1, 2
+), pv AS (
+  SELECT variant, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(converted) AS BIGINT) AS c
+  FROM units GROUP BY variant
+), wide AS (
+  SELECT max(CASE WHEN variant = 'A' THEN n END) AS n_a,
+         max(CASE WHEN variant = 'A' THEN c END) AS conv_a,
+         max(CASE WHEN variant = 'B' THEN n END) AS n_b,
+         max(CASE WHEN variant = 'B' THEN c END) AS conv_b
+  FROM pv
+)
+SELECT 'A' AS variant_a, 'B' AS variant_b, n_a, conv_a, n_b, conv_b,
+       round(CAST(conv_a AS DOUBLE) / n_a, 6) AS rate_a,
+       round(CAST(conv_b AS DOUBLE) / n_b, 6) AS rate_b,
+       round((CAST(conv_a AS DOUBLE) / n_a - CAST(conv_b AS DOUBLE) / n_b)
+             / nullif(sqrt((CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b))
+                    * (1 - CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b))
+                    * (1.0 / n_a + 1.0 / n_b)), 0.0), 6) AS z_stat
+FROM wide
+"""
+
+
 def q_feature_selection_job(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Entry-point B end-to-end (Scripts/2_...py): correlation →
     chi-square → univariate selectors → variance threshold, returning
@@ -723,6 +772,11 @@ QUERIES: dict[str, QuerySpec] = {
         "ri_orphans", q_ri_orphans, _ri_oracle(),
         "referential-integrity audit: orphan counts per FK edge"
         " (anti-join per edge, deliberate tripwire edge included)",
+    ),
+    "stats_ab_test": QuerySpec(
+        "stats_ab_test", q_stats_ab_test, _AB_TEST_ORACLE,
+        "two-proportion A/B z-test over experiment units, exact counts"
+        " + value-hash-stable z",
     ),
     "stats_ks_drift": QuerySpec(
         "stats_ks_drift", q_stats_ks_drift, _KS_DRIFT_ORACLE,

@@ -131,3 +131,67 @@ def ks_two_sample(
         "n_b",
         "ks_d",
     )
+
+
+def ab_proportion_ztest(
+    df: DataFrame,
+    *,
+    unit_col: str,
+    variant_col,
+    conversion_col,
+    round_dp: int = 6,
+) -> DataFrame:
+    """Two-proportion z-test over experiment units — the A/B readout:
+    per variant (exactly two expected, 'a' < 'b' lexicographically),
+    unit-level conversion (a unit converts if ANY of its rows has
+    ``conversion_col`` true), pooled-variance z statistic
+
+        z = (p_a − p_b) / sqrt(p̂(1−p̂)(1/n_a + 1/n_b))
+
+    Counts are exact integers; the divisions and the single sqrt are
+    correctly-rounded IEEE ops, so the statistic is value-hash stable.
+    The p-value needs a normal CDF (erf) whose libm implementations
+    differ across engines — deliberately NOT emitted; compare |z| to
+    the 1.96/2.58 thresholds downstream.
+
+    Scale shape: one unit-level aggregation (map-side combined), one
+    2-row variant aggregation, one scalar combine. No window, no sort.
+    """
+    units = df.groupBy(F.col(unit_col).alias("unit")).agg(
+        F.max(variant_col).alias("variant"),
+        F.max(conversion_col.cast("int")).alias("converted"),
+    )
+    per_variant = units.groupBy("variant").agg(
+        F.count(F.lit(1)).cast("long").alias("n_units"),
+        F.sum("converted").cast("long").alias("n_converted"),
+    )
+    wide = (
+        per_variant.agg(
+            F.min_by(F.struct("n_units", "n_converted"), "variant").alias("_a"),
+            F.max_by(F.struct("n_units", "n_converted"), "variant").alias("_b"),
+            F.min("variant").alias("variant_a"),
+            F.max("variant").alias("variant_b"),
+        )
+    )
+    na = F.col("_a.n_units").cast("double")
+    nb = F.col("_b.n_units").cast("double")
+    ca = F.col("_a.n_converted").cast("double")
+    cb = F.col("_b.n_converted").cast("double")
+    pa, pb = ca / na, cb / nb
+    pool = (ca + cb) / (na + nb)
+    # degenerate experiments (0% or 100% pooled conversion) have zero
+    # pooled variance → z undefined; NULL, not an ANSI divide-by-zero
+    z = (pa - pb) / F.nullif(
+        F.sqrt(pool * (1 - pool) * (1 / na + 1 / nb)), F.lit(0.0)
+    )
+    return wide.select(
+        "variant_a",
+        "variant_b",
+        F.col("_a.n_units").alias("n_a"),
+        F.col("_a.n_converted").alias("conv_a"),
+        F.col("_b.n_units").alias("n_b"),
+        F.col("_b.n_converted").alias("conv_b"),
+        F.round(pa, round_dp).alias("rate_a"),
+        F.round(pb, round_dp).alias("rate_b"),
+        F.round(z, round_dp).alias("z_stat"),
+    )

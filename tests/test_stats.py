@@ -122,3 +122,75 @@ def test_group_ols_constant_x_null_slope(spark):
     )
     r = group_ols(df, group_cols=["g"], x_col="x", y_col="y").collect()[0]
     assert r.slope is None and r.r2 is None
+
+
+def test_target_encoding_loo_hand_checked(spark):
+    from big_data_analysis_of_airline_data_set_spark.ml.encoding import (
+        target_encode_loo,
+    )
+
+    rows = [(1, "a", 1), (2, "a", 0), (3, "a", 1), (4, "b", 1)]
+    df = spark.createDataFrame(rows, "id long, cat string, y int")
+    out = {r.id: r.target_enc
+           for r in target_encode_loo(df, category_col="cat", label_col="y").collect()}
+    # cat a: sum=2,n=3 → row1: (2-1)/2=0.5, row2: (2-0)/2=1.0, row3: 0.5
+    assert out[1] == 0.5 and out[2] == 1.0 and out[3] == 0.5
+    assert out[4] is None  # singleton → NULL, caller imputes prior
+
+
+def test_ab_ztest_hand_checked(spark):
+    import math
+
+    from pyspark.sql import functions as F
+
+    from big_data_analysis_of_airline_data_set_spark.stats.regression import (
+        ab_proportion_ztest,
+    )
+
+    # A: 4 units, 3 convert; B: 4 units, 1 converts (unit = user, any
+    # converting row converts the unit)
+    rows = [(u, "x", u % 2 == 0 and u < 7) for u in range(1, 9)]
+    rows += [(1, "x", True), (3, "x", True), (5, "x", True), (2, "x", False)]
+    df = spark.createDataFrame(rows, "user long, pad string, conv boolean")
+    r = ab_proportion_ztest(
+        df,
+        unit_col="user",
+        variant_col=F.when(F.col("user") % 2 == 0, "A").otherwise("B"),
+        conversion_col=F.col("conv"),
+    ).first()
+    assert (r.n_a, r.n_b) == (4, 4)
+    assert (r.conv_a, r.conv_b) == (3, 3)
+    # equal rates → z exactly 0
+    assert r.z_stat == 0.0
+
+    # unequal, hand-computed: A 3/4 vs B 1/4; pool=0.5
+    df2 = spark.createDataFrame(
+        [(2, True), (4, True), (6, True), (8, False),
+         (1, True), (3, False), (5, False), (7, False)],
+        "user long, conv boolean",
+    )
+    r2 = ab_proportion_ztest(
+        df2,
+        unit_col="user",
+        variant_col=F.when(F.col("user") % 2 == 0, "A").otherwise("B"),
+        conversion_col=F.col("conv"),
+    ).first()
+    want = (0.75 - 0.25) / math.sqrt(0.5 * 0.5 * (0.25 + 0.25))
+    assert abs(r2.z_stat - round(want, 6)) < 1e-9
+
+
+def test_ab_ztest_degenerate_returns_null(spark):
+    from pyspark.sql import functions as F
+
+    from big_data_analysis_of_airline_data_set_spark.stats.regression import (
+        ab_proportion_ztest,
+    )
+
+    df = spark.createDataFrame([(1, True), (2, True)], "user long, conv boolean")
+    r = ab_proportion_ztest(
+        df,
+        unit_col="user",
+        variant_col=F.when(F.col("user") % 2 == 0, "A").otherwise("B"),
+        conversion_col=F.col("conv"),
+    ).first()
+    assert r.z_stat is None  # 100% pooled conversion → zero variance
