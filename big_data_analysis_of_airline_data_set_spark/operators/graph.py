@@ -311,3 +311,54 @@ def triangle_counts(edges: DataFrame, *, u: str = "u", v: str = "v") -> DataFram
         .groupBy("vertex")
         .agg(F.count(F.lit(1)).cast("long").alias("n_triangles"))
     )
+
+
+def flatten_hierarchy(
+    nodes: DataFrame,
+    *,
+    node_col: str = "node",
+    parent_col: str = "parent",
+    max_depth: int = 64,
+) -> DataFrame:
+    """(node, root, depth) over a parent-pointer forest (parent NULL ⇒
+    root) by POINTER DOUBLING: each round replaces every node's
+    ancestor pointer with its ancestor's ancestor and adds the hop
+    counts, so ceil(log2(max_depth)) rounds flatten any hierarchy the
+    depth bound covers — the scalable org-chart/taxonomy/thread
+    flatten (one-level-per-round needs depth rounds; at depth 10^4
+    that difference is the whole game).
+
+    Each round joins the state table with ITSELF — two plan references
+    per round, the exponential-lineage shape pagerank_converged
+    documents — so every round materializes through an eager
+    localCheckpoint: log-many barrier writes of a node-sized table.
+
+    Nodes whose ancestor chain exceeds max_depth keep a non-root
+    ancestor (detectable: join result's root has a parent); raise
+    max_depth for deeper forests."""
+    import math
+
+    state = nodes.select(
+        F.col(node_col).alias("node"),
+        F.coalesce(F.col(parent_col), F.col(node_col)).alias("anc"),
+        F.when(F.col(parent_col).isNull(), F.lit(0))
+        .otherwise(F.lit(1))
+        .cast("long")
+        .alias("depth"),
+    ).localCheckpoint(eager=True)
+    for _ in range(max(1, math.ceil(math.log2(max_depth)))):
+        s2 = state.select(
+            F.col("node").alias("_n2"),
+            F.col("anc").alias("_a2"),
+            F.col("depth").alias("_d2"),
+        )
+        state = (
+            state.join(s2, state["anc"] == s2["_n2"])
+            .select(
+                "node",
+                F.col("_a2").alias("anc"),
+                (F.col("depth") + F.col("_d2")).alias("depth"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return state.select("node", F.col("anc").alias("root"), "depth")

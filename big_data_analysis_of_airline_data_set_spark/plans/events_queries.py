@@ -832,7 +832,72 @@ FROM grid g LEFT JOIN obs o ON g.series = o.series AND g.bucket = o.bucket
 """
 
 
+def q_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Islands-and-gaps: per user, maximal runs of CONSECUTIVE active
+    days (the retention/engagement streak metric). The classic
+    constant-group trick — day − row_number() over distinct active
+    days is constant within a consecutive run — turns streak detection
+    into two windows + a groupBy, no self-join, no iteration. Output:
+    per user, number of streaks, longest streak, and the longest
+    streak's start day (ties → earliest)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window as W
+
+    ev = _events(spark, sf_dir)
+    days = ev.select(
+        "user_id", F.to_date("ts").alias("day")
+    ).distinct()
+    rn = F.row_number().over(W.partitionBy("user_id").orderBy("day"))
+    grouped = days.withColumn("grp", F.date_sub("day", rn))
+    streaks = grouped.groupBy("user_id", "grp").agg(
+        F.count(F.lit(1)).cast("long").alias("len"),
+        F.min("day").alias("start_day"),
+    )
+    # single-integer tiebreak key (DuckDB arg_min takes no struct):
+    # longest first, then earliest start — epoch-day < 100000 for any
+    # plausible date, streak len ≤ days in range
+    key = (-F.col("len")) * 100000 + F.datediff(
+        "start_day", F.lit("1970-01-01").cast("date")
+    )
+    return streaks.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_streaks"),
+        F.max("len").alias("longest_streak"),
+        F.date_format(F.min_by("start_day", key), "yyyy-MM-dd").alias(
+            "longest_start"
+        ),
+    )
+
+
+_STREAKS_ORACLE = """
+WITH days AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+), grouped AS (
+  SELECT user_id, day,
+         day - CAST(row_number() OVER (
+             PARTITION BY user_id ORDER BY day) AS INTEGER) AS grp
+  FROM days
+), streaks AS (
+  SELECT user_id, grp, CAST(count(*) AS BIGINT) AS len,
+         min(day) AS start_day
+  FROM grouped GROUP BY user_id, grp
+)
+SELECT user_id,
+       CAST(count(*) AS BIGINT) AS n_streaks,
+       max(len) AS longest_streak,
+       strftime(arg_min(start_day,
+                        (-len) * 100000
+                        + (start_day - DATE '1970-01-01')), '%Y-%m-%d')
+         AS longest_start
+FROM streaks GROUP BY user_id
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "events_streaks": QuerySpec(
+        "events_streaks", q_streaks, _STREAKS_ORACLE,
+        "islands-and-gaps consecutive-day streaks per user (constant-"
+        "group window trick, no self-join)",
+    ),
     "events_resample_ffill": QuerySpec(
         "events_resample_ffill", q_resample_ffill, _RESAMPLE_FFILL_ORACLE,
         "hourly time-grid resample + forward fill over user-band series"

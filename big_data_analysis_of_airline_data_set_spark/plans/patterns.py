@@ -639,6 +639,42 @@ FROM est JOIN ex USING ("group")
 """
 
 
+# ------------------------- hierarchy flatten -------------------------
+
+
+def q_graph_hierarchy_flatten(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parent-pointer hierarchy flatten by pointer doubling
+    (operators/graph.py:flatten_hierarchy): the supplier keys form a
+    binary-heap tree (parent = (k−1) div 2, root 0 — a synthesized but
+    arbitrarily-deep hierarchy), flattened to (node, root, depth) in
+    O(log depth) self-join rounds. The oracle walks the SAME forest
+    with a recursive CTE — the depth of every node and the single root
+    are value-checked, so a wrong hop-count addition or a pointer that
+    skips a level fails the hash."""
+    from ..operators.graph import flatten_hierarchy
+
+    s = _t(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("node"),
+        F.when(
+            F.col("s_suppkey") > 0, F.expr("(s_suppkey - 1) div 2")
+        ).alias("parent"),
+    )
+    return flatten_hierarchy(s, max_depth=64)
+
+
+_HIERARCHY_ORACLE = """
+WITH RECURSIVE r(node, root, depth) AS (
+  SELECT s_suppkey, s_suppkey, CAST(0 AS BIGINT)
+  FROM supplier WHERE s_suppkey = 0
+  UNION ALL
+  SELECT s.s_suppkey, r.root, r.depth + 1
+  FROM supplier s JOIN r ON (s.s_suppkey - 1) // 2 = r.node
+  WHERE s.s_suppkey > 0
+)
+SELECT node, root, depth FROM r
+"""
+
+
 # -------------------- KMV join-cardinality estimation --------------------
 
 _KMVJ_K = 96
@@ -1242,6 +1278,12 @@ QUERIES: dict[str, QuerySpec] = {
         "incremental_mv_merge", q_incremental_mv_merge, _MV_MERGE_ORACLE,
         "algebraic aggregate-state merge (MV maintenance): merged"
         " partials proven == full recompute",
+    ),
+    "graph_hierarchy_flatten": QuerySpec(
+        "graph_hierarchy_flatten", q_graph_hierarchy_flatten,
+        _HIERARCHY_ORACLE,
+        "pointer-doubling hierarchy flatten (O(log depth) rounds),"
+        " recursive-CTE oracle",
     ),
     "sketch_kmv_join_cardinality": QuerySpec(
         "sketch_kmv_join_cardinality", q_kmv_join_cardinality,

@@ -140,3 +140,31 @@ def test_triangle_counts_triangle_free(spark):
     # even cycle: 1-2-3-4-1 has no triangles
     df = spark.createDataFrame([(1, 2), (2, 3), (3, 4), (1, 4)], "u long, v long")
     assert triangle_counts(df).count() == 0
+
+
+def test_flatten_hierarchy_pointer_doubling(spark):
+    from big_data_analysis_of_airline_data_set_spark.operators.graph import (
+        flatten_hierarchy,
+    )
+
+    # two trees: 1←2←3←4 (chain, root 1) and 10 alone
+    rows = [(1, None), (2, 1), (3, 2), (4, 3), (10, None)]
+    df = spark.createDataFrame(rows, "node long, parent long")
+    got = {r.node: (r.root, r.depth) for r in flatten_hierarchy(df).collect()}
+    assert got == {
+        1: (1, 0), 2: (1, 1), 3: (1, 2), 4: (1, 3), 10: (10, 0),
+    }
+
+
+def test_flatten_hierarchy_deep_chain_log_rounds(spark):
+    from big_data_analysis_of_airline_data_set_spark.operators.graph import (
+        flatten_hierarchy,
+    )
+
+    # 33-deep chain needs 6 doubling rounds (2^6 = 64 ≥ 33); the
+    # default max_depth=64 must resolve it fully
+    rows = [(0, None)] + [(i, i - 1) for i in range(1, 34)]
+    df = spark.createDataFrame(rows, "node long, parent long")
+    got = {r.node: (r.root, r.depth) for r in flatten_hierarchy(df).collect()}
+    assert got[33] == (0, 33)
+    assert all(got[i] == (0, i) for i in range(34))
