@@ -150,6 +150,8 @@ R5_OPS = [
     "events_upsert_sink_stream",
     "ml_target_encoding",
     "stats_ab_test",
+    "events_streaks",
+    "graph_hierarchy_flatten",
 ]
 
 # Like ml_quick_fit: 3 TVS LR fits (full/uni/var feature sets) timed
