@@ -41,6 +41,10 @@ def chunk_documents(
     context; ``stride`` == ``chunk_size`` gives disjoint blocks."""
     if not 0 < stride <= chunk_size:
         raise ValueError(f"need 0 < stride <= chunk_size, got {stride}/{chunk_size}")
+    # NULL text yields NO chunks on both engines: without the filter,
+    # Spark's greatest(NULL-last_k, 0) emits a garbage chunk-0 row
+    # while SQL generate_series(0, NULL) emits none (review finding)
+    df = df.filter(F.col(text_col).isNotNull())
     toks: Column = tokens_col(F.col(text_col))
     n = F.size(toks)
     # k = 0 .. ceil(n/stride) - 1  ==  floor((n-1)/stride), n ≥ 1

@@ -32,14 +32,16 @@ def target_encode_loo(
     label_col: str,
     round_dp: int = 6,
 ) -> DataFrame:
-    """Input rows + ``target_enc`` column (NULL for singletons).
-    ``label_col`` must be integer-valued (0/1 labels or counts) so the
-    category sums are exact."""
+    """Input rows + ``target_enc`` column (NULL for singletons AND for
+    NULL categories — a LEFT join keeps every input row; an inner join
+    would silently drop NULL-category rows because NULL never
+    equi-joins). ``label_col`` must be integer-valued (0/1 labels or
+    counts) so the category sums are exact."""
     sums = df.groupBy(category_col).agg(
         F.count(F.lit(1)).cast("long").alias("_n_cat"),
         F.sum(F.col(label_col).cast("long")).alias("_sum_cat"),
-    )
-    out = df.join(F.broadcast(sums), category_col)
+    ).filter(F.col(category_col).isNotNull())
+    out = df.join(F.broadcast(sums), [category_col], "left")
     enc = (
         (F.col("_sum_cat") - F.col(label_col).cast("long")).cast("double")
         / (F.col("_n_cat") - 1).cast("double")

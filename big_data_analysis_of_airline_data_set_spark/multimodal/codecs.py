@@ -193,7 +193,10 @@ def decode_png(payload: bytes) -> np.ndarray:
         (length,) = struct.unpack_from(">I", buf, pos)
         ctype = buf[pos + 4 : pos + 8]
         data = buf[pos + 8 : pos + 8 + length]
-        if len(data) < length:
+        # both the data AND its 4 CRC bytes must be present — a cut
+        # between them would otherwise surface as a raw struct.error
+        # instead of the documented loud ValueError
+        if len(data) < length or len(buf) < pos + 12 + length:
             raise ValueError("PNG: truncated chunk")
         (crc,) = struct.unpack_from(">I", buf, pos + 8 + length)
         if zlib.crc32(ctype + data) & 0xFFFFFFFF != crc:

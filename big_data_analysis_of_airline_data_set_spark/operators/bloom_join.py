@@ -72,14 +72,33 @@ def _positions(col: F.Column, *, m_bits: int, k: int) -> F.Column:
     )
 
 
-def build_bloom_words(
-    keys: DataFrame, key_col: str, *, m_bits: int = 1 << 16, k: int = 7
-) -> list[int]:
-    """Distributed Bloom build → dense little list of m/64 words.
+def sized_m_bits(n_keys: int, *, bits_per_key: int = 10) -> int:
+    """Power-of-two filter size giving ≥ ``bits_per_key`` bits per key
+    (10 bits/key ≈ 1% false positives at k=7). Sizing from the actual
+    key count matters: a fixed m silently saturates as the key set
+    grows — at 2.4 bits/key the fill fraction passes 0.9 and the FP
+    rate is ~67%, i.e. the filter stops filtering while every probe
+    still pays k hashes."""
+    m = 1 << 10
+    while m < n_keys * bits_per_key:
+        m <<= 1
+    return m
 
-    Shuffle volume: ≤ m/64 rows (the word table), independent of
-    |keys|. The returned list is the broadcastable artifact — persist
-    it next to the dataset it summarizes and reuse across queries."""
+
+def build_bloom_words(
+    keys: DataFrame, key_col: str, *, m_bits: int | None = None, k: int = 7
+) -> tuple[list[int], int]:
+    """Distributed Bloom build → (dense list of m/64 words, m_bits).
+
+    ``m_bits=None`` (default) sizes the filter from a count of the key
+    set (one cheap aggregate on the SMALL side at build time) via
+    ``sized_m_bits`` — pass an explicit power of two only when the
+    artifact must match an existing layout. Shuffle volume: ≤ m/64
+    rows (the word table), independent of |keys|. The returned words
+    are the broadcastable artifact — persist them (with m) next to the
+    dataset they summarize and reuse across queries."""
+    if m_bits is None:
+        m_bits = sized_m_bits(keys.count())
     n_words = m_bits // 64
     words = (
         keys.select(F.explode(_positions(F.col(key_col), m_bits=m_bits, k=k)).alias("pos"))
@@ -94,7 +113,7 @@ def build_bloom_words(
     dense = [0] * n_words
     for r in words:
         dense[int(r.w)] = int(r.word)
-    return dense
+    return dense, m_bits
 
 
 def bloom_might_contain(
@@ -120,21 +139,22 @@ def bloom_prefiltered_join(
     on: str,
     *,
     how: str = "inner",
-    m_bits: int = 1 << 16,
+    m_bits: int | None = None,
     k: int = 7,
 ) -> DataFrame:
     """``big ⋈ small`` on ``on`` with a Bloom pre-filter of small's key
     set applied to ``big`` before the shuffle. Result is EXACTLY the
     plain join (no false negatives; false positives are eliminated by
-    the real join) — only the shuffle volume changes.
+    the real join) — only the shuffle volume changes. The filter is
+    sized from the key count by default (see ``sized_m_bits``).
 
     ``how`` supports 'inner' and 'left_semi' (the shapes where rows of
     ``big`` without a match are dropped anyway; outer joins must keep
     non-matching rows and cannot be pre-filtered this way)."""
     if how not in ("inner", "left_semi"):
         raise ValueError(f"bloom_prefiltered_join: unsupported how={how!r}")
-    words = build_bloom_words(small.select(on), on, m_bits=m_bits, k=k)
+    words, m = build_bloom_words(small.select(on), on, m_bits=m_bits, k=k)
     pruned = big.filter(
-        bloom_might_contain(F.col(on), words, m_bits=m_bits, k=k)
+        bloom_might_contain(F.col(on), words, m_bits=m, k=k)
     )
     return pruned.join(small, on, how)

@@ -335,7 +335,11 @@ def flatten_hierarchy(
 
     Nodes whose ancestor chain exceeds max_depth keep a non-root
     ancestor (detectable: join result's root has a parent); raise
-    max_depth for deeper forests."""
+    max_depth for deeper forests. A parent id ABSENT from the input
+    (a filtered sub-org, a dangling pointer) is treated as a terminal:
+    the chain stops there via the LEFT self-join, so the subtree
+    survives with root = the missing id — detectable by joining roots
+    back against the node set, never silent row loss."""
     import math
 
     state = nodes.select(
@@ -353,11 +357,13 @@ def flatten_hierarchy(
             F.col("depth").alias("_d2"),
         )
         state = (
-            state.join(s2, state["anc"] == s2["_n2"])
+            state.join(s2, state["anc"] == s2["_n2"], "left")
             .select(
                 "node",
-                F.col("_a2").alias("anc"),
-                (F.col("depth") + F.col("_d2")).alias("depth"),
+                F.coalesce(F.col("_a2"), F.col("anc")).alias("anc"),
+                (F.col("depth") + F.coalesce(F.col("_d2"), F.lit(0))).alias(
+                    "depth"
+                ),
             )
             .localCheckpoint(eager=True)
         )

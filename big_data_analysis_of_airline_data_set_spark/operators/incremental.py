@@ -100,9 +100,17 @@ def snapshot_diff(
     n = new.select(key, *compare_cols)
     if check_unique:
         for side, df in (("old", o), ("new", n)):
-            total, distinct = df.agg(
-                F.count(F.lit(1)), F.count_distinct(F.col(key))
+            total, distinct, nulls = df.agg(
+                F.count(F.lit(1)),
+                F.count_distinct(F.col(key)),  # NULLs excluded by SQL
+                F.count(F.when(F.col(key).isNull(), 1)),
             ).first()
+            if nulls:
+                raise ValueError(
+                    f"snapshot_diff: {side} snapshot has {nulls} NULL "
+                    f"{key!r} keys — NULL never equi-joins, so those rows "
+                    "would misclassify as simultaneous added+removed"
+                )
             if total != distinct:
                 raise ValueError(
                     f"snapshot_diff: {side} snapshot has duplicate keys "

@@ -113,6 +113,13 @@ def resample_ffill(
         )
         .groupBy("series", "bucket")
         .agg(F.max("_v").alias("v"))
+        # obs feeds BOTH the bounds agg and the grid join; a lazy
+        # localCheckpoint computes the events scan + bucket agg ONCE at
+        # first materialization and lets the ContextCleaner free the
+        # cached blocks when the frame is dropped — no caller-release
+        # contract needed (review finding: un-cached, the raw scan ran
+        # twice per action)
+        .localCheckpoint(eager=False)
     )
     bounds = obs.groupBy("series").agg(
         F.min("bucket").alias("lo"), F.max("bucket").alias("hi")

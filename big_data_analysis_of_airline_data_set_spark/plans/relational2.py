@@ -358,12 +358,14 @@ JOIN nation ON c_nationkey = n_nationkey GROUP BY n_name
 # at 100 TB it's written once next to the dataset and reused by every
 # query, exactly like the IVF index (plans/content.py:_ivf_index). The
 # cache reproduces that split per (session, sf_dir); the filter is a
-# ~1 KB list of longs, so no eviction hygiene is needed beyond the LRU.
-_BLOOM_M, _BLOOM_K = 1 << 16, 7
-_BLOOM_CACHE: "BoundedCache[tuple, list]" = None  # set below
+# small list of longs (auto-sized ~10 bits/key — a fixed m saturated
+# at sf0.1's 27k keys with a ~67% FP rate, review finding), so no
+# eviction hygiene is needed beyond the LRU.
+_BLOOM_K = 7
+_BLOOM_CACHE: "BoundedCache[tuple, tuple]" = None  # set below
 
 
-def _bloom_words(spark: SparkSession, sf_dir: str) -> list:
+def _bloom_words(spark: SparkSession, sf_dir: str) -> tuple:
     global _BLOOM_CACHE
     from ..caching import BoundedCache
     from ..operators.bloom_join import build_bloom_words
@@ -371,14 +373,14 @@ def _bloom_words(spark: SparkSession, sf_dir: str) -> list:
     if _BLOOM_CACHE is None:
         _BLOOM_CACHE = BoundedCache(8)
     key = (spark.sparkContext.applicationId, sf_dir)
-    words = _BLOOM_CACHE.get(key)
-    if words is None:
+    hit = _BLOOM_CACHE.get(key)
+    if hit is None:
         urgent = _t(spark, sf_dir, "orders").filter(
             F.col("o_orderpriority") == "1-URGENT"
         ).select(F.col("o_orderkey").alias("okey"))
-        words = build_bloom_words(urgent, "okey", m_bits=_BLOOM_M, k=_BLOOM_K)
-        _BLOOM_CACHE.put(key, words)
-    return words
+        hit = build_bloom_words(urgent, "okey", k=_BLOOM_K)
+        _BLOOM_CACHE.put(key, hit)
+    return hit
 
 
 def q_join_bloom_prefiltered(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -394,7 +396,7 @@ def q_join_bloom_prefiltered(spark: SparkSession, sf_dir: str) -> DataFrame:
     query work, same contract as the IVF index."""
     from ..operators.bloom_join import bloom_might_contain
 
-    words = _bloom_words(spark, sf_dir)
+    words, m_bits = _bloom_words(spark, sf_dir)
     li = _t(spark, sf_dir, "lineitem").select(
         F.col("l_orderkey").alias("okey"), "l_extendedprice"
     )
@@ -402,7 +404,7 @@ def q_join_bloom_prefiltered(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_orderpriority") == "1-URGENT"
     ).select(F.col("o_orderkey").alias("okey"), "o_orderpriority")
     pruned = li.filter(
-        bloom_might_contain(F.col("okey"), words, m_bits=_BLOOM_M, k=_BLOOM_K)
+        bloom_might_contain(F.col("okey"), words, m_bits=m_bits, k=_BLOOM_K)
     )
     joined = pruned.join(urgent, "okey")
     return joined.groupBy("o_orderpriority").agg(

@@ -100,9 +100,12 @@ def ks_two_sample(
     from pyspark.sql.window import Window as W
 
     g = F.col(group_col)
-    pooled = df.filter(g.isin([group_a, group_b])).select(
-        g.alias("_g"), F.col(value_col).alias("_v")
-    )
+    # NULL values are excluded, not 'observations': Spark's window
+    # ORDER BY sorts NULLs first while DuckDB sorts them last, so a
+    # NULL row would both distort the CDFs and break oracle parity
+    pooled = df.filter(
+        g.isin([group_a, group_b]) & F.col(value_col).isNotNull()
+    ).select(g.alias("_g"), F.col(value_col).alias("_v"))
     w = W.orderBy("_v").rangeBetween(W.unboundedPreceding, 0)
     ca = F.sum(F.when(F.col("_g") == group_a, 1).otherwise(0)).over(w)
     cb = F.sum(F.when(F.col("_g") == group_b, 1).otherwise(0)).over(w)
@@ -142,9 +145,11 @@ def ab_proportion_ztest(
     round_dp: int = 6,
 ) -> DataFrame:
     """Two-proportion z-test over experiment units — the A/B readout:
-    per variant (exactly two expected, 'a' < 'b' lexicographically),
-    unit-level conversion (a unit converts if ANY of its rows has
-    ``conversion_col`` true), pooled-variance z statistic
+    per variant (exactly two expected, 'a' < 'b' lexicographically; a
+    ONE-variant input yields NULL b-side columns and NULL z, never a
+    fake z=0 'no effect'), unit-level conversion (a unit converts if
+    ANY of its rows has ``conversion_col`` true), pooled-variance z
+    statistic
 
         z = (p_a − p_b) / sqrt(p̂(1−p̂)(1/n_a + 1/n_b))
 
@@ -184,14 +189,18 @@ def ab_proportion_ztest(
     z = (pa - pb) / F.nullif(
         F.sqrt(pool * (1 - pool) * (1 / na + 1 / nb)), F.lit(0.0)
     )
+    # one-armed 'experiments' (bad variant expression, unlaunched B)
+    # must not read as z=0 'no effect': when min_by == max_by picked
+    # the same variant, NULL out the B side and the statistic
+    two_armed = F.col("variant_a") != F.col("variant_b")
     return wide.select(
         "variant_a",
-        "variant_b",
+        F.when(two_armed, F.col("variant_b")).alias("variant_b"),
         F.col("_a.n_units").alias("n_a"),
         F.col("_a.n_converted").alias("conv_a"),
-        F.col("_b.n_units").alias("n_b"),
-        F.col("_b.n_converted").alias("conv_b"),
+        F.when(two_armed, F.col("_b.n_units")).alias("n_b"),
+        F.when(two_armed, F.col("_b.n_converted")).alias("conv_b"),
         F.round(pa, round_dp).alias("rate_a"),
-        F.round(pb, round_dp).alias("rate_b"),
-        F.round(z, round_dp).alias("z_stat"),
+        F.when(two_armed, F.round(pb, round_dp)).alias("rate_b"),
+        F.when(two_armed, F.round(z, round_dp)).alias("z_stat"),
     )

@@ -365,6 +365,11 @@ def upsert_latest_state(existing: DataFrame | None, delta: DataFrame) -> DataFra
     )
 
 
+_UPSERT_DIRS: list[str] = []
+_UPSERT_DIRS_MAX = 8
+_UPSERT_CLEANUP_REGISTERED = False
+
+
 def run_upsert_sink_stream_available_now(
     spark: SparkSession,
     events_dir: str,
@@ -387,10 +392,29 @@ def run_upsert_sink_stream_available_now(
     Returns the final state read back from parquet. Scale notes: state
     is user-keyed (dimension-sized); at 100 TB stream volume the merge
     join is state-sized per batch, and a real deployment would use a
-    MERGE-capable table format instead of the generation swap."""
+    MERGE-capable table format instead of the generation swap.
+
+    Temp-dir hygiene (review finding): the state base dirs are a
+    bounded registry cleaned at interpreter exit — each call's result
+    may still be lazily read, so only the OLDEST bases are removed
+    once the registry exceeds its cap — and the checkpoint dir, never
+    read again after awaitTermination, is removed immediately."""
     import shutil
 
+    global _UPSERT_CLEANUP_REGISTERED
+    import atexit
+
+    if not _UPSERT_CLEANUP_REGISTERED:
+        def _cleanup() -> None:
+            while _UPSERT_DIRS:
+                shutil.rmtree(_UPSERT_DIRS.pop(), ignore_errors=True)
+
+        atexit.register(_cleanup)
+        _UPSERT_CLEANUP_REGISTERED = True
+    while len(_UPSERT_DIRS) >= _UPSERT_DIRS_MAX:
+        shutil.rmtree(_UPSERT_DIRS.pop(0), ignore_errors=True)
     base = tempfile.mkdtemp(prefix=f"upsert-{query_name}-")
+    _UPSERT_DIRS.append(base)
     state: dict[str, str | None] = {"dir": None}
 
     def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
@@ -416,6 +440,7 @@ def run_upsert_sink_stream_available_now(
         .start()
     )
     q.awaitTermination()
+    shutil.rmtree(checkpoint, ignore_errors=True)
     if state["dir"] is None:  # empty source → empty state, right schema
         return spark.createDataFrame(
             [], "user_id long, ts timestamp, event_id long, value double"

@@ -219,9 +219,10 @@ def test_bloom_filter_no_false_negatives_and_prunes(spark):
     )
 
     keys = spark.createDataFrame([(i * 7,) for i in range(200)], "k long")
-    words = build_bloom_words(keys, "k", m_bits=1 << 14, k=7)
+    words, m = build_bloom_words(keys, "k", k=7)
+    assert m >= 200 * 10  # auto-sized: ≥10 bits/key
     probe = spark.range(0, 3000).select(F.col("id").alias("k"))
-    hit = probe.filter(bloom_might_contain(F.col("k"), words, m_bits=1 << 14, k=7))
+    hit = probe.filter(bloom_might_contain(F.col("k"), words, m_bits=m, k=7))
     hit_keys = {r.k for r in hit.collect()}
     member = {i * 7 for i in range(200)}
     # no false negatives: every member key passes
@@ -317,3 +318,73 @@ def test_resample_ffill_fills_gaps_hand_checked(spark):
     assert out[(1, 3)] == (7.0, False)
     assert out[(2, 1)] == (5.0, False)
     assert len(out) == 5                 # series 2 grid is one bucket
+
+
+# ------------------------- review-fix regressions (r5) -------------------------
+
+
+def test_target_encoding_null_category_keeps_row(spark):
+    from big_data_analysis_of_airline_data_set_spark.ml.encoding import (
+        target_encode_loo,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a", 1), (2, "a", 0), (3, None, 1)], "id long, cat string, y int"
+    )
+    out = {r.id: r.target_enc
+           for r in target_encode_loo(df, category_col="cat", label_col="y").collect()}
+    assert set(out) == {1, 2, 3}      # NULL-category row survives
+    assert out[3] is None
+
+
+def test_flatten_hierarchy_missing_parent_keeps_subtree(spark):
+    from big_data_analysis_of_airline_data_set_spark.operators.graph import (
+        flatten_hierarchy,
+    )
+
+    # node 1 (the parent of 2) is absent: 2 and its child 3 must
+    # survive, terminating at the missing id (root=1, detectable)
+    rows = [(2, 1), (3, 2), (9, None)]
+    df = spark.createDataFrame(rows, "node long, parent long")
+    got = {r.node: (r.root, r.depth) for r in flatten_hierarchy(df).collect()}
+    assert got[2] == (1, 1) and got[3] == (1, 2) and got[9] == (9, 0)
+
+
+def test_snapshot_diff_null_key_guard(spark):
+    from big_data_analysis_of_airline_data_set_spark.operators.incremental import (
+        snapshot_diff,
+    )
+
+    old = spark.createDataFrame([(1, "a"), (None, "b")], "k long, v string")
+    new = spark.createDataFrame([(1, "a")], "k long, v string")
+    with pytest.raises(ValueError, match="NULL"):
+        snapshot_diff(old, new, key="k", compare_cols=["v"], check_unique=True)
+
+
+def test_ab_ztest_one_variant_yields_nulls_not_zero(spark):
+    from big_data_analysis_of_airline_data_set_spark.stats.regression import (
+        ab_proportion_ztest,
+    )
+
+    df = spark.createDataFrame([(1, True), (2, False)], "user long, conv boolean")
+    r = ab_proportion_ztest(
+        df,
+        unit_col="user",
+        variant_col=F.lit("A"),          # broken experiment: one arm
+        conversion_col=F.col("conv"),
+    ).first()
+    assert r.variant_b is None and r.z_stat is None and r.n_b is None
+
+
+def test_decode_png_truncated_before_crc_raises_valueerror(spark):
+    import numpy as np
+
+    from big_data_analysis_of_airline_data_set_spark.multimodal.codecs import (
+        decode_png,
+        encode_png,
+    )
+
+    blob = encode_png((np.arange(2 * 2 * 3) % 256).astype(np.uint8).reshape(2, 2, 3))
+    # cut exactly between the IEND chunk's (empty) data and its CRC
+    with pytest.raises(ValueError, match="truncated"):
+        decode_png(blob[:-4])
