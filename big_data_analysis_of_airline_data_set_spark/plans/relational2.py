@@ -394,7 +394,7 @@ def q_join_bloom_prefiltered(spark: SparkSession, sf_dir: str) -> DataFrame:
     pinned in tests/test_operators_extra.py. The filter itself comes
     from the per-session build cache (_bloom_words) — build is not
     query work, same contract as the IVF index."""
-    from ..operators.bloom_join import bloom_might_contain
+    from ..operators.bloom_join import apply_bloom_filter
 
     words, m_bits = _bloom_words(spark, sf_dir)
     li = _t(spark, sf_dir, "lineitem").select(
@@ -403,9 +403,7 @@ def q_join_bloom_prefiltered(spark: SparkSession, sf_dir: str) -> DataFrame:
     urgent = _t(spark, sf_dir, "orders").filter(
         F.col("o_orderpriority") == "1-URGENT"
     ).select(F.col("o_orderkey").alias("okey"), "o_orderpriority")
-    pruned = li.filter(
-        bloom_might_contain(F.col("okey"), words, m_bits=m_bits, k=_BLOOM_K)
-    )
+    pruned = apply_bloom_filter(li, "okey", words, m_bits=m_bits, k=_BLOOM_K)
     joined = pruned.join(urgent, "okey")
     return joined.groupBy("o_orderpriority").agg(
         F.count(F.lit(1)).alias("n_items"),
