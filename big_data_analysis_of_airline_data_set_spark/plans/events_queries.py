@@ -892,7 +892,61 @@ FROM streaks GROUP BY user_id
 """
 
 
+def q_events_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average value per user — the telemetry mean that
+    irregular sampling demands (an event's value holds until the next
+    event, so it weighs by its holding time, not by 1). Weights are
+    integer SECONDS from lead(ts) (the last event has no holding
+    interval and is excluded — stated, and replayed by the oracle);
+    value·dt accumulates in DECIMAL (the proven tumbling_counts
+    discipline), one division at the end. One window + one aggregate;
+    the window key is the series key, so no global sort."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window as W
+
+    ev = _events(spark, sf_dir)
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    dt = (
+        F.unix_timestamp(F.lead("ts").over(w)) - F.unix_timestamp("ts")
+    ).alias("dt")
+    rows = ev.select(
+        "user_id", F.col("value").cast("decimal(18,2)").alias("v"), dt
+    ).filter(F.col("dt").isNotNull())
+    return rows.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_intervals"),
+        F.sum("dt").cast("long").alias("total_seconds"),
+        (
+            F.sum(F.col("v") * F.col("dt")).cast("double") / F.sum("dt")
+        ).alias("twap"),
+    )
+
+
+_TWAP_ORACLE = """
+WITH r AS (
+  SELECT user_id, CAST(value AS DECIMAL(18,2)) AS v,
+         -- floor each endpoint to whole seconds BEFORE subtracting —
+         -- Spark's unix_timestamp truncates per-timestamp, and
+         -- floor(a)-floor(b) != floor(a-b) on fractional seconds
+         CAST(floor(date_part('epoch', lead(ts) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id))) AS BIGINT)
+           - CAST(floor(date_part('epoch', ts)) AS BIGINT) AS dt
+  FROM events
+)
+SELECT user_id,
+       CAST(count(*) AS BIGINT) AS n_intervals,
+       CAST(sum(dt) AS BIGINT) AS total_seconds,
+       CAST(sum(v * dt) AS DOUBLE) / sum(dt) AS twap
+FROM r WHERE dt IS NOT NULL
+GROUP BY user_id
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "events_twap": QuerySpec(
+        "events_twap", q_events_twap, _TWAP_ORACLE,
+        "time-weighted average per user (holding-time weights, exact"
+        " decimal accumulation)",
+    ),
     "events_streaks": QuerySpec(
         "events_streaks", q_streaks, _STREAKS_ORACLE,
         "islands-and-gaps consecutive-day streaks per user (constant-"

@@ -423,6 +423,48 @@ GROUP BY o_orderpriority
 """
 
 
+def q_union_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U1 extension the reference's positional union cannot express:
+    by-name union across SCHEMA GENERATIONS (operators/transforms.py
+    union_by_name, allowMissingColumns=True) — the v2 feed adds a
+    column, legacy rows take NULL, and the aggregate proves no row was
+    lost or misaligned in the widening. DuckDB replays it with
+    UNION ALL BY NAME."""
+    from ..operators.transforms import union_by_name
+
+    o = _t(spark, sf_dir, "orders")
+    v1 = o.filter(F.year("o_orderdate") < 1998).select(
+        "o_orderkey", "o_totalprice"
+    )
+    v2 = o.filter(F.year("o_orderdate") >= 1998).select(
+        "o_orderkey", "o_totalprice", "o_orderpriority"
+    )
+    u = union_by_name([v1, v2], allow_missing=True)
+    return u.groupBy(
+        F.coalesce("o_orderpriority", F.lit("LEGACY")).alias("priority")
+    ).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("revenue"),
+    )
+
+
+_UNION_EVOLUTION_ORACLE = """
+WITH u AS (
+  SELECT o_orderkey, o_totalprice
+  FROM orders WHERE year(o_orderdate) < 1998
+  UNION ALL BY NAME
+  SELECT o_orderkey, o_totalprice, o_orderpriority
+  FROM orders WHERE year(o_orderdate) >= 1998
+)
+SELECT coalesce(o_orderpriority, 'LEGACY') AS priority,
+       count(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+FROM u GROUP BY 1
+"""
+
+
 def q_array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.8 array family: collect_list → sort_array → array_join /
     contains / size, plus higher-order filter — grouped per order.
@@ -497,6 +539,12 @@ QUERIES: dict[str, QuerySpec] = {
     "salted_join_agg": QuerySpec(
         "salted_join_agg", q_salted_join_agg, _SALTED_ORACLE,
         "skew-salted join, result-equal to plain join",
+    ),
+    "union_schema_evolution": QuerySpec(
+        "union_schema_evolution", q_union_schema_evolution,
+        _UNION_EVOLUTION_ORACLE,
+        "by-name union across schema generations (added column,"
+        " legacy rows NULL) — UNION ALL BY NAME oracle",
     ),
     "join_bloom_prefiltered": QuerySpec(
         "join_bloom_prefiltered", q_join_bloom_prefiltered, _BLOOM_JOIN_ORACLE,
