@@ -152,6 +152,8 @@ R5_OPS = [
     "stats_ab_test",
     "events_streaks",
     "graph_hierarchy_flatten",
+    "union_schema_evolution",
+    "events_twap",
 ]
 
 # Like ml_quick_fit: 3 TVS LR fits (full/uni/var feature sets) timed

@@ -76,9 +76,11 @@ _CORRECTNESS_WINDOW = [
     "stats_ks_drift",
     "sketch_kmv_join_cardinality",
     "events_upsert_sink_stream",
-    # (ml_target_encoding and stats_ab_test landed after the window
-    # froze at 50 — both sf0.001/0.01/0.1-verified this round; rotate
-    # them in next round per the never-checked-first policy)
+    # (the late-round-5 wave — ml_target_encoding, stats_ab_test,
+    # events_streaks, graph_hierarchy_flatten, union_schema_evolution,
+    # events_twap — landed after the window froze at 50; every one is
+    # sf0.001/0.01/0.1 oracle-verified this round; rotate them in next
+    # round per the never-checked-first policy)
     # (c) r1-era re-proof — latest driver row is round 1, three
     # testdata generations ago. Ordered roughly by substance.
     "tpch_q1_style",
