@@ -154,6 +154,7 @@ R5_OPS = [
     "graph_hierarchy_flatten",
     "union_schema_evolution",
     "events_twap",
+    "events_journey_paths",
 ]
 
 # Like ml_quick_fit: 3 TVS LR fits (full/uni/var feature sets) timed

@@ -941,7 +941,64 @@ GROUP BY user_id
 """
 
 
+_JOURNEY_PREFIX = 8
+
+
+def q_journey_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top user-journey prefixes: each user's first 8 events (by ts,
+    event_id) joined into an ordered path string, then counted across
+    users — the product-analytics 'what do users do first' rollup.
+    Ordered-collect semantics via sort_array over (ts, event_id, type)
+    structs (struct sort is lexicographic on field order, so the path
+    order is total and engine-replayable via string_agg ORDER BY)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window as W
+
+    ev = _events(spark, sf_dir)
+    rn = F.row_number().over(W.partitionBy("user_id").orderBy("ts", "event_id"))
+    first_k = ev.select("user_id", "ts", "event_id", "event_type").withColumn(
+        "rn", rn
+    ).filter(F.col("rn") <= _JOURNEY_PREFIX)
+    paths = first_k.groupBy("user_id").agg(
+        F.concat_ws(
+            ">",
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("ts", "event_id", "event_type"))
+                ),
+                lambda x: x["event_type"],
+            ),
+        ).alias("path")
+    )
+    return paths.groupBy("path").agg(
+        F.count(F.lit(1)).cast("long").alias("n_users")
+    )
+
+
+_JOURNEY_ORACLE = f"""
+WITH ranked AS (
+  SELECT user_id, event_type,
+         row_number() OVER (
+           PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+         ts, event_id
+  FROM events
+), paths AS (
+  SELECT user_id,
+         string_agg(event_type, '>' ORDER BY ts, event_id) AS path
+  FROM ranked WHERE rn <= {_JOURNEY_PREFIX}
+  GROUP BY user_id
+)
+SELECT path, CAST(count(*) AS BIGINT) AS n_users
+FROM paths GROUP BY path
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "events_journey_paths": QuerySpec(
+        "events_journey_paths", q_journey_paths, _JOURNEY_ORACLE,
+        "counted 8-event user-journey prefixes (ordered collect,"
+        " total order via (ts, event_id))",
+    ),
     "events_twap": QuerySpec(
         "events_twap", q_events_twap, _TWAP_ORACLE,
         "time-weighted average per user (holding-time weights, exact"
