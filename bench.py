@@ -155,6 +155,7 @@ R5_OPS = [
     "union_schema_evolution",
     "events_twap",
     "events_journey_paths",
+    "events_capped_sessions",
 ]
 
 # Like ml_quick_fit: 3 TVS LR fits (full/uni/var feature sets) timed

@@ -941,6 +941,84 @@ GROUP BY user_id
 """
 
 
+_CAP_GAP_MIN, _CAP_HOURS = 30, 2
+
+
+def q_capped_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization with BOTH rules production trackers apply: split
+    on inactivity gaps (≥30 min) AND cap session duration (2 h) — an
+    always-on device never emits a gap, so gap-only sessions
+    (events_session_window) grow without bound. Semantics: gap
+    boundaries first (window lag + cumulative sum — the standard
+    sessionizer), then each gap-session sub-splits on a fixed 2 h grid
+    anchored at its own start (floor((ts − start)/cap) — the
+    deterministic grid variant, stated: a re-anchoring splitter is
+    order-sequential and not SQL-replayable). Output: per user,
+    session count and the longest session's event count."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window as W
+
+    ev = _events(spark, sf_dir)
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag("ts").over(w)
+    is_new = (
+        prev.isNull()
+        | (F.unix_timestamp("ts") - F.unix_timestamp(prev) >= _CAP_GAP_MIN * 60)
+    ).cast("int")
+    sessioned = ev.select("user_id", "ts", "event_id").withColumn(
+        "gap_sess", F.sum(is_new).over(w)
+    )
+    ws = W.partitionBy("user_id", "gap_sess")
+    start = F.min("ts").over(ws)
+    capped = sessioned.withColumn(
+        "sub",
+        F.floor(
+            (F.unix_timestamp("ts") - F.unix_timestamp(start))
+            / (_CAP_HOURS * 3600)
+        ),
+    )
+    per_session = capped.groupBy("user_id", "gap_sess", "sub").agg(
+        F.count(F.lit(1)).alias("n_events")
+    )
+    return per_session.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_sessions"),
+        F.max("n_events").cast("long").alias("max_session_events"),
+    )
+
+
+_CAPPED_SESSIONS_ORACLE = f"""
+WITH lagged AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR CAST(floor(date_part('epoch', ts)) AS BIGINT)
+                   - CAST(floor(date_part('epoch', lag(ts) OVER w)) AS BIGINT)
+                   >= {_CAP_GAP_MIN * 60}
+              THEN 1 ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), sessioned AS (
+  SELECT user_id, ts,
+         sum(is_new) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id) AS gap_sess
+  FROM lagged
+), capped AS (
+  SELECT user_id, gap_sess,
+         floor((CAST(floor(date_part('epoch', ts)) AS BIGINT)
+                - CAST(floor(date_part('epoch',
+                    min(ts) OVER (PARTITION BY user_id, gap_sess)))
+                  AS BIGINT))
+               / {_CAP_HOURS * 3600}.0) AS sub
+  FROM sessioned
+), per_session AS (
+  SELECT user_id, gap_sess, sub, count(*) AS n_events
+  FROM capped GROUP BY 1, 2, 3
+)
+SELECT user_id, CAST(count(*) AS BIGINT) AS n_sessions,
+       CAST(max(n_events) AS BIGINT) AS max_session_events
+FROM per_session GROUP BY user_id
+"""
+
+
 _JOURNEY_PREFIX = 8
 
 
@@ -994,6 +1072,12 @@ FROM paths GROUP BY path
 
 
 QUERIES: dict[str, QuerySpec] = {
+    "events_capped_sessions": QuerySpec(
+        "events_capped_sessions", q_capped_sessions,
+        _CAPPED_SESSIONS_ORACLE,
+        "sessionization with gap split AND max-duration cap (grid"
+        " sub-split, deterministic)",
+    ),
     "events_journey_paths": QuerySpec(
         "events_journey_paths", q_journey_paths, _JOURNEY_ORACLE,
         "counted 8-event user-journey prefixes (ordered collect,"
