@@ -156,6 +156,7 @@ R5_OPS = [
     "events_twap",
     "events_journey_paths",
     "events_capped_sessions",
+    "events_cumulative_users",
 ]
 
 # Like ml_quick_fit: 3 TVS LR fits (full/uni/var feature sets) timed

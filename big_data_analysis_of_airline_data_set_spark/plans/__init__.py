@@ -78,7 +78,8 @@ _CORRECTNESS_WINDOW = [
     "events_upsert_sink_stream",
     # (the late-round-5 wave — ml_target_encoding, stats_ab_test,
     # events_streaks, graph_hierarchy_flatten, union_schema_evolution,
-    # events_twap, events_journey_paths, events_capped_sessions —
+    # events_twap, events_journey_paths, events_capped_sessions,
+    # events_cumulative_users —
     # landed after the window froze at 50; every one is
     # sf0.001/0.01/0.1 oracle-verified this round; rotate them in next
     # round per the never-checked-first policy)

@@ -941,6 +941,45 @@ GROUP BY user_id
 """
 
 
+def q_cumulative_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative unique users per day — the growth-curve metric. A
+    naive per-day COUNT(DISTINCT ... WHERE ts <= day) rescans the
+    history per day (quadratic); the scalable identity is
+    first-seen-day per user (one agg) → new users per day (one agg) →
+    running sum (one ordered window over day-sized rows)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window as W
+
+    ev = _events(spark, sf_dir)
+    first_seen = ev.groupBy("user_id").agg(
+        F.to_date(F.min("ts")).alias("day")
+    )
+    daily_new = first_seen.groupBy("day").agg(
+        F.count(F.lit(1)).cast("long").alias("new_users")
+    )
+    w = W.orderBy("day").rowsBetween(W.unboundedPreceding, 0)
+    return daily_new.select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        "new_users",
+        F.sum("new_users").over(w).cast("long").alias("cumulative_users"),
+    )
+
+
+_CUMULATIVE_USERS_ORACLE = """
+WITH first_seen AS (
+  SELECT user_id, CAST(min(ts) AS DATE) AS day FROM events GROUP BY user_id
+), daily AS (
+  SELECT day, CAST(count(*) AS BIGINT) AS new_users
+  FROM first_seen GROUP BY day
+)
+SELECT strftime(day, '%Y-%m-%d') AS day, new_users,
+       CAST(sum(new_users) OVER (
+         ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       AS BIGINT) AS cumulative_users
+FROM daily
+"""
+
+
 _CAP_GAP_MIN, _CAP_HOURS = 30, 2
 
 
@@ -1072,6 +1111,12 @@ FROM paths GROUP BY path
 
 
 QUERIES: dict[str, QuerySpec] = {
+    "events_cumulative_users": QuerySpec(
+        "events_cumulative_users", q_cumulative_users,
+        _CUMULATIVE_USERS_ORACLE,
+        "cumulative unique users per day (first-seen identity — no"
+        " per-day history rescan)",
+    ),
     "events_capped_sessions": QuerySpec(
         "events_capped_sessions", q_capped_sessions,
         _CAPPED_SESSIONS_ORACLE,
