@@ -12,9 +12,10 @@ alternating-star shape used at scale): every round each node takes the
 min of its own label and its neighbors' labels; converged when no
 label changes. Rounds = graph diameter ≤ log n after path shortcuts —
 near-dup clusters are tiny and dense, so 2-4 rounds in practice. Each
-round is one shuffle join + one aggregation; labels persist
-round-over-round; the only driver-side values are the per-round
-changed-count scalars (the reference's O1 driver-boundary pattern).
+round is one shuffle join + one aggregation; the only driver-side
+values are the changed-count scalars evaluated at every
+``check_every``-round barrier (the reference's O1 driver-boundary
+pattern, batched per the round-5 verdict).
 
 Not a recursive SQL engine feature: Spark has no RECURSIVE CTE, so the
 loop lives in the driver — but DuckDB does, which is exactly what the
@@ -36,47 +37,69 @@ def connected_components(
     src_col: str = "id_a",
     dst_col: str = "id_b",
     max_iterations: int = 20,
+    check_every: int = 2,
 ) -> DataFrame:
     """(id, cluster_id) — cluster_id = min node id in the component.
 
     ``nodes``: one column ``id_col`` (singletons become their own
     cluster). ``edges``: undirected pairs (each emitted once).
-    """
+
+    Convergence is checked every ``check_every`` rounds (the
+    pagerank_converged batching, round-5 verdict #3): the pre-round-6
+    loop ran a full labels⋈labels comparison as a SEPARATE action
+    every round — a driver barrier plus an extra node-sized join per
+    round, doubling the join count. Min-label propagation is MONOTONE
+    (labels only ever decrease), so block-start vs block-end equality
+    proves no round inside the block changed anything — the batched
+    check cannot miss a change, it can only detect convergence up to
+    check_every−1 rounds late, trading ≤1 extra cheap propagation
+    round for half the joins on every round of a deep run.
+
+    Between barriers no action runs; each round references the label
+    table twice (the neighbor-min join and the least() merge), so the
+    logical plan doubles per round — bounded by materializing each
+    barrier through an eager localCheckpoint, exactly the
+    pagerank_converged lineage discipline. The edge table is shuffled
+    to its join partitioning once, at build."""
     sym = (
         edges.select(F.col(src_col).alias("_src"), F.col(dst_col).alias("_dst"))
         .union(edges.select(F.col(dst_col).alias("_src"), F.col(src_col).alias("_dst")))
         .distinct()
+        .repartition(F.col("_src"))
         .persist()
     )
     labels = nodes.select(
         F.col(id_col).alias("_id"), F.col(id_col).alias("_label")
-    ).persist()
-    labels.count()
+    ).localCheckpoint(eager=True)
 
-    for _ in range(max_iterations):
-        neighbor_min = (
-            sym.join(labels, sym["_src"] == labels["_id"])
-            .groupBy("_dst")
-            .agg(F.min("_label").alias("_nmin"))
-        )
-        new_labels = (
-            labels.join(neighbor_min, labels["_id"] == neighbor_min["_dst"], "left")
-            .select(
-                "_id",
-                F.least(F.col("_label"), F.coalesce(F.col("_nmin"), F.col("_label"))).alias(
-                    "_label"
-                ),
+    it = 0
+    while it < max_iterations:
+        block_start = labels
+        block = min(check_every, max_iterations - it)
+        for _ in range(block):
+            neighbor_min = (
+                sym.join(labels, sym["_src"] == labels["_id"])
+                .groupBy("_dst")
+                .agg(F.min("_label").alias("_nmin"))
             )
-            .persist()
-        )
+            labels = labels.join(
+                neighbor_min, labels["_id"] == neighbor_min["_dst"], "left"
+            ).select(
+                "_id",
+                F.least(
+                    F.col("_label"), F.coalesce(F.col("_nmin"), F.col("_label"))
+                ).alias("_label"),
+            )
+            it += 1
+        # barrier: one action materializes the whole block AND decides
+        # convergence; localCheckpoint truncates the doubled lineage
+        labels = labels.localCheckpoint(eager=True)
         changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), F.col("n._id") == F.col("o._id"))
+            labels.alias("n")
+            .join(block_start.alias("o"), F.col("n._id") == F.col("o._id"))
             .filter(F.col("n._label") != F.col("o._label"))
             .count()
         )
-        labels.unpersist()
-        labels = new_labels
         if changed == 0:
             break
 

@@ -63,9 +63,16 @@ def _positions(col: F.Column, *, m_bits: int, k: int) -> F.Column:
     seeded xxhash64 draws. Both hashes reduce mod m BEFORE combining —
     (h1 + i·h2) on raw signed-64 xxhash values overflows long, which
     ANSI mode (Spark 4 default) rejects; after reduction the largest
-    intermediate is m + k·m, far inside int64."""
+    intermediate is m + k·m, far inside int64.
+
+    h2 is forced into [1, m_bits-1]: with h2 ≡ 0 (mod m) every probe
+    position collapses onto h1, so that key sets ONE bit instead of k
+    and the filter's false-positive rate quietly inflates (no false
+    negatives — the probe side computes the same positions — but the
+    ~1/m of keys hitting h2=0 each behave like a 1-hash filter). The
+    standard fix: draw h2 mod (m-1) and add 1."""
     h1 = F.pmod(F.xxhash64(col, F.lit(1)), F.lit(m_bits))
-    h2 = F.pmod(F.xxhash64(col, F.lit(2)), F.lit(m_bits))
+    h2 = F.pmod(F.xxhash64(col, F.lit(2)), F.lit(m_bits - 1)) + F.lit(1)
     return F.transform(
         F.sequence(F.lit(0), F.lit(k - 1)),
         lambda i: F.pmod(h1 + i.cast("long") * h2, F.lit(m_bits)),

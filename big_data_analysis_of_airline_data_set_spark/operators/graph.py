@@ -31,6 +31,9 @@ Scale notes:
 
 from __future__ import annotations
 
+from contextlib import contextmanager
+from typing import Iterator
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -289,22 +292,104 @@ def release_pagerank(result: DataFrame) -> None:
     result._pagerank_handles = ()  # type: ignore[attr-defined]
 
 
-def triangle_counts(edges: DataFrame, *, u: str = "u", v: str = "v") -> DataFrame:
-    """(vertex, n_triangles): per-vertex triangle participation over a
-    simple undirected graph given as DISTINCT ordered pairs (u < v).
+def orient_by_degree(edges: DataFrame, *, u: str = "u", v: str = "v") -> DataFrame:
+    """(s, t): the undirected edge set reoriented so each edge points
+    from its lower-(degree, id) endpoint to its higher one — the
+    Cohen / Vassilevska-Williams degree ordering that makes the wedge
+    closure skew-proof. Under any TOTAL order ≺ on vertices, orienting
+    every edge low→high makes each triangle x ≺ y ≺ z discoverable
+    exactly once (as the wedge (x,y)+(y,z) closed by (x,z)); choosing
+    ≺ = (degree, id) additionally bounds every vertex's OUT-degree by
+    O(√m) — a hub of degree d keeps out-edges only toward neighbors of
+    degree ≥ d, of which there are at most 2m/d — so per-vertex wedge
+    fan-out is O(m) total instead of Σ C(dᵥ,2), which is quadratic in
+    the hottest degree under id ordering. On a power-law graph at 100×
+    scale that difference is the whole join.
 
-    The canonical distributed formulation: with every edge stored once
-    in ascending-id order, each triangle a<b<c is found exactly once by
+    Input: DISTINCT undirected pairs, each edge once (any endpoint
+    order). Cost: one degree aggregation (node-sized) plus two equi-
+    joins of the edge set against it — AQE broadcasts the degree table
+    when it is small; at graph scale both are plain shuffle joins on
+    the endpoint keys."""
+    und = edges.select(F.col(u).alias("x"), F.col(v).alias("y"))
+    deg = (
+        und.select(F.col("x").alias("vtx"))
+        .unionAll(und.select(F.col("y").alias("vtx")))
+        .groupBy("vtx")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    dx = deg.select(F.col("vtx").alias("x"), F.col("d").alias("dx"))
+    dy = deg.select(F.col("vtx").alias("y"), F.col("d").alias("dy"))
+    x_first = (F.col("dx") < F.col("dy")) | (
+        (F.col("dx") == F.col("dy")) & (F.col("x") < F.col("y"))
+    )
+    return (
+        und.join(dx, "x")
+        .join(dy, "y")
+        .select(
+            F.when(x_first, F.col("x")).otherwise(F.col("y")).alias("s"),
+            F.when(x_first, F.col("y")).otherwise(F.col("x")).alias("t"),
+        )
+    )
+
+
+@contextmanager
+def pagerank_scope(edges: DataFrame, **kwargs) -> Iterator[DataFrame]:
+    """``with pagerank_scope(edges, iterations=5) as ranks:`` — the
+    leak-proof form of the caller-owns-release contract (round-5
+    verdict #6): the handles ride on the yielded frame, and the
+    context exit releases them even when the body raises. Misuse that
+    ``release_pagerank`` can only DETECT (holding a derived frame,
+    forgetting the release on an error path) is impossible here
+    because the original frame never leaves the manager's custody.
+    Consume the result inside the block — its caches are gone after.
+    """
+    result = pagerank(edges, **kwargs)
+    try:
+        yield result
+    finally:
+        release_pagerank(result)
+
+
+@contextmanager
+def pagerank_converged_scope(
+    edges: DataFrame, **kwargs
+) -> Iterator[tuple[DataFrame, int]]:
+    """``with pagerank_converged_scope(edges, tol=1e-6) as (ranks,
+    stopped_at):`` — context-managed ``pagerank_converged``, same
+    release guarantee as ``pagerank_scope``."""
+    result, stopped_at = pagerank_converged(edges, **kwargs)
+    try:
+        yield result, stopped_at
+    finally:
+        release_pagerank(result)
+
+
+def triangle_counts(
+    edges: DataFrame, *, u: str = "u", v: str = "v", oriented: bool = False
+) -> DataFrame:
+    """(vertex, n_triangles): per-vertex triangle participation over a
+    simple undirected graph given as DISTINCT pairs (each edge once).
+
+    The canonical distributed formulation: orient every edge along a
+    total vertex order, then each triangle is found exactly once by
     the two-join wedge closure e(a,b) ⋈ e(b,c) ⋈ e(a,c) — two shuffles
     total (one on the wedge midpoint, one on the closing pair), no
-    per-vertex adjacency materialization. Scale refinement when degree
-    skew bites: order endpoints by DEGREE rather than id before the
-    ordered-pair dedup, which bounds every wedge fan-out by the smaller
-    degree (the standard Cohen/Vassilevska trick) — unnecessary at the
-    catalog scales, noted for 100 TB graphs."""
-    e1 = edges.select(F.col(u).alias("a"), F.col(v).alias("b"))
-    e2 = edges.select(F.col(u).alias("b"), F.col(v).alias("c"))
-    e3 = edges.select(F.col(u).alias("a"), F.col(v).alias("c"))
+    per-vertex adjacency materialization. The order is (degree, id)
+    via ``orient_by_degree`` — id alone leaves hub fan-out quadratic
+    in the hub degree (the round-5 verdict's scale finding; see the
+    orient_by_degree docstring for the O(√m) bound and the pinned
+    fan-out test in tests/test_graph_extra.py).
+
+    Pass ``oriented=True`` when ``edges`` already came from
+    ``orient_by_degree`` (e.g. the caller persisted the oriented set so
+    the three wedge scans share one orientation pass — the
+    plans/patterns.py:q_graph_triangles pattern)."""
+    o = edges.select(F.col(u).alias("s"), F.col(v).alias("t")) if oriented \
+        else orient_by_degree(edges, u=u, v=v)
+    e1 = o.select(F.col("s").alias("a"), F.col("t").alias("b"))
+    e2 = o.select(F.col("s").alias("b"), F.col("t").alias("c"))
+    e3 = o.select(F.col("s").alias("a"), F.col("t").alias("c"))
     tri = e1.join(e2, "b").join(e3, ["a", "c"])
     return (
         tri.select(F.explode(F.array("a", "b", "c")).alias("vertex"))

@@ -101,9 +101,25 @@ def resample_ffill(
     same judgment call any resampler demands.
 
     ``key_col`` may be a Column expression (e.g. a banding of a
-    high-cardinality id) or a column name."""
+    high-cardinality id) or a column name.
+
+    ``unit`` is validated against the intersection of what date_trunc
+    and the INTERVAL literal grammar both accept: the string is
+    interpolated into BOTH (truncation and grid step), date_trunc
+    accepts units the INTERVAL grammar does not (quarter, millennium),
+    and an invalid unit would otherwise surface as an obscure SQL
+    parse error from deep inside the plan — or worse, the two could
+    silently disagree."""
     from pyspark.sql.window import Window as W
 
+    allowed = {"second", "minute", "hour", "day", "week", "month", "year"}
+    if not isinstance(unit, str) or unit.lower() not in allowed:
+        raise ValueError(
+            f"resample_ffill: unit {unit!r} not supported; use one of "
+            f"{sorted(allowed)} (must be valid for both date_trunc and "
+            "an INTERVAL literal)"
+        )
+    unit = unit.lower()
     key = key_col if not isinstance(key_col, str) else F.col(key_col)
     obs = (
         df.select(

@@ -901,7 +901,7 @@ def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     iterations as unrolled CTEs with the identical per-iteration
     DECIMAL-summed rounding, so the whole iterative computation — not
     just its shape — is value-checked."""
-    from ..operators.graph import pagerank, release_pagerank
+    from ..operators.graph import pagerank_scope
 
     li = _t(spark, sf_dir, "lineitem")
     fwd = li.select(
@@ -909,18 +909,17 @@ def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat(F.lit("s"), F.col("l_suppkey")).alias("dst"),
     )
     edges = fwd.union(fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
-    ranks = pagerank(edges, iterations=_PR_ITERS, round_dp=_PR_DP)
-    # pagerank returns a LAZY persisted chain (caller-owns-release
-    # contract): this collect is the ONE action that executes the whole
-    # loop. The top-20 rows are a legitimate driver boundary; release
-    # every cache the loop pinned right after.
-    rows = (
-        ranks.select("node", F.round("rank", 9).alias("rank"))
-        .orderBy(F.desc("rank"), F.asc("node"))
-        .limit(20)
-        .collect()
-    )
-    release_pagerank(ranks)
+    # pagerank yields a LAZY persisted chain: this collect is the ONE
+    # action that executes the whole loop. The top-20 rows are a
+    # legitimate driver boundary; the scope releases every cache the
+    # loop pinned on exit (even on error).
+    with pagerank_scope(edges, iterations=_PR_ITERS, round_dp=_PR_DP) as ranks:
+        rows = (
+            ranks.select("node", F.round("rank", 9).alias("rank"))
+            .orderBy(F.desc("rank"), F.asc("node"))
+            .limit(20)
+            .collect()
+        )
     return spark.createDataFrame(rows, "node string, rank double")
 
 
@@ -981,27 +980,26 @@ def q_graph_pagerank_converged(spark: SparkSession, sf_dir: str) -> DataFrame:
     rounds + the barrier delta decisions as CTEs and selects the
     SAME stopping iteration — the convergence decision itself is
     value-checked."""
-    from ..operators.graph import pagerank_converged, release_pagerank
+    from ..operators.graph import pagerank_converged_scope
 
     li = _t(spark, sf_dir, "lineitem")
     edges = li.select(
         F.concat(F.lit("p"), F.col("l_partkey")).alias("src"),
         F.concat(F.lit("s"), F.col("l_suppkey")).alias("dst"),
     )
-    ranks, stopped = pagerank_converged(
+    with pagerank_converged_scope(
         edges,
         max_iterations=_PRC_MAX,
         tol=_PRC_TOL,
         check_every=_PRC_CHECK,
         round_dp=_PR_DP,
-    )
-    rows = (
-        ranks.select("node", F.round("rank", 9).alias("rank"))
-        .orderBy(F.desc("rank"), F.asc("node"))
-        .limit(20)
-        .collect()
-    )
-    release_pagerank(ranks)
+    ) as (ranks, stopped):
+        rows = (
+            ranks.select("node", F.round("rank", 9).alias("rank"))
+            .orderBy(F.desc("rank"), F.asc("node"))
+            .limit(20)
+            .collect()
+        )
     return spark.createDataFrame(
         [(r.node, r.rank, stopped) for r in rows],
         "node string, rank double, stopped_at long",
@@ -1091,10 +1089,14 @@ def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts (a RELATIVE threshold, so the graph stays non-trivial at
     every scale factor). Output: the top-10 vertices by triangle
     participation plus a TOTAL row. The co-occurrence table and the
-    thresholded edge set are persisted for the duration (consumed by
-    the threshold scalar + three wedge-join scans), collected, and
-    released — the pagerank result-materialization pattern."""
-    from ..operators.graph import triangle_counts
+    DEGREE-ORIENTED edge set are persisted for the duration (the
+    oriented set is consumed by all three wedge-join scans, so the
+    orientation's degree joins run once), collected, and released —
+    the pagerank result-materialization pattern. The oracle replays
+    the plain id-ordered closure: orientation changes which join finds
+    each triangle, never the triangle set, so results are identical by
+    construction."""
+    from ..operators.graph import orient_by_degree, triangle_counts
 
     li = _t(spark, sf_dir, "lineitem")
     ps = li.select(
@@ -1108,10 +1110,12 @@ def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .persist()
     )
     thr = co.agg(F.expr(f"percentile(c, {_TRI_PCT})")).first()[0]
-    e = co.filter(F.col("c") > thr).select("u", "v").persist()
+    e = orient_by_degree(
+        co.filter(F.col("c") > thr).select("u", "v"), u="u", v="v"
+    ).persist()
     # per_vertex feeds TWO actions (top-10 collect + total agg) — persist
     # it too, or the whole wedge closure runs twice (review finding)
-    per_vertex = triangle_counts(e, u="u", v="v").persist()
+    per_vertex = triangle_counts(e, u="s", v="t", oriented=True).persist()
     top = (
         per_vertex.select(
             F.col("vertex").cast("string").alias("vertex"), "n_triangles"

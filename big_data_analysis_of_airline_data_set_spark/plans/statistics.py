@@ -334,7 +334,9 @@ WITH units AS (
          max(CASE WHEN variant = 'B' THEN c END) AS conv_b
   FROM pv
 )
-SELECT 'A' AS variant_a, 'B' AS variant_b, n_a, conv_a, n_b, conv_b,
+SELECT 'A' AS variant_a, 'B' AS variant_b,
+       (SELECT CAST(count(*) AS BIGINT) FROM pv) AS n_variants,
+       n_a, conv_a, n_b, conv_b,
        round(CAST(conv_a AS DOUBLE) / n_a, 6) AS rate_a,
        round(CAST(conv_b AS DOUBLE) / n_b, 6) AS rate_b,
        round((CAST(conv_a AS DOUBLE) / n_a - CAST(conv_b AS DOUBLE) / n_b)

@@ -145,11 +145,16 @@ def ab_proportion_ztest(
     round_dp: int = 6,
 ) -> DataFrame:
     """Two-proportion z-test over experiment units — the A/B readout:
-    per variant (exactly two expected, 'a' < 'b' lexicographically; a
-    ONE-variant input yields NULL b-side columns and NULL z, never a
-    fake z=0 'no effect'), unit-level conversion (a unit converts if
-    ANY of its rows has ``conversion_col`` true), pooled-variance z
-    statistic
+    per variant (exactly two expected, 'a' < 'b' lexicographically),
+    unit-level conversion (a unit converts if ANY of its rows has
+    ``conversion_col`` true), pooled-variance z statistic. The emitted
+    ``n_variants`` column is the guard against malformed experiments:
+    a ONE-variant input (bad variant expression, unlaunched B) yields
+    NULL b-side columns and NULL z, never a fake z=0 'no effect'; a
+    THREE-plus-variant input likewise NULLs the b side and the z —
+    silently reducing it to the lexicographic min/max arms would
+    report a plausible-looking 2-arm z with the middle arms dropped
+    and no signal that anything was ignored.
 
         z = (p_a − p_b) / sqrt(p̂(1−p̂)(1/n_a + 1/n_b))
 
@@ -176,6 +181,9 @@ def ab_proportion_ztest(
             F.max_by(F.struct("n_units", "n_converted"), "variant").alias("_b"),
             F.min("variant").alias("variant_a"),
             F.max("variant").alias("variant_b"),
+            # per_variant has exactly one row per variant, so a plain
+            # count IS count_distinct(variant) — the 3+-arm guard
+            F.count(F.lit(1)).cast("long").alias("n_variants"),
         )
     )
     na = F.col("_a.n_units").cast("double")
@@ -189,13 +197,15 @@ def ab_proportion_ztest(
     z = (pa - pb) / F.nullif(
         F.sqrt(pool * (1 - pool) * (1 / na + 1 / nb)), F.lit(0.0)
     )
-    # one-armed 'experiments' (bad variant expression, unlaunched B)
-    # must not read as z=0 'no effect': when min_by == max_by picked
-    # the same variant, NULL out the B side and the statistic
-    two_armed = F.col("variant_a") != F.col("variant_b")
+    # malformed 'experiments' must not read as a clean 2-arm readout:
+    # one arm (min_by == max_by) or 3+ arms (middle arms would be
+    # silently dropped) both NULL the B side and the statistic; the
+    # emitted n_variants says which
+    two_armed = F.col("n_variants") == 2
     return wide.select(
         "variant_a",
         F.when(two_armed, F.col("variant_b")).alias("variant_b"),
+        "n_variants",
         F.col("_a.n_units").alias("n_a"),
         F.col("_a.n_converted").alias("conv_a"),
         F.when(two_armed, F.col("_b.n_units")).alias("n_b"),

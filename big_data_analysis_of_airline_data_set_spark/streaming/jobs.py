@@ -394,11 +394,17 @@ def run_upsert_sink_stream_available_now(
     join is state-sized per batch, and a real deployment would use a
     MERGE-capable table format instead of the generation swap.
 
-    Temp-dir hygiene (review finding): the state base dirs are a
-    bounded registry cleaned at interpreter exit — each call's result
-    may still be lazily read, so only the OLDEST bases are removed
-    once the registry exceeds its cap — and the checkpoint dir, never
-    read again after awaitTermination, is removed immediately."""
+    Temp-dir hygiene (review finding, hardened after a second review):
+    the state base dirs are a bounded registry cleaned at interpreter
+    exit, with the OLDEST bases removed once the registry exceeds its
+    cap. The returned frame is an EAGER localCheckpoint of the final
+    state — materialized into Spark block storage, so it no longer
+    reads the parquet dir lazily and a later call evicting that dir
+    cannot give an earlier caller a file-not-found (the pre-hardening
+    failure mode: >8 calls in one process invalidated the oldest
+    unread result). Checkpoint blocks are freed by the ContextCleaner
+    when the frame is dropped; the stream checkpoint dir, never read
+    again after awaitTermination, is removed immediately."""
     import shutil
 
     global _UPSERT_CLEANUP_REGISTERED
@@ -445,4 +451,5 @@ def run_upsert_sink_stream_available_now(
         return spark.createDataFrame(
             [], "user_id long, ts timestamp, event_id long, value double"
         )
-    return spark.read.parquet(state["dir"])
+    # eager: the result must survive this base dir's later eviction
+    return spark.read.parquet(state["dir"]).localCheckpoint(eager=True)

@@ -168,3 +168,114 @@ def test_flatten_hierarchy_deep_chain_log_rounds(spark):
     got = {r.node: (r.root, r.depth) for r in flatten_hierarchy(df).collect()}
     assert got[33] == (0, 33)
     assert all(got[i] == (0, i) for i in range(34))
+
+
+def _wedge_count(oriented_df) -> int:
+    """# of directed 2-paths a→b→c in an oriented edge set — the
+    intermediate the wedge closure materializes before the closing
+    join, i.e. the quantity degree ordering exists to bound."""
+    from pyspark.sql import functions as F
+
+    e1 = oriented_df.select(F.col("s").alias("a"), F.col("t").alias("b"))
+    e2 = oriented_df.select(F.col("s").alias("b"), F.col("t").alias("c"))
+    return e1.join(e2, "b").count()
+
+
+def test_triangle_degree_ordering_bounds_hub_fanout(spark):
+    """Round-5 verdict #2 pin: on a hub graph whose hub id sits in the
+    middle of the id range, id ordering funnels indeg×outdeg = 10×10 =
+    100 wedges through the hub, while (degree, id) ordering points
+    every hub edge INTO the hub (outdeg 0) leaving exactly the 2
+    wedges that close into real triangles. Counts are exact, not
+    bounds — a regression in the orientation changes them."""
+    from pyspark.sql import functions as F
+
+    from big_data_analysis_of_airline_data_set_spark.operators.graph import (
+        orient_by_degree,
+        triangle_counts,
+    )
+
+    hub = 10
+    edges = [(i, hub) for i in range(10)] + [(hub, j) for j in range(11, 21)]
+    edges += [(0, 11), (1, 12)]  # close two triangles through the hub
+    df = spark.createDataFrame(edges, "u long, v long")
+
+    # id orientation = the pre-round-6 plan (input pairs are already
+    # id-ordered here, so the identity projection replays it)
+    id_oriented = df.select(F.col("u").alias("s"), F.col("v").alias("t"))
+    deg_oriented = orient_by_degree(df)
+    assert _wedge_count(id_oriented) == 100
+    assert _wedge_count(deg_oriented) == 2
+
+    got = {r.vertex: r.n_triangles for r in triangle_counts(df).collect()}
+    assert got == {0: 1, 1: 1, hub: 2, 11: 1, 12: 1}
+
+
+def test_triangle_counts_invariant_to_input_endpoint_order(spark):
+    """orient_by_degree imposes its own total order, so the input may
+    list each undirected edge with either endpoint first."""
+    from big_data_analysis_of_airline_data_set_spark.operators.graph import (
+        triangle_counts,
+    )
+
+    fwd = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4), (4, 5)]
+    rev = [(v, u) for u, v in fwd]
+    a = {r.vertex: r.n_triangles
+         for r in triangle_counts(spark.createDataFrame(fwd, "u long, v long")).collect()}
+    b = {r.vertex: r.n_triangles
+         for r in triangle_counts(spark.createDataFrame(rev, "u long, v long")).collect()}
+    assert a == b == {1: 3, 2: 3, 3: 3, 4: 3}
+
+
+def test_pagerank_scope_releases_even_on_error(spark):
+    from big_data_analysis_of_airline_data_set_spark.operators.graph import (
+        pagerank_scope,
+    )
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "a")], "src string, dst string"
+    )
+    held = {}
+    with pytest.raises(RuntimeError, match="boom"):
+        with pagerank_scope(edges, iterations=2) as ranks:
+            assert ranks.count() == 2
+            held["ranks"] = ranks
+            raise RuntimeError("boom")
+    # handles were released (and cleared) by the scope exit
+    assert held["ranks"]._pagerank_handles == ()
+
+
+def test_release_pagerank_raises_on_derived_frame(spark):
+    from pyspark.sql import functions as F
+
+    from big_data_analysis_of_airline_data_set_spark.operators.graph import (
+        pagerank_scope,
+        release_pagerank,
+    )
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "a")], "src string, dst string"
+    )
+    with pagerank_scope(edges, iterations=1) as ranks:
+        derived = ranks.filter(F.col("rank") > 0)
+        with pytest.raises(ValueError, match="derived"):
+            release_pagerank(derived)
+
+
+def test_pagerank_converged_scope_matches_plain_call(spark):
+    from big_data_analysis_of_airline_data_set_spark.operators.graph import (
+        pagerank_converged,
+        pagerank_converged_scope,
+        release_pagerank,
+    )
+
+    edges = spark.createDataFrame(
+        [("a", "hub"), ("b", "hub"), ("hub", "a")], "src string, dst string"
+    )
+    kw = dict(max_iterations=6, tol=1e-9, check_every=2)
+    with pagerank_converged_scope(edges, **kw) as (ranks, stopped):
+        scoped = sorted((r.node, r.rank) for r in ranks.collect())
+    plain_df, plain_stopped = pagerank_converged(edges, **kw)
+    plain = sorted((r.node, r.rank) for r in plain_df.collect())
+    release_pagerank(plain_df)
+    assert scoped == plain and stopped == plain_stopped

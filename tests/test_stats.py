@@ -194,3 +194,26 @@ def test_ab_ztest_degenerate_returns_null(spark):
         conversion_col=F.col("conv"),
     ).first()
     assert r.z_stat is None  # 100% pooled conversion → zero variance
+
+
+def test_ab_ztest_three_variants_nulls_z_not_silent_reduce(spark):
+    from pyspark.sql import functions as F
+
+    from big_data_analysis_of_airline_data_set_spark.stats.regression import (
+        ab_proportion_ztest,
+    )
+
+    # 3-arm input: a silent reduce to min/max arms would report a
+    # plausible 2-arm z with arm 'B' dropped — must NULL instead
+    df = spark.createDataFrame(
+        [(1, "A", True), (2, "B", False), (3, "C", True), (4, "A", False)],
+        "user long, variant string, conv boolean",
+    )
+    r = ab_proportion_ztest(
+        df,
+        unit_col="user",
+        variant_col=F.col("variant"),
+        conversion_col=F.col("conv"),
+    ).first()
+    assert r.n_variants == 3
+    assert r.variant_b is None and r.n_b is None and r.z_stat is None
