@@ -19,11 +19,15 @@ Two views per family, ONE fit (cached per session × sf_dir):
   pipeline scaffolding (split semantics, OHE dropLast vector layout,
   label cardinality, grid construction) end-to-end even though metric
   values are engine-specific.
-- ``ml_<family>_metrics`` — the reference-shaped (parameter, value)
-  metrics table (best params + 6 evaluator metrics,
-  Scripts/3_...py:113-118). Rows-only by contract: metric VALUES depend
-  on MLlib's optimizer internals; their regression guard is the pytest
-  metric-band suite (tests/test_reference_metrics.py).
+The reference-shaped RAW (parameter, value) metrics table (best params
++ 6 evaluator metrics, Scripts/3_...py:113-118) is the module-level
+``raw_metrics_query`` — deliberately NOT a catalog entry: metric VALUES
+depend on MLlib's optimizer internals, so it can never be value-hash
+oracled, and the round-5 verdict asked for the catalog to carry zero
+permanent rows-only names (every correctness union row should be hard
+signal). Its regression guards are the banded catalog twin (same fit,
+same evaluators, envelope booleans) and the pytest metric-band suite
+(tests/test_reference_metrics.py); bench.py times it as ml_quick_fit.
 """
 
 from __future__ import annotations
@@ -193,7 +197,14 @@ def _metrics_banded_oracle(family: str) -> str:
     return " UNION ALL ".join(selects)
 
 
-def _metrics_query(family: str, tuner: str = "tvs"):
+def raw_metrics_query(family: str, tuner: str = "tvs"):
+    """Callable (spark, sf_dir) → the reference-shaped raw
+    (parameter, value) metrics table for one family — the Scripts/3-10
+    output surface. Module API, not a catalog entry (see the module
+    docstring): values are MLlib-internal, so the oracled views are the
+    invariants (``ml_<family>_tvs``) and the banded envelope
+    (``ml_<family>_metrics_banded``), both projections of the SAME
+    cached fit this returns."""
     def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
         fitted = _fitted(spark, sf_dir, family, tuner)
         return run_training_job(
@@ -251,14 +262,8 @@ def _family_entries(family: str, m_tag: str, label: str) -> dict[str, QuerySpec]
             _metrics_banded_query(family),
             _metrics_banded_oracle(family),
             f"{m_tag} {label} metrics vs majority-predictor envelope + grid"
-            " membership (constant oracle)",
-        ),
-        f"ml_{family}_metrics": QuerySpec(
-            f"ml_{family}_metrics",
-            _metrics_query(family),
-            None,
-            f"{m_tag} {label} raw metrics table (rows-only; banded twin is"
-            " the driver-checked view)",
+            " membership (constant oracle); raw values via"
+            " ml_queries.raw_metrics_query (module API)",
         ),
     }
 
@@ -628,13 +633,6 @@ QUERIES: dict[str, QuerySpec] = {
         _metrics_banded_query("logistic_regression", tuner="cv"),
         _metrics_banded_oracle("logistic_regression"),
         "M20 CV-LR metrics vs majority-predictor envelope + grid membership"
-        " (constant oracle)",
-    ),
-    "ml_logistic_regression_cv_metrics": QuerySpec(
-        "ml_logistic_regression_cv_metrics",
-        _metrics_query("logistic_regression", tuner="cv"),
-        None,
-        "M20 CV-LR raw metrics table (rows-only; banded twin is the"
-        " driver-checked view)",
+        " (constant oracle); raw values via raw_metrics_query (module API)",
     ),
 }
