@@ -1,0 +1,125 @@
+"""Count-Min-prefiltered heavy-hitter join — restrict a join to the
+keys that occur at least ``min_count`` times in the big side, without
+paying an exact full-vocabulary count shuffle up front.
+
+The 100 TB problem: "join the fact table to the dimension, but only
+for hot keys" (top-seller analyses, abuse/hot-entity investigation,
+skew quarantines). Done naively, finding the hot keys is itself a full
+groupBy-count over the fact table's entire key vocabulary — a
+vocabulary-sized shuffle just to discover that 95% of keys are cold.
+A Count-Min sketch of the key frequencies is CONSTANT-size (d·w
+counters) no matter the data size, and its point estimates NEVER
+underestimate (est ≥ exact, the one-sided CMS guarantee), so filtering
+on ``cms_estimate(key) >= min_count`` map-side keeps every truly-heavy
+key's rows while dropping the vast majority of cold rows before any
+shuffle. The exact count then runs on the SURVIVORS only — correct
+because the prefilter is per-key deterministic (every row of a key
+shares the same estimate), so a surviving key keeps ALL its rows and
+its survivor-count equals its global count — and eliminates the CMS
+false positives. Result is therefore EXACTLY the plain heavy-hitter
+join (the bloom_join proven-equal-result discipline: the sketch must
+be invisible in the output, which is what the catalog oracle — plain
+SQL, no sketch anywhere — checks).
+
+Plumbing shared with the package's sketch discipline: the sketch build
+is one constant-size groupBy (sketches.countmin); the finished d·w
+counter table is collected once (bounded by the SKETCH size, never the
+data) and re-broadcast as a one-row dense array COLUMN so the probe
+runs inside whole-stage codegen with no Python and no join — the same
+ship-as-column pattern bloom_join measured 2.3× faster than a literal
+expression tree.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..sketches.countmin import _h56, count_min_sketch_table
+
+
+def build_cms_counters(
+    occurrences: DataFrame, *, term_col: str, depth: int = 4, width: int = 8192
+) -> list[int]:
+    """Dense row-major counter list (index j·width + bucket) of a d×w
+    CMS over ``occurrences`` — the collect is ≤ d·w rows regardless of
+    input size (the bloom build_bloom_words driver-boundary class)."""
+    rows = count_min_sketch_table(
+        occurrences, term_col=term_col, depth=depth, width=width
+    ).collect()
+    dense = [0] * (depth * width)
+    for r in rows:
+        dense[int(r.j) * width + int(r.bucket)] = int(r.s)
+    return dense
+
+
+def cms_estimate_expr(
+    key: Column, arr: Column, *, depth: int, width: int
+) -> Column:
+    """CMS point estimate (min over depth rows) for ``key`` against a
+    dense counter ARRAY column — codegen-friendly: d element_at probes
+    + one least(), no join, no Python."""
+    h1 = _h56("a_", key)
+    h2 = _h56("b_", key)
+    probes = [
+        F.element_at(
+            arr, (F.lit(j * width) + (h1 + F.lit(j) * h2) % width).cast("int") + 1
+        )
+        for j in range(depth)
+    ]
+    return F.least(*probes) if depth > 1 else probes[0]
+
+
+def heavy_hitter_join(
+    big: DataFrame,
+    small: DataFrame,
+    on: str,
+    *,
+    min_count: int,
+    depth: int = 4,
+    width: int = 8192,
+    count_col: str = "key_count",
+    counters: list[int] | None = None,
+) -> DataFrame:
+    """``big ⋈ small`` on ``on``, restricted to keys occurring at least
+    ``min_count`` times in ``big``, with the key's exact big-side count
+    carried as ``count_col``. Byte-equal to the plain heavy-hitter join
+    (see module docstring for why the two-phase CMS→exact cascade is
+    lossless); only the shuffle volume changes — cold-key rows die
+    map-side against the broadcast sketch.
+
+    Size ``width`` ≳ a few × the expected distinct-key count so bucket
+    collisions stay rare enough to prune (an undersized sketch is
+    CORRECT — estimates only grow — but prunes nothing, the same
+    saturation failure mode ``bloom_join.sized_m_bits`` documents).
+
+    Pass a prebuilt ``counters`` list (from ``build_cms_counters`` with
+    the SAME depth/width, over a superset of ``big``'s keys — a
+    superset only ever raises estimates, staying lossless) to reuse a
+    standing sketch instead of building one per call."""
+    if counters is None:
+        counters = build_cms_counters(
+            big.select(on), term_col=on, depth=depth, width=width
+        )
+    elif len(counters) != depth * width:
+        raise ValueError(
+            f"counters has {len(counters)} entries, expected depth*width"
+            f" = {depth * width} (sketch geometry must match the probe)"
+        )
+    spark = big.sparkSession
+    cms = spark.createDataFrame([(counters,)], "___cms: array<long>")
+    est = cms_estimate_expr(F.col(on), F.col("___cms"), depth=depth, width=width)
+    survivors = (
+        big.crossJoin(F.broadcast(cms))
+        .filter(est >= F.lit(min_count))
+        .drop("___cms")
+    )
+    # exact counts over survivors only == global counts for every
+    # surviving key (per-key-deterministic prefilter); drops CMS false
+    # positives. The count table is hot-key-sized — broadcast it back.
+    exact_hot = (
+        survivors.groupBy(on)
+        .agg(F.count(F.lit(1)).alias(count_col))
+        .filter(F.col(count_col) >= min_count)
+    )
+    return survivors.join(F.broadcast(exact_hot), on).join(small, on, "inner")

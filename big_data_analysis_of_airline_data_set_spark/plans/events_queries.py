@@ -243,6 +243,47 @@ _KMV_STREAM_ORACLE = _kmv_oracle_sql(
 )
 
 
+_HLL_STREAM_P = 8
+
+
+def q_hll_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct users per event type via an HLL register sketch
+    maintained INCREMENTALLY by the streaming runtime (streaming.jobs
+    run_hll_sketch_stream_available_now) — the max-merge twin of
+    events_kmv_stream: state is groups × ≤2^p small ints, constant for
+    any stream volume. Estimates, the merged 'ALL' row, and the exact
+    reference counts are computed over the drained register table in
+    batch; the assembly is SHARED with the batch query
+    (sketches.hll.hll_report), so the estimator cannot diverge between
+    paths. Oracle = full batch md5 replay: incremental max-maintenance
+    must converge to exactly the batch sketch."""
+    from ..sketches.hll import hll_report
+    from ..streaming.jobs import run_hll_sketch_stream_available_now
+
+    regs = run_hll_sketch_stream_available_now(
+        spark,
+        _landed_events_dir(spark, sf_dir),
+        p=_HLL_STREAM_P,
+        max_files_per_trigger=None,
+        stream_shuffle_partitions=8,
+    )
+    return hll_report(
+        regs,
+        _events(spark, sf_dir),
+        group_col="event_type",
+        value_col="user_id",
+        p=_HLL_STREAM_P,
+    )
+
+
+from .patterns import hll_oracle_sql as _hll_oracle_sql  # noqa: E402
+
+_HLL_STREAM_ORACLE = _hll_oracle_sql(
+    'SELECT event_type AS "group", CAST(user_id AS VARCHAR) AS val FROM events',
+    _HLL_STREAM_P,
+)
+
+
 def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """First-order Markov transition matrix over each user's event
     stream: P(next event type | current), from lag pairs ordered by
@@ -1225,6 +1266,12 @@ QUERIES: dict[str, QuerySpec] = {
         "events_markov_transitions", q_event_transitions, _TRANSITIONS_ORACLE,
         "first-order Markov transition matrix over per-user event"
         " streams (lead pairs -> exact-count probabilities)",
+    ),
+    "events_hll_stream": QuerySpec(
+        "events_hll_stream", q_hll_stream, _HLL_STREAM_ORACLE,
+        "HLL register sketch maintained INCREMENTALLY by the streaming"
+        " runtime (complete-mode max state = the sketch itself);"
+        " estimates + merge + exact reference in batch over the drain",
     ),
     "events_kmv_stream": QuerySpec(
         "events_kmv_stream", q_kmv_stream, _KMV_STREAM_ORACLE,

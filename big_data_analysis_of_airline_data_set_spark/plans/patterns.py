@@ -639,6 +639,93 @@ FROM est JOIN ex USING ("group")
 """
 
 
+# ------------------------- HLL register sketch -------------------------
+
+_HLL_P = 8
+
+
+def q_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped HyperLogLog-style register sketch (sketches/hll.py) over
+    lineitem's order keys by return flag, plus the 'ALL' row whose
+    registers are the elementwise MAX merge of the per-group sketches —
+    the max-merge complement of the KMV minima sketch (m small ints of
+    state vs k longs; merge = max vs min). The whole estimator — md5
+    register routing, BIN-length ranks, exact DECIMAL harmonic sum,
+    literal-table linear counting — is engine-replayable, so the oracle
+    hash-checks every estimate exactly, not within-bound."""
+    from ..sketches.hll import hll_distinct_by_group
+    from ..sources.readers import read_testdata_table
+
+    li = read_testdata_table(spark, sf_dir, "lineitem")
+    return hll_distinct_by_group(
+        li, group_col="l_returnflag", value_col="l_orderkey", p=_HLL_P
+    )
+
+
+def hll_oracle_sql(base_select: str, p: int) -> str:
+    """DuckDB replay of the HLL register sketch + max-merge + estimate
+    + exact counts over any ``base_select`` yielding ("group", val)
+    columns — ONE builder for the batch (lineitem) and streaming
+    (events) catalog entries, mirroring sketches.hll.hll_report
+    Spark-side (same md5 hash, same BIN-length ranks, same DECIMAL
+    harmonic sum, same Python-precomputed ln table)."""
+    from ..sketches.hll import _lc_table, hll_alpha
+
+    m = 1 << p
+    sb = 56 - p  # suffix bits carrying the rank
+    numerator = hll_alpha(m) * m * m * float(1 << sb)
+    lc_rows = ",\n    ".join(
+        f"({v}, {est!r})" for v, est in enumerate(_lc_table(m), start=1)
+    )
+    h = (
+        "list_sum(list_transform(generate_series(1, 14), j -> "
+        "CAST(strpos('0123456789abcdef', substr(md5('hl_' || val), j, 1)) - 1"
+        " AS BIGINT) * (CAST(1 AS BIGINT) << (4 * (14 - j)))))"
+    )
+    return f"""
+WITH base AS (
+  {base_select}
+), hashed AS (
+  SELECT "group", {h} AS h FROM base
+), regs AS (
+  SELECT "group", h // {1 << sb} AS register,
+         max(CASE WHEN h % {1 << sb} = 0 THEN {sb + 1}
+                  ELSE {sb + 1} - length(bin(h % {1 << sb})) END) AS max_rho
+  FROM hashed GROUP BY 1, 2
+), merged AS (
+  SELECT 'ALL' AS "group", register, max(max_rho) AS max_rho
+  FROM regs GROUP BY register
+), allregs AS (
+  SELECT * FROM regs UNION ALL SELECT * FROM merged
+), agg AS (
+  SELECT "group",
+         CAST({m} - count(*) AS BIGINT) AS zero_registers,
+         sum(CAST(CAST(1 AS BIGINT) << ({sb} - max_rho) AS DECIMAL(38,0)))
+           AS s_present
+  FROM allregs GROUP BY "group"
+), lc(v, lc_est) AS (VALUES
+    {lc_rows}
+), est AS (
+  SELECT "group", zero_registers,
+         {numerator!r} / CAST(s_present
+             + CAST(zero_registers AS DECIMAL(38,0))
+               * CAST({1 << sb} AS DECIMAL(38,0)) AS DOUBLE) AS e_raw
+  FROM agg
+), ex AS (
+  SELECT "group", CAST(count(DISTINCT val) AS BIGINT) AS exact_distinct
+  FROM base GROUP BY "group"
+  UNION ALL
+  SELECT 'ALL', CAST(count(DISTINCT val) AS BIGINT) FROM base
+)
+SELECT est."group", CAST({m} AS BIGINT) AS m_registers, zero_registers,
+       round(CASE WHEN e_raw <= {2.5 * m!r} AND zero_registers > 0
+                  THEN (SELECT lc_est FROM lc WHERE v = zero_registers)
+                  ELSE e_raw END, 6) AS hll_estimate,
+       exact_distinct
+FROM est JOIN ex ON est."group" = ex."group"
+"""
+
+
 # ------------------------- hierarchy flatten -------------------------
 
 
@@ -1309,6 +1396,17 @@ QUERIES: dict[str, QuerySpec] = {
         ),
         "k-minimum-values distinct sketch + sketch-merge union row,"
         " exact md5 replay (no within-bound fallback)",
+    ),
+    "sketch_hll_distinct": QuerySpec(
+        "sketch_hll_distinct", q_hll_distinct,
+        hll_oracle_sql(
+            'SELECT l_returnflag AS "group",'
+            " CAST(l_orderkey AS VARCHAR) AS val FROM lineitem",
+            _HLL_P,
+        ),
+        "grouped HLL register sketch + max-merge union row: md5 register"
+        " routing, DECIMAL harmonic sum, literal-table linear counting —"
+        " exact replay, no within-bound fallback",
     ),
     "sketch_count_min_heavy_hitters": QuerySpec(
         "sketch_count_min_heavy_hitters", q_count_min_heavy_hitters,

@@ -423,6 +423,85 @@ GROUP BY o_orderpriority
 """
 
 
+# CMS sized so buckets stay sparse at the largest catalog sf (20k
+# distinct partkeys at sf0.1 over 2^16 buckets ≈ 0.3 keys/bucket);
+# an undersized sketch is still CORRECT, it just stops pruning (see
+# operators/heavy_hitter_join.py). Threshold 38 sits near the p90 of
+# the per-key count distribution at every sf (counts ~ Poisson(30)),
+# so the hot set is non-trivial AND selective at every scale.
+_HH_MIN_COUNT = 38
+_HH_DEPTH, _HH_WIDTH = 4, 1 << 16
+
+_HH_CMS_CACHE: "BoundedCache[tuple, list]" = None  # set below
+
+
+def _hh_counters(spark: SparkSession, sf_dir: str) -> list:
+    global _HH_CMS_CACHE
+    from ..caching import BoundedCache
+    from ..operators.heavy_hitter_join import build_cms_counters
+
+    if _HH_CMS_CACHE is None:
+        _HH_CMS_CACHE = BoundedCache(8)
+    key = (spark.sparkContext.applicationId, sf_dir)
+    hit = _HH_CMS_CACHE.get(key)
+    if hit is None:
+        li = _t(spark, sf_dir, "lineitem").select("l_partkey")
+        hit = build_cms_counters(
+            li, term_col="l_partkey", depth=_HH_DEPTH, width=_HH_WIDTH
+        )
+        _HH_CMS_CACHE.put(key, hit)
+    return hit
+
+
+def q_join_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min-prefiltered heavy-hitter join (operators/
+    heavy_hitter_join.py): lineitem rows whose part key occurs < 38
+    times die map-side against the broadcast CMS (no false negatives —
+    CMS estimates only overestimate), the exact count on the survivors
+    drops the sketch's false positives, and only then does the part
+    dimension join run. The oracle is the PLAIN HAVING-count join SQL
+    with no sketch anywhere — equality proves the two-phase cascade is
+    invisible in the output, the bloom/salted-join contract. The
+    pruning effect is pinned in tests/test_operators_extra.py; the
+    sketch comes from the per-session build cache (production posture:
+    frequency sketches are maintained standing, queries probe them)."""
+    from ..operators.heavy_hitter_join import heavy_hitter_join
+
+    counters = _hh_counters(spark, sf_dir)
+    li = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_quantity")
+    part = _t(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("l_partkey"), "p_brand"
+    )
+    joined = heavy_hitter_join(
+        li, part, "l_partkey",
+        min_count=_HH_MIN_COUNT, depth=_HH_DEPTH, width=_HH_WIDTH,
+        counters=counters,
+    )
+    return joined.groupBy("p_brand").agg(
+        F.count_distinct("l_partkey").alias("n_heavy_parts"),
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("sum_qty"),
+    )
+
+
+_HEAVY_HITTER_ORACLE = f"""
+WITH hot AS (
+  SELECT l_partkey, count(*) AS key_count
+  FROM lineitem GROUP BY 1 HAVING count(*) >= {_HH_MIN_COUNT}
+)
+SELECT p_brand,
+       CAST(count(DISTINCT l.l_partkey) AS BIGINT) AS n_heavy_parts,
+       count(*) AS n_rows,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+FROM lineitem l
+JOIN hot USING (l_partkey)
+JOIN part p ON p.p_partkey = l.l_partkey
+GROUP BY p_brand
+"""
+
+
 def q_union_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """U1 extension the reference's positional union cannot express:
     by-name union across SCHEMA GENERATIONS (operators/transforms.py
@@ -550,5 +629,11 @@ QUERIES: dict[str, QuerySpec] = {
         "join_bloom_prefiltered", q_join_bloom_prefiltered, _BLOOM_JOIN_ORACLE,
         "broadcast-Bloom pre-filtered join (map-side pruning before the"
         " shuffle), result-equal to plain join",
+    ),
+    "join_heavy_hitters_cm": QuerySpec(
+        "join_heavy_hitters_cm", q_join_heavy_hitters, _HEAVY_HITTER_ORACLE,
+        "Count-Min-prefiltered heavy-hitter join: map-side CMS estimate"
+        " filter (no false negatives) → exact count on survivors →"
+        " dimension join; result-equal to the plain HAVING-count join",
     ),
 }

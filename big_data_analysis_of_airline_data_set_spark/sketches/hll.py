@@ -1,0 +1,201 @@
+"""Grouped HyperLogLog-style register sketch — mergeable distinct
+counting by register maxima, complementing the KMV minima sketch.
+
+Where KMV keeps k independent MINIMA per group, HLL keeps m = 2^p
+REGISTERS, each holding the maximum "rank" rho (leading-zero count + 1
+of the hash suffix) among values routed to it by the hash prefix. The
+Flajolet-Fuss-Gandouet-Meunier estimator over the register vector:
+
+    E = alpha_m * m^2 / sum_j 2^(-M_j)        (harmonic mean of 2^M_j)
+
+with the small-range linear-counting correction E' = m*ln(m/V) when
+E <= 2.5m and V (= zero registers) > 0. Why have both sketch families:
+HLL state is m SMALL integers (rho <= 57-p fits a byte at 2^56 hash
+space — the famous 1.04/sqrt(m) error in m bytes), and its merge is
+elementwise MAX, making it the cheaper wire format for
+billions-of-groups rollups; KMV's minima support intersection /
+Jaccard estimates HLL registers cannot provide. Same 100 TB shape as
+KMV/CMS: the build is ONE groupBy collapsing map-side to <= m rows per
+group — shuffle constant in data size — and sketches merge across
+days/partitions without rescanning raw data.
+
+Engine-neutral determinism (the catalog-oracle discipline):
+- hash = the package's md5-prefix 56-bit construction
+  (sketches.countmin._h56), replayable in any SQL engine; register =
+  top p bits (shiftright), rank from the low 56-p bits;
+- rho via LENGTH(BIN(w)) — both Spark and DuckDB print minimal binary
+  strings, so bit-length needs no float log2 (which rounds untrustably
+  at power-of-two boundaries);
+- the harmonic sum is EXACT: each 2^(-M_j) term scaled by 2^56 is an
+  integer bit-shift, summed in DECIMAL(38,0) (up to m*2^56 ~ 2^64
+  overflows int64; decimal addition is order-independent), so the
+  estimate is one correctly-rounded double division of exact inputs;
+- ln(m/V) has only m possible arguments, so the linear-counting branch
+  reads a Python-precomputed literal table both engines share —
+  libm ln differences (JVM StrictMath vs C++ libm) can never leak in.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .countmin import _h56
+
+_HASH_BITS = 56
+
+
+def _check_p(p: int) -> int:
+    if not 4 <= p <= 12:
+        raise ValueError("p must be in [4, 12] (m = 2^p registers)")
+    return 1 << p
+
+
+def hll_registers(
+    df: DataFrame,
+    *,
+    group_col: str,
+    value_col: str,
+    p: int = 8,
+) -> DataFrame:
+    """(group, register, max_rho): the HLL register vector per group in
+    long form — one groupBy-max, constant-size shuffle (<= m rows per
+    group survive the map-side partial aggregate). Registers no value
+    hashed into are ABSENT (they are the zero registers; the estimator
+    counts them as m - rows). Merge sketches built on different slices
+    with a further groupBy-max over the same shape."""
+    m = _check_p(p)
+    h = _h56("hl_", F.col(value_col).cast("string"))
+    suffix_bits = _HASH_BITS - p
+    w = F.col("_h").bitwiseAND(F.lit((1 << suffix_bits) - 1))
+    # rho = leading zeros of the (56-p)-bit suffix + 1
+    #     = suffix_bits - bitlength(w) + 1;  bitlength via BIN string
+    #     (minimal-width in both engines), w = 0 -> all-zero suffix
+    rho = F.when(w == 0, F.lit(suffix_bits + 1)).otherwise(
+        F.lit(suffix_bits + 1) - F.length(F.bin(w))
+    )
+    return (
+        df.select(
+            F.col(group_col).alias("group"),
+            h.alias("_h"),
+        )
+        .select(
+            "group",
+            F.shiftright(F.col("_h"), suffix_bits).alias("register"),
+            rho.cast("int").alias("rho"),
+        )
+        .groupBy("group", "register")
+        .agg(F.max("rho").alias("max_rho"))
+    )
+
+
+def _lc_table(m: int) -> list[float]:
+    """Linear-counting estimates m*ln(m/V) for V = 1..m, precomputed in
+    Python so both the Spark plan and any SQL oracle read the SAME
+    constants (see module docstring on libm ln divergence)."""
+    return [m * math.log(m / v) for v in range(1, m + 1)]
+
+
+def hll_alpha(m: int) -> float:
+    """The standard bias-correction constant for m >= 128 registers
+    (the closed-form approximation; exact tabulated values for m in
+    {16,32,64} are not needed at the supported p >= 4... they differ
+    <1% and this module pins ONE formula both engines share)."""
+    return 0.7213 / (1 + 1.079 / m)
+
+
+def hll_estimate(registers: DataFrame, *, p: int = 8, round_dp: int = 6) -> DataFrame:
+    """(group, m_registers, zero_registers, hll_estimate) from a
+    long-form register sketch. All arithmetic is engine-replayable:
+    exact DECIMAL harmonic sum, one double division, literal-table
+    linear counting (see module docstring)."""
+    m = _check_p(p)
+    suffix_bits = _HASH_BITS - p
+    numerator = hll_alpha(m) * m * m * float(1 << suffix_bits)
+    # per-register term 2^(suffix_bits - M_j), an exact integer shift;
+    # absent registers contribute the M_j = 0 term 2^suffix_bits each
+    term = F.expr(
+        f"CAST(shiftleft(CAST(1 AS BIGINT), CAST({suffix_bits} - max_rho AS INT))"
+        " AS DECIMAL(38,0))"
+    )
+    agg = registers.groupBy("group").agg(
+        F.count(F.lit(1)).alias("_n_present"),
+        F.sum(term).alias("_s_present"),
+    )
+    zero = (F.lit(m) - F.col("_n_present")).cast("long")
+    raw_sum = F.col("_s_present") + zero.cast("decimal(38,0)") * F.lit(
+        1 << suffix_bits
+    ).cast("decimal(38,0)")
+    e_raw = F.lit(numerator) / raw_sum.cast("double")
+    lc = F.array(*[F.lit(v) for v in _lc_table(m)])
+    est = F.when(
+        (e_raw <= 2.5 * m) & (zero > 0), F.element_at(lc, zero.cast("int"))
+    ).otherwise(e_raw)
+    return agg.select(
+        "group",
+        F.lit(m).cast("long").alias("m_registers"),
+        zero.alias("zero_registers"),
+        F.round(est, round_dp).alias("hll_estimate"),
+    )
+
+
+def hll_report(
+    registers: DataFrame,
+    raw: DataFrame,
+    *,
+    group_col: str,
+    value_col: str,
+    p: int = 8,
+    with_union: bool = True,
+) -> DataFrame:
+    """(group, m_registers, zero_registers, hll_estimate,
+    exact_distinct) from an already-built register sketch plus the raw
+    table for the exact reference counts — the kmv_report pattern: ONE
+    assembly whether the sketch came from the batch plan or a drained
+    streaming state table, so the estimator cannot diverge between the
+    two paths. ``with_union`` adds an 'ALL' row whose registers are the
+    elementwise MAX merge of the per-group sketches — the union-
+    cardinality op that exact distinct counts need a second full scan
+    for."""
+    sketches = registers
+    if with_union:
+        merged = (
+            registers.groupBy("register")
+            .agg(F.max("max_rho").alias("max_rho"))
+            .select(F.lit("ALL").alias("group"), "register", "max_rho")
+        )
+        sketches = registers.unionByName(merged)
+    est = hll_estimate(sketches, p=p)
+
+    exact = raw.groupBy(F.col(group_col).alias("group")).agg(
+        F.count_distinct(F.col(value_col)).alias("exact_distinct")
+    )
+    if with_union:
+        exact = exact.unionByName(
+            raw.agg(
+                F.lit("ALL").alias("group"),
+                F.count_distinct(F.col(value_col)).alias("exact_distinct"),
+            )
+        )
+    return est.join(exact, "group").select(
+        "group", "m_registers", "zero_registers", "hll_estimate", "exact_distinct"
+    )
+
+
+def hll_distinct_by_group(
+    df: DataFrame,
+    *,
+    group_col: str,
+    value_col: str,
+    p: int = 8,
+    with_union: bool = True,
+) -> DataFrame:
+    """Build + estimate in one call (batch convenience twin of the
+    streamed register maintenance in streaming.jobs)."""
+    regs = hll_registers(df, group_col=group_col, value_col=value_col, p=p)
+    return hll_report(
+        regs, df, group_col=group_col, value_col=value_col, p=p,
+        with_union=with_union,
+    )

@@ -308,6 +308,46 @@ def run_kmv_sketch_stream_available_now(
     return spark.table(query_name)
 
 
+def run_hll_sketch_stream_available_now(
+    spark: SparkSession,
+    events_dir: str,
+    *,
+    p: int = 8,
+    query_name: str = "events_hll_sketch_stream",
+    max_files_per_trigger: int | None = 1,
+    stream_shuffle_partitions: int | None = None,
+) -> DataFrame:
+    """Incrementally maintain the HLL register sketch (sketches.hll)
+    under the streaming runtime: per (event_type, register) the running
+    MAX of the hash rank, drained with availableNow — the max-merge
+    twin of run_kmv_sketch_stream_available_now's min-maintenance.
+    State is groups × ≤2^p small ints, constant for any stream volume
+    (no watermark needed, complete-mode output cheap); estimates are
+    computed over the drained register table in batch (the production
+    split: streams maintain sketches, queries read them). Because the
+    register max is ORDER-INSENSITIVE the drained state must equal the
+    batch-built sketch exactly — which the catalog oracle's full md5
+    replay checks."""
+    from ..sketches.hll import hll_registers
+
+    stream = events_stream_reader(
+        spark, events_dir, max_files_per_trigger=max_files_per_trigger
+    )
+    regs = hll_registers(
+        stream.select("event_type", "user_id"),
+        group_col="event_type",
+        value_col="user_id",
+        p=p,
+    )
+    _run_to_memory(
+        regs,
+        query_name=query_name,
+        output_mode="complete",
+        shuffle_partitions=stream_shuffle_partitions,
+    )
+    return spark.table(query_name)
+
+
 def run_enrich_stream_available_now(
     spark: SparkSession,
     events_dir: str,

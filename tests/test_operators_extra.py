@@ -388,3 +388,59 @@ def test_decode_png_truncated_before_crc_raises_valueerror(spark):
     # cut exactly between the IEND chunk's (empty) data and its CRC
     with pytest.raises(ValueError, match="truncated"):
         decode_png(blob[:-4])
+
+
+# --------------------- CM-prefiltered heavy-hitter join ---------------------
+
+
+def test_heavy_hitter_join_equals_plain_and_prunes(spark):
+    """The cascade (CMS prefilter → exact count on survivors → join)
+    must be byte-equal to the plain HAVING-count join, while the
+    map-side prefilter actually drops cold rows before any shuffle."""
+    from big_data_analysis_of_airline_data_set_spark.operators.heavy_hitter_join import (
+        build_cms_counters,
+        cms_estimate_expr,
+        heavy_hitter_join,
+    )
+
+    # keys 0..4 hot (20 rows each), keys 100..299 cold (1 row each)
+    rows = [(k, float(k)) for k in range(5) for _ in range(20)]
+    rows += [(k, 0.5) for k in range(100, 300)]
+    big = spark.createDataFrame(rows, "k long, v double")
+    small = spark.createDataFrame(
+        [(k, f"dim{k}") for k in range(300)], "k long, name string"
+    )
+
+    got = heavy_hitter_join(big, small, "k", min_count=10, width=4096)
+    plain = (
+        big.join(
+            big.groupBy("k").count().filter(F.col("count") >= 10).select("k"),
+            "k",
+        )
+        .join(small, "k")
+    )
+    a = sorted((r.k, r.v, r.name) for r in got.select("k", "v", "name").collect())
+    b = sorted((r.k, r.v, r.name) for r in plain.collect())
+    assert a == b and len(a) == 100
+    assert all(r.key_count == 20 for r in got.select("key_count").collect())
+
+    # pruning: the sketch filter alone keeps all 100 hot rows and, at
+    # 300 keys over 4096 buckets, nearly none of the 200 cold rows
+    counters = build_cms_counters(big.select("k"), term_col="k", width=4096)
+    cms = spark.createDataFrame([(counters,)], "___cms: array<long>")
+    est = cms_estimate_expr(F.col("k"), F.col("___cms"), depth=4, width=4096)
+    survivors = big.crossJoin(F.broadcast(cms)).filter(est >= 10).count()
+    assert 100 <= survivors < 150
+
+
+def test_heavy_hitter_join_counter_geometry_checked(spark):
+    from big_data_analysis_of_airline_data_set_spark.operators.heavy_hitter_join import (
+        heavy_hitter_join,
+    )
+
+    big = spark.createDataFrame([(1, 1.0)], "k long, v double")
+    small = spark.createDataFrame([(1, "d")], "k long, name string")
+    with pytest.raises(ValueError, match="geometry"):
+        heavy_hitter_join(
+            big, small, "k", min_count=1, depth=4, width=1024, counters=[0] * 8
+        )

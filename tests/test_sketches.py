@@ -97,3 +97,88 @@ def test_kmv_small_group_estimate_sane(spark):
     assert row.exact_distinct == 3
     # tiny-D estimates are noisy but must stay positive and bounded
     assert 1 <= row.distinct_estimate <= 30
+
+
+def test_hll_estimate_within_band_and_union_merge(spark):
+    """p=8 → standard error ~1.04/sqrt(256) ≈ 6.5%; assert both group
+    estimates and the max-merged 'ALL' union row land within 4σ, and
+    that the union row reflects the TRUE union (overlapping groups)."""
+    from big_data_analysis_of_airline_data_set_spark.sketches.hll import (
+        hll_distinct_by_group,
+    )
+
+    rows = [("g1", f"v{i}") for i in range(3000)]
+    rows += [("g2", f"v{i}") for i in range(1500, 4500)]  # 1500 overlap
+    df = spark.createDataFrame(rows, "grp string, val string")
+    got = {
+        r.group: r
+        for r in hll_distinct_by_group(
+            df, group_col="grp", value_col="val", p=8
+        ).collect()
+    }
+    assert got["g1"].exact_distinct == 3000
+    assert got["ALL"].exact_distinct == 4500  # union, not 6000
+    for g, true in [("g1", 3000), ("g2", 3000), ("ALL", 4500)]:
+        est = got[g].hll_estimate
+        assert abs(est - true) / true < 0.26, (g, est, true)
+        assert got[g].m_registers == 256
+
+
+def test_hll_registers_merge_equals_rebuild(spark):
+    """Mergeability: elementwise MAX of sketches built on two slices
+    == the sketch built on the union — exactly, register by register."""
+    from pyspark.sql import functions as F
+
+    from big_data_analysis_of_airline_data_set_spark.sketches.hll import (
+        hll_registers,
+    )
+
+    a = spark.createDataFrame([("g", f"x{i}") for i in range(400)], "grp string, val string")
+    b = spark.createDataFrame([("g", f"x{i}") for i in range(200, 700)], "grp string, val string")
+    ra = hll_registers(a, group_col="grp", value_col="val", p=6)
+    rb = hll_registers(b, group_col="grp", value_col="val", p=6)
+    merged = {
+        (r.group, r.register): r.m
+        for r in ra.unionByName(rb)
+        .groupBy("group", "register")
+        .agg(F.max("max_rho").alias("m"))
+        .collect()
+    }
+    rebuilt = {
+        (r.group, r.register): r.max_rho
+        for r in hll_registers(
+            a.unionByName(b), group_col="grp", value_col="val", p=6
+        ).collect()
+    }
+    assert merged == rebuilt
+
+
+def test_hll_linear_counting_branch_small_sets(spark):
+    """A handful of distincts leaves nearly all 256 registers zero —
+    the linear-counting branch must fire and be near-exact there
+    (m*ln(m/V) with V ≈ m-D is within ~1 of D for tiny D)."""
+    from big_data_analysis_of_airline_data_set_spark.sketches.hll import (
+        hll_distinct_by_group,
+    )
+
+    df = spark.createDataFrame(
+        [("g", f"only{i}") for i in range(5)], "grp string, val string"
+    )
+    row = hll_distinct_by_group(
+        df, group_col="grp", value_col="val", p=8, with_union=False
+    ).first()
+    assert row.exact_distinct == 5
+    assert row.zero_registers >= 251
+    assert abs(row.hll_estimate - 5) < 1.5
+
+
+def test_hll_p_validation(spark):
+    import pytest as _pytest
+
+    from big_data_analysis_of_airline_data_set_spark.sketches.hll import (
+        hll_registers,
+    )
+
+    df = spark.createDataFrame([("g", "v")], "grp string, val string")
+    with _pytest.raises(ValueError, match="p must be"):
+        hll_registers(df, group_col="grp", value_col="val", p=3)
