@@ -161,6 +161,18 @@ R5_OPS = [
     "events_cumulative_users",
 ]
 
+# Round-6 operator surface: the grouped HLL sketch (batch build +
+# streamed register maintenance) and the CM-prefiltered heavy-hitter
+# join. The two queries whose round-6 PLANS changed (degree-ordered
+# graph_triangles, batched-convergence dedup_entity_resolution) keep
+# their existing R4B/R5 suite slots — same-suite numbers stay
+# comparable round over round.
+R6_OPS = [
+    "sketch_hll_distinct",
+    "events_hll_stream",
+    "join_heavy_hitters_cm",
+]
+
 # Like ml_quick_fit: 3 TVS LR fits (full/uni/var feature sets) timed
 # once, separately — fit-dominated and session-cached, so repeats would
 # time the cache, not the work.
@@ -265,6 +277,10 @@ def main() -> None:
     r5_timings, r5_total = _run_suite(specs, spark, R5_OPS, sf_dir, repeats, "r5_ops")
     print(f"# r5_ops_suite: {r5_total}s {r5_timings}", file=sys.stderr)
 
+    _warm(specs, spark, R6_OPS, sf_dir)
+    r6_timings, r6_total = _run_suite(specs, spark, R6_OPS, sf_dir, repeats, "r6_ops")
+    print(f"# r6_ops_suite: {r6_total}s {r6_timings}", file=sys.stderr)
+
     t0 = time.perf_counter()
     specs[ML_VARIANT_QUERY].fn(spark, sf_dir).count()
     ml_variants = time.perf_counter() - t0
@@ -319,6 +335,8 @@ def main() -> None:
         "r4b_ops_queries": r4b_timings,
         "r5_ops_suite": r5_total,
         "r5_ops_queries": r5_timings,
+        "r6_ops_suite": r6_total,
+        "r6_ops_queries": r6_timings,
         "skew_suite": skew_total,
         "skew_queries": skew_timings,
         "sf": float(sf),

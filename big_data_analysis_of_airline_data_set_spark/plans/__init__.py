@@ -39,97 +39,88 @@ _MODULES = [
 ]
 
 # The driver's correctness harness records only the first 50 registry
-# entries.  Round-5 window (r4 verdict, Next round #1): (a) the 5
-# oracled queries that have NEVER had a driver row across r1-r4, plus
-# the never-checked slow twin feature_winsorize_exact; (b) queries
-# whose CODE changes this round (fuzzy hot-gram prefix filter) and the
-# round-5 additions (PNG decode, feature-set variant sweep, IVF+int8
-# rerank stack, converged PageRank); (c) the remaining slots re-prove
-# the OLDEST evidence: the 44 queries whose latest driver row is r1 —
-# three testdata generations old (the round-2 events.ts lesson: stale
-# green rows can hide drift). Every rotated-out query keeps a green
-# r4 (or earlier) row on record; the flagship stays driver-evidenced
-# every round through the t1 entry() smoke check.
+# entries.  Round-6 window (r5 verdict, Next round #1): (a) the 12
+# never-driver-checked entries — the 9 documented late-round-5
+# additions plus this round's 3 new operators (grouped HLL batch +
+# streamed twin, CM-prefiltered heavy-hitter join); (b) queries whose
+# CODE changed this round: degree-ordered triangle counting, the
+# batched-convergence connected components (and entity resolution,
+# which rides on it), the bloom h2 fix, the upsert-sink eager
+# checkpoint, and the pagerank context-manager migration — each keeps
+# a green r4/r5 row, but the plan behind it is new; (c) the remaining
+# slots re-prove the OLDEST evidence: all 16 r1-era rows (the full
+# list the r5 verdict named — their last driver rows are four testdata
+# generations old) and then the 15 oldest r2-era rows (the S1/S3
+# reference-job entries, the MLlib stats family, the dedup family, and
+# brute/LSH ANN). Every rotated-out query keeps a green r4/r5 row on
+# record; the flagship stays driver-evidenced every round through the
+# t1 entry() smoke check.
 _CORRECTNESS_WINDOW = [
-    # (a) never driver-checked across r1-r4 (verdict Next #1)
-    "approx_distinct_by_group",
-    "stats_benford_audit",
-    "text_token_rarity",
-    "events_rolling_active_users",
-    "events_attribution",
-    "feature_winsorize_exact",
-    # (b) code changed this round: q-gram blocking gains the hot-gram
-    # prefix filter — the r4 green row predates the new plan.
-    "dedup_fuzzy_pairs",
-    # (b) new round-5 operators
-    "multimodal_decode_png",
-    "ml_variant_sweep",
-    "ann_ivf_quantized_rerank",
-    "graph_pagerank_converged",
-    "join_bloom_prefiltered",
+    # (a) never driver-checked — late-round-5 wave
+    "ml_target_encoding",
+    "stats_ab_test",
+    "events_streaks",
+    "graph_hierarchy_flatten",
+    "union_schema_evolution",
+    "events_twap",
+    "events_journey_paths",
+    "events_capped_sessions",
+    "events_cumulative_users",
+    # (a) never driver-checked — new round-6 operators
+    "sketch_hll_distinct",
+    "events_hll_stream",
+    "join_heavy_hitters_cm",
+    # (b) code changed this round (round-5 verdict items 2/3/6 + the
+    # ADVICE bloom/upsert fixes)
+    "graph_triangles",
+    "dedup_connected_components",
     "dedup_entity_resolution",
-    "events_resample_ffill",
-    "incremental_join_delta",
-    "curation_chunking",
-    "events_enrich_stream",
-    "stats_group_ols",
-    "stats_ks_drift",
-    "sketch_kmv_join_cardinality",
+    "join_bloom_prefiltered",
     "events_upsert_sink_stream",
-    # (the late-round-5 wave — ml_target_encoding, stats_ab_test,
-    # events_streaks, graph_hierarchy_flatten, union_schema_evolution,
-    # events_twap, events_journey_paths, events_capped_sessions,
-    # events_cumulative_users —
-    # landed after the window froze at 50; every one is
-    # sf0.001/0.01/0.1 oracle-verified this round; rotate them in next
-    # round per the never-checked-first policy)
-    # (c) r1-era re-proof — latest driver row is round 1, three
-    # testdata generations ago. Ordered roughly by substance.
-    "tpch_q1_style",
-    "union_reassembly",
-    "flagship_sql",
-    "grouping_sets_agg",
-    "cube_agg",
-    "rollup_agg",
-    "window_top_order",
-    "window_ranking",
-    "window_analytics",
-    "window_frames",
-    "join_inner_agg",
-    "join_semi",
-    "join_anti",
-    "join_full_outer",
-    "range_join_bucketized",
-    "salted_join_agg",
-    "set_except",
-    # (set_intersect displaced — set_except stays as the §2.7 family
-    # representative; conditional_aggregates displaced — when/otherwise
-    # aggregation is the flagship pivot's own shape, windowed via
-    # case_label + the every-round entry() smoke)
-    "correlation_pairs",
-    "chi_square_sql",
-    "variance",
-    "stats_moments",
-    "delay_group_counts",
-    "case_label",
-    "time_digits",
-    "city_split",
-    # (cast_chain displaced for stats_ks_drift — cast chains are
-    # exercised by every DECIMAL-summed query still in the window)
-    # (displaced to make room for the four late-round-5 operators, all
-    # never-driver-checked — each displaced query keeps its green r1
-    # row AND its operator stays exercised by a remaining green query:
-    # deterministic_sample → ml_reference_bands' sample artifact (r4);
-    # distinct_values/distinct_count → union_reassembly + dedup_exact;
-    # top_k → the flagship's orderBy+limit, smoke-checked every round;
-    # scalar_functions → case_label's when/otherwise, still windowed;
-    # string_functions → city_split + projection_name_pattern paths;
-    # count_by_dow/count_by_month → sum_by_year, the same
-    # derived-column groupBy-agg shape, which stays windowed)
-    "sum_by_year",
-    "array_functions",
-    "map_functions",
-    "lateral_explode",
+    "graph_pagerank",
+    "graph_pagerank_converged",
+    # (c) r1-era re-proof — latest driver row is round 1, four
+    # testdata generations ago (the full 16-name list from the r5
+    # verdict; distinct_count rides with distinct_values)
+    "flagship_delay_summary_by_carrier",
+    "projection",
+    "filter_status",
+    "filter_year",
+    "cast_chain",
+    "deterministic_sample",
+    "global_count",
+    "count_by_month",
+    "count_by_dow",
+    "top_k",
+    "distinct_values",
+    "distinct_count",
+    "conditional_aggregates",
+    "set_intersect",
+    "scalar_functions",
+    "string_functions",
+    # (c) r2-era re-proof — oldest remaining evidence: the reference
+    # S1/S3 end-to-end jobs, the MLlib-parity stats family (M6-M11
+    # evidence), the dedup family, and the ANN baselines. The r2 rows
+    # not re-proved here (text_*, curation_pipeline, events_funnel,
+    # quantiles, unpivot, scd2_upsert, multimodal_asset_stats,
+    # flights_viz_dataset, trimmed_mean_udaf, ann_ivf_topk — IVF is
+    # exercised by r5-green ann_ivf_quantized_rerank) are next in the
+    # r7 rotation.
+    "flights_cleaning_job",
+    "feature_selection_job",
+    "mllib_correlation_matrix",
+    "mllib_chi_square",
+    "spearman_correlation",
+    "variance_threshold_features",
+    "univariate_select_categorical",
+    "univariate_select_continuous",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "dedup_ngram_jaccard",
+    "dedup_embedding_cosine",
+    "ann_bruteforce_topk",
+    "ann_lsh_topk",
 ]
 
 
