@@ -307,16 +307,23 @@ def orient_by_degree(edges: DataFrame, *, u: str = "u", v: str = "v") -> DataFra
     scale that difference is the whole join.
 
     Input: DISTINCT undirected pairs, each edge once (any endpoint
-    order). Cost: one degree aggregation (node-sized) plus two equi-
-    joins of the edge set against it — AQE broadcasts the degree table
-    when it is small; at graph scale both are plain shuffle joins on
-    the endpoint keys."""
+    order). Cost: ONE degree aggregation (node-sized, built in a
+    single edge scan via explode) plus two equi-joins of the edge set
+    against it — AQE broadcasts the degree table when it is small; at
+    graph scale both are plain shuffle joins on the endpoint keys.
+    The degree frame is a lazy localCheckpoint: referenced by BOTH
+    joins, it would otherwise be planned as two independent subtrees
+    (Spark does not dedupe common subexpressions across joins —
+    measured 2× the whole orientation cost); the checkpoint computes
+    it once and the ContextCleaner frees the blocks when the frame is
+    dropped, so no caller-release contract is needed (the
+    resample_ffill pattern)."""
     und = edges.select(F.col(u).alias("x"), F.col(v).alias("y"))
     deg = (
-        und.select(F.col("x").alias("vtx"))
-        .unionAll(und.select(F.col("y").alias("vtx")))
+        und.select(F.explode(F.array("x", "y")).alias("vtx"))
         .groupBy("vtx")
         .agg(F.count(F.lit(1)).alias("d"))
+        .localCheckpoint(eager=False)
     )
     dx = deg.select(F.col("vtx").alias("x"), F.col("d").alias("dx"))
     dy = deg.select(F.col("vtx").alias("y"), F.col("d").alias("dy"))

@@ -22,12 +22,20 @@ be invisible in the output, which is what the catalog oracle — plain
 SQL, no sketch anywhere — checks).
 
 Plumbing shared with the package's sketch discipline: the sketch build
-is one constant-size groupBy (sketches.countmin); the finished d·w
-counter table is collected once (bounded by the SKETCH size, never the
-data) and re-broadcast as a one-row dense array COLUMN so the probe
-runs inside whole-stage codegen with no Python and no join — the same
+is one constant-size groupBy; the finished d·w counter table is
+collected once (bounded by the SKETCH size, never the data) and
+re-broadcast as a one-row dense array COLUMN so the probe runs inside
+whole-stage codegen with no Python and no join — the same
 ship-as-column pattern bloom_join measured 2.3× faster than a literal
-expression tree.
+expression tree. Hashes are seeded ``xxhash64`` — the JVM-native hash,
+NOT the md5+conv construction the ORACLED sketches (countmin/kmv/hll)
+use, deliberately and for the same reason bloom_join documents: these
+bucket positions never need cross-engine replay (the oracle is the
+plain join, sketch invisible), and xxhash64 runs in whole-stage
+codegen at a fraction of md5-string-parse cost — the md5 probe
+measured ~4× slower over the fact scan, which is the whole hot path.
+h2 is forced into [1, width-1] (the Kirsch-Mitzenmacher h2≡0 collapse,
+see bloom_join._positions).
 """
 
 from __future__ import annotations
@@ -35,18 +43,35 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from ..sketches.countmin import _h56, count_min_sketch_table
+
+def _bucket_exprs(key: Column, *, depth: int, width: int) -> list[Column]:
+    """The d CMS bucket positions for a key: (h1 + j·h2) mod w over two
+    seeded xxhash64 draws, both reduced mod w BEFORE combining (ANSI
+    overflow discipline), h2 nonzero. Build and probe MUST share this
+    function — a drifted hash family silently estimates garbage."""
+    h1 = F.pmod(F.xxhash64(key, F.lit(1)), F.lit(width))
+    h2 = F.pmod(F.xxhash64(key, F.lit(2)), F.lit(width - 1)) + F.lit(1)
+    return [F.pmod(h1 + F.lit(j) * h2, F.lit(width)) for j in range(depth)]
 
 
 def build_cms_counters(
     occurrences: DataFrame, *, term_col: str, depth: int = 4, width: int = 8192
 ) -> list[int]:
     """Dense row-major counter list (index j·width + bucket) of a d×w
-    CMS over ``occurrences`` — the collect is ≤ d·w rows regardless of
-    input size (the bloom build_bloom_words driver-boundary class)."""
-    rows = count_min_sketch_table(
-        occurrences, term_col=term_col, depth=depth, width=width
-    ).collect()
+    CMS over ``occurrences`` — one explode-by-depth + groupBy that
+    collapses map-side to ≤ d·w rows; the collect is ≤ d·w rows
+    regardless of input size (the bloom build_bloom_words
+    driver-boundary class)."""
+    buckets = _bucket_exprs(F.col(term_col), depth=depth, width=width)
+    pairs = F.array(
+        *[F.struct(F.lit(j).alias("j"), b.alias("bucket")) for j, b in enumerate(buckets)]
+    )
+    rows = (
+        occurrences.select(F.explode(pairs).alias("p"))
+        .groupBy(F.col("p.j").alias("j"), F.col("p.bucket").alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("s"))
+        .collect()
+    )
     dense = [0] * (depth * width)
     for r in rows:
         dense[int(r.j) * width + int(r.bucket)] = int(r.s)
@@ -59,13 +84,9 @@ def cms_estimate_expr(
     """CMS point estimate (min over depth rows) for ``key`` against a
     dense counter ARRAY column — codegen-friendly: d element_at probes
     + one least(), no join, no Python."""
-    h1 = _h56("a_", key)
-    h2 = _h56("b_", key)
     probes = [
-        F.element_at(
-            arr, (F.lit(j * width) + (h1 + F.lit(j) * h2) % width).cast("int") + 1
-        )
-        for j in range(depth)
+        F.element_at(arr, (F.lit(j * width) + b).cast("int") + 1)
+        for j, b in enumerate(_bucket_exprs(key, depth=depth, width=width))
     ]
     return F.least(*probes) if depth > 1 else probes[0]
 
@@ -113,6 +134,13 @@ def heavy_hitter_join(
         big.crossJoin(F.broadcast(cms))
         .filter(est >= F.lit(min_count))
         .drop("___cms")
+        # survivors feed TWO consumers (the exact count and the final
+        # join); a lazy localCheckpoint computes the fact scan + probe
+        # ONCE at first materialization instead of per consumer — the
+        # materialized set is hot-row-sized (the prefilter's output),
+        # a fraction of rescanning the fact table, and the
+        # ContextCleaner frees it when the frame is dropped
+        .localCheckpoint(eager=False)
     )
     # exact counts over survivors only == global counts for every
     # surviving key (per-key-deterministic prefilter); drops CMS false
