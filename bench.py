@@ -170,6 +170,7 @@ R5_OPS = [
 R6_OPS = [
     "sketch_hll_distinct",
     "events_hll_stream",
+    "events_cms_stream",
     "join_heavy_hitters_cm",
 ]
 

@@ -69,6 +69,7 @@ _CORRECTNESS_WINDOW = [
     # (a) never driver-checked — new round-6 operators
     "sketch_hll_distinct",
     "events_hll_stream",
+    "events_cms_stream",
     "join_heavy_hitters_cm",
     # (b) code changed this round (round-5 verdict items 2/3/6 + the
     # ADVICE bloom/upsert fixes)
@@ -120,7 +121,9 @@ _CORRECTNESS_WINDOW = [
     "dedup_ngram_jaccard",
     "dedup_embedding_cosine",
     "ann_bruteforce_topk",
-    "ann_lsh_topk",
+    # (ann_lsh_topk displaced by events_cms_stream, the 13th
+    # never-checked entry — LSH banding stays exercised by the r2-green
+    # dedup_embedding_lsh path and queues for the r7 re-proof rotation)
 ]
 
 

@@ -284,6 +284,55 @@ _HLL_STREAM_ORACLE = _hll_oracle_sql(
 )
 
 
+_CMS_STREAM_DEPTH, _CMS_STREAM_WIDTH, _CMS_STREAM_K = 4, 1024, 20
+
+
+def q_cms_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user event frequencies via a Count-Min sketch maintained
+    INCREMENTALLY by the streaming runtime (streaming.jobs
+    run_cms_sketch_stream_available_now) — the sum-merge member that
+    completes the streamed sketch trio (KMV min / HLL max / CMS sum):
+    state is the d×w cell table, constant for any stream volume. The
+    exact top-20 users and their probe estimates are assembled in
+    batch by the SAME heavy_hitters_report the batch catalog entry
+    uses. Oracle = full batch md5 replay: incremental count
+    maintenance must converge to exactly the batch sketch."""
+    from pyspark.sql import functions as F
+
+    from ..sketches.countmin import heavy_hitters_report
+    from ..streaming.jobs import run_cms_sketch_stream_available_now
+
+    cells = run_cms_sketch_stream_available_now(
+        spark,
+        _landed_events_dir(spark, sf_dir),
+        depth=_CMS_STREAM_DEPTH,
+        width=_CMS_STREAM_WIDTH,
+        max_files_per_trigger=None,
+        stream_shuffle_partitions=8,
+    )
+    occ = _events(spark, sf_dir).select(
+        F.col("user_id").cast("string").alias("term")
+    )
+    return heavy_hitters_report(
+        cells,
+        occ,
+        term_col="term",
+        k=_CMS_STREAM_K,
+        depth=_CMS_STREAM_DEPTH,
+        width=_CMS_STREAM_WIDTH,
+    )
+
+
+from .patterns import count_min_oracle_sql as _cms_oracle_sql  # noqa: E402
+
+_CMS_STREAM_ORACLE = _cms_oracle_sql(
+    "SELECT CAST(user_id AS VARCHAR) AS term FROM events",
+    _CMS_STREAM_DEPTH,
+    _CMS_STREAM_WIDTH,
+    _CMS_STREAM_K,
+)
+
+
 def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """First-order Markov transition matrix over each user's event
     stream: P(next event type | current), from lag pairs ordered by
@@ -1266,6 +1315,13 @@ QUERIES: dict[str, QuerySpec] = {
         "events_markov_transitions", q_event_transitions, _TRANSITIONS_ORACLE,
         "first-order Markov transition matrix over per-user event"
         " streams (lead pairs -> exact-count probabilities)",
+    ),
+    "events_cms_stream": QuerySpec(
+        "events_cms_stream", q_cms_stream, _CMS_STREAM_ORACLE,
+        "Count-Min sketch maintained INCREMENTALLY by the streaming"
+        " runtime (complete-mode sum state = the d×w cell table);"
+        " exact top-k + probe estimates assembled in batch over the"
+        " drain — completes the streamed sketch trio (min/max/sum)",
     ),
     "events_hll_stream": QuerySpec(
         "events_hll_stream", q_hll_stream, _HLL_STREAM_ORACLE,

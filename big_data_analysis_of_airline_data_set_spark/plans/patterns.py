@@ -304,7 +304,23 @@ def q_count_min_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return heavy_hitters_with_estimates(occ, term_col="term", k=20)
 
 
-def _count_min_oracle(depth: int = 4, width: int = 1024, k: int = 20) -> str:
+_CMS_DOCS_OCC = (
+    "SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS term"
+    " FROM documents"
+)
+
+
+def count_min_oracle_sql(
+    occ_select: str = _CMS_DOCS_OCC,
+    depth: int = 4,
+    width: int = 1024,
+    k: int = 20,
+) -> str:
+    """DuckDB replay of the CMS build + exact top-k + probe estimates
+    over any ``occ_select`` yielding a ``term`` column — ONE builder
+    for the batch (documents tokens) and streaming (events user ids)
+    catalog entries, mirroring sketches.countmin.heavy_hitters_report
+    Spark-side."""
     h = (
         "list_sum(list_transform(generate_series(1, 14), j -> "
         "CAST(strpos('0123456789abcdef', substr(md5('{p}_' || term), j, 1)) - 1"
@@ -313,8 +329,7 @@ def _count_min_oracle(depth: int = 4, width: int = 1024, k: int = 20) -> str:
     h1, h2 = h.format(p="a"), h.format(p="b")
     return f"""
 WITH occ AS (
-  SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS term
-  FROM documents
+  {occ_select}
 ), hashed AS (
   SELECT term, {h1} AS h1, {h2} AS h2 FROM occ
 ), cells AS (
@@ -1410,7 +1425,7 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "sketch_count_min_heavy_hitters": QuerySpec(
         "sketch_count_min_heavy_hitters", q_count_min_heavy_hitters,
-        _count_min_oracle(),
+        count_min_oracle_sql(),
         "declarative Count-Min sketch: exact top-20 terms vs replayed estimates",
     ),
     "quantiles_approx": QuerySpec(

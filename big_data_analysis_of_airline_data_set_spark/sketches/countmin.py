@@ -54,7 +54,8 @@ def count_min_sketch_table(
     )
 
 
-def heavy_hitters_with_estimates(
+def heavy_hitters_report(
+    sketch: DataFrame,
     occurrences: DataFrame,
     *,
     term_col: str,
@@ -62,15 +63,12 @@ def heavy_hitters_with_estimates(
     depth: int = 4,
     width: int = 1024,
 ) -> DataFrame:
-    """Exact top-k terms with their CMS point estimates side by side:
-    (term, exact_count, cms_estimate, overestimates) — ``overestimates``
-    is the CMS guarantee est ≥ exact, TRUE for every row by
-    construction. The exact side exists to grade the sketch; a pure
-    sketch pipeline would skip it and keep only the constant-size
-    aggregate."""
-    sketch = count_min_sketch_table(
-        occurrences, term_col=term_col, depth=depth, width=width
-    )
+    """(term, exact_count, cms_estimate, overestimates) from an
+    already-built (j, bucket, s) sketch table plus the raw occurrences
+    for the exact top-k reference — the kmv_report/hll_report pattern:
+    ONE assembly whether the sketch came from the batch plan or a
+    drained streaming state table, so the probe (and the est ≥ exact
+    guarantee column) cannot diverge between the two paths."""
     exact = (
         occurrences.groupBy(F.col(term_col).alias("term"))
         .agg(F.count(F.lit(1)).alias("exact_count"))
@@ -105,4 +103,27 @@ def heavy_hitters_with_estimates(
             "cms_estimate",
             (F.col("cms_estimate") >= F.col("exact_count")).alias("overestimates"),
         )
+    )
+
+
+def heavy_hitters_with_estimates(
+    occurrences: DataFrame,
+    *,
+    term_col: str,
+    k: int = 20,
+    depth: int = 4,
+    width: int = 1024,
+) -> DataFrame:
+    """Exact top-k terms with their CMS point estimates side by side:
+    (term, exact_count, cms_estimate, overestimates) — ``overestimates``
+    is the CMS guarantee est ≥ exact, TRUE for every row by
+    construction. The exact side exists to grade the sketch; a pure
+    sketch pipeline would skip it and keep only the constant-size
+    aggregate. Build + report in one call (batch convenience twin of
+    the streamed sketch maintenance in streaming.jobs)."""
+    sketch = count_min_sketch_table(
+        occurrences, term_col=term_col, depth=depth, width=width
+    )
+    return heavy_hitters_report(
+        sketch, occurrences, term_col=term_col, k=k, depth=depth, width=width
     )

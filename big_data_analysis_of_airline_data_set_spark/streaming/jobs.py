@@ -348,6 +348,48 @@ def run_hll_sketch_stream_available_now(
     return spark.table(query_name)
 
 
+def run_cms_sketch_stream_available_now(
+    spark: SparkSession,
+    events_dir: str,
+    *,
+    term_expr: str = "CAST(user_id AS STRING)",
+    depth: int = 4,
+    width: int = 1024,
+    query_name: str = "events_cms_sketch_stream",
+    max_files_per_trigger: int | None = 1,
+    stream_shuffle_partitions: int | None = None,
+) -> DataFrame:
+    """Incrementally maintain the Count-Min frequency sketch
+    (sketches.countmin) under the streaming runtime: per (j, bucket)
+    the running COUNT of occurrences routed there, drained with
+    availableNow — the sum-merge member of the streamed sketch trio
+    (KMV = min, HLL = max, CMS = sum; all three keep CONSTANT state
+    regardless of stream volume, which is the whole reason sketches
+    stream where exact counts cannot). Estimates are computed over the
+    drained cell table in batch via the shared
+    ``heavy_hitters_report`` assembly. Counts are order-insensitive,
+    so the drained state must equal the batch-built sketch cell for
+    cell — which the catalog oracle's full md5 replay checks."""
+    from ..sketches.countmin import count_min_sketch_table
+
+    stream = events_stream_reader(
+        spark, events_dir, max_files_per_trigger=max_files_per_trigger
+    )
+    cells = count_min_sketch_table(
+        stream.selectExpr(f"{term_expr} AS term"),
+        term_col="term",
+        depth=depth,
+        width=width,
+    )
+    _run_to_memory(
+        cells,
+        query_name=query_name,
+        output_mode="complete",
+        shuffle_partitions=stream_shuffle_partitions,
+    )
+    return spark.table(query_name)
+
+
 def run_enrich_stream_available_now(
     spark: SparkSession,
     events_dir: str,
