@@ -444,3 +444,21 @@ def test_heavy_hitter_join_counter_geometry_checked(spark):
         heavy_hitter_join(
             big, small, "k", min_count=1, depth=4, width=1024, counters=[0] * 8
         )
+
+
+def test_bloom_positions_never_collapse_to_one_bit(spark):
+    """The h2-nonzero fix (round-5 ADVICE): with h2 drawn mod (m-1)+1,
+    no key's k probe positions can all collapse onto h1 — every key
+    sets at least 2 distinct bits (h1 and h1+h2 differ mod m when
+    0 < h2 < m). Before the fix, ~1/m of keys behaved as a 1-hash
+    filter and quietly inflated the false-positive rate."""
+    from big_data_analysis_of_airline_data_set_spark.operators.bloom_join import (
+        _positions,
+    )
+
+    m, k = 1024, 7
+    keys = spark.range(0, 20000).select(F.col("id").cast("string").alias("s"))
+    n_distinct = keys.select(
+        F.size(F.array_distinct(_positions(F.col("s"), m_bits=m, k=k))).alias("n")
+    )
+    assert n_distinct.agg(F.min("n")).first()[0] >= 2

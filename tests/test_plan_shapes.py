@@ -382,3 +382,89 @@ def test_join_delta_both_joins_keyed(spark, sf_dir):
     plan = _plan(spark, sf_dir, "incremental_join_delta")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_hll_registers_single_partial_final_aggregate(spark, sf_dir):
+    """The HLL build must be ONE partial+final aggregate (map-side
+    collapse to ≤ m rows per group before the shuffle) with no window,
+    no sort, no Python — the constant-shuffle property the sketch
+    exists for."""
+    plan = _plan(spark, sf_dir, "sketch_hll_distinct", mode="extended")
+    assert "partial_" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    assert "Window" not in plan
+
+
+def test_heavy_hitter_cms_filter_is_map_side(spark, sf_dir):
+    """The CMS estimate filter must run in the fact scan's stage — a
+    Filter over element_at probes against the broadcast counter array,
+    below any exchange, with no Python anywhere. The catalog query's
+    own plan truncates at the survivors' localCheckpoint, so the
+    prefilter stage is examined pre-checkpoint here (same construction
+    heavy_hitter_join uses); the downstream joins are then checked on
+    the full catalog plan."""
+    from pyspark.sql import functions as F
+
+    from big_data_analysis_of_airline_data_set_spark.operators.heavy_hitter_join import (
+        build_cms_counters,
+        cms_estimate_expr,
+    )
+    from big_data_analysis_of_airline_data_set_spark.sources.readers import (
+        read_testdata_table,
+    )
+
+    li = read_testdata_table(spark, sf_dir, "lineitem").select("l_partkey")
+    counters = build_cms_counters(li, term_col="l_partkey", width=4096)
+    cms = spark.createDataFrame([(counters,)], "___cms: array<long>")
+    pre = (
+        li.crossJoin(F.broadcast(cms))
+        .filter(
+            cms_estimate_expr(
+                F.col("l_partkey"), F.col("___cms"), depth=4, width=4096
+            )
+            >= 38
+        )
+        .drop("___cms")
+    )
+    jmode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "extended"
+    )
+    plan = pre._jdf.queryExecution().explainString(jmode)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert any(
+        "Filter" in l and "element_at" in l for l in plan.splitlines()
+    ), "CMS estimate test is not a pre-join Filter"
+    assert "Exchange" not in plan.split("== Physical Plan ==")[-1].split(
+        "BroadcastExchange"
+    )[0], "prefilter stage shuffles before filtering"
+
+    full = _plan(spark, sf_dir, "join_heavy_hitters_cm", mode="extended")
+    assert "CartesianProduct" not in full
+    assert "BroadcastHashJoin" in full
+    assert "BatchEvalPython" not in full and "ArrowEvalPython" not in full
+
+
+def test_streamed_sketch_state_is_constant_sized(spark, sf_dir):
+    """The streamed CMS drain's state is the (j, bucket) cell table:
+    the drained table must never exceed d·w rows no matter the stream
+    volume — the reason sketches stream where exact counts cannot."""
+    from big_data_analysis_of_airline_data_set_spark.plans.events_queries import (
+        _CMS_STREAM_DEPTH,
+        _CMS_STREAM_WIDTH,
+        _landed_events_dir,
+    )
+    from big_data_analysis_of_airline_data_set_spark.streaming.jobs import (
+        run_cms_sketch_stream_available_now,
+    )
+
+    cells = run_cms_sketch_stream_available_now(
+        spark,
+        _landed_events_dir(spark, sf_dir),
+        depth=_CMS_STREAM_DEPTH,
+        width=_CMS_STREAM_WIDTH,
+        query_name="cms_state_size_check",
+        max_files_per_trigger=None,
+        stream_shuffle_partitions=4,
+    )
+    assert cells.count() <= _CMS_STREAM_DEPTH * _CMS_STREAM_WIDTH
