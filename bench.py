@@ -171,6 +171,7 @@ R6_OPS = [
     "sketch_hll_distinct",
     "events_hll_stream",
     "events_cms_stream",
+    "events_hll_sliding_distinct",
     "join_heavy_hitters_cm",
 ]
 

@@ -39,10 +39,11 @@ _MODULES = [
 ]
 
 # The driver's correctness harness records only the first 50 registry
-# entries.  Round-6 window (r5 verdict, Next round #1): (a) the 12
+# entries.  Round-6 window (r5 verdict, Next round #1): (a) the 14
 # never-driver-checked entries — the 9 documented late-round-5
-# additions plus this round's 3 new operators (grouped HLL batch +
-# streamed twin, CM-prefiltered heavy-hitter join); (b) queries whose
+# additions plus this round's 5 new operators (grouped HLL batch +
+# streamed twin + sliding-window merge, streamed CMS, CM-prefiltered
+# heavy-hitter join); (b) queries whose
 # CODE changed this round: degree-ordered triangle counting, the
 # batched-convergence connected components (and entity resolution,
 # which rides on it), the bloom h2 fix, the upsert-sink eager
@@ -70,6 +71,7 @@ _CORRECTNESS_WINDOW = [
     "sketch_hll_distinct",
     "events_hll_stream",
     "events_cms_stream",
+    "events_hll_sliding_distinct",
     "join_heavy_hitters_cm",
     # (b) code changed this round (round-5 verdict items 2/3/6 + the
     # ADVICE bloom/upsert fixes)
@@ -114,7 +116,10 @@ _CORRECTNESS_WINDOW = [
     "spearman_correlation",
     "variance_threshold_features",
     "univariate_select_categorical",
-    "univariate_select_continuous",
+    # (univariate_select_continuous displaced by
+    # events_hll_sliding_distinct, the 14th never-checked entry — the
+    # M9 ANOVA-F selection stays exercised by r5-green
+    # ml_variant_sweep, which replays it in SQL; queues for r7)
     "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_simhash",

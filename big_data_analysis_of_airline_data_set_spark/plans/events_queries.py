@@ -284,6 +284,147 @@ _HLL_STREAM_ORACLE = _hll_oracle_sql(
 )
 
 
+_HLL_SLIDE_P = 8
+_HLL_SLIDE_W = 3  # trailing 3-hour window, anchored per observed hour
+
+
+def q_hll_sliding_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-window distinct users per (event_type, hour) via
+    sliding HLL register merge (sketches.hll.hll_trailing_merge) — the
+    op register sketches exist for: per-bucket vectors are built ONCE
+    from the raw events, then every trailing 3-hour window is a
+    scatter + max-merge over register rows (shuffle = W × registers
+    per bucket, CONSTANT in event volume), never a re-scan of W hours
+    of raw data per anchor. The exact trailing distinct rides along as
+    the accuracy reference, computed scalably the same way (per-bucket
+    dedup → scatter → count_distinct; no range join). Hour buckets are
+    integer unix_micros div 3.6e9 — exact in both engines. Estimates
+    replay exactly (same md5/BIN/DECIMAL/ln-table discipline as
+    sketch_hll_distinct)."""
+    from pyspark.sql import functions as F
+
+    from ..sketches.hll import hll_estimate, hll_registers, hll_trailing_merge
+
+    base = _events(spark, sf_dir).select(
+        "event_type",
+        F.expr("unix_micros(ts) div 3600000000").alias("hour_bucket"),
+        F.col("user_id").cast("string").alias("val"),
+    )
+    regs = hll_registers(
+        base,
+        group_cols=["event_type", "hour_bucket"],
+        value_col="val",
+        p=_HLL_SLIDE_P,
+    )
+    merged = hll_trailing_merge(
+        regs,
+        bucket_col="hour_bucket",
+        group_cols=["event_type"],
+        window_buckets=_HLL_SLIDE_W,
+    )
+    est = hll_estimate(
+        merged, p=_HLL_SLIDE_P, group_cols=("event_type", "hour_bucket")
+    )
+    dedup = base.distinct()
+    scattered = dedup.select(
+        "event_type",
+        F.explode(
+            F.sequence(
+                F.col("hour_bucket"),
+                F.col("hour_bucket") + (_HLL_SLIDE_W - 1),
+            )
+        ).alias("hour_bucket"),
+        "val",
+    )
+    anchors = base.select("event_type", "hour_bucket").distinct()
+    exact = (
+        scattered.join(anchors, ["event_type", "hour_bucket"], "left_semi")
+        .groupBy("event_type", "hour_bucket")
+        .agg(F.count_distinct("val").alias("exact_distinct"))
+    )
+    return est.join(exact, ["event_type", "hour_bucket"]).select(
+        "event_type",
+        "hour_bucket",
+        "m_registers",
+        "zero_registers",
+        "hll_estimate",
+        "exact_distinct",
+    )
+
+
+def _hll_sliding_oracle() -> str:
+    from ..sketches.hll import _lc_table, hll_alpha
+
+    p, w = _HLL_SLIDE_P, _HLL_SLIDE_W
+    m = 1 << p
+    sb = 56 - p
+    numerator = hll_alpha(m) * m * m * float(1 << sb)
+    lc_rows = ",\n    ".join(
+        f"({v}, {est!r})" for v, est in enumerate(_lc_table(m), start=1)
+    )
+    h = (
+        "list_sum(list_transform(generate_series(1, 14), j -> "
+        "CAST(strpos('0123456789abcdef', substr(md5('hl_' || val), j, 1)) - 1"
+        " AS BIGINT) * (CAST(1 AS BIGINT) << (4 * (14 - j)))))"
+    )
+    return f"""
+WITH base AS (
+  SELECT event_type,
+         epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000 AS hour_bucket,
+         CAST(user_id AS VARCHAR) AS val
+  FROM events
+), hashed AS (
+  SELECT event_type, hour_bucket, {h} AS h FROM base
+), regs AS (
+  SELECT event_type, hour_bucket, h // {1 << sb} AS register,
+         max(CASE WHEN h % {1 << sb} = 0 THEN {sb + 1}
+                  ELSE {sb + 1} - length(bin(h % {1 << sb})) END) AS max_rho
+  FROM hashed GROUP BY 1, 2, 3
+), anchors AS (
+  SELECT DISTINCT event_type, hour_bucket FROM base
+), scattered AS (
+  SELECT r.event_type, r.hour_bucket + j.j AS hour_bucket,
+         register, max_rho
+  FROM regs r CROSS JOIN (SELECT unnest(generate_series(0, {w - 1})) AS j) j
+), merged AS (
+  SELECT s.event_type, s.hour_bucket, s.register, max(s.max_rho) AS max_rho
+  FROM scattered s JOIN anchors USING (event_type, hour_bucket)
+  GROUP BY 1, 2, 3
+), agg AS (
+  SELECT event_type, hour_bucket,
+         CAST({m} - count(*) AS BIGINT) AS zero_registers,
+         sum(CAST(CAST(1 AS BIGINT) << ({sb} - max_rho) AS DECIMAL(38,0)))
+           AS s_present
+  FROM merged GROUP BY 1, 2
+), lc(v, lc_est) AS (VALUES
+    {lc_rows}
+), est AS (
+  SELECT event_type, hour_bucket, zero_registers,
+         {numerator!r} / CAST(s_present
+             + CAST(zero_registers AS DECIMAL(38,0))
+               * CAST({1 << sb} AS DECIMAL(38,0)) AS DOUBLE) AS e_raw
+  FROM agg
+), dedup AS (
+  SELECT DISTINCT event_type, hour_bucket, val FROM base
+), scat2 AS (
+  SELECT d.event_type, d.hour_bucket + j.j AS hour_bucket, val
+  FROM dedup d CROSS JOIN (SELECT unnest(generate_series(0, {w - 1})) AS j) j
+), exact AS (
+  SELECT s.event_type, s.hour_bucket,
+         CAST(count(DISTINCT val) AS BIGINT) AS exact_distinct
+  FROM scat2 s JOIN anchors USING (event_type, hour_bucket)
+  GROUP BY 1, 2
+)
+SELECT est.event_type, est.hour_bucket,
+       CAST({m} AS BIGINT) AS m_registers, zero_registers,
+       round(CASE WHEN e_raw <= {2.5 * m!r} AND zero_registers > 0
+                  THEN (SELECT lc_est FROM lc WHERE v = zero_registers)
+                  ELSE e_raw END, 6) AS hll_estimate,
+       exact_distinct
+FROM est JOIN exact USING (event_type, hour_bucket)
+"""
+
+
 _CMS_STREAM_DEPTH, _CMS_STREAM_WIDTH, _CMS_STREAM_K = 4, 1024, 20
 
 
@@ -1315,6 +1456,13 @@ QUERIES: dict[str, QuerySpec] = {
         "events_markov_transitions", q_event_transitions, _TRANSITIONS_ORACLE,
         "first-order Markov transition matrix over per-user event"
         " streams (lead pairs -> exact-count probabilities)",
+    ),
+    "events_hll_sliding_distinct": QuerySpec(
+        "events_hll_sliding_distinct", q_hll_sliding_distinct,
+        _hll_sliding_oracle(),
+        "trailing 3h distinct users per (type, hour) via sliding HLL"
+        " register scatter + max-merge — W×register shuffle per bucket,"
+        " never a W-hour raw re-scan; exact reference rides along",
     ),
     "events_cms_stream": QuerySpec(
         "events_cms_stream", q_cms_stream, _CMS_STREAM_ORACLE,

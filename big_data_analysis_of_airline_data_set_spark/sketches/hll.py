@@ -56,16 +56,24 @@ def _check_p(p: int) -> int:
 def hll_registers(
     df: DataFrame,
     *,
-    group_col: str,
+    group_col: str | None = None,
     value_col: str,
     p: int = 8,
+    group_cols: list[str] | None = None,
 ) -> DataFrame:
-    """(group, register, max_rho): the HLL register vector per group in
-    long form — one groupBy-max, constant-size shuffle (<= m rows per
-    group survive the map-side partial aggregate). Registers no value
-    hashed into are ABSENT (they are the zero registers; the estimator
-    counts them as m - rows). Merge sketches built on different slices
-    with a further groupBy-max over the same shape."""
+    """(group..., register, max_rho): the HLL register vector per group
+    in long form — one groupBy-max, constant-size shuffle (<= m rows
+    per group survive the map-side partial aggregate). Registers no
+    value hashed into are ABSENT (they are the zero registers; the
+    estimator counts them as m - rows). Merge sketches built on
+    different slices with a further groupBy-max over the same shape.
+
+    ``group_col`` (aliased to ``group`` in the output, the
+    single-dimension form) and ``group_cols`` (kept under their own
+    names — e.g. ``["event_type", "hour_bucket"]`` for time-bucketed
+    sketches) are mutually exclusive."""
+    if (group_col is None) == (group_cols is None):
+        raise ValueError("pass exactly one of group_col / group_cols")
     m = _check_p(p)
     h = _h56("hl_", F.col(value_col).cast("string"))
     suffix_bits = _HASH_BITS - p
@@ -76,17 +84,20 @@ def hll_registers(
     rho = F.when(w == 0, F.lit(suffix_bits + 1)).otherwise(
         F.lit(suffix_bits + 1) - F.length(F.bin(w))
     )
+    if group_col is not None:
+        keys = [F.col(group_col).alias("group")]
+        key_names = ["group"]
+    else:
+        keys = [F.col(c) for c in group_cols]
+        key_names = list(group_cols)
     return (
-        df.select(
-            F.col(group_col).alias("group"),
-            h.alias("_h"),
-        )
+        df.select(*keys, h.alias("_h"))
         .select(
-            "group",
+            *key_names,
             F.shiftright(F.col("_h"), suffix_bits).alias("register"),
             rho.cast("int").alias("rho"),
         )
-        .groupBy("group", "register")
+        .groupBy(*key_names, "register")
         .agg(F.max("rho").alias("max_rho"))
     )
 
@@ -106,8 +117,14 @@ def hll_alpha(m: int) -> float:
     return 0.7213 / (1 + 1.079 / m)
 
 
-def hll_estimate(registers: DataFrame, *, p: int = 8, round_dp: int = 6) -> DataFrame:
-    """(group, m_registers, zero_registers, hll_estimate) from a
+def hll_estimate(
+    registers: DataFrame,
+    *,
+    p: int = 8,
+    round_dp: int = 6,
+    group_cols: tuple[str, ...] = ("group",),
+) -> DataFrame:
+    """(group..., m_registers, zero_registers, hll_estimate) from a
     long-form register sketch. All arithmetic is engine-replayable:
     exact DECIMAL harmonic sum, one double division, literal-table
     linear counting (see module docstring)."""
@@ -120,7 +137,7 @@ def hll_estimate(registers: DataFrame, *, p: int = 8, round_dp: int = 6) -> Data
         f"CAST(shiftleft(CAST(1 AS BIGINT), CAST({suffix_bits} - max_rho AS INT))"
         " AS DECIMAL(38,0))"
     )
-    agg = registers.groupBy("group").agg(
+    agg = registers.groupBy(*group_cols).agg(
         F.count(F.lit(1)).alias("_n_present"),
         F.sum(term).alias("_s_present"),
     )
@@ -134,10 +151,50 @@ def hll_estimate(registers: DataFrame, *, p: int = 8, round_dp: int = 6) -> Data
         (e_raw <= 2.5 * m) & (zero > 0), F.element_at(lc, zero.cast("int"))
     ).otherwise(e_raw)
     return agg.select(
-        "group",
+        *group_cols,
         F.lit(m).cast("long").alias("m_registers"),
         zero.alias("zero_registers"),
         F.round(est, round_dp).alias("hll_estimate"),
+    )
+
+
+def hll_trailing_merge(
+    registers: DataFrame,
+    *,
+    bucket_col: str,
+    group_cols: list[str],
+    window_buckets: int,
+) -> DataFrame:
+    """Sliding-window sketch merge — THE operation registers exist
+    for: given per-(group..., bucket) register vectors over integer
+    time buckets, produce the merged vector for each trailing window
+    of ``window_buckets`` consecutive buckets anchored at every
+    OBSERVED bucket (distinct users in the last W hours, per hour).
+
+    Scatter-merge shape: each bucket's registers are exploded to the
+    ≤W later anchors they contribute to (shuffle = W × register rows,
+    CONSTANT per bucket regardless of event volume — the raw-data
+    alternative rescans W hours of events per anchor), semi-joined to
+    the observed anchor set so empty hours do not mint phantom
+    windows, then max-merged per anchor. The raw table is never
+    touched again."""
+    if window_buckets < 1:
+        raise ValueError("window_buckets must be >= 1")
+    scattered = registers.select(
+        *group_cols,
+        F.explode(
+            F.sequence(
+                F.col(bucket_col), F.col(bucket_col) + (window_buckets - 1)
+            )
+        ).alias(bucket_col),
+        "register",
+        "max_rho",
+    )
+    anchors = registers.select(*group_cols, bucket_col).distinct()
+    return (
+        scattered.join(anchors, [*group_cols, bucket_col], "left_semi")
+        .groupBy(*group_cols, bucket_col, "register")
+        .agg(F.max("max_rho").alias("max_rho"))
     )
 
 

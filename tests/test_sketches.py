@@ -182,3 +182,49 @@ def test_hll_p_validation(spark):
     df = spark.createDataFrame([("g", "v")], "grp string, val string")
     with _pytest.raises(ValueError, match="p must be"):
         hll_registers(df, group_col="grp", value_col="val", p=3)
+
+
+def test_hll_trailing_merge_hand_checked(spark):
+    """W=2 over buckets {1,2,4}: anchor 1 sees bucket 1 only, anchor 2
+    merges buckets 1+2, anchor 4 sees bucket 4 only (bucket 3 absent —
+    and no phantom anchor 3 or 5 is minted). Register-level equality
+    against sketches rebuilt on the expected bucket unions."""
+    from pyspark.sql import functions as F
+
+    from big_data_analysis_of_airline_data_set_spark.sketches.hll import (
+        hll_registers,
+        hll_trailing_merge,
+    )
+
+    rows = [("g", 1, f"a{i}") for i in range(50)]
+    rows += [("g", 2, f"b{i}") for i in range(50)]
+    rows += [("g", 4, f"c{i}") for i in range(50)]
+    df = spark.createDataFrame(rows, "grp string, hb long, val string")
+    regs = hll_registers(df, group_cols=["grp", "hb"], value_col="val", p=6)
+    merged = hll_trailing_merge(
+        regs, bucket_col="hb", group_cols=["grp"], window_buckets=2
+    )
+    got = {
+        (r.grp, r.hb, r.register): r.max_rho for r in merged.collect()
+    }
+    assert sorted({hb for (_, hb, _) in got}) == [1, 2, 4]
+
+    def rebuild(pred):
+        sub = df.filter(pred)
+        return {
+            (r.grp, r.register): r.max_rho
+            for r in hll_registers(
+                sub.select("grp", "val"), group_cols=["grp"], value_col="val", p=6
+            ).collect()
+        }
+
+    for anchor, pred in [
+        (1, F.col("hb") == 1),
+        (2, F.col("hb").isin(1, 2)),
+        (4, F.col("hb") == 4),
+    ]:
+        want = rebuild(pred)
+        have = {
+            (g, reg): rho for (g, hb, reg), rho in got.items() if hb == anchor
+        }
+        assert have == want, anchor
