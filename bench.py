@@ -173,6 +173,7 @@ R6_OPS = [
     "events_cms_stream",
     "events_hll_sliding_distinct",
     "join_heavy_hitters_cm",
+    "graph_k_core",
 ]
 
 # Like ml_quick_fit: 3 TVS LR fits (full/uni/var feature sets) timed

@@ -405,6 +405,81 @@ def triangle_counts(
     )
 
 
+def k_core(
+    edges: DataFrame,
+    *,
+    k: int,
+    u: str = "u",
+    v: str = "v",
+    max_rounds: int = 10,
+) -> DataFrame:
+    """(vertex, core_degree): the k-core of a simple undirected graph
+    (DISTINCT pairs, each edge once, any endpoint order) — the maximal
+    subgraph where every vertex keeps degree ≥ k, found by iterative
+    PEELING: drop all vertices with degree < k, recompute degrees in
+    what remains, repeat to fixpoint. The classic cohesion filter
+    (spam rings, dense co-occurrence cores, community scaffolds) and
+    the fifth iterative-relational graph workload here, alongside
+    PageRank, triangles, connected components, and pointer doubling.
+
+    Per round: two semi-joins restrict the (symmetrized, persisted,
+    src-partitioned) edge set to surviving endpoints, one degree
+    aggregate, one filter — all node/edge-sized, no driver data. The
+    survivor set shrinks MONOTONICALLY, so the fixpoint test is one
+    count comparison per round (a scalar driver boundary; peeling
+    depth on thresholded co-occurrence graphs is a handful of rounds).
+    Each round references the survivor frame twice (both endpoint
+    semi-joins) — the doubled-lineage shape — so every round's
+    survivor set materializes through an eager localCheckpoint, the
+    pagerank_converged discipline.
+
+    Raises if ``max_rounds`` is exhausted before the fixpoint: a
+    silently-unconverged core is a wrong answer, not a result (callers
+    on deep-peeling graphs raise the budget; each extra round is
+    cheap)."""
+    sym = (
+        edges.select(F.col(u).alias("_s"), F.col(v).alias("_d"))
+        .union(edges.select(F.col(v).alias("_s"), F.col(u).alias("_d")))
+        .distinct()
+        .repartition(F.col("_s"))
+        .persist()
+    )
+    alive = sym.select(F.col("_s").alias("vertex")).distinct().localCheckpoint(
+        eager=True
+    )
+    n_alive = alive.count()
+    for _ in range(max_rounds):
+        deg = (
+            sym.join(alive, sym["_s"] == alive["vertex"], "left_semi")
+            .join(
+                alive.select(F.col("vertex").alias("_dv")),
+                F.col("_d") == F.col("_dv"),
+                "left_semi",
+            )
+            .groupBy(F.col("_s").alias("vertex"))
+            .agg(F.count(F.lit(1)).alias("core_degree"))
+        )
+        survivors = deg.filter(F.col("core_degree") >= k).localCheckpoint(
+            eager=True
+        )
+        n_next = survivors.count()
+        alive = survivors.select("vertex")
+        if n_next == n_alive:
+            sym.unpersist()
+            # the last degree table IS the in-core degree (computed
+            # among exactly the surviving vertices)
+            return survivors
+        n_alive = n_next
+        if n_next == 0:
+            sym.unpersist()
+            return survivors
+    sym.unpersist()
+    raise RuntimeError(
+        f"k_core: no fixpoint within max_rounds={max_rounds} "
+        "(raise the budget; peeling depth exceeded it)"
+    )
+
+
 def flatten_hierarchy(
     nodes: DataFrame,
     *,

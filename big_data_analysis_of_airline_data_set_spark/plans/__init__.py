@@ -39,11 +39,11 @@ _MODULES = [
 ]
 
 # The driver's correctness harness records only the first 50 registry
-# entries.  Round-6 window (r5 verdict, Next round #1): (a) the 14
+# entries.  Round-6 window (r5 verdict, Next round #1): (a) the 15
 # never-driver-checked entries — the 9 documented late-round-5
-# additions plus this round's 5 new operators (grouped HLL batch +
+# additions plus this round's 6 new operators (grouped HLL batch +
 # streamed twin + sliding-window merge, streamed CMS, CM-prefiltered
-# heavy-hitter join); (b) queries whose
+# heavy-hitter join, k-core peeling); (b) queries whose
 # CODE changed this round: degree-ordered triangle counting, the
 # batched-convergence connected components (and entity resolution,
 # which rides on it), the bloom h2 fix, the upsert-sink eager
@@ -73,6 +73,7 @@ _CORRECTNESS_WINDOW = [
     "events_cms_stream",
     "events_hll_sliding_distinct",
     "join_heavy_hitters_cm",
+    "graph_k_core",
     # (b) code changed this round (round-5 verdict items 2/3/6 + the
     # ADVICE bloom/upsert fixes)
     "graph_triangles",
@@ -114,7 +115,10 @@ _CORRECTNESS_WINDOW = [
     "mllib_correlation_matrix",
     "mllib_chi_square",
     "spearman_correlation",
-    "variance_threshold_features",
+    # (variance_threshold_features displaced by graph_k_core, the 15th
+    # never-checked entry — the M11 k-th-largest variance selection
+    # stays exercised by r5-green ml_variant_sweep's var_data variant,
+    # replayed in SQL; queues for r7)
     "univariate_select_categorical",
     # (univariate_select_continuous displaced by
     # events_hll_sliding_distinct, the 14th never-checked entry — the

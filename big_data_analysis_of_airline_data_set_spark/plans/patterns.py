@@ -1264,6 +1264,96 @@ SELECT * FROM (
 """
 
 
+# ------------------------- k-core decomposition -------------------------
+
+_KCORE_PCT = 0.5       # co-occurrence threshold percentile (denser than
+                       # the triangles graph so peeling has structure)
+_KCORE_FRAC = 0.6      # k = floor(0.6 * median degree) + 1 — below the
+                       # median, so near-regular graphs keep a core
+                       # (k above the median cascades to empty on them)
+_KCORE_ROUNDS = 12     # observed peeling depth <= 4 at every sf
+
+
+def q_graph_k_core(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-core decomposition (operators/graph.py:k_core) of the
+    co-supplier graph at the 50th-percentile co-occurrence threshold,
+    with k derived from the DATA — floor(0.6 × median symmetric
+    degree) + 1 — so the core is non-trivial and the peeling
+    converges at every scale factor (relative thresholds, the
+    q_graph_triangles lesson). Output: every core vertex with its
+    in-core degree. The oracle unrolls 12 peel rounds as MATERIALIZED
+    CTEs (each round references the previous survivor set TWICE — the
+    2^N inlining trap) and reads the fixpoint round; the Spark loop
+    stops at the fixpoint count, so convergence itself is
+    value-checked."""
+    from ..operators.graph import k_core
+
+    li = _t(spark, sf_dir, "lineitem")
+    ps = li.select(
+        F.col("l_partkey").alias("p"), F.col("l_suppkey").alias("s")
+    ).distinct()
+    a, b = ps.alias("a"), ps.alias("b")
+    co = (
+        a.join(b, (F.col("a.p") == F.col("b.p")) & (F.col("a.s") < F.col("b.s")))
+        .groupBy(F.col("a.s").alias("u"), F.col("b.s").alias("v"))
+        .agg(F.count(F.lit(1)).alias("c"))
+        .persist()
+    )
+    thr = co.agg(F.expr(f"percentile(c, {_KCORE_PCT})")).first()[0]
+    e = co.filter(F.col("c") > thr).select("u", "v").persist()
+    sym = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    med = (
+        sym.groupBy("u")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .agg(F.expr("percentile(n, 0.5)"))
+        .first()[0]
+    )
+    import math
+
+    k = int(math.floor(_KCORE_FRAC * float(med))) + 1
+    core = k_core(e, k=k, u="u", v="v", max_rounds=_KCORE_ROUNDS)
+    rows = core.collect()  # core-sized driver boundary (≤ vertices)
+    co.unpersist()
+    e.unpersist()
+    return spark.createDataFrame(
+        [(r.vertex, r.core_degree) for r in rows],
+        "vertex long, core_degree long",
+    )
+
+
+def _k_core_oracle() -> str:
+    prev = "a0"
+    rounds = []
+    for i in range(1, _KCORE_ROUNDS + 1):
+        rounds.append(f"""
+a{i} AS MATERIALIZED (
+  SELECT s.s AS vertex, CAST(count(*) AS BIGINT) AS core_degree
+  FROM sym s
+  JOIN {prev} x ON s.s = x.vertex
+  JOIN {prev} y ON s.d = y.vertex
+  GROUP BY s.s
+  HAVING count(*) >= (SELECT k FROM kv)
+)""")
+        prev = f"a{i}"
+    return f"""
+WITH ps AS (
+  SELECT DISTINCT l_partkey AS p, l_suppkey AS s FROM lineitem
+), co AS (
+  SELECT a.s AS u, b.s AS v, count(*) AS c
+  FROM ps a JOIN ps b ON a.p = b.p AND a.s < b.s
+  GROUP BY 1, 2
+), thr AS (SELECT quantile_cont(c, {_KCORE_PCT}) AS t FROM co),
+e AS MATERIALIZED (SELECT u, v FROM co CROSS JOIN thr WHERE c > t),
+sym AS MATERIALIZED (SELECT u AS s, v AS d FROM e UNION SELECT v, u FROM e),
+kv AS MATERIALIZED (
+  SELECT CAST(floor({_KCORE_FRAC} * quantile_cont(n, 0.5)) + 1 AS BIGINT) AS k
+  FROM (SELECT s, count(*) AS n FROM sym GROUP BY s)
+),
+a0 AS MATERIALIZED (SELECT DISTINCT s AS vertex FROM sym),{",".join(rounds)}
+SELECT vertex, core_degree FROM {prev}
+"""
+
+
 # ------------------------- Z-order layout cells -------------------------
 
 _Z_BITS = 4  # 16x16 grid → 256 cells
@@ -1367,8 +1457,13 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "graph_triangles": QuerySpec(
         "graph_triangles", q_graph_triangles, _TRIANGLES_ORACLE,
-        "triangle counting via ordered-edge wedge closure over the"
+        "triangle counting via degree-ordered wedge closure over the"
         " percentile-thresholded co-supplier graph",
+    ),
+    "graph_k_core": QuerySpec(
+        "graph_k_core", q_graph_k_core, _k_core_oracle(),
+        "iterative k-core peeling (data-derived k) to fixpoint;"
+        " 12-round MATERIALIZED-CTE oracle value-checks convergence",
     ),
     "pit_join_versions": QuerySpec(
         "pit_join_versions", q_pit_join, _PIT_ORACLE,

@@ -279,3 +279,36 @@ def test_pagerank_converged_scope_matches_plain_call(spark):
     plain = sorted((r.node, r.rank) for r in plain_df.collect())
     release_pagerank(plain_df)
     assert scoped == plain and stopped == plain_stopped
+
+
+def test_k_core_hand_checked(spark):
+    from big_data_analysis_of_airline_data_set_spark.operators.graph import k_core
+
+    # K4 on {1,2,3,4} + pendant 5 + a 2-path 6-7: the 2-core is exactly
+    # the K4 (each vertex keeps degree 3); the pendant and the path
+    # peel (the path cascades: 6 and 7 have degree 1 after each other)
+    edges = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4), (4, 5), (6, 7)]
+    df = spark.createDataFrame(edges, "u long, v long")
+    got = {r.vertex: r.core_degree for r in k_core(df, k=2).collect()}
+    assert got == {1: 3, 2: 3, 3: 3, 4: 3}
+
+
+def test_k_core_cascade_to_empty(spark):
+    from big_data_analysis_of_airline_data_set_spark.operators.graph import k_core
+
+    # a path: every removal exposes a new degree-1 endpoint — the
+    # cascade must run to the empty fixpoint, not stop early
+    edges = [(i, i + 1) for i in range(6)]
+    df = spark.createDataFrame(edges, "u long, v long")
+    assert k_core(df, k=2).count() == 0
+
+
+def test_k_core_raises_when_rounds_exhausted(spark):
+    from big_data_analysis_of_airline_data_set_spark.operators.graph import k_core
+
+    # the 6-path cascade needs 3 peel rounds at k=2; a 1-round budget
+    # must raise, never return a half-peeled 'core'
+    edges = [(i, i + 1) for i in range(6)]
+    df = spark.createDataFrame(edges, "u long, v long")
+    with pytest.raises(RuntimeError, match="fixpoint"):
+        k_core(df, k=2, max_rounds=1)
