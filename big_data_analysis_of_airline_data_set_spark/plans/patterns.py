@@ -1312,12 +1312,14 @@ def q_graph_k_core(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     k = int(math.floor(_KCORE_FRAC * float(med))) + 1
     core = k_core(e, k=k, u="u", v="v", max_rounds=_KCORE_ROUNDS)
-    rows = core.collect()  # core-sized driver boundary (≤ vertices)
+    # k_core's result is an EAGER localCheckpoint — already materialized
+    # and decoupled from co/e, so the inputs release here and the frame
+    # returns lazily (no driver round-trip of the core)
     co.unpersist()
     e.unpersist()
-    return spark.createDataFrame(
-        [(r.vertex, r.core_degree) for r in rows],
-        "vertex long, core_degree long",
+    return core.select(
+        F.col("vertex").cast("long").alias("vertex"),
+        F.col("core_degree").cast("long").alias("core_degree"),
     )
 
 
