@@ -462,3 +462,20 @@ def test_bloom_positions_never_collapse_to_one_bit(spark):
         F.size(F.array_distinct(_positions(F.col("s"), m_bits=m, k=k))).alias("n")
     )
     assert n_distinct.agg(F.min("n")).first()[0] >= 2
+
+
+def test_resample_ffill_rejects_unknown_unit(spark):
+    """The unit string is interpolated into BOTH date_trunc and an
+    INTERVAL literal; units only one grammar accepts (quarter) or
+    typos must fail at entry with a clear error, not as a SQL parse
+    error from deep inside the plan."""
+    from big_data_analysis_of_airline_data_set_spark.operators.timeseries import (
+        resample_ffill,
+    )
+
+    df = spark.createDataFrame([(1, None, 1.0)], "series long, ts timestamp, value double")
+    for bad in ("quarter", "fortnight", 7):
+        with pytest.raises(ValueError, match="not supported"):
+            resample_ffill(
+                df, key_col="series", ts_col="ts", value_col="value", unit=bad
+            )
