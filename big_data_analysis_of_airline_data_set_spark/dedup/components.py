@@ -43,6 +43,10 @@ def connected_components(
 
     ``nodes``: one column ``id_col`` (singletons become their own
     cluster). ``edges``: undirected pairs (each emitted once).
+    ``check_every`` must be >= 1 — a zero/negative value would run
+    zero propagation rounds per block and the barrier would read the
+    unchanged labels as instant convergence, silently returning the
+    identity labeling (round-6 review catch).
 
     Convergence is checked every ``check_every`` rounds (the
     pagerank_converged batching, round-5 verdict #3): the pre-round-6
@@ -61,6 +65,11 @@ def connected_components(
     barrier through an eager localCheckpoint, exactly the
     pagerank_converged lineage discipline. The edge table is shuffled
     to its join partitioning once, at build."""
+    if check_every < 1:
+        raise ValueError(
+            f"check_every must be >= 1, got {check_every} (a zero-round "
+            "block would read unchanged labels as instant convergence)"
+        )
     sym = (
         edges.select(F.col(src_col).alias("_src"), F.col(dst_col).alias("_dst"))
         .union(edges.select(F.col(dst_col).alias("_src"), F.col(src_col).alias("_dst")))

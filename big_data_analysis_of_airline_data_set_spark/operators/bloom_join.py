@@ -57,22 +57,31 @@ def _bit_mask(pos_in_word: F.Column) -> F.Column:
     )
 
 
+def seeded_double_hash(col: F.Column, modulus: int) -> tuple[F.Column, F.Column]:
+    """(h1, h2) for a Kirsch-Mitzenmacher family h_i = (h1 + i·h2) mod
+    ``modulus`` over two seeded xxhash64 draws — shared by the Bloom
+    filter and the heavy-hitter CMS (ONE copy of two load-bearing
+    details, both round-5/6 review findings):
+
+    - both hashes reduce mod ``modulus`` BEFORE combining — (h1 + i·h2)
+      on raw signed-64 xxhash values overflows long, which ANSI mode
+      (Spark 4 default) rejects; after reduction the largest
+      intermediate is (k+1)·modulus, far inside int64;
+    - h2 is forced into [1, modulus-1]: with h2 ≡ 0 every probe
+      position collapses onto h1, so that key behaves like a 1-hash
+      structure (a Bloom key sets ONE bit and quietly inflates the
+      false-positive rate; a CMS key loses the min-over-d error
+      reduction). The standard fix: draw h2 mod (modulus-1), add 1."""
+    h1 = F.pmod(F.xxhash64(col, F.lit(1)), F.lit(modulus))
+    h2 = F.pmod(F.xxhash64(col, F.lit(2)), F.lit(modulus - 1)) + F.lit(1)
+    return h1, h2
+
+
 def _positions(col: F.Column, *, m_bits: int, k: int) -> F.Column:
     """array<long> of the k Bloom bit positions for a key:
-    (h1 + i·h2) mod m, i = 0..k-1 (Kirsch-Mitzenmacher) over two
-    seeded xxhash64 draws. Both hashes reduce mod m BEFORE combining —
-    (h1 + i·h2) on raw signed-64 xxhash values overflows long, which
-    ANSI mode (Spark 4 default) rejects; after reduction the largest
-    intermediate is m + k·m, far inside int64.
-
-    h2 is forced into [1, m_bits-1]: with h2 ≡ 0 (mod m) every probe
-    position collapses onto h1, so that key sets ONE bit instead of k
-    and the filter's false-positive rate quietly inflates (no false
-    negatives — the probe side computes the same positions — but the
-    ~1/m of keys hitting h2=0 each behave like a 1-hash filter). The
-    standard fix: draw h2 mod (m-1) and add 1."""
-    h1 = F.pmod(F.xxhash64(col, F.lit(1)), F.lit(m_bits))
-    h2 = F.pmod(F.xxhash64(col, F.lit(2)), F.lit(m_bits - 1)) + F.lit(1)
+    (h1 + i·h2) mod m, i = 0..k-1, over ``seeded_double_hash`` (see
+    its docstring for the overflow and h2-nonzero disciplines)."""
+    h1, h2 = seeded_double_hash(col, m_bits)
     return F.transform(
         F.sequence(F.lit(0), F.lit(k - 1)),
         lambda i: F.pmod(h1 + i.cast("long") * h2, F.lit(m_bits)),

@@ -386,7 +386,8 @@ def triangle_counts(
     via ``orient_by_degree`` — id alone leaves hub fan-out quadratic
     in the hub degree (the round-5 verdict's scale finding; see the
     orient_by_degree docstring for the O(√m) bound and the pinned
-    fan-out test in tests/test_graph_extra.py).
+    fan-out test in tests/test_graph.py:
+    test_triangle_degree_ordering_bounds_hub_fanout).
 
     Pass ``oriented=True`` when ``edges`` already came from
     ``orient_by_degree`` (e.g. the caller persisted the oriented set so
@@ -412,6 +413,7 @@ def k_core(
     u: str = "u",
     v: str = "v",
     max_rounds: int = 10,
+    symmetric: bool = False,
 ) -> DataFrame:
     """(vertex, core_degree): the k-core of a simple undirected graph
     (DISTINCT pairs, each edge once, any endpoint order) — the maximal
@@ -433,22 +435,32 @@ def k_core(
     survivor set materializes through an eager localCheckpoint, the
     pagerank_converged discipline.
 
-    Raises if ``max_rounds`` is exhausted before the fixpoint: a
-    silently-unconverged core is a wrong answer, not a result (callers
-    on deep-peeling graphs raise the budget; each extra round is
-    cheap)."""
+    ``max_rounds`` bounds the number of SHRINKING rounds; the loop
+    runs up to max_rounds + 1 iterations because detecting the
+    fixpoint takes one extra (stable) iteration after the last shrink
+    — so a peel of depth exactly max_rounds still converges, matching
+    an oracle that unrolls max_rounds rounds (idempotent past the
+    fixpoint; round-6 review catch on the off-by-one). Raises if the
+    budget is exhausted before the fixpoint: a silently-unconverged
+    core is a wrong answer, not a result (callers on deep-peeling
+    graphs raise the budget; each extra round is cheap)."""
+    # ``symmetric=True`` declares edges ALREADY contain both directions
+    # of every edge, distinct — callers that built the symmetric set
+    # for their own degree statistics skip a redundant union+distinct
+    # shuffle here (round-6 review finding)
+    directed = edges.select(F.col(u).alias("_s"), F.col(v).alias("_d"))
     sym = (
-        edges.select(F.col(u).alias("_s"), F.col(v).alias("_d"))
-        .union(edges.select(F.col(v).alias("_s"), F.col(u).alias("_d")))
-        .distinct()
-        .repartition(F.col("_s"))
-        .persist()
-    )
+        directed
+        if symmetric
+        else directed.union(
+            edges.select(F.col(v).alias("_s"), F.col(u).alias("_d"))
+        ).distinct()
+    ).repartition(F.col("_s")).persist()
     alive = sym.select(F.col("_s").alias("vertex")).distinct().localCheckpoint(
         eager=True
     )
     n_alive = alive.count()
-    for _ in range(max_rounds):
+    for _ in range(max_rounds + 1):
         deg = (
             sym.join(alive, sym["_s"] == alive["vertex"], "left_semi")
             .join(

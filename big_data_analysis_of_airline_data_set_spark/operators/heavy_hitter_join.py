@@ -45,12 +45,15 @@ from pyspark.sql import functions as F
 
 
 def _bucket_exprs(key: Column, *, depth: int, width: int) -> list[Column]:
-    """The d CMS bucket positions for a key: (h1 + j·h2) mod w over two
-    seeded xxhash64 draws, both reduced mod w BEFORE combining (ANSI
-    overflow discipline), h2 nonzero. Build and probe MUST share this
-    function — a drifted hash family silently estimates garbage."""
-    h1 = F.pmod(F.xxhash64(key, F.lit(1)), F.lit(width))
-    h2 = F.pmod(F.xxhash64(key, F.lit(2)), F.lit(width - 1)) + F.lit(1)
+    """The d CMS bucket positions for a key: (h1 + j·h2) mod w over
+    ``bloom_join.seeded_double_hash`` — ONE copy of the ANSI-overflow
+    reduction order and the h2-nonzero guard across the Bloom and CMS
+    operators (round-6 review dedup finding). Build and probe MUST
+    share this function — a drifted hash family silently estimates
+    garbage."""
+    from .bloom_join import seeded_double_hash
+
+    h1, h2 = seeded_double_hash(key, width)
     return [F.pmod(h1 + F.lit(j) * h2, F.lit(width)) for j in range(depth)]
 
 

@@ -299,8 +299,11 @@ def q_hll_sliding_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     the accuracy reference, computed scalably the same way (per-bucket
     dedup → scatter → count_distinct; no range join). Hour buckets are
     integer unix_micros div 3.6e9 — exact in both engines. Estimates
-    replay exactly (same md5/BIN/DECIMAL/ln-table discipline as
-    sketch_hll_distinct)."""
+    replay exactly (the shared hll_sql_parts discipline). The
+    projected base feeds THREE consumers (register build, exact-side
+    dedup, anchors) — a lazy localCheckpoint computes the events scan
+    once (round-6 review catch; the same shared-frame pattern as
+    resample_ffill)."""
     from pyspark.sql import functions as F
 
     from ..sketches.hll import hll_estimate, hll_registers, hll_trailing_merge
@@ -309,7 +312,7 @@ def q_hll_sliding_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         F.expr("unix_micros(ts) div 3600000000").alias("hour_bucket"),
         F.col("user_id").cast("string").alias("val"),
-    )
+    ).localCheckpoint(eager=False)
     regs = hll_registers(
         base,
         group_cols=["event_type", "hour_bucket"],
@@ -353,20 +356,14 @@ def q_hll_sliding_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _hll_sliding_oracle() -> str:
-    from ..sketches.hll import _lc_table, hll_alpha
+    # every estimator-critical fragment (hash, rank CASE, term scaling,
+    # ln table, numerator) comes from the ONE shared builder —
+    # plans.patterns.hll_sql_parts — so this oracle cannot drift from
+    # the batch/streamed ones (round-6 review dedup finding)
+    from .patterns import hll_sql_parts
 
-    p, w = _HLL_SLIDE_P, _HLL_SLIDE_W
-    m = 1 << p
-    sb = 56 - p
-    numerator = hll_alpha(m) * m * m * float(1 << sb)
-    lc_rows = ",\n    ".join(
-        f"({v}, {est!r})" for v, est in enumerate(_lc_table(m), start=1)
-    )
-    h = (
-        "list_sum(list_transform(generate_series(1, 14), j -> "
-        "CAST(strpos('0123456789abcdef', substr(md5('hl_' || val), j, 1)) - 1"
-        " AS BIGINT) * (CAST(1 AS BIGINT) << (4 * (14 - j)))))"
-    )
+    w = _HLL_SLIDE_W
+    q = hll_sql_parts(_HLL_SLIDE_P)
     return f"""
 WITH base AS (
   SELECT event_type,
@@ -374,11 +371,10 @@ WITH base AS (
          CAST(user_id AS VARCHAR) AS val
   FROM events
 ), hashed AS (
-  SELECT event_type, hour_bucket, {h} AS h FROM base
+  SELECT event_type, hour_bucket, {q["hash_expr"]} AS h FROM base
 ), regs AS (
-  SELECT event_type, hour_bucket, h // {1 << sb} AS register,
-         max(CASE WHEN h % {1 << sb} = 0 THEN {sb + 1}
-                  ELSE {sb + 1} - length(bin(h % {1 << sb})) END) AS max_rho
+  SELECT event_type, hour_bucket, h // {1 << q["sb"]} AS register,
+         max({q["rank_case"]}) AS max_rho
   FROM hashed GROUP BY 1, 2, 3
 ), anchors AS (
   SELECT DISTINCT event_type, hour_bucket FROM base
@@ -392,17 +388,16 @@ WITH base AS (
   GROUP BY 1, 2, 3
 ), agg AS (
   SELECT event_type, hour_bucket,
-         CAST({m} - count(*) AS BIGINT) AS zero_registers,
-         sum(CAST(CAST(1 AS BIGINT) << ({sb} - max_rho) AS DECIMAL(38,0)))
-           AS s_present
+         CAST({q["m"]} - count(*) AS BIGINT) AS zero_registers,
+         sum({q["term_sql"]}) AS s_present
   FROM merged GROUP BY 1, 2
 ), lc(v, lc_est) AS (VALUES
-    {lc_rows}
+    {q["lc_rows"]}
 ), est AS (
   SELECT event_type, hour_bucket, zero_registers,
-         {numerator!r} / CAST(s_present
+         {q["numerator"]!r} / CAST(s_present
              + CAST(zero_registers AS DECIMAL(38,0))
-               * CAST({1 << sb} AS DECIMAL(38,0)) AS DOUBLE) AS e_raw
+               * {q["zero_term"]} AS DOUBLE) AS e_raw
   FROM agg
 ), dedup AS (
   SELECT DISTINCT event_type, hour_bucket, val FROM base
@@ -416,8 +411,8 @@ WITH base AS (
   GROUP BY 1, 2
 )
 SELECT est.event_type, est.hour_bucket,
-       CAST({m} AS BIGINT) AS m_registers, zero_registers,
-       round(CASE WHEN e_raw <= {2.5 * m!r} AND zero_registers > 0
+       CAST({q["m"]} AS BIGINT) AS m_registers, zero_registers,
+       round(CASE WHEN e_raw <= {q["lc_bound"]!r} AND zero_registers > 0
                   THEN (SELECT lc_est FROM lc WHERE v = zero_registers)
                   ELSE e_raw END, 6) AS hll_estimate,
        exact_distinct

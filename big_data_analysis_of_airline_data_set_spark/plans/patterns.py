@@ -677,35 +677,60 @@ def q_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def hll_sql_parts(p: int) -> dict:
+    """The engine-parity-critical SQL fragments of the HLL estimator,
+    built ONCE for every oracle that replays it (batch, streamed,
+    sliding) so the hash expression, rank CASE, harmonic-term scaling,
+    and linear-counting table can never diverge between copies (the
+    round-6 review's dedup finding). Scaling is 2^(sb+1) — see
+    sketches/hll.py:hll_estimate for why 2^sb is a negative-shift
+    bug on all-zero suffixes."""
+    from ..sketches.hll import _lc_table, hll_alpha
+
+    m = 1 << p
+    sb = 56 - p  # suffix bits carrying the rank
+    scale = sb + 1
+    return {
+        "m": m,
+        "sb": sb,
+        "numerator": hll_alpha(m) * m * m * float(1 << scale),
+        "lc_bound": 2.5 * m,
+        "lc_rows": ",\n    ".join(
+            f"({v}, {est!r})" for v, est in enumerate(_lc_table(m), start=1)
+        ),
+        "hash_expr": (
+            "list_sum(list_transform(generate_series(1, 14), j -> "
+            "CAST(strpos('0123456789abcdef', substr(md5('hl_' || val), j, 1))"
+            " - 1 AS BIGINT) * (CAST(1 AS BIGINT) << (4 * (14 - j)))))"
+        ),
+        "rank_case": (
+            f"CASE WHEN h % {1 << sb} = 0 THEN {sb + 1}"
+            f" ELSE {sb + 1} - length(bin(h % {1 << sb})) END"
+        ),
+        "term_sql": (
+            f"CAST(CAST(1 AS BIGINT) << ({scale} - max_rho) AS DECIMAL(38,0))"
+        ),
+        "zero_term": f"CAST({1 << scale} AS DECIMAL(38,0))",
+    }
+
+
 def hll_oracle_sql(base_select: str, p: int) -> str:
     """DuckDB replay of the HLL register sketch + max-merge + estimate
     + exact counts over any ``base_select`` yielding ("group", val)
     columns — ONE builder for the batch (lineitem) and streaming
     (events) catalog entries, mirroring sketches.hll.hll_report
     Spark-side (same md5 hash, same BIN-length ranks, same DECIMAL
-    harmonic sum, same Python-precomputed ln table)."""
-    from ..sketches.hll import _lc_table, hll_alpha
-
-    m = 1 << p
-    sb = 56 - p  # suffix bits carrying the rank
-    numerator = hll_alpha(m) * m * m * float(1 << sb)
-    lc_rows = ",\n    ".join(
-        f"({v}, {est!r})" for v, est in enumerate(_lc_table(m), start=1)
-    )
-    h = (
-        "list_sum(list_transform(generate_series(1, 14), j -> "
-        "CAST(strpos('0123456789abcdef', substr(md5('hl_' || val), j, 1)) - 1"
-        " AS BIGINT) * (CAST(1 AS BIGINT) << (4 * (14 - j)))))"
-    )
+    harmonic sum, same Python-precomputed ln table — all from
+    ``hll_sql_parts``)."""
+    q = hll_sql_parts(p)
     return f"""
 WITH base AS (
   {base_select}
 ), hashed AS (
-  SELECT "group", {h} AS h FROM base
+  SELECT "group", {q["hash_expr"]} AS h FROM base
 ), regs AS (
-  SELECT "group", h // {1 << sb} AS register,
-         max(CASE WHEN h % {1 << sb} = 0 THEN {sb + 1}
-                  ELSE {sb + 1} - length(bin(h % {1 << sb})) END) AS max_rho
+  SELECT "group", h // {1 << q["sb"]} AS register,
+         max({q["rank_case"]}) AS max_rho
   FROM hashed GROUP BY 1, 2
 ), merged AS (
   SELECT 'ALL' AS "group", register, max(max_rho) AS max_rho
@@ -714,17 +739,16 @@ WITH base AS (
   SELECT * FROM regs UNION ALL SELECT * FROM merged
 ), agg AS (
   SELECT "group",
-         CAST({m} - count(*) AS BIGINT) AS zero_registers,
-         sum(CAST(CAST(1 AS BIGINT) << ({sb} - max_rho) AS DECIMAL(38,0)))
-           AS s_present
+         CAST({q["m"]} - count(*) AS BIGINT) AS zero_registers,
+         sum({q["term_sql"]}) AS s_present
   FROM allregs GROUP BY "group"
 ), lc(v, lc_est) AS (VALUES
-    {lc_rows}
+    {q["lc_rows"]}
 ), est AS (
   SELECT "group", zero_registers,
-         {numerator!r} / CAST(s_present
+         {q["numerator"]!r} / CAST(s_present
              + CAST(zero_registers AS DECIMAL(38,0))
-               * CAST({1 << sb} AS DECIMAL(38,0)) AS DOUBLE) AS e_raw
+               * {q["zero_term"]} AS DOUBLE) AS e_raw
   FROM agg
 ), ex AS (
   SELECT "group", CAST(count(DISTINCT val) AS BIGINT) AS exact_distinct
@@ -732,8 +756,8 @@ WITH base AS (
   UNION ALL
   SELECT 'ALL', CAST(count(DISTINCT val) AS BIGINT) FROM base
 )
-SELECT est."group", CAST({m} AS BIGINT) AS m_registers, zero_registers,
-       round(CASE WHEN e_raw <= {2.5 * m!r} AND zero_registers > 0
+SELECT est."group", CAST({q["m"]} AS BIGINT) AS m_registers, zero_registers,
+       round(CASE WHEN e_raw <= {q["lc_bound"]!r} AND zero_registers > 0
                   THEN (SELECT lc_est FROM lc WHERE v = zero_registers)
                   ELSE e_raw END, 6) AS hll_estimate,
        exact_distinct
@@ -1184,6 +1208,30 @@ _TRI_TOPK = 10
 _TRI_PCT = 0.9
 
 
+def _co_supplier_edges(spark: SparkSession, sf_dir: str, pct: float):
+    """(co, edges): the strong co-supplier graph shared by the graph
+    catalog queries (triangles at pct 0.9, k-core at pct 0.5) — ONE
+    copy of the graph construction (round-6 review dedup finding).
+    Suppliers become neighbors when their shared-part count exceeds
+    the ``pct`` percentile of all co-occurrence counts (a RELATIVE
+    threshold, so the graph stays non-trivial at every scale factor).
+    ``co`` is returned PERSISTED (it feeds the threshold scalar plus
+    every downstream scan of the edge set) — the CALLER releases it."""
+    li = _t(spark, sf_dir, "lineitem")
+    ps = li.select(
+        F.col("l_partkey").alias("p"), F.col("l_suppkey").alias("s")
+    ).distinct()
+    a, b = ps.alias("a"), ps.alias("b")
+    co = (
+        a.join(b, (F.col("a.p") == F.col("b.p")) & (F.col("a.s") < F.col("b.s")))
+        .groupBy(F.col("a.s").alias("u"), F.col("b.s").alias("v"))
+        .agg(F.count(F.lit(1)).alias("c"))
+        .persist()
+    )
+    thr = co.agg(F.expr(f"percentile(c, {pct})")).first()[0]
+    return co, co.filter(F.col("c") > thr).select("u", "v")
+
+
 def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Triangle counting (operators/graph.py triangle_counts) over the
     strong co-supplier graph: suppliers become neighbors when their
@@ -1200,21 +1248,8 @@ def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     construction."""
     from ..operators.graph import orient_by_degree, triangle_counts
 
-    li = _t(spark, sf_dir, "lineitem")
-    ps = li.select(
-        F.col("l_partkey").alias("p"), F.col("l_suppkey").alias("s")
-    ).distinct()
-    a, b = ps.alias("a"), ps.alias("b")
-    co = (
-        a.join(b, (F.col("a.p") == F.col("b.p")) & (F.col("a.s") < F.col("b.s")))
-        .groupBy(F.col("a.s").alias("u"), F.col("b.s").alias("v"))
-        .agg(F.count(F.lit(1)).alias("c"))
-        .persist()
-    )
-    thr = co.agg(F.expr(f"percentile(c, {_TRI_PCT})")).first()[0]
-    e = orient_by_degree(
-        co.filter(F.col("c") > thr).select("u", "v"), u="u", v="v"
-    ).persist()
+    co, edges = _co_supplier_edges(spark, sf_dir, _TRI_PCT)
+    e = orient_by_degree(edges, u="u", v="v").persist()
     # per_vertex feeds TWO actions (top-10 collect + total agg) — persist
     # it too, or the whole wedge closure runs twice (review finding)
     per_vertex = triangle_counts(e, u="s", v="t", oriented=True).persist()
@@ -1288,20 +1323,13 @@ def q_graph_k_core(spark: SparkSession, sf_dir: str) -> DataFrame:
     value-checked."""
     from ..operators.graph import k_core
 
-    li = _t(spark, sf_dir, "lineitem")
-    ps = li.select(
-        F.col("l_partkey").alias("p"), F.col("l_suppkey").alias("s")
-    ).distinct()
-    a, b = ps.alias("a"), ps.alias("b")
-    co = (
-        a.join(b, (F.col("a.p") == F.col("b.p")) & (F.col("a.s") < F.col("b.s")))
-        .groupBy(F.col("a.s").alias("u"), F.col("b.s").alias("v"))
-        .agg(F.count(F.lit(1)).alias("c"))
-        .persist()
-    )
-    thr = co.agg(F.expr(f"percentile(c, {_KCORE_PCT})")).first()[0]
-    e = co.filter(F.col("c") > thr).select("u", "v").persist()
-    sym = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    co, e = _co_supplier_edges(spark, sf_dir, _KCORE_PCT)
+    # symmetrize ONCE — the median-degree statistic and the peel loop
+    # share it (k_core is told symmetric=True so it skips its own
+    # union+distinct; round-6 review finding)
+    sym = e.union(
+        e.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    ).persist()
     med = (
         sym.groupBy("u")
         .agg(F.count(F.lit(1)).alias("n"))
@@ -1311,12 +1339,18 @@ def q_graph_k_core(spark: SparkSession, sf_dir: str) -> DataFrame:
     import math
 
     k = int(math.floor(_KCORE_FRAC * float(med))) + 1
-    core = k_core(e, k=k, u="u", v="v", max_rounds=_KCORE_ROUNDS)
+    try:
+        core = k_core(
+            sym, k=k, u="u", v="v", max_rounds=_KCORE_ROUNDS, symmetric=True
+        )
+    finally:
+        # release even when k_core raises (exhausted round budget) —
+        # the pagerank_scope error-path discipline
+        co.unpersist()
+        sym.unpersist()
     # k_core's result is an EAGER localCheckpoint — already materialized
-    # and decoupled from co/e, so the inputs release here and the frame
-    # returns lazily (no driver round-trip of the core)
-    co.unpersist()
-    e.unpersist()
+    # and decoupled from co/e, so the inputs are safe to release above
+    # and the frame returns lazily (no driver round-trip of the core)
     return core.select(
         F.col("vertex").cast("long").alias("vertex"),
         F.col("core_degree").cast("long").alias("core_degree"),

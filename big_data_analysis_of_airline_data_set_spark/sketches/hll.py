@@ -26,10 +26,15 @@ Engine-neutral determinism (the catalog-oracle discipline):
 - rho via LENGTH(BIN(w)) — both Spark and DuckDB print minimal binary
   strings, so bit-length needs no float log2 (which rounds untrustably
   at power-of-two boundaries);
-- the harmonic sum is EXACT: each 2^(-M_j) term scaled by 2^56 is an
-  integer bit-shift, summed in DECIMAL(38,0) (up to m*2^56 ~ 2^64
-  overflows int64; decimal addition is order-independent), so the
-  estimate is one correctly-rounded double division of exact inputs;
+- the harmonic sum is EXACT: each 2^(-M_j) term scaled by 2^(sb+1)
+  (sb = 56-p suffix bits; rho ranges over [1, sb+1], so the SMALLEST
+  term 2^(sb+1-(sb+1)) is still the integer 1 — scaling by 2^sb would
+  make the all-zero-suffix rho = sb+1 term fractional and a negative
+  shift, the round-6 review catch) is an integer bit-shift, summed in
+  DECIMAL(38,0) (up to m*2^(sb+1) ~ 2^57 overflows nothing but int64
+  headroom is the reason for decimal; decimal addition is
+  order-independent), so the estimate is one correctly-rounded double
+  division of exact inputs;
 - ln(m/V) has only m possible arguments, so the linear-counting branch
   reads a Python-precomputed literal table both engines share —
   libm ln differences (JVM StrictMath vs C++ libm) can never leak in.
@@ -130,11 +135,17 @@ def hll_estimate(
     linear counting (see module docstring)."""
     m = _check_p(p)
     suffix_bits = _HASH_BITS - p
-    numerator = hll_alpha(m) * m * m * float(1 << suffix_bits)
-    # per-register term 2^(suffix_bits - M_j), an exact integer shift;
-    # absent registers contribute the M_j = 0 term 2^suffix_bits each
+    # scale the harmonic terms by 2^(sb+1), NOT 2^sb: rho reaches
+    # sb+1 on an all-zero suffix, and 2^(sb - (sb+1)) would be a
+    # NEGATIVE shift — Long.MIN_VALUE garbage in Spark (Java masks the
+    # shift amount) and a hard error in DuckDB. At 2^(sb+1) the
+    # smallest term is exactly 1.
+    scale = suffix_bits + 1
+    numerator = hll_alpha(m) * m * m * float(1 << scale)
+    # per-register term 2^(scale - M_j), an exact integer shift;
+    # absent registers contribute the M_j = 0 term 2^scale each
     term = F.expr(
-        f"CAST(shiftleft(CAST(1 AS BIGINT), CAST({suffix_bits} - max_rho AS INT))"
+        f"CAST(shiftleft(CAST(1 AS BIGINT), CAST({scale} - max_rho AS INT))"
         " AS DECIMAL(38,0))"
     )
     agg = registers.groupBy(*group_cols).agg(
@@ -143,7 +154,7 @@ def hll_estimate(
     )
     zero = (F.lit(m) - F.col("_n_present")).cast("long")
     raw_sum = F.col("_s_present") + zero.cast("decimal(38,0)") * F.lit(
-        1 << suffix_bits
+        1 << scale
     ).cast("decimal(38,0)")
     e_raw = F.lit(numerator) / raw_sum.cast("double")
     lc = F.array(*[F.lit(v) for v in _lc_table(m)])

@@ -312,3 +312,19 @@ def test_k_core_raises_when_rounds_exhausted(spark):
     df = spark.createDataFrame(edges, "u long, v long")
     with pytest.raises(RuntimeError, match="fixpoint"):
         k_core(df, k=2, max_rounds=1)
+
+
+def test_k_core_symmetric_input_matches_undirected(spark):
+    """symmetric=True over a pre-symmetrized edge set must equal the
+    plain undirected call (it only skips the internal union+distinct)."""
+    from pyspark.sql import functions as F
+
+    from big_data_analysis_of_airline_data_set_spark.operators.graph import k_core
+
+    edges = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4), (4, 5)]
+    df = spark.createDataFrame(edges, "u long, v long")
+    sym = df.union(df.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    a = {r.vertex: r.core_degree for r in k_core(df, k=2).collect()}
+    b = {r.vertex: r.core_degree
+         for r in k_core(sym, k=2, symmetric=True).collect()}
+    assert a == b == {1: 3, 2: 3, 3: 3, 4: 3}
