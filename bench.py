@@ -174,6 +174,7 @@ R6_OPS = [
     "events_hll_sliding_distinct",
     "join_heavy_hitters_cm",
     "graph_k_core",
+    "sketch_cms_join_size",
 ]
 
 # Like ml_quick_fit: 3 TVS LR fits (full/uni/var feature sets) timed

@@ -39,11 +39,11 @@ _MODULES = [
 ]
 
 # The driver's correctness harness records only the first 50 registry
-# entries.  Round-6 window (r5 verdict, Next round #1): (a) the 15
+# entries.  Round-6 window (r5 verdict, Next round #1): (a) the 16
 # never-driver-checked entries — the 9 documented late-round-5
-# additions plus this round's 6 new operators (grouped HLL batch +
+# additions plus this round's 7 new operators (grouped HLL batch +
 # streamed twin + sliding-window merge, streamed CMS, CM-prefiltered
-# heavy-hitter join, k-core peeling); (b) queries whose
+# heavy-hitter join, k-core peeling, CMS join sizing); (b) queries whose
 # CODE changed this round: degree-ordered triangle counting, the
 # batched-convergence connected components (and entity resolution,
 # which rides on it), the bloom h2 fix, the upsert-sink eager
@@ -74,6 +74,7 @@ _CORRECTNESS_WINDOW = [
     "events_hll_sliding_distinct",
     "join_heavy_hitters_cm",
     "graph_k_core",
+    "sketch_cms_join_size",
     # (b) code changed this round (round-5 verdict items 2/3/6 + the
     # ADVICE bloom/upsert fixes)
     "graph_triangles",
@@ -114,7 +115,10 @@ _CORRECTNESS_WINDOW = [
     "feature_selection_job",
     "mllib_correlation_matrix",
     "mllib_chi_square",
-    "spearman_correlation",
+    # (spearman_correlation displaced by sketch_cms_join_size, the
+    # 16th never-checked entry — rank correlation's window/join shape
+    # stays exercised by r5-green correlation_pairs and the in-window
+    # mllib_correlation_matrix; queues for r7)
     # (variance_threshold_features displaced by graph_k_core, the 15th
     # never-checked entry — the M11 k-th-largest variance selection
     # stays exercised by r5-green ml_variant_sweep's var_data variant,

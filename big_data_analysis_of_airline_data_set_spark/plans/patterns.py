@@ -654,6 +654,88 @@ FROM est JOIN ex USING ("group")
 """
 
 
+# ------------------- CMS inner-product join sizing -------------------
+
+_CJS_SPLIT_YEAR = 1999
+# inner-product error is additive ~ |A|·|B|/w per row (Cormode-
+# Muthukrishnan), NOT vocabulary-relative like point estimates — at
+# sf0.1 (|A|≈351k, |B|≈249k) w=2^16 bounds the expected excess to
+# ~1.3M over a 4.37M true size (+30%); w=1024 would drown the signal
+# 5x over. The sketch stays d·w rows — constant in data size.
+_CJS_DEPTH, _CJS_WIDTH = 4, 1 << 16
+
+
+def q_cms_join_size(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-join size estimation (sketches/countmin.py:
+    cms_join_size_estimate): how many rows would joining pre-1999
+    lineitems to 1999+ lineitems on part key produce? (Testdata
+    shipdates span 1995-2001, so the 1999 split leaves both eras
+    populated at every sf.) Both sides have
+    real multiplicities (~15 lines per part per era at sf0.1), so the
+    answer is Σ cntA·cntB — the occurrence-weighted question the KMV
+    join-cardinality entry (distinct-key overlap) cannot see. The CMS
+    inner product answers it from two constant-size sketches without
+    running the join; the exact reference rides along, and the
+    one-sided guarantee (estimate ≥ exact, collisions only add) is an
+    emitted boolean. Exact integer arithmetic over md5-replayable
+    hashes — the oracle re-derives both numbers bit-for-bit."""
+    from ..sketches.countmin import cms_join_size_estimate
+
+    li = _t(spark, sf_dir, "lineitem")
+    key = F.col("l_partkey").cast("string").alias("term")
+    a = li.filter(F.year("l_shipdate") < _CJS_SPLIT_YEAR).select(key)
+    b = li.filter(F.year("l_shipdate") >= _CJS_SPLIT_YEAR).select(key)
+    return cms_join_size_estimate(
+        a, b, term_col_a="term", term_col_b="term",
+        depth=_CJS_DEPTH, width=_CJS_WIDTH,
+    )
+
+
+def _cms_join_size_oracle() -> str:
+    h = (
+        "list_sum(list_transform(generate_series(1, 14), j -> "
+        "CAST(strpos('0123456789abcdef', substr(md5('{p}_' || term), j, 1)) - 1"
+        " AS BIGINT) * (CAST(1 AS BIGINT) << (4 * (14 - j)))))"
+    )
+    h1, h2 = h.format(p="a"), h.format(p="b")
+    d, w, y = _CJS_DEPTH, _CJS_WIDTH, _CJS_SPLIT_YEAR
+    return f"""
+WITH a AS (
+  SELECT CAST(l_partkey AS VARCHAR) AS term FROM lineitem
+  WHERE year(l_shipdate) < {y}
+), b AS (
+  SELECT CAST(l_partkey AS VARCHAR) AS term FROM lineitem
+  WHERE year(l_shipdate) >= {y}
+), js AS (SELECT unnest(generate_series(0, {d - 1})) AS j),
+sa AS (
+  SELECT j, (h1 + j * h2) % {w} AS bucket, count(*) AS s
+  FROM (SELECT {h1} AS h1, {h2} AS h2 FROM a) CROSS JOIN js
+  GROUP BY 1, 2
+), sb AS (
+  SELECT j, (h1 + j * h2) % {w} AS bucket, count(*) AS s
+  FROM (SELECT {h1} AS h1, {h2} AS h2 FROM b) CROSS JOIN js
+  GROUP BY 1, 2
+), ip0 AS (
+  SELECT sa.j, sum(sa.s * sb.s) AS v
+  FROM sa JOIN sb ON sa.j = sb.j AND sa.bucket = sb.bucket
+  GROUP BY sa.j
+), ip AS (
+  -- spine over ALL d rows: a collision-free row's inner product is 0
+  -- and must participate in the min (see cms_join_size_estimate)
+  SELECT js.j, coalesce(ip0.v, 0) AS v FROM js LEFT JOIN ip0 USING (j)
+), est AS (
+  SELECT CAST(min(v) AS BIGINT) AS cms_join_size_estimate FROM ip
+), ex AS (
+  SELECT CAST(coalesce(sum(ca.n * cb.n), 0) AS BIGINT) AS exact_join_size
+  FROM (SELECT term, count(*) AS n FROM a GROUP BY 1) ca
+  JOIN (SELECT term, count(*) AS n FROM b GROUP BY 1) cb USING (term)
+)
+SELECT cms_join_size_estimate, exact_join_size,
+       cms_join_size_estimate >= exact_join_size AS overestimates
+FROM est CROSS JOIN ex
+"""
+
+
 # ------------------------- HLL register sketch -------------------------
 
 _HLL_P = 8
@@ -1542,6 +1624,12 @@ QUERIES: dict[str, QuerySpec] = {
         ),
         "k-minimum-values distinct sketch + sketch-merge union row,"
         " exact md5 replay (no within-bound fallback)",
+    ),
+    "sketch_cms_join_size": QuerySpec(
+        "sketch_cms_join_size", q_cms_join_size, _cms_join_size_oracle(),
+        "pre-join size estimation via CMS inner product (min over d"
+        " rows of Σ A_j[b]·B_j[b]) — occurrence-weighted complement of"
+        " KMV join cardinality; exact reference + one-sided guarantee",
     ),
     "sketch_hll_distinct": QuerySpec(
         "sketch_hll_distinct", q_hll_distinct,

@@ -127,3 +127,88 @@ def heavy_hitters_with_estimates(
     return heavy_hitters_report(
         sketch, occurrences, term_col=term_col, k=k, depth=depth, width=width
     )
+
+
+def cms_join_size_estimate(
+    occ_a: DataFrame,
+    occ_b: DataFrame,
+    *,
+    term_col_a: str,
+    term_col_b: str,
+    depth: int = 4,
+    width: int = 1024,
+) -> DataFrame:
+    """One-row (cms_join_size_estimate, exact_join_size, overestimates):
+    the classic CMS inner-product estimator for the SIZE of an
+    equi-join, |A ⋈ B| = Σ_key cntA(key)·cntB(key) — the number a join
+    planner needs BEFORE running the join (pick broadcast vs shuffle,
+    pre-size partitions, veto a runaway join). The estimate is
+
+        min_j Σ_bucket A_j[bucket] · B_j[bucket]
+
+    over the two d×w frequency sketches: every truly-matching pair
+    lands in the same bucket of every row (no undercount — the same
+    one-sided guarantee as the point estimate), while hash collisions
+    only ADD cross-terms, and the min over d rows takes the
+    least-collided one. This is the occurrence-weighted complement of
+    the KMV join-cardinality query (which estimates DISTINCT key
+    overlap by sketch inclusion-exclusion — a different planning
+    question): two tables can share every key yet produce a tiny or a
+    quadratic join depending on multiplicities, which only the inner
+    product sees.
+
+    Scale shape: each sketch is the usual constant-size groupBy
+    (≤ d·w rows shuffled regardless of table size); the inner product
+    is a (j, bucket)-keyed join of two ≤ d·w-row tables — sketch-sized
+    work end to end. In production the sketches would be standing
+    artifacts maintained per table/partition and merged by cell-wise
+    SUM; the exact count here rides along as the accuracy reference
+    (itself Σ cntA·cntB over a key-level join — the full shuffle the
+    sketch path avoids). Everything is exact integer arithmetic over
+    md5-replayable hashes, so a SQL oracle re-derives estimate AND
+    reference bit-for-bit."""
+    a = count_min_sketch_table(
+        occ_a, term_col=term_col_a, depth=depth, width=width
+    ).select("j", "bucket", F.col("s").alias("_sa"))
+    b = count_min_sketch_table(
+        occ_b, term_col=term_col_b, depth=depth, width=width
+    ).select("j", "bucket", F.col("s").alias("_sb"))
+    # min over a SPINE of all d rows: a row whose buckets never
+    # collide across the two sketches has inner product 0 and must
+    # say so — dropping it (a bare inner-join groupBy) would both
+    # inflate the min and emit NULL when NO buckets overlap anywhere
+    # (disjoint inputs), instead of the correct 0
+    spine = occ_a.sparkSession.range(depth).select(
+        F.col("id").cast("int").alias("j")
+    )
+    ip = (
+        a.join(b, ["j", "bucket"])
+        .groupBy("j")
+        .agg(F.sum(F.col("_sa") * F.col("_sb")).alias("_ip"))
+    )
+    est = (
+        spine.join(ip, "j", "left")
+        .agg(
+            F.min(F.coalesce(F.col("_ip"), F.lit(0)))
+            .cast("long")
+            .alias("cms_join_size_estimate")
+        )
+    )
+    ca = occ_a.groupBy(F.col(term_col_a).alias("_t")).agg(
+        F.count(F.lit(1)).alias("_ca")
+    )
+    cb = occ_b.groupBy(F.col(term_col_b).alias("_t")).agg(
+        F.count(F.lit(1)).alias("_cb")
+    )
+    exact = ca.join(cb, "_t").agg(
+        F.coalesce(F.sum(F.col("_ca") * F.col("_cb")), F.lit(0))
+        .cast("long")
+        .alias("exact_join_size")
+    )
+    return est.crossJoin(exact).select(
+        "cms_join_size_estimate",
+        "exact_join_size",
+        (F.col("cms_join_size_estimate") >= F.col("exact_join_size")).alias(
+            "overestimates"
+        ),
+    )

@@ -228,3 +228,41 @@ def test_hll_trailing_merge_hand_checked(spark):
             (g, reg): rho for (g, hb, reg), rho in got.items() if hb == anchor
         }
         assert have == want, anchor
+
+
+def test_cms_join_size_hand_checked(spark):
+    """A = {x,x,y}, B = {x,y,y,z}: |A⋈B| = 2·1 + 1·2 = 4 exactly; at
+    w=4096 with 3 distinct terms the md5 buckets are collision-free
+    (deterministic hashes — verified), so the inner product equals the
+    exact size; the one-sided guarantee must hold regardless."""
+    from big_data_analysis_of_airline_data_set_spark.sketches.countmin import (
+        cms_join_size_estimate,
+    )
+
+    a = spark.createDataFrame([("x",), ("x",), ("y",)], "t string")
+    b = spark.createDataFrame([("x",), ("y",), ("y",), ("z",)], "t string")
+    r = cms_join_size_estimate(
+        a, b, term_col_a="t", term_col_b="t", depth=4, width=4096
+    ).first()
+    assert r.exact_join_size == 4
+    assert r.overestimates
+    assert r.cms_join_size_estimate == 4
+
+
+def test_cms_join_size_disjoint_keys(spark):
+    """Disjoint key sets: exact join size 0 — and with 4 independent
+    rows over w=4096 at 100 keys, at least one row is collision-free,
+    so the spined min is exactly 0 (the pre-spine implementation
+    dropped empty rows and could emit an inflated min or NULL)."""
+    from big_data_analysis_of_airline_data_set_spark.sketches.countmin import (
+        cms_join_size_estimate,
+    )
+
+    a = spark.createDataFrame([(f"a{i}",) for i in range(50)], "t string")
+    b = spark.createDataFrame([(f"b{i}",) for i in range(50)], "t string")
+    r = cms_join_size_estimate(
+        a, b, term_col_a="t", term_col_b="t", depth=4, width=4096
+    ).first()
+    assert r.exact_join_size == 0
+    assert r.cms_join_size_estimate == 0
+    assert r.overestimates
