@@ -175,6 +175,7 @@ R6_OPS = [
     "join_heavy_hitters_cm",
     "graph_k_core",
     "sketch_cms_join_size",
+    "events_peak_concurrency",
 ]
 
 # Like ml_quick_fit: 3 TVS LR fits (full/uni/var feature sets) timed

@@ -213,3 +213,91 @@ def trailing_ewma(
         .withColumn(out_col, F.round(num / den, 6))
         .drop("_vals")
     )
+
+
+def peak_concurrency_by_bucket(
+    intervals: DataFrame,
+    *,
+    start_col: str,
+    end_col: str,
+    tiebreak_cols: list[str],
+    bucket_micros: int = 3_600_000_000,
+) -> DataFrame:
+    """(bucket, carry_in, net_change, n_starts, peak_concurrent): the
+    sweep-line concurrency curve over INCLUSIVE intervals — "how many
+    sessions were open at once, at peak, each hour" — the capacity /
+    load question raw event counts cannot answer (one 3-hour session
+    and 1000 one-second sessions look alike to a count).
+
+    Sweep line, bucketed so it scales: every interval emits +1 at its
+    start and -1 at its end; concurrency at any instant is the running
+    sum of deltas in (ts, delta DESC, tiebreak...) order (DESC puts
+    the +1 first at equal timestamps — inclusive ends: a session
+    ending at t and one starting at t DO overlap, and a single-event
+    session [t, t] counts at t). Rather than one global ordered sweep
+    (a single-partition sort over all deltas — the non-scalable
+    formulation), deltas sweep WITHIN their integer time bucket (a
+    partitioned window, parallel across buckets) and buckets chain
+    through their net sums: carry_in(b) = Σ net over prior buckets, a
+    window over ONE ROW PER OBSERVED BUCKET — bounded by the time
+    domain (hours in the retention window), never by event volume.
+    Peak within a bucket = carry_in + max(0, max prefix sum) — the
+    max(0, ·) covers the entry concurrency when the bucket's first
+    delta is a departure. Buckets with no deltas are not emitted
+    (concurrency there is flat at the previous carry; resample_ffill
+    densifies if a gapless curve is needed).
+
+    Buckets are integer ``unix_micros div bucket_micros`` — exact in
+    any engine; all arithmetic is integer, so the curve value-hashes.
+    """
+    s = intervals.select(
+        F.unix_micros(F.col(start_col)).alias("_ts"),
+        F.lit(1).alias("_delta"),
+        *[F.col(c) for c in tiebreak_cols],
+    )
+    e = intervals.select(
+        F.unix_micros(F.col(end_col)).alias("_ts"),
+        F.lit(-1).alias("_delta"),
+        *[F.col(c) for c in tiebreak_cols],
+    )
+    d = s.unionByName(e).withColumn(
+        "bucket", F.expr(f"_ts div {bucket_micros}")
+    )
+    w_intra = (
+        Window.partitionBy("bucket")
+        .orderBy(F.asc("_ts"), F.desc("_delta"), *[F.asc(c) for c in tiebreak_cols])
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    per_bucket = (
+        d.withColumn("_prefix", F.sum("_delta").over(w_intra))
+        .groupBy("bucket")
+        .agg(
+            F.sum("_delta").cast("long").alias("net_change"),
+            F.max("_prefix").cast("long").alias("_max_prefix"),
+            F.sum(F.when(F.col("_delta") > 0, 1).otherwise(0))
+            .cast("long")
+            .alias("n_starts"),
+        )
+    )
+    # bucket-level chain: ONE row per observed bucket (time-domain
+    # sized), so the unpartitioned window is bounded by design
+    w_chain = Window.orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    return per_bucket.select(
+        "bucket",
+        F.coalesce(F.sum("net_change").over(w_chain), F.lit(0))
+        .cast("long")
+        .alias("carry_in"),
+        "net_change",
+        "n_starts",
+        "_max_prefix",
+    ).select(
+        "bucket",
+        "carry_in",
+        "net_change",
+        "n_starts",
+        (F.col("carry_in") + F.greatest(F.col("_max_prefix"), F.lit(0)))
+        .cast("long")
+        .alias("peak_concurrent"),
+    )

@@ -39,11 +39,12 @@ _MODULES = [
 ]
 
 # The driver's correctness harness records only the first 50 registry
-# entries.  Round-6 window (r5 verdict, Next round #1): (a) the 16
+# entries.  Round-6 window (r5 verdict, Next round #1): (a) the 17
 # never-driver-checked entries — the 9 documented late-round-5
-# additions plus this round's 7 new operators (grouped HLL batch +
+# additions plus this round's 8 new operators (grouped HLL batch +
 # streamed twin + sliding-window merge, streamed CMS, CM-prefiltered
-# heavy-hitter join, k-core peeling, CMS join sizing); (b) queries whose
+# heavy-hitter join, k-core peeling, CMS join sizing, sweep-line peak
+# concurrency); (b) queries whose
 # CODE changed this round: degree-ordered triangle counting, the
 # batched-convergence connected components (and entity resolution,
 # which rides on it), the bloom h2 fix, the upsert-sink eager
@@ -75,6 +76,7 @@ _CORRECTNESS_WINDOW = [
     "join_heavy_hitters_cm",
     "graph_k_core",
     "sketch_cms_join_size",
+    "events_peak_concurrency",
     # (b) code changed this round (round-5 verdict items 2/3/6 + the
     # ADVICE bloom/upsert fixes)
     "graph_triangles",
@@ -114,7 +116,11 @@ _CORRECTNESS_WINDOW = [
     "flights_cleaning_job",
     "feature_selection_job",
     "mllib_correlation_matrix",
-    "mllib_chi_square",
+    # (mllib_chi_square displaced by events_peak_concurrency, the 17th
+    # never-checked entry — the M7 ChiSquareTest surface stays
+    # evidenced by r4-green ml_reference_bands' exact dof-vector check
+    # [27,357,51,342,51] and the r5-green chi_square_sql contingency
+    # twin; queues for r7)
     # (spearman_correlation displaced by sketch_cms_join_size, the
     # 16th never-checked entry — rank correlation's window/join shape
     # stays exercised by r5-green correlation_pairs and the in-window

@@ -143,6 +143,93 @@ FROM sess GROUP BY user_id, session_ordinal
 """
 
 
+# --- sweep-line peak concurrency --------------------------------------
+
+def q_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak concurrent sessions per hour (operators/timeseries.py:
+    peak_concurrency_by_bucket) over the gap-sessionized events — the
+    capacity question raw event counts can't answer. Sessions come
+    from the SAME sessionizer the events_user_sessions entry checks;
+    the sweep is bucketed (per-hour partitioned windows chained by a
+    bucket-level running sum over one row per observed hour), so the
+    only unpartitioned window is time-domain sized. Inclusive-interval
+    semantics pinned: at equal timestamps arrivals (+1) sort before
+    departures. All-integer arithmetic — the oracle replays
+    sessionization AND the sweep exactly."""
+    from ..operators.timeseries import peak_concurrency_by_bucket
+
+    e = read_testdata_table(spark, sf_dir, "events")
+    s = session_stats(
+        e,
+        key_col="user_id",
+        ts_col="ts",
+        order_tiebreak_col="event_id",
+        gap_seconds=_SESSION_GAP_S,
+        value_col="value",
+    )
+    return peak_concurrency_by_bucket(
+        s.select("user_id", "session_ordinal", "session_start", "session_end"),
+        start_col="session_start",
+        end_col="session_end",
+        tiebreak_cols=["user_id", "session_ordinal"],
+    )
+
+
+_PEAK_CONCURRENCY_ORACLE = f"""
+WITH e AS (
+  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS t FROM events
+), lagd AS (
+  SELECT user_id, event_id, t,
+         lag(t) OVER (PARTITION BY user_id ORDER BY t, event_id) AS pt
+  FROM e
+), flag AS (
+  SELECT user_id, t,
+         CASE WHEN pt IS NULL
+                   OR epoch_us(t) - epoch_us(pt) > {_SESSION_GAP_S}::BIGINT * 1000000
+              THEN 1 ELSE 0 END AS ns,
+         event_id
+  FROM lagd
+), sess AS (
+  SELECT user_id, t,
+         CAST(sum(ns) OVER (PARTITION BY user_id ORDER BY t, event_id)
+              AS BIGINT) AS session_ordinal
+  FROM flag
+), iv AS (
+  SELECT user_id, session_ordinal,
+         epoch_us(min(t)) AS s_us, epoch_us(max(t)) AS e_us
+  FROM sess GROUP BY 1, 2
+), d AS (
+  SELECT s_us AS ts, 1 AS delta, user_id, session_ordinal FROM iv
+  UNION ALL
+  SELECT e_us, -1, user_id, session_ordinal FROM iv
+), db AS (
+  SELECT ts // 3600000000 AS bucket, ts, delta, user_id, session_ordinal
+  FROM d
+), pref AS (
+  SELECT bucket, delta,
+         sum(delta) OVER (
+           PARTITION BY bucket
+           ORDER BY ts, delta DESC, user_id, session_ordinal
+           ROWS UNBOUNDED PRECEDING) AS p
+  FROM db
+), pb AS (
+  SELECT bucket, CAST(sum(delta) AS BIGINT) AS net_change,
+         max(p) AS mp,
+         CAST(count(*) FILTER (WHERE delta > 0) AS BIGINT) AS n_starts
+  FROM pref GROUP BY bucket
+), ch AS (
+  SELECT bucket, net_change, n_starts, mp,
+         CAST(coalesce(sum(net_change) OVER (
+           ORDER BY bucket ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+         ), 0) AS BIGINT) AS carry_in
+  FROM pb
+)
+SELECT bucket, carry_in, net_change, n_starts,
+       CAST(carry_in + greatest(mp, 0) AS BIGINT) AS peak_concurrent
+FROM ch
+"""
+
+
 # --- bounded-frame EWMA ------------------------------------------------
 
 def q_events_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -369,6 +456,13 @@ QUERIES: dict[str, QuerySpec] = {
     "text_pii_redaction": QuerySpec(
         "text_pii_redaction", q_pii_redaction, _pii_oracle(),
         "PII counts + typed-tag redaction, Java-regex/RE2-portable patterns",
+    ),
+    "events_peak_concurrency": QuerySpec(
+        "events_peak_concurrency", q_peak_concurrency,
+        _PEAK_CONCURRENCY_ORACLE,
+        "sweep-line peak concurrent sessions per hour: bucketed prefix"
+        " sweep + time-domain-sized bucket chain; inclusive intervals,"
+        " all-integer, sessionization + sweep both replayed",
     ),
     "events_user_sessions": QuerySpec(
         "events_user_sessions", q_user_sessions, _SESSIONS_ORACLE,

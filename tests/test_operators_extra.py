@@ -479,3 +479,65 @@ def test_resample_ffill_rejects_unknown_unit(spark):
             resample_ffill(
                 df, key_col="series", ts_col="ts", value_col="value", unit=bad
             )
+
+
+# --------------------- sweep-line peak concurrency ---------------------
+
+
+def test_peak_concurrency_hand_checked(spark):
+    """Three intervals: [0h, 2h], [1h, 1h30], a point at 3h. Hour 0
+    peaks at 1; hour 1 at 2 (overlap); hour 2 opens at carry 1 and
+    only closes (peak = entry concurrency); hour 3's point interval
+    counts (+1 sorts before -1 at the same instant — inclusive)."""
+    import datetime as dt
+
+    from big_data_analysis_of_airline_data_set_spark.operators.timeseries import (
+        peak_concurrency_by_bucket,
+    )
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0)
+    h = dt.timedelta(hours=1)
+    rows = [
+        (1, 1, t0, t0 + 2 * h),
+        (2, 1, t0 + h, t0 + h + dt.timedelta(minutes=30)),
+        (3, 1, t0 + 3 * h, t0 + 3 * h),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, session_ordinal long, s timestamp, e timestamp"
+    )
+    out = {
+        r.bucket - rows[0][2].toordinal() * 0: r  # buckets are absolute
+        for r in peak_concurrency_by_bucket(
+            df, start_col="s", end_col="e",
+            tiebreak_cols=["user_id", "session_ordinal"],
+        ).collect()
+    }
+    base = min(out)
+    peaks = {b - base: (r.carry_in, r.peak_concurrent, r.net_change)
+             for b, r in out.items()}
+    assert peaks[0] == (0, 1, 1)
+    assert peaks[1] == (1, 2, 0)   # second session opens AND closes
+    assert peaks[2] == (1, 1, -1)  # only a departure; peak = entry
+    assert peaks[3] == (0, 1, 0)   # point interval still counts
+
+
+def test_peak_concurrency_touching_endpoints_inclusive(spark):
+    """A ends exactly when B starts: inclusive semantics — both open
+    at that instant, so the bucket peaks at 2."""
+    import datetime as dt
+
+    from big_data_analysis_of_airline_data_set_spark.operators.timeseries import (
+        peak_concurrency_by_bucket,
+    )
+
+    t0 = dt.datetime(2024, 1, 1, 5, 0)
+    m = dt.timedelta(minutes=10)
+    df = spark.createDataFrame(
+        [(1, 1, t0, t0 + m), (2, 1, t0 + m, t0 + 2 * m)],
+        "user_id long, session_ordinal long, s timestamp, e timestamp",
+    )
+    r = peak_concurrency_by_bucket(
+        df, start_col="s", end_col="e",
+        tiebreak_cols=["user_id", "session_ordinal"],
+    ).first()
+    assert r.peak_concurrent == 2
