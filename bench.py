@@ -178,6 +178,17 @@ R6_OPS = [
     "events_peak_concurrency",
 ]
 
+# Round-6 continuation wave (plans/analytics_ops.py): HLL pairwise set
+# algebra, multi-source BFS over the trading bipartite graph, Welch's
+# t, RFM quartiles, Cramer two-feature OLS.
+R6B_OPS = [
+    "sketch_hll_set_ops",
+    "graph_bfs_distances",
+    "stats_welch_ttest",
+    "events_rfm_segments",
+    "stats_multi_ols",
+]
+
 # Like ml_quick_fit: 3 TVS LR fits (full/uni/var feature sets) timed
 # once, separately — fit-dominated and session-cached, so repeats would
 # time the cache, not the work.
@@ -286,6 +297,12 @@ def main() -> None:
     r6_timings, r6_total = _run_suite(specs, spark, R6_OPS, sf_dir, repeats, "r6_ops")
     print(f"# r6_ops_suite: {r6_total}s {r6_timings}", file=sys.stderr)
 
+    _warm(specs, spark, R6B_OPS, sf_dir)
+    r6b_timings, r6b_total = _run_suite(
+        specs, spark, R6B_OPS, sf_dir, repeats, "r6b_ops"
+    )
+    print(f"# r6b_ops_suite: {r6b_total}s {r6b_timings}", file=sys.stderr)
+
     t0 = time.perf_counter()
     specs[ML_VARIANT_QUERY].fn(spark, sf_dir).count()
     ml_variants = time.perf_counter() - t0
@@ -342,6 +359,8 @@ def main() -> None:
         "r5_ops_queries": r5_timings,
         "r6_ops_suite": r6_total,
         "r6_ops_queries": r6_timings,
+        "r6b_ops_suite": r6b_total,
+        "r6b_ops_queries": r6b_timings,
         "skew_suite": skew_total,
         "skew_queries": skew_timings,
         "sf": float(sf),

@@ -9,6 +9,7 @@ from __future__ import annotations
 
 from .spec import QuerySpec
 from . import (
+    analytics_ops,
     content,
     curation_queries,
     events_queries,
@@ -36,6 +37,7 @@ _MODULES = [
     flights_job,
     scale_ops,
     multimodal_queries,
+    analytics_ops,
 ]
 
 # The driver's correctness harness records only the first 50 registry
@@ -77,6 +79,16 @@ _CORRECTNESS_WINDOW = [
     "graph_k_core",
     "sketch_cms_join_size",
     "events_peak_concurrency",
+    # (a) never driver-checked — the round-6 continuation wave
+    # (segment/network analytics, plans/analytics_ops.py); 3-sf
+    # builder-verified, never-checked-first displaces five r2-era
+    # re-proofs below (each keeps its green r2 row; displacement
+    # rationale at the bottom of the list)
+    "sketch_hll_set_ops",
+    "graph_bfs_distances",
+    "stats_welch_ttest",
+    "events_rfm_segments",
+    "stats_multi_ols",
     # (b) code changed this round (round-5 verdict items 2/3/6 + the
     # ADVICE bloom/upsert fixes)
     "graph_triangles",
@@ -129,20 +141,28 @@ _CORRECTNESS_WINDOW = [
     # never-checked entry — the M11 k-th-largest variance selection
     # stays exercised by r5-green ml_variant_sweep's var_data variant,
     # replayed in SQL; queues for r7)
-    "univariate_select_categorical",
     # (univariate_select_continuous displaced by
     # events_hll_sliding_distinct, the 14th never-checked entry — the
     # M9 ANOVA-F selection stays exercised by r5-green
     # ml_variant_sweep, which replays it in SQL; queues for r7)
     "dedup_exact",
     "dedup_minhash_lsh",
-    "dedup_simhash",
-    "dedup_ngram_jaccard",
-    "dedup_embedding_cosine",
-    "ann_bruteforce_topk",
     # (ann_lsh_topk displaced by events_cms_stream, the 13th
     # never-checked entry — LSH banding stays exercised by the r2-green
     # dedup_embedding_lsh path and queues for the r7 re-proof rotation)
+    # Continuation-wave displacements — five r2-era re-proof slots
+    # yield to the five never-driver-checked analytics_ops entries
+    # (policy: never-checked before oldest-evidence). Each displaced
+    # query keeps its green r2 row and queues for r7:
+    # - univariate_select_categorical: the M8 chi-square selection is
+    #   SQL-replayed by r5-green ml_variant_sweep;
+    # - dedup_simhash / dedup_ngram_jaccard / dedup_embedding_cosine:
+    #   the banded near-dup family stays evidenced in-window by
+    #   dedup_minhash_lsh (kept above, the canonical banding path) and
+    #   by r5-green dedup_fuzzy_pairs / dedup_entity_resolution;
+    # - ann_bruteforce_topk: the brute-force cosine baseline is
+    #   re-proved every round by r5-green ann_ivf_quantized_rerank,
+    #   whose recall@10 check recomputes it.
 ]
 
 

@@ -252,6 +252,155 @@ def hll_report(
     )
 
 
+def hll_set_ops(
+    df: DataFrame,
+    *,
+    group_col: str,
+    value_col: str,
+    p: int = 8,
+    round_dp: int = 6,
+) -> DataFrame:
+    """Sketch set algebra over every unordered pair of groups: union
+    cardinality by register max-merge, intersection by
+    inclusion-exclusion (|A| + |B| − |A∪B|), and the derived Jaccard —
+    the segment-overlap questions (shared users between cohorts,
+    order-key overlap between return classes) that exact distinct
+    counting answers only with a full re-scan per pair, answered here
+    from ONE pass that builds m-register sketches and then merges
+    register vectors pair-wise (n_pairs × m small rows of post-shuffle
+    work, independent of data size). Exact counts ride along as the
+    reference columns, the ``hll_report`` pattern.
+
+    Inclusion-exclusion inherits the additive error of three estimates,
+    so the intersection estimate can go NEGATIVE for near-disjoint
+    segments — returned as computed (a caller clamping to 0 loses the
+    error signal); ``est_jaccard`` divides the same numerator by the
+    union estimate. All arithmetic over the ROUNDED per-set estimates
+    in a fixed expression order, so any SQL engine replays it
+    bit-for-bit.
+
+    Pair-wise register duplication is O(n_groups² · m) rows — segment
+    algebras are over handfuls of cohorts, not millions; for
+    million-group overlap matrices, band the pair space first (the
+    dedup/minhash LSH shape)."""
+    m = _check_p(p)
+    # the register build scans the fact table; three downstream
+    # consumers (per-group estimate + both sides of the pair merge)
+    # would each rescan it — a lazy localCheckpoint computes it once
+    # (the double-referenced-frame discipline, see memory of r5/r6)
+    regs = hll_registers(
+        df, group_col=group_col, value_col=value_col, p=p
+    ).localCheckpoint(eager=False)
+    per = hll_estimate(regs, p=p, round_dp=round_dp)
+
+    groups = regs.select("group").distinct()
+    pairs = (
+        groups.select(F.col("group").alias("group_a"))
+        .join(
+            groups.select(F.col("group").alias("group_b")),
+            F.col("group_a") < F.col("group_b"),
+        )
+    )
+    ra = pairs.join(
+        regs.withColumnRenamed("group", "group_a"), "group_a"
+    ).select("group_a", "group_b", "register", "max_rho")
+    rb = pairs.join(
+        regs.withColumnRenamed("group", "group_b"), "group_b"
+    ).select("group_a", "group_b", "register", "max_rho")
+    union_regs = (
+        ra.union(rb)
+        .groupBy("group_a", "group_b", "register")
+        .agg(F.max("max_rho").alias("max_rho"))
+    )
+    u_est = hll_estimate(
+        union_regs, p=p, round_dp=round_dp, group_cols=("group_a", "group_b")
+    )
+
+    # exact reference: distinct (group, value) pairs feed the per-group
+    # counts AND both sides of the intersection self-join
+    dv = (
+        df.select(
+            F.col(group_col).alias("group"), F.col(value_col).alias("val")
+        )
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    exact_per = dv.groupBy("group").agg(
+        F.count(F.lit(1)).cast("long").alias("exact")
+    )
+    inter = (
+        dv.select(F.col("group").alias("group_a"), "val")
+        .join(
+            dv.select(F.col("group").alias("group_b"), "val"),
+            "val",
+        )
+        .filter(F.col("group_a") < F.col("group_b"))
+        .groupBy("group_a", "group_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("exact_intersection"))
+    )
+
+    est_inter = F.col("est_a") + F.col("est_b") - F.col("est_union")
+    return (
+        pairs.join(
+            per.select(
+                F.col("group").alias("group_a"),
+                F.col("hll_estimate").alias("est_a"),
+            ),
+            "group_a",
+        )
+        .join(
+            per.select(
+                F.col("group").alias("group_b"),
+                F.col("hll_estimate").alias("est_b"),
+            ),
+            "group_b",
+        )
+        .join(
+            u_est.select(
+                "group_a", "group_b", F.col("hll_estimate").alias("est_union")
+            ),
+            ["group_a", "group_b"],
+        )
+        .join(
+            exact_per.select(
+                F.col("group").alias("group_a"),
+                F.col("exact").alias("exact_a"),
+            ),
+            "group_a",
+        )
+        .join(
+            exact_per.select(
+                F.col("group").alias("group_b"),
+                F.col("exact").alias("exact_b"),
+            ),
+            "group_b",
+        )
+        .join(inter, ["group_a", "group_b"], "left")
+        .select(
+            "group_a",
+            "group_b",
+            F.lit(m).cast("long").alias("m_registers"),
+            "est_a",
+            "est_b",
+            "est_union",
+            F.round(est_inter, round_dp).alias("est_intersection"),
+            F.round(est_inter / F.col("est_union"), round_dp).alias(
+                "est_jaccard"
+            ),
+            "exact_a",
+            "exact_b",
+            F.coalesce(
+                F.col("exact_intersection"), F.lit(0).cast("long")
+            ).alias("exact_intersection"),
+            (
+                F.col("exact_a")
+                + F.col("exact_b")
+                - F.coalesce(F.col("exact_intersection"), F.lit(0).cast("long"))
+            ).alias("exact_union"),
+        )
+    )
+
+
 def hll_distinct_by_group(
     df: DataFrame,
     *,

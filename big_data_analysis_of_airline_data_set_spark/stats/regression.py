@@ -214,3 +214,217 @@ def ab_proportion_ztest(
         F.when(two_armed, F.round(pb, round_dp)).alias("rate_b"),
         F.when(two_armed, F.round(z, round_dp)).alias("z_stat"),
     )
+
+
+# Closed-form texts shared VERBATIM between the Spark plan (F.expr)
+# and the DuckDB oracle — both engines parse the identical arithmetic
+# over identically-named moment columns, so the IEEE expression trees
+# cannot drift apart (the strongest form of the module's
+# decimal-moments-then-one-double-expression discipline). Only
+# engine-portable SQL appears here: arithmetic, nullif, sqrt, round.
+
+# Welch over per-segment moments (na, nb BIGINT; nad, nbd, sa, sb,
+# saa, sbb DOUBLE): mean/variance stage, then t and the
+# Welch-Satterthwaite dof over the named stage-1 columns.
+WELCH_STAGE1 = {
+    "mean_a": "(sa / nad)",
+    "mean_b": "(sb / nbd)",
+    "var_a": "((saa - sa * sa / nad) / nullif(nad - 1.0, 0.0))",
+    "var_b": "((sbb - sb * sb / nbd) / nullif(nbd - 1.0, 0.0))",
+}
+WELCH_T = (
+    "((mean_a - mean_b) / sqrt(nullif(var_a / nad + var_b / nbd, 0.0)))"
+)
+WELCH_DOF = (
+    "((var_a / nad + var_b / nbd) * (var_a / nad + var_b / nbd)"
+    " / nullif((var_a / nad) * (var_a / nad) / (nad - 1.0)"
+    "        + (var_b / nbd) * (var_b / nbd) / (nbd - 1.0), 0.0))"
+)
+
+# Two-feature OLS normal equations by Cramer's rule over moment
+# columns (nd DOUBLE; s1, s2, sy, s11, s22, s12, s1y, s2y, syy
+# DOUBLE): A = [[nd,s1,s2],[s1,s11,s12],[s2,s12,s22]], rhs
+# [sy,s1y,s2y]; bK replaces column K of A.
+OLS2_DET = (
+    "(nd*(s11*s22 - s12*s12) - s1*(s1*s22 - s12*s2) + s2*(s1*s12 - s11*s2))"
+)
+OLS2_B0 = (
+    "((sy*(s11*s22 - s12*s12) - s1*(s1y*s22 - s12*s2y)"
+    f" + s2*(s1y*s12 - s11*s2y)) / nullif({OLS2_DET}, 0.0))"
+)
+OLS2_B1 = (
+    "((nd*(s1y*s22 - s12*s2y) - sy*(s1*s22 - s12*s2)"
+    f" + s2*(s1*s2y - s1y*s2)) / nullif({OLS2_DET}, 0.0))"
+)
+OLS2_B2 = (
+    "((nd*(s11*s2y - s1y*s12) - s1*(s1*s2y - s1y*s2)"
+    f" + sy*(s1*s12 - s11*s2)) / nullif({OLS2_DET}, 0.0))"
+)
+# residual/total sums of squares from the already-solved coefficient
+# columns b0/b1/b2 — R² without a second data pass
+OLS2_R2 = (
+    "(1.0 - (syy - b0*sy - b1*s1y - b2*s2y)"
+    " / nullif(syy - sy*sy/nd, 0.0))"
+)
+
+
+def welch_t_test(
+    df: DataFrame,
+    *,
+    group_cols: list[str],
+    segment_col,
+    value_col: str,
+    seg_a,
+    seg_b,
+    value_scale: int = 6,
+    round_dp: int = 6,
+) -> DataFrame:
+    """(group…, n_a, n_b, mean_a, mean_b, var_a, var_b, t_stat, dof):
+    Welch's unequal-variance two-sample t per group, the mean-shift
+    companion to ``ks_two_sample`` (KS sees shape; Welch quantifies the
+    mean difference with a proper small/unequal-sample correction,
+    unlike the pooled-variance Student t). The z-test above is for
+    proportions; this is its continuous-metric sibling.
+
+    One conditional aggregation builds both segments' exact moments in
+    a single pass (values quantized to ``value_scale`` decimals and
+    summed in DECIMAL — order-independent); t and the
+    Welch-Satterthwaite dof are the shared WELCH_* expression texts,
+    evaluated identically by any engine. Groups where a segment has
+    < 2 rows (undefined variance) or both variances are zero yield
+    NULL t/dof via nullif, never an ANSI error. The p-value is
+    deliberately absent — the t CDF needs incomplete-beta/erf, which
+    is libm-specific (the ab_proportion_ztest precedent).
+
+    Scale shape: one map-side-combined aggregation; the shuffle
+    carries six numbers per group. No window, no sort.
+
+    The input cast is DECIMAL(18, scale), not 19: an 18-digit
+    operand's square is (37, 2·scale) — inside the 38-digit cap, so
+    Spark's decimal-multiply never invokes its precision-loss scale
+    adjustment (19-digit operands square to precision 39, and at
+    2·scale > 6 Spark rounds a scale digit away where other engines
+    keep it — silent cross-engine drift)."""
+    val = F.col(value_col).cast(f"decimal(18,{value_scale})")
+    seg = segment_col if isinstance(segment_col, F.Column) else F.col(
+        segment_col
+    )
+    is_a, is_b = seg == seg_a, seg == seg_b
+
+    def dsum(cond, c, scale):
+        return F.sum(
+            F.when(cond, c).cast(f"decimal(38,{scale})")
+        ).cast("double")
+
+    # NULL metric rows are excluded, not observations (they would
+    # inflate n while the sums skip them — the ks_two_sample rule)
+    agg = df.filter(
+        (is_a | is_b) & F.col(value_col).isNotNull()
+    ).groupBy(*group_cols).agg(
+        F.count(F.when(is_a, 1)).cast("long").alias("na"),
+        F.count(F.when(is_b, 1)).cast("long").alias("nb"),
+        dsum(is_a, val, value_scale).alias("sa"),
+        dsum(is_b, val, value_scale).alias("sb"),
+        dsum(is_a, val * val, value_scale * 2).alias("saa"),
+        dsum(is_b, val * val, value_scale * 2).alias("sbb"),
+    )
+    stage1 = agg.select(
+        *group_cols,
+        "na",
+        "nb",
+        F.col("na").cast("double").alias("nad"),
+        F.col("nb").cast("double").alias("nbd"),
+        "sa",
+        "sb",
+        "saa",
+        "sbb",
+    ).select(
+        *group_cols,
+        "na",
+        "nb",
+        "nad",
+        "nbd",
+        *[F.expr(text).alias(name) for name, text in WELCH_STAGE1.items()],
+    )
+    return stage1.select(
+        *group_cols,
+        F.col("na").alias("n_a"),
+        F.col("nb").alias("n_b"),
+        F.round("mean_a", round_dp).alias("mean_a"),
+        F.round("mean_b", round_dp).alias("mean_b"),
+        F.round("var_a", round_dp).alias("var_a"),
+        F.round("var_b", round_dp).alias("var_b"),
+        F.round(F.expr(WELCH_T), round_dp).alias("t_stat"),
+        F.round(F.expr(WELCH_DOF), round_dp).alias("dof"),
+    )
+
+
+def group_ols2(
+    df: DataFrame,
+    *,
+    group_cols: list[str],
+    x1_col: str,
+    x2_col: str,
+    y_col: str,
+    x1_scale: int = 2,
+    x2_scale: int = 2,
+    y_scale: int = 2,
+    round_dp: int = 6,
+) -> DataFrame:
+    """(group…, n, b0, b1, b2, r2): TWO-feature least squares
+    y = b0 + b1·x1 + b2·x2 per group via the 3×3 normal equations,
+    solved in closed form by Cramer's rule — multiple regression as
+    one aggregation pass, the natural next step after ``group_ols``
+    when a second covariate must be controlled for (price ~ quantity
+    AND discount). MLlib's LinearRegression would fit the same model
+    iteratively per group via costly per-group fits; ten exact moment
+    sums and a constant-size determinant solve is how this is done
+    over 100 TB (the shuffle carries ten numbers per group).
+
+    Moments accumulate exactly in DECIMAL over ``*_scale``-quantized
+    inputs; the solve is the shared OLS2_* expression texts (Cramer
+    cofactors, then R² from the residual identity
+    SSE = Σy² − b0Σy − b1Σx1y − b2Σx2y), evaluated identically by any
+    engine. Singular systems (collinear x1/x2, constant columns) yield
+    NULL coefficients via nullif(det, 0), never a garbage solve."""
+    x1 = F.col(x1_col).cast(f"decimal(19,{x1_scale})")
+    x2 = F.col(x2_col).cast(f"decimal(19,{x2_scale})")
+    y = F.col(y_col).cast(f"decimal(19,{y_scale})")
+
+    def dsum(c, scale):
+        return F.sum(c.cast(f"decimal(38,{scale})")).cast("double")
+
+    agg = df.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        dsum(x1, x1_scale).alias("s1"),
+        dsum(x2, x2_scale).alias("s2"),
+        dsum(y, y_scale).alias("sy"),
+        dsum(x1 * x1, x1_scale * 2).alias("s11"),
+        dsum(x2 * x2, x2_scale * 2).alias("s22"),
+        dsum(x1 * x2, x1_scale + x2_scale).alias("s12"),
+        dsum(x1 * y, x1_scale + y_scale).alias("s1y"),
+        dsum(x2 * y, x2_scale + y_scale).alias("s2y"),
+        dsum(y * y, y_scale * 2).alias("syy"),
+    )
+    solved = agg.select(
+        *group_cols,
+        "n",
+        F.col("n").cast("double").alias("nd"),
+        "s1", "s2", "sy", "s11", "s22", "s12", "s1y", "s2y", "syy",
+    ).select(
+        *group_cols,
+        "n",
+        "nd",
+        "sy", "s1y", "s2y", "syy",
+        F.expr(OLS2_B0).alias("b0"),
+        F.expr(OLS2_B1).alias("b1"),
+        F.expr(OLS2_B2).alias("b2"),
+    )
+    return solved.select(
+        *group_cols,
+        "n",
+        F.round("b0", round_dp).alias("b0"),
+        F.round("b1", round_dp).alias("b1"),
+        F.round("b2", round_dp).alias("b2"),
+        F.round(F.expr(OLS2_R2), round_dp).alias("r2"),
+    )

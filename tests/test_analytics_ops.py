@@ -1,0 +1,184 @@
+"""Unit + oracle-parity tests for the segment/network analytics wave
+(plans/analytics_ops.py): HLL set algebra, multi-source BFS, Welch's
+t, RFM quartiles, two-feature OLS."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from big_data_analysis_of_airline_data_set_spark.plans import all_queries
+from tests.oracle_harness import check_query
+
+NEW_OPS = [
+    "sketch_hll_set_ops",
+    "graph_bfs_distances",
+    "stats_welch_ttest",
+    "events_rfm_segments",
+    "stats_multi_ols",
+]
+
+
+@pytest.mark.parametrize("name", NEW_OPS)
+def test_oracle_parity(spark, name, sf_dir):
+    check_query(spark, all_queries()[name], sf_dir)
+
+
+# --------------------- bfs_distances unit ---------------------
+
+
+def test_bfs_distances_path_graph(spark):
+    from big_data_analysis_of_airline_data_set_spark.operators.graph import (
+        bfs_distances,
+    )
+
+    # path 1-2-3-4-5 plus isolated edge 8-9; seed at 2 and at the
+    # edge-less vertex 7
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (8, 9)], "u long, v long"
+    )
+    seeds = spark.createDataFrame([(2,), (7,)], "vertex long")
+    got = {
+        r["vertex"]: r["dist"]
+        for r in bfs_distances(edges, seeds, max_hops=8).collect()
+    }
+    # 7 has no edges but is a seed: dist 0; 8/9 unreached: absent
+    assert got == {2: 0, 7: 0, 1: 1, 3: 1, 4: 2, 5: 3}
+
+
+def test_bfs_distances_hop_budget(spark):
+    from big_data_analysis_of_airline_data_set_spark.operators.graph import (
+        bfs_distances,
+    )
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4)], "u long, v long"
+    )
+    seeds = spark.createDataFrame([(1,)], "vertex long")
+    got = {
+        r["vertex"]: r["dist"]
+        for r in bfs_distances(edges, seeds, max_hops=2).collect()
+    }
+    # vertex 4 is 3 hops out — beyond the budget, absent not wrong
+    assert got == {1: 0, 2: 1, 3: 2}
+
+
+# --------------------- hll_set_ops unit ---------------------
+
+
+def test_hll_set_ops_disjoint_and_identical(spark):
+    from big_data_analysis_of_airline_data_set_spark.sketches.hll import (
+        hll_set_ops,
+    )
+
+    rows = [("a", i) for i in range(200)] + [("b", i) for i in range(200)]
+    rows += [("c", i) for i in range(1000, 1200)]
+    df = spark.createDataFrame(rows, "g string, v long")
+    out = {
+        (r["group_a"], r["group_b"]): r
+        for r in hll_set_ops(df, group_col="g", value_col="v").collect()
+    }
+    ab = out[("a", "b")]
+    # identical sets: identical sketches, union = each, Jaccard exactly 1
+    assert ab["exact_intersection"] == 200 and ab["exact_union"] == 200
+    assert ab["est_a"] == ab["est_b"] == ab["est_union"]
+    assert ab["est_jaccard"] == pytest.approx(1.0)
+    ac = out[("a", "c")]
+    # disjoint sets: exact intersection 0; the estimate may wobble
+    # around 0 (inclusion-exclusion error) but the union is ~2x a set
+    assert ac["exact_intersection"] == 0 and ac["exact_union"] == 400
+    assert ac["est_union"] > ac["est_a"]
+
+
+# --------------------- welch_t_test unit ---------------------
+
+
+def test_welch_degenerate_and_symmetric(spark):
+    from big_data_analysis_of_airline_data_set_spark.stats.regression import (
+        welch_t_test,
+    )
+
+    rows = (
+        [("sym", 0, float(v)) for v in (1, 2, 3, 4)]
+        + [("sym", 1, float(v)) for v in (1, 2, 3, 4)]
+        + [("tiny", 0, 1.0)]  # n_a = 1 -> variance undefined
+        + [("tiny", 1, 2.0), ("tiny", 1, 3.0)]
+        + [("null", 0, None), ("null", 0, 5.0), ("null", 1, 6.0)]
+    )
+    df = spark.createDataFrame(rows, "g string, seg int, value double")
+    out = {
+        r["g"]: r
+        for r in welch_t_test(
+            df,
+            group_cols=["g"],
+            segment_col=F.col("seg"),
+            value_col="value",
+            seg_a=0,
+            seg_b=1,
+        ).collect()
+    }
+    assert out["sym"]["t_stat"] == pytest.approx(0.0)
+    assert out["sym"]["n_a"] == out["sym"]["n_b"] == 4
+    assert out["tiny"]["t_stat"] is None and out["tiny"]["dof"] is None
+    # NULL metric rows are excluded from n, not counted as observations
+    assert out["null"]["n_a"] == 1
+
+
+# --------------------- group_ols2 unit ---------------------
+
+
+def test_group_ols2_recovers_plane(spark):
+    from big_data_analysis_of_airline_data_set_spark.stats.regression import (
+        group_ols2,
+    )
+
+    # exact plane y = 2 + 3*x1 - 0.5*x2 on a non-degenerate design
+    pts = [
+        (float(x1), float(x2), 2.0 + 3.0 * x1 - 0.5 * x2)
+        for x1 in range(5)
+        for x2 in range(4)
+    ]
+    df = spark.createDataFrame(
+        [("g", *p) for p in pts], "g string, x1 double, x2 double, y double"
+    )
+    row = group_ols2(
+        df, group_cols=["g"], x1_col="x1", x2_col="x2", y_col="y"
+    ).collect()[0]
+    assert row["b0"] == pytest.approx(2.0, abs=1e-6)
+    assert row["b1"] == pytest.approx(3.0, abs=1e-6)
+    assert row["b2"] == pytest.approx(-0.5, abs=1e-6)
+    assert row["r2"] == pytest.approx(1.0, abs=1e-6)
+
+
+def test_group_ols2_collinear_is_null(spark):
+    from big_data_analysis_of_airline_data_set_spark.stats.regression import (
+        group_ols2,
+    )
+
+    # x2 = 2*x1 exactly -> singular normal equations -> NULL solve
+    pts = [(float(x), 2.0 * x, float(x)) for x in range(6)]
+    df = spark.createDataFrame(
+        [("g", *p) for p in pts], "g string, x1 double, x2 double, y double"
+    )
+    row = group_ols2(
+        df, group_cols=["g"], x1_col="x1", x2_col="x2", y_col="y"
+    ).collect()[0]
+    assert row["b0"] is None and row["b1"] is None and row["b2"] is None
+
+
+# --------------------- RFM unit ---------------------
+
+
+def test_rfm_quartiles_balanced(spark, sf_dir):
+    out = all_queries()["events_rfm_segments"].fn(spark, sf_dir).toPandas()
+    n = len(out)
+    assert n > 0
+    for col in ("r_q", "f_q", "m_q"):
+        counts = out[col].value_counts()
+        assert set(counts.index) <= {1, 2, 3, 4}
+        # ntile buckets differ in size by at most one
+        assert counts.max() - counts.min() <= 1
+    assert (
+        out["rfm_code"]
+        == out["r_q"] * 100 + out["f_q"] * 10 + out["m_q"]
+    ).all()
