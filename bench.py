@@ -187,6 +187,10 @@ R6B_OPS = [
     "stats_welch_ttest",
     "events_rfm_segments",
     "stats_multi_ols",
+    "graph_label_propagation",
+    "events_cusum_changepoint",
+    "text_bm25_topk",
+    "stats_mannwhitney_u",
 ]
 
 # Like ml_quick_fit: 3 TVS LR fits (full/uni/var feature sets) timed

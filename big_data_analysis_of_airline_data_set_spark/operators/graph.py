@@ -492,6 +492,72 @@ def k_core(
     )
 
 
+def label_propagation(
+    edges: DataFrame,
+    *,
+    u: str = "u",
+    v: str = "v",
+    rounds: int = 3,
+    symmetric: bool = False,
+) -> DataFrame:
+    """(vertex, label): synchronous label-propagation communities
+    after a FIXED number of rounds — each round every vertex adopts
+    the smallest label among its neighbors' most frequent labels
+    (count desc, label asc — a TOTAL order, so the sweep is
+    deterministic; classic LPA's random tie-breaks make it
+    irreproducible, which a value-checked catalog cannot have).
+    Labels start as vertex ids. Community detection distinct from
+    connected components: min-label CC floods whole components;
+    frequency-weighted adoption lets DENSE neighborhoods keep their
+    own label against a sparse bridge, splitting a component into
+    communities.
+
+    Fixed rounds, not convergence: synchronous LPA can oscillate
+    2-cycles forever (bipartite-ish regions), so "run R rounds" IS
+    the semantic — stated, and replayed by an oracle that unrolls
+    exactly R rounds. Per round: one edge⋈labels join, one
+    (vertex, label) count, one per-vertex top-1 window — all
+    edge-sized shuffles; the label table is materialized per round
+    through an eager localCheckpoint (linear, not exponential,
+    lineage)."""
+    from pyspark.sql.window import Window
+
+    if rounds < 1:
+        raise ValueError("rounds must be >= 1")
+    directed = edges.select(F.col(u).alias("_s"), F.col(v).alias("_d"))
+    sym = (
+        directed
+        if symmetric
+        else directed.union(
+            edges.select(F.col(v).alias("_s"), F.col(u).alias("_d"))
+        ).distinct()
+    ).repartition(F.col("_d")).persist()
+    labels = (
+        sym.select(F.col("_s").alias("vertex"))
+        .distinct()
+        .select("vertex", F.col("vertex").alias("label"))
+        .localCheckpoint(eager=True)
+    )
+    w = Window.partitionBy("vertex").orderBy(
+        F.desc("n"), F.asc("label")
+    )
+    for _ in range(rounds):
+        cnt = (
+            sym.join(labels, sym["_d"] == labels["vertex"])
+            .groupBy(F.col("_s").alias("vertex_"), "label")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .withColumnRenamed("vertex_", "vertex")
+        )
+        labels = (
+            cnt.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("vertex", "label")
+            .localCheckpoint(eager=True)
+        )
+    sym.unpersist()
+    return labels
+
+
 def bfs_distances(
     edges: DataFrame,
     seeds: DataFrame,

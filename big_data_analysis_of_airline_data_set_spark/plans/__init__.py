@@ -89,6 +89,10 @@ _CORRECTNESS_WINDOW = [
     "stats_welch_ttest",
     "events_rfm_segments",
     "stats_multi_ols",
+    "graph_label_propagation",
+    "events_cusum_changepoint",
+    "text_bm25_topk",
+    "stats_mannwhitney_u",
     # (b) code changed this round (round-5 verdict items 2/3/6 + the
     # ADVICE bloom/upsert fixes)
     "graph_triangles",
@@ -126,8 +130,6 @@ _CORRECTNESS_WINDOW = [
     # exercised by r5-green ann_ivf_quantized_rerank) are next in the
     # r7 rotation.
     "flights_cleaning_job",
-    "feature_selection_job",
-    "mllib_correlation_matrix",
     # (mllib_chi_square displaced by events_peak_concurrency, the 17th
     # never-checked entry — the M7 ChiSquareTest surface stays
     # evidenced by r4-green ml_reference_bands' exact dof-vector check
@@ -145,21 +147,24 @@ _CORRECTNESS_WINDOW = [
     # events_hll_sliding_distinct, the 14th never-checked entry — the
     # M9 ANOVA-F selection stays exercised by r5-green
     # ml_variant_sweep, which replays it in SQL; queues for r7)
-    "dedup_exact",
-    "dedup_minhash_lsh",
     # (ann_lsh_topk displaced by events_cms_stream, the 13th
     # never-checked entry — LSH banding stays exercised by the r2-green
     # dedup_embedding_lsh path and queues for the r7 re-proof rotation)
-    # Continuation-wave displacements — five r2-era re-proof slots
-    # yield to the five never-driver-checked analytics_ops entries
+    # Continuation-wave displacements — nine r2-era re-proof slots
+    # yield to the nine never-driver-checked analytics_ops entries
     # (policy: never-checked before oldest-evidence). Each displaced
     # query keeps its green r2 row and queues for r7:
-    # - univariate_select_categorical: the M8 chi-square selection is
-    #   SQL-replayed by r5-green ml_variant_sweep;
-    # - dedup_simhash / dedup_ngram_jaccard / dedup_embedding_cosine:
-    #   the banded near-dup family stays evidenced in-window by
-    #   dedup_minhash_lsh (kept above, the canonical banding path) and
-    #   by r5-green dedup_fuzzy_pairs / dedup_entity_resolution;
+    # - univariate_select_categorical + feature_selection_job: the
+    #   M8 chi-square selection and the S3 job around it are
+    #   SQL-replayed by r5-green ml_variant_sweep (flights_cleaning_job,
+    #   the S1 end-to-end reference job, KEEPS its slot above);
+    # - mllib_correlation_matrix: the correlation surface stays
+    #   evidenced by r5-green correlation_pairs;
+    # - dedup_exact / dedup_simhash / dedup_ngram_jaccard /
+    #   dedup_embedding_cosine / dedup_minhash_lsh: the dedup family
+    #   stays evidenced by r5-green dedup_fuzzy_pairs and the
+    #   in-window dedup_entity_resolution (whose pipeline embeds
+    #   exact grouping + candidate blocking);
     # - ann_bruteforce_topk: the brute-force cosine baseline is
     #   re-proved every round by r5-green ann_ivf_quantized_rerank,
     #   whose recall@10 check recomputes it.

@@ -456,3 +456,435 @@ QUERIES: dict[str, QuerySpec] = {
         "Two-feature closed-form OLS via Cramer normal equations",
     ),
 }
+
+
+# --------------------- label-propagation communities ---------------------
+
+_LPA_PCT = 0.5
+_LPA_ROUNDS = 3
+
+
+def q_graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synchronous label-propagation communities
+    (operators/graph.py:label_propagation) over the co-supplier graph
+    at the 50th-percentile co-occurrence threshold — frequency-weighted
+    label adoption with a (count desc, label asc) total-order
+    tie-break, run a FIXED 3 rounds (classic LPA's random tie-breaks
+    and oscillation make it irreproducible; fixed deterministic rounds
+    ARE the catalog semantic). Output: community sizes. The oracle
+    unrolls the same 3 rounds as MATERIALIZED CTEs with the identical
+    row_number() tie-break."""
+    from ..operators.graph import label_propagation
+    from .patterns import _co_supplier_edges
+
+    co, e = _co_supplier_edges(spark, sf_dir, _LPA_PCT)
+    try:
+        labels = label_propagation(e, rounds=_LPA_ROUNDS)
+    finally:
+        co.unpersist()
+    return labels.groupBy(F.col("label").alias("community")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_members")
+    )
+
+
+def _lpa_oracle() -> str:
+    prev = "l0"
+    rounds = []
+    for i in range(1, _LPA_ROUNDS + 1):
+        rounds.append(f"""
+c{i} AS MATERIALIZED (
+  SELECT s.s AS vertex, p.label, count(*) AS n
+  FROM sym s JOIN {prev} p ON s.d = p.vertex
+  GROUP BY 1, 2
+),
+l{i} AS MATERIALIZED (
+  SELECT vertex, label FROM (
+    SELECT vertex, label,
+           row_number() OVER (PARTITION BY vertex
+                              ORDER BY n DESC, label ASC) AS rn
+    FROM c{i}
+  ) WHERE rn = 1
+)""")
+        prev = f"l{i}"
+    return f"""
+WITH ps AS (
+  SELECT DISTINCT l_partkey AS p, l_suppkey AS s FROM lineitem
+), co AS (
+  SELECT a.s AS u, b.s AS v, count(*) AS c
+  FROM ps a JOIN ps b ON a.p = b.p AND a.s < b.s
+  GROUP BY 1, 2
+), thr AS (SELECT quantile_cont(c, {_LPA_PCT}) AS t FROM co),
+e AS MATERIALIZED (SELECT u, v FROM co CROSS JOIN thr WHERE c > t),
+sym AS MATERIALIZED (
+  SELECT u AS s, v AS d FROM e UNION SELECT v, u FROM e
+),
+l0 AS MATERIALIZED (
+  SELECT DISTINCT s AS vertex, s AS label FROM sym
+),{",".join(rounds)}
+SELECT label AS community, CAST(count(*) AS BIGINT) AS n_members
+FROM {prev} GROUP BY label
+"""
+
+
+# --------------------- CUSUM change-point ---------------------
+
+_US_DAY = 86_400_000_000
+
+
+def q_events_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM change-point per event type over the daily count series:
+    S_t = Σ_{i<=t}(n_i − mean), peak |S_t| marks the day the level
+    shifted — the classic drift localizer (a mean test says THAT
+    volume changed; CUSUM says WHEN). Kept in exact integers by
+    scaling with the day count: S_t·D = D·cum_t − t·T (cum/totals are
+    BIGINT), so the argmax day and peak are hash-exact; only the
+    normalized peak divides. One grouped window pass — at 100 TB the
+    windows stay inside each event type's daily series (days, not
+    events)."""
+    e = read_testdata_table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type",
+        F.expr(f"unix_micros(ts) div {_US_DAY}").alias("day"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+    w_p = W.partitionBy("event_type")
+    w_cum = (
+        W.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    w_idx = W.partitionBy("event_type").orderBy("day")
+    scored = daily.select(
+        "event_type",
+        "day",
+        F.count(F.lit(1)).over(w_p).alias("n_days"),
+        F.sum("n").over(w_p).alias("n_events"),
+        (
+            F.count(F.lit(1)).over(w_p) * F.sum("n").over(w_cum)
+            - F.row_number().over(w_idx) * F.sum("n").over(w_p)
+        ).alias("s"),
+    )
+    w_pick = W.partitionBy("event_type").orderBy(
+        F.desc(F.abs(F.col("s"))), F.asc("day")
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w_pick))
+        .filter(F.col("rn") == 1)
+        .select(
+            "event_type",
+            F.col("n_days").cast("long").alias("n_days"),
+            F.col("n_events").cast("long").alias("n_events"),
+            F.expr(
+                f"date_format(timestamp_micros(day * {_US_DAY}),"
+                " 'yyyy-MM-dd')"
+            ).alias("change_day"),
+            F.abs(F.col("s")).cast("long").alias("cusum_peak"),
+            F.round(
+                F.abs(F.col("s")).cast("double")
+                / (
+                    F.col("n_days").cast("double")
+                    * F.col("n_events").cast("double")
+                ),
+                6,
+            ).alias("cusum_peak_norm"),
+        )
+    )
+
+
+_CUSUM_ORACLE = f"""
+WITH daily AS (
+  SELECT event_type,
+         epoch_us(CAST(ts AS TIMESTAMP)) // {_US_DAY} AS day,
+         count(*) AS n
+  FROM events GROUP BY 1, 2
+), scored AS (
+  SELECT event_type, day,
+         count(*) OVER (PARTITION BY event_type) AS n_days,
+         sum(n) OVER (PARTITION BY event_type) AS n_events,
+         count(*) OVER (PARTITION BY event_type)
+           * sum(n) OVER (PARTITION BY event_type ORDER BY day
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           - row_number() OVER (PARTITION BY event_type ORDER BY day)
+             * sum(n) OVER (PARTITION BY event_type) AS s
+  FROM daily
+), picked AS (
+  SELECT *, row_number() OVER (PARTITION BY event_type
+                               ORDER BY abs(s) DESC, day ASC) AS rn
+  FROM scored
+)
+SELECT event_type,
+       CAST(n_days AS BIGINT) AS n_days,
+       CAST(n_events AS BIGINT) AS n_events,
+       strftime(make_timestamp(day * {_US_DAY}), '%Y-%m-%d') AS change_day,
+       CAST(abs(s) AS BIGINT) AS cusum_peak,
+       round(CAST(abs(s) AS DOUBLE)
+             / (CAST(n_days AS DOUBLE) * CAST(n_events AS DOUBLE)), 6)
+         AS cusum_peak_norm
+FROM picked WHERE rn = 1
+"""
+
+
+# --------------------- BM25-style lexical top-k ---------------------
+
+_BM25_TERMS = ("merge", "vector", "stream")
+_BM25_TOPK = 20
+
+
+def _bm25_partial(i: int) -> str:
+    # rational ("odds") idf — deliberately log-free: ln() is
+    # libm-specific across engines (the text_token_rarity precedent;
+    # contrast HLL's precomputed ln table, impossible here because df
+    # is data-dependent). Monotone in df like the textbook log idf;
+    # the scoring contract is THIS formula, pinned by the oracle.
+    # k1 = 1.2, b = 0.75 baked as double literals (e-notation parses
+    # as DOUBLE in both engines; bare decimals parse as DECIMAL).
+    return (
+        f"(((nd - df{i}d + 0.5e0) / (df{i}d + 0.5e0))"
+        f" * (tf{i}d * 2.2e0)"
+        f" / (tf{i}d + 1.2e0 * (0.25e0 + 0.75e0 * dld / avgdl)))"
+    )
+
+
+_BM25_SCORE = " + ".join(_bm25_partial(i) for i in (1, 2, 3))
+
+
+def q_text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25-style lexical retrieval: top-20 documents for a fixed
+    3-term query, scored with the Robertson tf saturation
+    (k1 = 1.2, b = 0.75 length normalization) and a RATIONAL idf
+    (see _bm25_partial — log-free so the score replays exactly; the
+    contract is the pinned formula). The score expression TEXT is
+    shared between F.expr and the oracle. Per-term partials are added
+    in fixed query order — never a float SUM whose order the engine
+    chooses.
+
+    Scale shape: the token explode is filtered to the query terms
+    BEFORE the aggregate (predicate on the generator output — only
+    query-term hits shuffle); doc length comes from a non-exploding
+    size(split); the corpus stats and df table are one-row broadcast
+    cross joins. Top-k is a single ordered limit."""
+    from ..text.analysis import token_count, tokens_col
+
+    d = read_testdata_table(spark, sf_dir, "documents")
+    base = d.select(
+        "doc_id", token_count(F.col("text")).alias("dl")
+    ).localCheckpoint(eager=False)
+    toks = d.select(
+        "doc_id", F.explode(tokens_col(F.col("text"))).alias("term")
+    ).filter(F.col("term").isin(list(_BM25_TERMS)))
+    qtf = toks.groupBy("doc_id").agg(
+        *[
+            F.sum(F.when(F.col("term") == t, 1).otherwise(0))
+            .cast("long")
+            .alias(f"tf{i}")
+            for i, t in enumerate(_BM25_TERMS, 1)
+        ]
+    ).localCheckpoint(eager=False)
+    stats = base.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("dl").cast("long").alias("total_dl"),
+    )
+    dfs = qtf.agg(
+        *[
+            F.sum((F.col(f"tf{i}") > 0).cast("int"))
+            .cast("long")
+            .alias(f"df{i}")
+            for i in (1, 2, 3)
+        ]
+    )
+    j = (
+        qtf.join(base, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .crossJoin(F.broadcast(dfs))
+        .select(
+            "doc_id",
+            "dl",
+            "tf1",
+            "tf2",
+            "tf3",
+            F.expr("CAST(n_docs AS DOUBLE)").alias("nd"),
+            F.expr(
+                "CAST(total_dl AS DOUBLE) / CAST(n_docs AS DOUBLE)"
+            ).alias("avgdl"),
+            F.expr("CAST(dl AS DOUBLE)").alias("dld"),
+            *[
+                F.expr(f"CAST(df{i} AS DOUBLE)").alias(f"df{i}d")
+                for i in (1, 2, 3)
+            ],
+            *[
+                F.expr(f"CAST(tf{i} AS DOUBLE)").alias(f"tf{i}d")
+                for i in (1, 2, 3)
+            ],
+        )
+    )
+    scored = j.select(
+        "doc_id",
+        "dl",
+        "tf1",
+        "tf2",
+        "tf3",
+        F.round(F.expr(_BM25_SCORE), 6).alias("score"),
+    )
+    w = W.orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _BM25_TOPK)
+        .select(
+            "doc_id",
+            "dl",
+            F.col("tf1").alias(f"tf_{_BM25_TERMS[0]}"),
+            F.col("tf2").alias(f"tf_{_BM25_TERMS[1]}"),
+            F.col("tf3").alias(f"tf_{_BM25_TERMS[2]}"),
+            "score",
+        )
+    )
+
+
+def _bm25_oracle() -> str:
+    t1, t2, t3 = _BM25_TERMS
+    in_list = ", ".join(f"'{t}'" for t in _BM25_TERMS)
+    tf_cols = ",\n         ".join(
+        f"CAST(sum(CASE WHEN term = '{t}' THEN 1 ELSE 0 END) AS BIGINT)"
+        f" AS tf{i}"
+        for i, t in enumerate(_BM25_TERMS, 1)
+    )
+    df_cols = ",\n         ".join(
+        f"CAST(sum(CASE WHEN tf{i} > 0 THEN 1 ELSE 0 END) AS BIGINT)"
+        f" AS df{i}"
+        for i in (1, 2, 3)
+    )
+    return rf"""
+WITH base AS (
+  SELECT doc_id,
+         CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT)
+           AS dl
+  FROM documents
+), tok AS (
+  SELECT doc_id,
+         unnest(regexp_split_to_array(trim(text), '\s+')) AS term
+  FROM documents
+), qtf AS (
+  SELECT doc_id,
+         {tf_cols}
+  FROM tok WHERE term IN ({in_list}) GROUP BY doc_id
+), stats AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(dl) AS BIGINT) AS total_dl
+  FROM base
+), dfs AS (
+  SELECT {df_cols}
+  FROM qtf
+), j AS (
+  SELECT q.doc_id, b.dl, q.tf1, q.tf2, q.tf3,
+         CAST(n_docs AS DOUBLE) AS nd,
+         CAST(total_dl AS DOUBLE) / CAST(n_docs AS DOUBLE) AS avgdl,
+         CAST(b.dl AS DOUBLE) AS dld,
+         CAST(df1 AS DOUBLE) AS df1d,
+         CAST(df2 AS DOUBLE) AS df2d,
+         CAST(df3 AS DOUBLE) AS df3d,
+         CAST(q.tf1 AS DOUBLE) AS tf1d,
+         CAST(q.tf2 AS DOUBLE) AS tf2d,
+         CAST(q.tf3 AS DOUBLE) AS tf3d
+  FROM qtf q JOIN base b USING (doc_id)
+  CROSS JOIN stats CROSS JOIN dfs
+), scored AS (
+  SELECT doc_id, dl, tf1, tf2, tf3,
+         round({_BM25_SCORE}, 6) AS score
+  FROM j
+)
+SELECT doc_id, dl, tf1 AS tf_{t1}, tf2 AS tf_{t2}, tf3 AS tf_{t3}, score
+FROM (
+  SELECT *, row_number() OVER (ORDER BY score DESC, doc_id) AS rn
+  FROM scored
+) WHERE rn <= {_BM25_TOPK}
+"""
+
+
+# --------------------- Mann-Whitney U ---------------------
+
+
+def q_stats_mannwhitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney U per event type between even/odd user-id
+    populations (stats/regression.py:mann_whitney_u) — the rank-based
+    nonparametric companion to stats_welch_ttest over the same
+    segmentation, exact midranks (×2 integers) with the tie-corrected
+    normal approximation evaluated from the shared MANNWHITNEY_Z
+    text."""
+    from ..stats.regression import mann_whitney_u
+
+    e = read_testdata_table(spark, sf_dir, "events")
+    return mann_whitney_u(
+        e,
+        group_cols=["event_type"],
+        segment_col=F.col("user_id") % 2,
+        value_col="value",
+        seg_a=0,
+        seg_b=1,
+    )
+
+
+def _mannwhitney_oracle() -> str:
+    from ..stats.regression import MANNWHITNEY_Z
+
+    return f"""
+WITH pooled AS (
+  SELECT event_type,
+         CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END AS is_a,
+         CAST(value AS DECIMAL(18,6)) AS v
+  FROM events WHERE value IS NOT NULL
+), ranked AS (
+  SELECT event_type, is_a,
+         CAST(2 * rank() OVER (PARTITION BY event_type ORDER BY v)
+              + count(*) OVER (PARTITION BY event_type, v) - 1
+              AS BIGINT) AS mid2,
+         CAST(count(*) OVER (PARTITION BY event_type, v) AS BIGINT) AS t
+  FROM pooled
+), agg AS (
+  SELECT event_type,
+         CAST(sum(is_a) AS BIGINT) AS na,
+         CAST(sum(1 - is_a) AS BIGINT) AS nb,
+         CAST(sum(CASE WHEN is_a = 1 THEN mid2 END) AS BIGINT) AS r2a,
+         CAST(sum(CAST(t * t - 1 AS DECIMAL(38,0))) AS DOUBLE) AS s_ties_d
+  FROM ranked GROUP BY event_type
+), st AS (
+  SELECT event_type, na, nb,
+         r2a - na * (na + 1) AS u2a,
+         CAST(na AS DOUBLE) AS nad,
+         CAST(nb AS DOUBLE) AS nbd,
+         CAST(r2a - na * (na + 1) AS DOUBLE) AS u2a_d,
+         s_ties_d
+  FROM agg
+)
+SELECT event_type, na AS n_a, nb AS n_b, u2a AS u2_a,
+       round({MANNWHITNEY_Z}, 6) AS z_stat
+FROM st
+"""
+
+
+QUERIES.update(
+    {
+        "graph_label_propagation": QuerySpec(
+            "graph_label_propagation",
+            q_graph_label_propagation,
+            _lpa_oracle(),
+            "Deterministic 3-round label-propagation community sizes",
+        ),
+        "events_cusum_changepoint": QuerySpec(
+            "events_cusum_changepoint",
+            q_events_cusum_changepoint,
+            _CUSUM_ORACLE,
+            "Integer-exact CUSUM change-point per event type",
+        ),
+        "text_bm25_topk": QuerySpec(
+            "text_bm25_topk",
+            q_text_bm25_topk,
+            _bm25_oracle(),
+            "BM25-style lexical top-k with rational idf",
+        ),
+        "stats_mannwhitney_u": QuerySpec(
+            "stats_mannwhitney_u",
+            q_stats_mannwhitney_u,
+            _mannwhitney_oracle(),
+            "Tie-corrected Mann-Whitney U per event type",
+        ),
+    }
+)

@@ -241,6 +241,17 @@ WELCH_DOF = (
     "        + (var_b / nbd) * (var_b / nbd) / (nbd - 1.0), 0.0))"
 )
 
+# Mann-Whitney normal approximation with tie correction, over exact
+# integer rank moments (nad, nbd, u2a_d = 2·U_a, s_ties_d = Σ(t³−t)
+# as DOUBLE):  z = (U_a − n_a·n_b/2) / sqrt(var),
+# var = (n_a·n_b/12)·((n+1) − Σ(t³−t)/(n(n−1))).
+MANNWHITNEY_Z = (
+    "(((u2a_d / 2.0) - nad * nbd / 2.0)"
+    " / sqrt(nullif((nad * nbd / 12.0)"
+    "   * ((nad + nbd + 1.0)"
+    "      - s_ties_d / ((nad + nbd) * (nad + nbd - 1.0))), 0.0)))"
+)
+
 # Two-feature OLS normal equations by Cramer's rule over moment
 # columns (nd DOUBLE; s1, s2, sy, s11, s22, s12, s1y, s2y, syy
 # DOUBLE): A = [[nd,s1,s2],[s1,s11,s12],[s2,s12,s22]], rhs
@@ -427,4 +438,99 @@ def group_ols2(
         F.round("b1", round_dp).alias("b1"),
         F.round("b2", round_dp).alias("b2"),
         F.round(F.expr(OLS2_R2), round_dp).alias("r2"),
+    )
+
+
+def mann_whitney_u(
+    df: DataFrame,
+    *,
+    group_cols: list[str],
+    segment_col,
+    value_col: str,
+    seg_a,
+    seg_b,
+    value_scale: int = 6,
+    round_dp: int = 6,
+) -> DataFrame:
+    """(group…, n_a, n_b, u2_a, z_stat): Mann-Whitney U per group —
+    the RANK-based two-sample test completing the drift/readout trio
+    (KS: distribution shape; Welch: means under normality; U: median
+    shift with no distributional assumption, robust to the heavy
+    tails that wreck a t-test).
+
+    Exactness: values are quantized to ``value_scale`` decimals (so
+    tie groups are identical in any engine), midranks come from
+    rank() + the tie-group size — avg_rank·2 = 2·rank_start + t − 1,
+    an INTEGER — and U_a rides scaled by 2 (``u2_a`` = 2·U_a =
+    Σ2·midrank_a − n_a(n_a+1), exact BIGINT even when ties make U a
+    half-integer). The tie term Σ(t³−t) accumulates as Σ_rows(t²−1)
+    (each tie group of size t contributes t rows of t²−1) in
+    DECIMAL — no second aggregation over tie groups, no int64
+    overflow at data scale. Only the final z is floating point: the
+    shared MANNWHITNEY_Z text over exact inputs, identical in any
+    engine. Degenerate groups (one segment empty, or all values
+    tied → zero variance) yield NULL z via nullif.
+
+    Scale shape: one per-group ordering window builds the ranks (at
+    100 TB, partition the groups; the window never crosses groups),
+    then one aggregation. No driver data."""
+    from pyspark.sql.window import Window
+
+    seg = segment_col if isinstance(segment_col, F.Column) else F.col(
+        segment_col
+    )
+    is_a, is_b = seg == seg_a, seg == seg_b
+    pooled = df.filter(
+        (is_a | is_b) & F.col(value_col).isNotNull()
+    ).select(
+        *group_cols,
+        F.when(is_a, F.lit(1)).otherwise(F.lit(0)).alias("_is_a"),
+        F.col(value_col).cast(f"decimal(18,{value_scale})").alias("_v"),
+    )
+    w_rank = Window.partitionBy(*group_cols).orderBy(F.asc("_v"))
+    w_tie = Window.partitionBy(*group_cols, "_v")
+    ranked = pooled.select(
+        *group_cols,
+        "_is_a",
+        (
+            F.lit(2) * F.rank().over(w_rank)
+            + F.count(F.lit(1)).over(w_tie)
+            - F.lit(1)
+        ).cast("long").alias("_mid2"),
+        F.count(F.lit(1)).over(w_tie).cast("long").alias("_t"),
+    )
+    agg = ranked.groupBy(*group_cols).agg(
+        F.sum("_is_a").cast("long").alias("na"),
+        F.sum(F.lit(1) - F.col("_is_a")).cast("long").alias("nb"),
+        F.sum(F.when(F.col("_is_a") == 1, F.col("_mid2"))).cast("long").alias(
+            "r2a"
+        ),
+        F.sum(
+            (F.col("_t") * F.col("_t") - F.lit(1)).cast("decimal(38,0)")
+        ).cast("double").alias("s_ties_d"),
+    )
+    stage = agg.select(
+        *group_cols,
+        "na",
+        "nb",
+        (F.col("r2a") - F.col("na") * (F.col("na") + 1)).alias("u2a"),
+        F.col("na").cast("double").alias("nad"),
+        F.col("nb").cast("double").alias("nbd"),
+        "s_ties_d",
+    ).select(
+        *group_cols,
+        "na",
+        "nb",
+        "u2a",
+        "nad",
+        "nbd",
+        F.col("u2a").cast("double").alias("u2a_d"),
+        "s_ties_d",
+    )
+    return stage.select(
+        *group_cols,
+        F.col("na").alias("n_a"),
+        F.col("nb").alias("n_b"),
+        F.col("u2a").alias("u2_a"),
+        F.round(F.expr(MANNWHITNEY_Z), round_dp).alias("z_stat"),
     )

@@ -182,3 +182,101 @@ def test_rfm_quartiles_balanced(spark, sf_dir):
         out["rfm_code"]
         == out["r_q"] * 100 + out["f_q"] * 10 + out["m_q"]
     ).all()
+
+
+# --------------------- wave 2: LPA / CUSUM / BM25 / MW-U ---------------------
+
+WAVE2 = [
+    "graph_label_propagation",
+    "events_cusum_changepoint",
+    "text_bm25_topk",
+    "stats_mannwhitney_u",
+]
+
+
+@pytest.mark.parametrize("name", WAVE2)
+def test_wave2_oracle_parity(spark, name, sf_dir):
+    check_query(spark, all_queries()[name], sf_dir)
+
+
+def test_label_propagation_two_cliques(spark):
+    from big_data_analysis_of_airline_data_set_spark.operators.graph import (
+        label_propagation,
+    )
+
+    # two 4-cliques joined by one bridge edge: LPA must keep two
+    # communities (CC would merge them into one) labeled by each
+    # clique's min id
+    k1 = [(a, b) for a in (1, 2, 3, 4) for b in (1, 2, 3, 4) if a < b]
+    k2 = [(a, b) for a in (11, 12, 13, 14) for b in (11, 12, 13, 14) if a < b]
+    edges = spark.createDataFrame(k1 + k2 + [(4, 11)], "u long, v long")
+    labels = {
+        r["vertex"]: r["label"]
+        for r in label_propagation(edges, rounds=3).collect()
+    }
+    assert {labels[v] for v in (1, 2, 3)} == {1}
+    assert {labels[v] for v in (12, 13, 14)} == {11}
+    assert labels[1] != labels[14]
+
+
+def test_label_propagation_deterministic_tiebreak(spark):
+    from big_data_analysis_of_airline_data_set_spark.operators.graph import (
+        label_propagation,
+    )
+
+    # vertex 2 sees labels {1, 3} with equal frequency -> adopts the
+    # SMALLER label, every round, both runs identical
+    edges = spark.createDataFrame([(1, 2), (2, 3)], "u long, v long")
+    a = sorted(map(tuple, label_propagation(edges, rounds=1).collect()))
+    b = sorted(map(tuple, label_propagation(edges, rounds=1).collect()))
+    assert a == b
+    assert dict(a)[2] == 1
+
+
+def test_mann_whitney_shifted_segments(spark):
+    from big_data_analysis_of_airline_data_set_spark.stats.regression import (
+        mann_whitney_u,
+    )
+
+    # segment b strictly dominates segment a -> U_a = 0 (u2_a = 0),
+    # z significantly negative
+    rows = [("g", 0, float(v)) for v in range(10)] + [
+        ("g", 1, float(v)) for v in range(100, 110)
+    ]
+    df = spark.createDataFrame(rows, "g string, seg int, value double")
+    row = mann_whitney_u(
+        df,
+        group_cols=["g"],
+        segment_col=F.col("seg"),
+        value_col="value",
+        seg_a=0,
+        seg_b=1,
+    ).collect()[0]
+    assert row["u2_a"] == 0
+    assert row["z_stat"] < -3.0
+    # all-tied values -> zero variance -> NULL z, never a crash
+    tied = spark.createDataFrame(
+        [("g", s, 1.0) for s in (0, 1) for _ in range(5)],
+        "g string, seg int, value double",
+    )
+    trow = mann_whitney_u(
+        tied,
+        group_cols=["g"],
+        segment_col=F.col("seg"),
+        value_col="value",
+        seg_a=0,
+        seg_b=1,
+    ).collect()[0]
+    assert trow["z_stat"] is None
+
+
+def test_bm25_scores_ordered_and_positive(spark, sf_dir):
+    out = all_queries()["text_bm25_topk"].fn(spark, sf_dir).toPandas()
+    assert 0 < len(out) <= 20
+    assert (out["score"] > 0).all()
+    scores = out["score"].tolist()
+    assert scores == sorted(scores, reverse=True)
+    # every returned doc matched at least one query term
+    assert (
+        out[["tf_merge", "tf_vector", "tf_stream"]].sum(axis=1) > 0
+    ).all()
