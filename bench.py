@@ -191,6 +191,11 @@ R6B_OPS = [
     "events_cusum_changepoint",
     "text_bm25_topk",
     "stats_mannwhitney_u",
+    "basket_frequent_pairs",
+    "stats_gini_by_group",
+    "events_diversity_index",
+    "text_bpe_merge_pairs",
+    "multimodal_image_phash",
 ]
 
 # Like ml_quick_fit: 3 TVS LR fits (full/uni/var feature sets) timed

@@ -300,6 +300,49 @@ def image_resize_audit(assets: DataFrame, *, width: int, height: int) -> DataFra
     )
 
 
+def image_dhash_audit(assets: DataFrame) -> DataFrame:
+    """Decode → perceptual difference hash (dHash): grayscale by
+    integer mean ((r+g+b) div 3), nearest-neighbor sample onto an
+    8-row × 9-column grid with the same floor map as resize_nearest
+    (src = dst·srcdim // dstdim), then one bit per horizontal
+    neighbor comparison gray[r][c] > gray[r][c+1] — the classic
+    64-bit near-duplicate image fingerprint (robust to resizing,
+    cheap to Hamming-band, the image-side analogue of SimHash).
+
+    The 64 bits ship as TWO bigints (rows 0-3 → ``phash_hi``, rows
+    4-7 → ``phash_lo``, bit (r mod 4)·8+c): bit 63 of a single
+    packed hash would need 1<<63, signed-overflow territory in
+    numpy, Spark, and DuckDB alike. Every step is integer
+    arithmetic, so a SQL oracle replays the hash from the pixel
+    formula exactly; dup GROUPS are real — the BMP formula and
+    dimensions repeat with period 256 in the asset id, so corpora
+    larger than 256 docs contain exact perceptual duplicates."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        rsel = np.arange(8)
+        csel = np.arange(9)
+        bitw = np.arange(4)[:, None] * 8 + np.arange(8)[None, :]
+
+        for pdf in it:
+            rows = []
+            for asset_id, payload in zip(pdf["asset_id"], pdf["payload"]):
+                px = decode_bmp(payload).astype(np.int64)
+                h, w, _ = px.shape
+                gray = px.sum(axis=2) // 3
+                small = gray[np.ix_((rsel * h) // 8, (csel * w) // 9)]
+                bits = (small[:, :-1] > small[:, 1:]).astype(np.int64)
+                hi = int((bits[:4] << bitw).sum())
+                lo = int((bits[4:] << bitw).sum())
+                rows.append((int(asset_id), hi, lo))
+            yield pd.DataFrame(
+                rows, columns=["asset_id", "phash_hi", "phash_lo"]
+            )
+
+    return assets.mapInPandas(
+        batches, schema="asset_id long, phash_hi long, phash_lo long"
+    )
+
+
 def audio_feature_audit(assets: DataFrame, *, n_frames: int = 4) -> DataFrame:
     """Decode → classic audio front-end features, all in exact integer
     arithmetic so a SQL oracle can replay them from the sample formula:

