@@ -196,6 +196,10 @@ R6B_OPS = [
     "events_diversity_index",
     "text_bpe_merge_pairs",
     "multimodal_image_phash",
+    "stats_cuped_adjustment",
+    "stats_pareto_coverage",
+    "events_seasonality_profile",
+    "events_forecast_eval",
 ]
 
 # Like ml_quick_fit: 3 TVS LR fits (full/uni/var feature sets) timed

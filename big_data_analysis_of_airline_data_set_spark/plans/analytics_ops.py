@@ -241,6 +241,11 @@ def _welch_oracle() -> str:
         f"{text} AS {name}" for name, text in WELCH_STAGE1.items()
     )
     dec = "CAST(value AS DECIMAL(18,6))"
+    # product operands widen to (19,6): DuckDB keeps (18,6)x(18,6) on
+    # the int64 fast path and overflows once the INTERNAL scaled
+    # values' product exceeds int64 — (19,6) forces the hugeint path;
+    # the widening is lossless so the values are unchanged
+    dec19 = "CAST(value AS DECIMAL(19,6))"
     return f"""
 WITH m AS (
   SELECT event_type,
@@ -250,9 +255,9 @@ WITH m AS (
               FILTER (WHERE user_id % 2 = 0) AS DOUBLE) AS sa,
          CAST(sum(CAST({dec} AS DECIMAL(38,6)))
               FILTER (WHERE user_id % 2 = 1) AS DOUBLE) AS sb,
-         CAST(sum(CAST({dec} * {dec} AS DECIMAL(38,12)))
+         CAST(sum(CAST({dec19} * {dec19} AS DECIMAL(38,12)))
               FILTER (WHERE user_id % 2 = 0) AS DOUBLE) AS saa,
-         CAST(sum(CAST({dec} * {dec} AS DECIMAL(38,12)))
+         CAST(sum(CAST({dec19} * {dec19} AS DECIMAL(38,12)))
               FILTER (WHERE user_id % 2 = 1) AS DOUBLE) AS sbb
   FROM events WHERE value IS NOT NULL
   GROUP BY event_type
@@ -1212,6 +1217,469 @@ QUERIES.update(
             q_text_bpe_merge_pairs,
             _BPE_PAIRS_ORACLE,
             "Adjacent token-pair counts (one BPE merge step)",
+        ),
+    }
+)
+
+
+# --------------------- CUPED adjusted A/B readout ---------------------
+
+
+def q_stats_cuped_adjustment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED variance reduction for the even/odd user A/B split: the
+    pre-period metric (first half of the observed day range) is the
+    covariate, the experiment-period metric the outcome;
+    θ = cov(x,y)/var(x) is fit POOLED across both arms (the standard
+    unbiased choice — fitting θ per arm leaks the treatment effect
+    into the adjustment), and the adjusted delta is
+    (ȳ_a − θx̄_a) − (ȳ_b − θx̄_b). ρ² is the variance-reduction
+    fraction CUPED delivers. The modern experimentation primitive the
+    plain z/t readouts lack.
+
+    Exactness: per-user period sums accumulate in DECIMAL, the
+    user-level moment sums likewise (DECIMAL(18,6) per-user values,
+    (37,12) products), and θ/deltas/ρ² are one fixed double
+    expression over exact inputs. The period split day is integer
+    arithmetic from the observed day range — no calendar functions.
+    Scale: one event→user aggregation, one 1-row moment aggregation;
+    the moment shuffle carries eight numbers."""
+    e = read_testdata_table(spark, sf_dir, "events")
+    days = e.select(
+        F.expr(f"unix_micros(ts) div {_US_DAY}").alias("day"),
+        (F.col("user_id") % 2).alias("arm"),
+        "user_id",
+        F.col("value").cast("decimal(18,6)").alias("v"),
+    ).filter(F.col("v").isNotNull())
+    rng = days.agg(
+        F.expr("(min(day) + max(day) + 1) div 2").alias("mid_day")
+    )
+    per_user = (
+        days.crossJoin(F.broadcast(rng))
+        .groupBy("user_id", "arm")
+        .agg(
+            F.sum(
+                F.when(F.col("day") < F.col("mid_day"), F.col("v")).cast(
+                    "decimal(38,6)"
+                )
+            ).alias("_x"),
+            F.sum(
+                F.when(F.col("day") >= F.col("mid_day"), F.col("v")).cast(
+                    "decimal(38,6)"
+                )
+            ).alias("_y"),
+        )
+        .select(
+            "arm",
+            # users silent in a period contribute 0, not NULL (they ARE
+            # part of the experiment population)
+            F.coalesce(F.col("_x"), F.lit(0)).cast("decimal(18,6)").alias("x"),
+            F.coalesce(F.col("_y"), F.lit(0)).cast("decimal(18,6)").alias("y"),
+        )
+    )
+    m = per_user.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.when(F.col("arm") == 0, 1).otherwise(0)).cast("long").alias(
+            "n_a"
+        ),
+        F.sum(F.when(F.col("arm") == 1, 1).otherwise(0)).cast("long").alias(
+            "n_b"
+        ),
+        F.sum(F.col("x").cast("decimal(38,6)")).cast("double").alias("sx"),
+        F.sum(F.col("y").cast("decimal(38,6)")).cast("double").alias("sy"),
+        F.sum((F.col("x") * F.col("y")).cast("decimal(38,12)"))
+        .cast("double")
+        .alias("sxy"),
+        F.sum((F.col("x") * F.col("x")).cast("decimal(38,12)"))
+        .cast("double")
+        .alias("sxx"),
+        F.sum((F.col("y") * F.col("y")).cast("decimal(38,12)"))
+        .cast("double")
+        .alias("syy"),
+        F.sum(F.when(F.col("arm") == 0, F.col("x")).cast("decimal(38,6)"))
+        .cast("double")
+        .alias("sxa"),
+        F.sum(F.when(F.col("arm") == 0, F.col("y")).cast("decimal(38,6)"))
+        .cast("double")
+        .alias("sya"),
+        F.sum(F.when(F.col("arm") == 1, F.col("x")).cast("decimal(38,6)"))
+        .cast("double")
+        .alias("sxb"),
+        F.sum(F.when(F.col("arm") == 1, F.col("y")).cast("decimal(38,6)"))
+        .cast("double")
+        .alias("syb"),
+    )
+    return m.select(
+        "n_a",
+        "n_b",
+        F.round(F.expr(_CUPED_THETA), 6).alias("theta"),
+        F.round(F.expr(_CUPED_DELTA_RAW), 6).alias("delta_raw"),
+        F.round(F.expr(_CUPED_DELTA_ADJ), 6).alias("delta_cuped"),
+        F.round(F.expr(_CUPED_RHO2), 6).alias("rho2"),
+    )
+
+
+# shared closed-form texts over the moment columns (n, n_a, n_b, sx,
+# sy, sxy, sxx, syy, sxa, sya, sxb, syb) — same strings for F.expr and
+# the oracle
+_CUPED_COV = "(CAST(n AS DOUBLE) * sxy - sx * sy)"
+_CUPED_VARX = "nullif(CAST(n AS DOUBLE) * sxx - sx * sx, 0.0)"
+_CUPED_VARY = "nullif(CAST(n AS DOUBLE) * syy - sy * sy, 0.0)"
+_CUPED_THETA = f"({_CUPED_COV} / {_CUPED_VARX})"
+_CUPED_DELTA_RAW = (
+    "(sya / CAST(n_a AS DOUBLE) - syb / CAST(n_b AS DOUBLE))"
+)
+_CUPED_DELTA_ADJ = (
+    f"((sya / CAST(n_a AS DOUBLE) - {_CUPED_THETA} * sxa / CAST(n_a AS DOUBLE))"
+    f" - (syb / CAST(n_b AS DOUBLE) - {_CUPED_THETA} * sxb / CAST(n_b AS DOUBLE)))"
+)
+_CUPED_RHO2 = f"({_CUPED_COV} * {_CUPED_COV} / ({_CUPED_VARX} * {_CUPED_VARY}))"
+
+
+def _cuped_oracle() -> str:
+    return f"""
+WITH days AS (
+  SELECT epoch_us(CAST(ts AS TIMESTAMP)) // {_US_DAY} AS day,
+         user_id % 2 AS arm, user_id,
+         CAST(value AS DECIMAL(18,6)) AS v
+  FROM events WHERE value IS NOT NULL
+), rng AS (
+  SELECT (min(day) + max(day) + 1) // 2 AS mid_day FROM days
+), per_user AS (
+  SELECT user_id, arm,
+         CAST(coalesce(sum(CASE WHEN day < mid_day THEN v END), 0)
+              AS DECIMAL(18,6)) AS x,
+         CAST(coalesce(sum(CASE WHEN day >= mid_day THEN v END), 0)
+              AS DECIMAL(18,6)) AS y
+  FROM days CROSS JOIN rng
+  GROUP BY user_id, arm
+), m AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+         CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+         CAST(sum(CAST(x AS DECIMAL(38,6))) AS DOUBLE) AS sx,
+         CAST(sum(CAST(y AS DECIMAL(38,6))) AS DOUBLE) AS sy,
+         CAST(sum(CAST(CAST(x AS DECIMAL(19,6)) * CAST(y AS DECIMAL(19,6))
+                       AS DECIMAL(38,12))) AS DOUBLE) AS sxy,
+         CAST(sum(CAST(CAST(x AS DECIMAL(19,6)) * CAST(x AS DECIMAL(19,6))
+                       AS DECIMAL(38,12))) AS DOUBLE) AS sxx,
+         CAST(sum(CAST(CAST(y AS DECIMAL(19,6)) * CAST(y AS DECIMAL(19,6))
+                       AS DECIMAL(38,12))) AS DOUBLE) AS syy,
+         CAST(sum(CAST(CASE WHEN arm = 0 THEN x END AS DECIMAL(38,6)))
+              AS DOUBLE) AS sxa,
+         CAST(sum(CAST(CASE WHEN arm = 0 THEN y END AS DECIMAL(38,6)))
+              AS DOUBLE) AS sya,
+         CAST(sum(CAST(CASE WHEN arm = 1 THEN x END AS DECIMAL(38,6)))
+              AS DOUBLE) AS sxb,
+         CAST(sum(CAST(CASE WHEN arm = 1 THEN y END AS DECIMAL(38,6)))
+              AS DOUBLE) AS syb
+  FROM per_user
+)
+SELECT n_a, n_b,
+       round({_CUPED_THETA}, 6) AS theta,
+       round({_CUPED_DELTA_RAW}, 6) AS delta_raw,
+       round({_CUPED_DELTA_ADJ}, 6) AS delta_cuped,
+       round({_CUPED_RHO2}, 6) AS rho2
+FROM m
+"""
+
+
+# --------------------- Pareto / revenue concentration ---------------------
+
+
+def q_stats_pareto_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue-concentration readout over customers (the 80/20
+    audit companion to stats_gini_by_group): how many top customers
+    cover 50% / 90% of revenue, and the revenue share of the top
+    decile. All threshold crossings are EXACT DECIMAL comparisons
+    (2·cumsum ≥ total, 10·cumsum ≥ 9·total — no float thresholds),
+    over a (revenue desc, custkey) totally-ordered cumulative
+    window. Shuffle: one customer aggregation + one customer-sized
+    ordered window."""
+    o = read_testdata_table(spark, sf_dir, "orders")
+    per_cust = o.groupBy(F.col("o_custkey").alias("cust")).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)").cast("decimal(38,2)"))
+        .cast("decimal(18,2)")
+        .alias("rev")
+    )
+    w_cum = (
+        W.orderBy(F.desc("rev"), F.asc("cust"))
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    w_all = W.rowsBetween(
+        W.unboundedPreceding, W.unboundedFollowing
+    )
+    ranked = per_cust.select(
+        F.row_number().over(W.orderBy(F.desc("rev"), F.asc("cust"))).alias(
+            "i"
+        ),
+        F.sum(F.col("rev").cast("decimal(38,2)")).over(w_cum).alias("cum"),
+        F.sum(F.col("rev").cast("decimal(38,2)")).over(w_all).alias("total"),
+        F.count(F.lit(1)).over(w_all).alias("n_customers"),
+    )
+    return ranked.groupBy().agg(
+        F.max("n_customers").cast("long").alias("n_customers"),
+        F.max("total").cast("double").alias("total_revenue"),
+        F.min(F.when(F.col("cum") * 2 >= F.col("total"), F.col("i")))
+        .cast("long")
+        .alias("n_top_half"),
+        F.min(F.when(F.col("cum") * 10 >= F.col("total") * 9, F.col("i")))
+        .cast("long")
+        .alias("n_top_90pct"),
+        F.round(
+            F.max(
+                F.when(
+                    F.col("i") == F.expr("(n_customers + 9) div 10"),
+                    F.col("cum").cast("double") / F.col("total").cast("double"),
+                )
+            ),
+            6,
+        ).alias("top_decile_share"),
+    )
+
+
+_PARETO_ORACLE = """
+WITH per_cust AS (
+  SELECT o_custkey AS cust,
+         CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2))
+                       AS DECIMAL(38,2))) AS DECIMAL(18,2)) AS rev
+  FROM orders GROUP BY o_custkey
+), ranked AS (
+  SELECT row_number() OVER (ORDER BY rev DESC, cust ASC) AS i,
+         sum(CAST(rev AS DECIMAL(38,2))) OVER (
+           ORDER BY rev DESC, cust ASC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+         sum(CAST(rev AS DECIMAL(38,2))) OVER () AS total,
+         count(*) OVER () AS n_customers
+  FROM per_cust
+)
+SELECT CAST(max(n_customers) AS BIGINT) AS n_customers,
+       CAST(max(total) AS DOUBLE) AS total_revenue,
+       CAST(min(CASE WHEN cum * 2 >= total THEN i END) AS BIGINT)
+         AS n_top_half,
+       CAST(min(CASE WHEN cum * 10 >= total * 9 THEN i END) AS BIGINT)
+         AS n_top_90pct,
+       round(max(CASE WHEN i = (n_customers + 9) // 10
+                      THEN CAST(cum AS DOUBLE) / CAST(total AS DOUBLE)
+                 END), 6) AS top_decile_share
+FROM ranked
+"""
+
+
+# --------------------- calendar seasonality profile ---------------------
+
+_US_HOUR = 3_600_000_000
+
+
+def q_events_seasonality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week × hour activity profile per event type: the peak
+    slot (ties to the earliest slot), slot coverage, and the
+    trough-to-peak ratio — the calendar fingerprint behind staffing/
+    alerting baselines. Day-of-week is pure integer arithmetic from
+    the epoch day ((day + 4) mod 7, 0 = Sunday — 1970-01-01 was a
+    Thursday), hour likewise — no calendar functions, no timezone
+    surface at all."""
+    e = read_testdata_table(spark, sf_dir, "events")
+    slots = e.groupBy(
+        "event_type",
+        F.expr(f"(unix_micros(ts) div {_US_DAY} + 4) % 7").alias("dow"),
+        F.expr(f"(unix_micros(ts) div {_US_HOUR}) % 24").alias("hour"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+    w_pick = W.partitionBy("event_type").orderBy(
+        F.desc("n"), F.asc("dow"), F.asc("hour")
+    )
+    picked = slots.select(
+        "event_type",
+        "dow",
+        "hour",
+        "n",
+        F.row_number().over(w_pick).alias("rn"),
+        F.count(F.lit(1)).over(W.partitionBy("event_type")).alias("n_slots"),
+        F.min("n").over(W.partitionBy("event_type")).alias("min_n"),
+        F.max("n").over(W.partitionBy("event_type")).alias("max_n"),
+    )
+    return picked.filter(F.col("rn") == 1).select(
+        "event_type",
+        F.col("n_slots").cast("long").alias("n_slots"),
+        F.col("dow").cast("long").alias("peak_dow"),
+        F.col("hour").cast("long").alias("peak_hour"),
+        F.col("n").cast("long").alias("peak_count"),
+        F.round(
+            F.expr("CAST(min_n AS DOUBLE) / CAST(max_n AS DOUBLE)"), 6
+        ).alias("trough_peak_ratio"),
+    )
+
+
+_SEASONALITY_ORACLE = f"""
+WITH slots AS (
+  SELECT event_type,
+         (epoch_us(CAST(ts AS TIMESTAMP)) // {_US_DAY} + 4) % 7 AS dow,
+         (epoch_us(CAST(ts AS TIMESTAMP)) // {_US_HOUR}) % 24 AS hour,
+         count(*) AS n
+  FROM events GROUP BY 1, 2, 3
+), picked AS (
+  SELECT event_type, dow, hour, n,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY n DESC, dow ASC, hour ASC) AS rn,
+         count(*) OVER (PARTITION BY event_type) AS n_slots,
+         min(n) OVER (PARTITION BY event_type) AS min_n,
+         max(n) OVER (PARTITION BY event_type) AS max_n
+  FROM slots
+)
+SELECT event_type,
+       CAST(n_slots AS BIGINT) AS n_slots,
+       CAST(dow AS BIGINT) AS peak_dow,
+       CAST(hour AS BIGINT) AS peak_hour,
+       CAST(n AS BIGINT) AS peak_count,
+       round(CAST(min_n AS DOUBLE) / CAST(max_n AS DOUBLE), 6)
+         AS trough_peak_ratio
+FROM picked WHERE rn = 1
+"""
+
+
+# --------------------- seasonal-naive forecast evaluation ---------------------
+
+
+def q_events_forecast_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forecast-accuracy scoreboard per event type: the seasonal-naive
+    forecast (same day last week, lag 7) scored against the
+    random-walk baseline (lag 1) over the daily count series —
+    MAE for both and the MASE-style ratio. The evaluation backbone
+    of any forecasting pipeline, in pure integer error sums (counts
+    are integers; |n_t − n_{t−7}| sums exactly) with two final
+    divisions. Days missing a lag are excluded from that side's MAE
+    and the common MASE window uses days where BOTH lags exist —
+    stated, and replayed by the oracle."""
+    e = read_testdata_table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type",
+        F.expr(f"unix_micros(ts) div {_US_DAY}").alias("day"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+    # calendar lags via self-joins on day-k, not lag() row windows: a
+    # missing day must break the lag chain, and lag(7) over ROWS would
+    # silently reach 8+ calendar days back across gaps
+    lagged = daily.alias("t").join(
+        daily.select(
+            "event_type",
+            (F.col("day") + 1).alias("day"),
+            F.col("n").alias("n_lag1"),
+        ).alias("l1"),
+        ["event_type", "day"],
+        "left",
+    ).join(
+        daily.select(
+            "event_type",
+            (F.col("day") + 7).alias("day"),
+            F.col("n").alias("n_lag7"),
+        ).alias("l7"),
+        ["event_type", "day"],
+        "left",
+    )
+    agg = lagged.groupBy("event_type").agg(
+        F.count(F.when(F.col("n_lag7").isNotNull(), 1)).cast("long").alias(
+            "n_eval7"
+        ),
+        F.sum(
+            F.when(
+                F.col("n_lag7").isNotNull(),
+                F.abs(F.col("n") - F.col("n_lag7")),
+            )
+        ).cast("long").alias("ae7"),
+        F.count(
+            F.when(
+                F.col("n_lag7").isNotNull() & F.col("n_lag1").isNotNull(), 1
+            )
+        ).cast("long").alias("n_both"),
+        F.sum(
+            F.when(
+                F.col("n_lag7").isNotNull() & F.col("n_lag1").isNotNull(),
+                F.abs(F.col("n") - F.col("n_lag7")),
+            )
+        ).cast("long").alias("ae7_both"),
+        F.sum(
+            F.when(
+                F.col("n_lag7").isNotNull() & F.col("n_lag1").isNotNull(),
+                F.abs(F.col("n") - F.col("n_lag1")),
+            )
+        ).cast("long").alias("ae1_both"),
+    )
+    return agg.select(
+        "event_type",
+        "n_eval7",
+        F.round(
+            F.expr(
+                "CAST(ae7 AS DOUBLE) / nullif(CAST(n_eval7 AS DOUBLE), 0.0)"
+            ),
+            6,
+        ).alias("mae_seasonal"),
+        F.round(
+            F.expr(
+                "CAST(ae7_both AS DOUBLE) / nullif(CAST(ae1_both AS DOUBLE),"
+                " 0.0)"
+            ),
+            6,
+        ).alias("mase"),
+    )
+
+
+_FORECAST_ORACLE = f"""
+WITH daily AS (
+  SELECT event_type,
+         epoch_us(CAST(ts AS TIMESTAMP)) // {_US_DAY} AS day,
+         count(*) AS n
+  FROM events GROUP BY 1, 2
+), lagged AS (
+  SELECT t.event_type, t.day, t.n, l1.n AS n_lag1, l7.n AS n_lag7
+  FROM daily t
+  LEFT JOIN daily l1 ON l1.event_type = t.event_type
+                    AND l1.day = t.day - 1
+  LEFT JOIN daily l7 ON l7.event_type = t.event_type
+                    AND l7.day = t.day - 7
+), agg AS (
+  SELECT event_type,
+         CAST(count(CASE WHEN n_lag7 IS NOT NULL THEN 1 END) AS BIGINT)
+           AS n_eval7,
+         CAST(sum(CASE WHEN n_lag7 IS NOT NULL
+                       THEN abs(n - n_lag7) END) AS BIGINT) AS ae7,
+         CAST(sum(CASE WHEN n_lag7 IS NOT NULL AND n_lag1 IS NOT NULL
+                       THEN abs(n - n_lag7) END) AS BIGINT) AS ae7_both,
+         CAST(sum(CASE WHEN n_lag7 IS NOT NULL AND n_lag1 IS NOT NULL
+                       THEN abs(n - n_lag1) END) AS BIGINT) AS ae1_both
+  FROM lagged GROUP BY event_type
+)
+SELECT event_type, n_eval7,
+       round(CAST(ae7 AS DOUBLE) / nullif(CAST(n_eval7 AS DOUBLE), 0.0), 6)
+         AS mae_seasonal,
+       round(CAST(ae7_both AS DOUBLE) / nullif(CAST(ae1_both AS DOUBLE), 0.0),
+             6) AS mase
+FROM agg
+"""
+
+
+QUERIES.update(
+    {
+        "stats_cuped_adjustment": QuerySpec(
+            "stats_cuped_adjustment",
+            q_stats_cuped_adjustment,
+            _cuped_oracle(),
+            "CUPED-adjusted A/B delta with pooled theta and rho^2",
+        ),
+        "stats_pareto_coverage": QuerySpec(
+            "stats_pareto_coverage",
+            q_stats_pareto_coverage,
+            _PARETO_ORACLE,
+            "Exact-threshold revenue concentration (50/90/top-decile)",
+        ),
+        "events_seasonality_profile": QuerySpec(
+            "events_seasonality_profile",
+            q_events_seasonality_profile,
+            _SEASONALITY_ORACLE,
+            "Integer dow x hour peak/trough calendar profile",
+        ),
+        "events_forecast_eval": QuerySpec(
+            "events_forecast_eval",
+            q_events_forecast_eval,
+            _FORECAST_ORACLE,
+            "Seasonal-naive vs random-walk MAE/MASE scoreboard",
         ),
     }
 )

@@ -413,3 +413,82 @@ def test_image_dhash_matches_formula_locally(spark):
         assert got[aid] == expected(aid), aid
     # period-256 duplicates are REAL: 0 and 256 share dims + pixels
     assert got[0] == got[256]
+
+
+# ------- wave 4: CUPED / pareto / seasonality / forecast eval -------
+
+WAVE4 = [
+    "stats_cuped_adjustment",
+    "stats_pareto_coverage",
+    "events_seasonality_profile",
+    "events_forecast_eval",
+]
+
+
+@pytest.mark.parametrize("name", WAVE4)
+def test_wave4_oracle_parity(spark, name, sf_dir):
+    check_query(spark, all_queries()[name], sf_dir)
+
+
+def test_cuped_reduces_variance_shape(spark, sf_dir):
+    row = (
+        all_queries()["stats_cuped_adjustment"].fn(spark, sf_dir).collect()[0]
+    )
+    # both arms populated; rho2 is a valid fraction; theta finite
+    assert row["n_a"] > 0 and row["n_b"] > 0
+    assert 0.0 <= row["rho2"] <= 1.0
+    assert row["theta"] is not None and row["delta_cuped"] is not None
+
+
+def test_pareto_coverage_invariants(spark, sf_dir):
+    row = (
+        all_queries()["stats_pareto_coverage"].fn(spark, sf_dir).collect()[0]
+    )
+    # covering 90% needs at least as many customers as covering 50%,
+    # both within the population; top decile holds >= its own share
+    assert 1 <= row["n_top_half"] <= row["n_top_90pct"] <= row["n_customers"]
+    assert 0.1 <= row["top_decile_share"] <= 1.0
+
+
+def test_seasonality_profile_ranges(spark, sf_dir):
+    out = (
+        all_queries()["events_seasonality_profile"]
+        .fn(spark, sf_dir)
+        .toPandas()
+    )
+    assert len(out) > 0
+    assert out["peak_dow"].between(0, 6).all()
+    assert out["peak_hour"].between(0, 23).all()
+    assert (out["trough_peak_ratio"] <= 1.0).all()
+    assert (out["trough_peak_ratio"] > 0.0).all()
+    assert out["n_slots"].between(1, 168).all()
+
+
+def test_forecast_eval_gap_breaks_lag(spark):
+    """A missing calendar day must not let lag reach further back —
+    the self-join-on-day-k formulation, not lag() over rows."""
+    from big_data_analysis_of_airline_data_set_spark.plans import (
+        analytics_ops as m,
+    )
+    import unittest.mock as mock
+    import datetime as dt
+
+    # type 'g': days 0..9 except day 8 missing; counts = day+1 events
+    rows = []
+    base = dt.datetime(2024, 1, 1)
+    for day in [0, 1, 2, 3, 4, 5, 6, 7, 9]:
+        for i in range(day + 1):
+            rows.append((base + dt.timedelta(days=day), "g", 1.0, 1))
+    ev = spark.createDataFrame(
+        rows, "ts timestamp, event_type string, value double, user_id long"
+    )
+    with mock.patch.object(m, "read_testdata_table", lambda s, sf, t: ev):
+        row = m.q_events_forecast_eval(spark, "x").collect()[0]
+    # lag-7 exists for days 7 (vs 0) and 9 (vs 2) only -> n_eval7 = 2;
+    # MASE window needs lag-1 too: day 7 has day 6, day 9 lacks day 8
+    # -> only day 7 counts in the common window
+    assert row["n_eval7"] == 2
+    # day7: |8-1| = 7, day9: |10-3| = 7 -> mae = 7.0
+    assert row["mae_seasonal"] == pytest.approx(7.0)
+    # common window day7 only: ae7 = 7, ae1 = |8-7| = 1 -> mase 7.0
+    assert row["mase"] == pytest.approx(7.0)
