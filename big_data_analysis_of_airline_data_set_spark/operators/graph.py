@@ -580,17 +580,24 @@ def bfs_distances(
     frontier against the (src-partitioned, persisted) edge set, so
     total join work is one pass over each edge per incident frontier
     round — the textbook level-synchronous BFS; no vertex is expanded
-    twice. The settled-distance table is referenced twice per round
-    (anti-join + union), the doubled-lineage shape, so both it and the
-    frontier materialize through eager localCheckpoints — constant-size
-    plans over any number of rounds (the pagerank_converged
-    discipline).
+    twice. The settled-set subtraction uses the UNDIRECTED-BFS level
+    theorem: a neighbor of a distance-(h−1) vertex has distance in
+    {h−2, h−1, h}, so anti-joining the candidate set against just the
+    LAST TWO frontiers (not the whole settled table) is exact — the
+    per-round subtraction cost is frontier-sized, constant per level,
+    where a full-table anti-join grows with everything settled so
+    far. Each frontier materializes through an eager localCheckpoint
+    (constant-size plans over any number of rounds, the
+    pagerank_converged discipline); the per-level frames union once
+    at the end.
 
     Seeds absent from the edge set still appear at dist 0 (a seed IS
     at distance zero of itself whether or not it has edges). Vertices
     unreached within ``max_hops`` are absent — the loop exits early on
     an empty frontier, which is idempotent with an oracle that unrolls
     exactly ``max_hops`` rounds."""
+    from functools import reduce
+
     directed = edges.select(F.col(u).alias("_s"), F.col(v).alias("_d"))
     sym = (
         directed
@@ -599,13 +606,13 @@ def bfs_distances(
             edges.select(F.col(v).alias("_s"), F.col(u).alias("_d"))
         ).distinct()
     ).repartition(F.col("_s")).persist()
-    dist = (
+    frontier = (
         seeds.select(F.col(seed_col).alias("vertex"))
         .distinct()
-        .select("vertex", F.lit(0).cast("long").alias("dist"))
         .localCheckpoint(eager=True)
     )
-    frontier = dist.select("vertex")
+    levels = [frontier.select("vertex", F.lit(0).cast("long").alias("dist"))]
+    prev2 = None
     for h in range(1, max_hops + 1):
         cand = (
             sym.join(
@@ -613,18 +620,19 @@ def bfs_distances(
             )
             .select(F.col("_d").alias("vertex"))
             .distinct()
+            .join(frontier, "vertex", "left_anti")
         )
-        new = (
-            cand.join(dist, "vertex", "left_anti")
-            .select("vertex", F.lit(h).cast("long").alias("dist"))
-            .localCheckpoint(eager=True)
-        )
+        if prev2 is not None:
+            cand = cand.join(prev2, "vertex", "left_anti")
+        new = cand.localCheckpoint(eager=True)
         if new.limit(1).count() == 0:
             break
-        dist = dist.union(new).localCheckpoint(eager=True)
-        frontier = new.select("vertex")
+        levels.append(
+            new.select("vertex", F.lit(h).cast("long").alias("dist"))
+        )
+        prev2, frontier = frontier, new
     sym.unpersist()
-    return dist
+    return reduce(lambda a, b: a.union(b), levels)
 
 
 def flatten_hierarchy(

@@ -1244,6 +1244,12 @@ def q_stats_cuped_adjustment(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: one event→user aggregation, one 1-row moment aggregation;
     the moment shuffle carries eight numbers."""
     e = read_testdata_table(spark, sf_dir, "events")
+    # two plan references (mid-day scalar + per-user aggregation) and
+    # deliberately NO checkpoint: the frame is raw-event-sized, and
+    # materializing it would cost more than the second scan — the
+    # scalar pass prunes to the ts column alone, so the "duplicate"
+    # read is a one-column parquet scan (contrast events_forecast_eval,
+    # whose re-referenced frame is the AGGREGATED daily series)
     days = e.select(
         F.expr(f"unix_micros(ts) div {_US_DAY}").alias("day"),
         (F.col("user_id") % 2).alias("arm"),
@@ -1550,10 +1556,12 @@ def q_events_forecast_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     and the common MASE window uses days where BOTH lags exist —
     stated, and replayed by the oracle."""
     e = read_testdata_table(spark, sf_dir, "events")
+    # the daily series feeds three plan references (base + two lag
+    # sides) — one lazy checkpoint, or the event scan runs three times
     daily = e.groupBy(
         "event_type",
         F.expr(f"unix_micros(ts) div {_US_DAY}").alias("day"),
-    ).agg(F.count(F.lit(1)).alias("n"))
+    ).agg(F.count(F.lit(1)).alias("n")).localCheckpoint(eager=False)
     # calendar lags via self-joins on day-k, not lag() row windows: a
     # missing day must break the lag chain, and lag(7) over ROWS would
     # silently reach 8+ calendar days back across gaps
