@@ -202,6 +202,18 @@ R6B_OPS = [
     "events_forecast_eval",
 ]
 
+# Wave-5 analytics catalog (plans/analytics_ops2.py): multi-way star
+# joins, the bucketed Pareto skyline, closed-form 2-D PCA, DAU/WAU
+# stickiness, and per-user calendar linear interpolation.
+R6C_OPS = [
+    "tpch_q3_style",
+    "tpch_q5_style",
+    "skyline_dominance",
+    "stats_pca_2d",
+    "events_stickiness",
+    "events_linear_interpolation",
+]
+
 # Like ml_quick_fit: 3 TVS LR fits (full/uni/var feature sets) timed
 # once, separately — fit-dominated and session-cached, so repeats would
 # time the cache, not the work.
@@ -316,6 +328,12 @@ def main() -> None:
     )
     print(f"# r6b_ops_suite: {r6b_total}s {r6b_timings}", file=sys.stderr)
 
+    _warm(specs, spark, R6C_OPS, sf_dir)
+    r6c_timings, r6c_total = _run_suite(
+        specs, spark, R6C_OPS, sf_dir, repeats, "r6c_ops"
+    )
+    print(f"# r6c_ops_suite: {r6c_total}s {r6c_timings}", file=sys.stderr)
+
     t0 = time.perf_counter()
     specs[ML_VARIANT_QUERY].fn(spark, sf_dir).count()
     ml_variants = time.perf_counter() - t0
@@ -374,6 +392,8 @@ def main() -> None:
         "r6_ops_queries": r6_timings,
         "r6b_ops_suite": r6b_total,
         "r6b_ops_queries": r6b_timings,
+        "r6c_ops_suite": r6c_total,
+        "r6c_ops_queries": r6c_timings,
         "skew_suite": skew_total,
         "skew_queries": skew_timings,
         "sf": float(sf),

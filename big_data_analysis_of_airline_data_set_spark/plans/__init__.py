@@ -10,6 +10,7 @@ from __future__ import annotations
 from .spec import QuerySpec
 from . import (
     analytics_ops,
+    analytics_ops2,
     content,
     curation_queries,
     events_queries,
@@ -38,6 +39,7 @@ _MODULES = [
     scale_ops,
     multimodal_queries,
     analytics_ops,
+    analytics_ops2,
 ]
 
 # The driver's correctness harness records only the first 50 registry
