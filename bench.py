@@ -202,9 +202,11 @@ R6B_OPS = [
     "events_forecast_eval",
 ]
 
-# Wave-5 analytics catalog (plans/analytics_ops2.py): multi-way star
+# Wave-5/6 analytics catalog (plans/analytics_ops2.py): multi-way star
 # joins, the bucketed Pareto skyline, closed-form 2-D PCA, DAU/WAU
-# stickiness, and per-user calendar linear interpolation.
+# stickiness, per-user calendar linear interpolation, and the
+# sequential-fold family (clamped balance, Holt smoothing, drawdown,
+# bucketed weighted median).
 R6C_OPS = [
     "tpch_q3_style",
     "tpch_q5_style",
@@ -212,6 +214,10 @@ R6C_OPS = [
     "stats_pca_2d",
     "events_stickiness",
     "events_linear_interpolation",
+    "events_clamped_balance",
+    "events_holt_smoothing",
+    "events_max_drawdown",
+    "stats_weighted_median",
 ]
 
 # Like ml_quick_fit: 3 TVS LR fits (full/uni/var feature sets) timed

@@ -459,6 +459,271 @@ FROM w
 """
 
 
+# --------------------- sequential-fold family ---------------------
+#
+# Linear recurrences (clamped balances, exponential smoothing) are NOT
+# window-expressible — each output depends on the previous OUTPUT, not
+# the previous input. The scalable Spark shape for per-key bounded
+# series: collect the key's day-ordered series into an array (bounded
+# by the DATE RANGE, not event count) and run the recurrence as a
+# higher-order-function fold inside codegen — no Python UDF, no
+# driver loop. The DuckDB oracle replays the identical fold via
+# list_reduce with the seed prepended (DuckDB 1.0 list_reduce takes no
+# initial accumulator), so both engines execute the same IEEE op
+# sequence in the same order.
+
+_BURN = 100.0  # daily spend threshold: ~the median per-user daily sum
+
+
+def q_events_clamped_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user wallet simulation: daily net delta (spend − burn)
+    folded in day order with the balance clamped at zero — the
+    inventory/credit recurrence b_t = max(0, b_{t-1} + d_t), with the
+    running peak carried in the same fold."""
+    e = read_testdata_table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "user_id", F.expr(f"unix_micros(ts) div {_US_DAY}").alias("day")
+    ).agg(
+        (
+            F.sum(F.round(F.col("value"), 6).cast("decimal(18,6)"))
+            .cast("double")
+            - F.lit(_BURN)
+        ).alias("dv")
+    )
+    series = daily.groupBy("user_id").agg(
+        F.sort_array(F.collect_list(F.struct("day", "dv"))).alias("xs")
+    )
+    folded = series.select(
+        "user_id",
+        F.size("xs").alias("n_days").cast("long"),
+        F.aggregate(
+            "xs",
+            F.struct(
+                F.lit(0.0).alias("bal"), F.lit(0.0).alias("peak")
+            ),
+            lambda acc, x: F.struct(
+                F.greatest(acc.bal + x.dv, F.lit(0.0)).alias("bal"),
+                F.greatest(
+                    acc.peak, F.greatest(acc.bal + x.dv, F.lit(0.0))
+                ).alias("peak"),
+            ),
+        ).alias("st"),
+    )
+    return folded.select(
+        "user_id",
+        "n_days",
+        F.round(F.col("st.bal"), 6).alias("final_balance"),
+        F.round(F.col("st.peak"), 6).alias("peak_balance"),
+    )
+
+
+_CLAMPED_ORACLE = f"""
+WITH daily AS (
+  SELECT user_id,
+         epoch_us(CAST(ts AS TIMESTAMP)) // {_US_DAY} AS day,
+         CAST(SUM(CAST(round(value, 6) AS DECIMAL(18,6))) AS DOUBLE)
+           - {_BURN!r} AS dv
+  FROM events GROUP BY 1, 2
+), series AS (
+  SELECT user_id,
+         CAST(count(*) AS BIGINT) AS n_days,
+         list_prepend([0.0::DOUBLE, 0.0::DOUBLE],
+                      list([dv] ORDER BY day)) AS xs
+  FROM daily GROUP BY user_id
+), folded AS (
+  SELECT user_id, n_days,
+         list_reduce(xs, (a, x) ->
+           [greatest(a[1] + x[1], 0.0),
+            greatest(a[2], greatest(a[1] + x[1], 0.0))]) AS st
+  FROM series
+)
+SELECT user_id, n_days,
+       round(st[1], 6) AS final_balance,
+       round(st[2], 6) AS peak_balance
+FROM folded
+"""
+
+
+def q_events_holt_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt double-exponential smoothing over each event type's daily
+    count series (alpha=0.5, beta=0.3; level seeded at the first
+    observation, trend at zero): final level/trend state plus the
+    one-step-ahead forecast. Same fold shape as the clamped balance —
+    the two-component state rides a struct accumulator."""
+    e = read_testdata_table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type", F.expr(f"unix_micros(ts) div {_US_DAY}").alias("day")
+    ).agg(F.count(F.lit(1)).cast("double").alias("nd"))
+    series = daily.groupBy("event_type").agg(
+        F.sort_array(F.collect_list(F.struct("day", "nd"))).alias("xs")
+    )
+
+    def _step(acc, x):
+        lnew = F.lit(0.5) * x.nd + F.lit(0.5) * (acc.level + acc.trend)
+        return F.struct(
+            lnew.alias("level"),
+            (F.lit(0.3) * (lnew - acc.level) + F.lit(0.7) * acc.trend).alias(
+                "trend"
+            ),
+        )
+
+    folded = series.select(
+        "event_type",
+        F.size("xs").cast("long").alias("n_days"),
+        F.aggregate(
+            F.slice(
+                "xs", 2, F.greatest(F.size("xs") - 1, F.lit(0))
+            ),
+            F.struct(
+                F.element_at("xs", 1).nd.alias("level"),
+                F.lit(0.0).alias("trend"),
+            ),
+            _step,
+        ).alias("st"),
+    )
+    return folded.select(
+        "event_type",
+        "n_days",
+        F.round(F.col("st.level"), 6).alias("level"),
+        F.round(F.col("st.trend"), 6).alias("trend"),
+        F.round(F.col("st.level") + F.col("st.trend"), 6).alias(
+            "forecast_next"
+        ),
+    ).orderBy("event_type")
+
+
+_HOLT_ORACLE = f"""
+WITH daily AS (
+  SELECT event_type,
+         epoch_us(CAST(ts AS TIMESTAMP)) // {_US_DAY} AS day,
+         CAST(count(*) AS DOUBLE) AS nd
+  FROM events GROUP BY 1, 2
+), series AS (
+  SELECT event_type,
+         CAST(count(*) AS BIGINT) AS n_days,
+         list([nd] ORDER BY day) AS xs
+  FROM daily GROUP BY event_type
+), folded AS (
+  SELECT event_type, n_days,
+         list_reduce(
+           list_prepend([xs[1][1], 0.0::DOUBLE], xs[2:]),
+           (a, x) ->
+             [0.5 * x[1] + 0.5 * (a[1] + a[2]),
+              0.3 * ((0.5 * x[1] + 0.5 * (a[1] + a[2])) - a[1])
+                + 0.7 * a[2]]) AS st
+  FROM series
+)
+SELECT event_type, n_days,
+       round(st[1], 6) AS level,
+       round(st[2], 6) AS trend,
+       round(st[1] + st[2], 6) AS forecast_next
+FROM folded
+ORDER BY event_type
+"""
+
+
+def q_events_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user running-peak drawdown over the cumulative daily net
+    series — unlike the clamp/Holt recurrences this IS
+    window-expressible (prefix sum, prefix max, max gap), so it stays
+    in ordered windows partitioned by user: state is one user's
+    bounded series. All prefix sums accumulate in DECIMAL (a prefix in
+    day order is a fixed sequence, but decimal keeps it exact and
+    engine-identical); floats appear only at the rounded output."""
+    e = read_testdata_table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "user_id", F.expr(f"unix_micros(ts) div {_US_DAY}").alias("day")
+    ).agg(
+        (
+            F.sum(F.round(F.col("value"), 6).cast("decimal(18,6)"))
+            - F.lit(_BURN).cast("decimal(18,6)")
+        ).alias("dv")
+    )
+    w = W.partitionBy("user_id").orderBy("day").rowsBetween(
+        W.unboundedPreceding, 0
+    )
+    cum = (
+        daily.withColumn("cum", F.sum("dv").over(w))
+        .withColumn("peak", F.max(F.col("cum")).over(w))
+        .withColumn("dd", F.col("peak") - F.col("cum"))
+    )
+    return cum.groupBy("user_id").agg(
+        F.round(F.max_by("cum", "day").cast("double"), 6).alias(
+            "final_balance"
+        ),
+        F.round(F.max("peak").cast("double"), 6).alias("peak_balance"),
+        F.round(F.max("dd").cast("double"), 6).alias("max_drawdown"),
+    )
+
+
+_DRAWDOWN_ORACLE = f"""
+WITH daily AS (
+  SELECT user_id,
+         epoch_us(CAST(ts AS TIMESTAMP)) // {_US_DAY} AS day,
+         SUM(CAST(round(value, 6) AS DECIMAL(18,6)))
+           - CAST({_BURN!r} AS DECIMAL(18,6)) AS dv
+  FROM events GROUP BY 1, 2
+), c AS (
+  SELECT user_id, day,
+         SUM(dv) OVER (PARTITION BY user_id ORDER BY day
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS cum
+  FROM daily
+), p AS (
+  SELECT user_id, day, cum,
+         MAX(cum) OVER (PARTITION BY user_id ORDER BY day
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS peak
+  FROM c
+)
+SELECT user_id,
+       round(CAST(max_by(cum, day) AS DOUBLE), 6) AS final_balance,
+       round(CAST(max(peak) AS DOUBLE), 6) AS peak_balance,
+       round(CAST(max(peak - cum) AS DOUBLE), 6) AS max_drawdown
+FROM p GROUP BY user_id
+"""
+
+
+def q_stats_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantity-weighted median extended price per return class
+    (operators/weighted_quantile.py:weighted_median — range-bucketed
+    prefix weights; the ordered window runs only inside the single
+    crossing bucket, never over a whole group)."""
+    from ..operators.weighted_quantile import weighted_median
+
+    li = read_testdata_table(spark, sf_dir, "lineitem")
+    return weighted_median(
+        li,
+        group="l_returnflag",
+        val="l_extendedprice",
+        weight_expr=F.col("l_quantity").cast("decimal(18,2)"),
+        buckets=128,
+    ).orderBy("l_returnflag")
+
+
+_WMEDIAN_ORACLE = """
+WITH pairs AS (
+  SELECT l_returnflag AS g, l_extendedprice AS v,
+         SUM(CAST(l_quantity AS DECIMAL(18,2))) AS w
+  FROM lineitem GROUP BY 1, 2
+), c AS (
+  SELECT g, v, w,
+         SUM(w) OVER (PARTITION BY g ORDER BY v
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS cum,
+         SUM(w) OVER (PARTITION BY g) AS total
+  FROM pairs
+)
+SELECT g AS l_returnflag,
+       min(v) AS weighted_median,
+       CAST(max(total) AS DOUBLE) AS total_weight
+FROM c
+WHERE 2 * cum >= total
+GROUP BY g
+ORDER BY l_returnflag
+"""
+
+
 QUERIES = {
     "tpch_q3_style": QuerySpec(
         "tpch_q3_style",
@@ -495,5 +760,29 @@ QUERIES = {
         q_events_linear_interpolation,
         _INTERP_ORACLE,
         "Per-user calendar gap-fill with linear interpolation",
+    ),
+    "events_clamped_balance": QuerySpec(
+        "events_clamped_balance",
+        q_events_clamped_balance,
+        _CLAMPED_ORACLE,
+        "Zero-clamped wallet recurrence via codegen array fold",
+    ),
+    "events_holt_smoothing": QuerySpec(
+        "events_holt_smoothing",
+        q_events_holt_smoothing,
+        _HOLT_ORACLE,
+        "Holt double-exponential smoothing as a struct-state fold",
+    ),
+    "events_max_drawdown": QuerySpec(
+        "events_max_drawdown",
+        q_events_max_drawdown,
+        _DRAWDOWN_ORACLE,
+        "Running-peak drawdown from decimal-exact prefix windows",
+    ),
+    "stats_weighted_median": QuerySpec(
+        "stats_weighted_median",
+        q_stats_weighted_median,
+        _WMEDIAN_ORACLE,
+        "Weighted median via range-bucketed prefix weights",
     ),
 }

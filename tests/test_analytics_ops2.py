@@ -170,3 +170,131 @@ def test_linear_interpolation_gap_math(spark):
     )
     got = {r.day: r.value_filled for r in filled.collect()}
     assert got == {0: 10.0, 1: 20.0, 2: 30.0, 3: 40.0, 4: 20.0, 5: 0.0}
+
+
+# --------------------- wave-6: sequential folds ---------------------
+
+WAVE6_OPS = [
+    "events_clamped_balance",
+    "events_holt_smoothing",
+    "events_max_drawdown",
+    "stats_weighted_median",
+]
+
+
+@pytest.mark.parametrize("name", WAVE6_OPS)
+def test_wave6_oracle_parity(spark, name, sf_dir):
+    check_query(spark, all_queries()[name], sf_dir)
+
+
+def test_holt_matches_python_reference(spark, sf_dir):
+    from big_data_analysis_of_airline_data_set_spark.sources.readers import (
+        read_testdata_table,
+    )
+    from pyspark.sql import functions as F
+
+    pdf = all_queries()["events_holt_smoothing"].fn(spark, sf_dir).toPandas()
+    daily = (
+        read_testdata_table(spark, sf_dir, "events")
+        .groupBy(
+            "event_type",
+            F.expr("unix_micros(ts) div 86400000000").alias("day"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .toPandas()
+    )
+    for _, row in pdf.iterrows():
+        xs = (
+            daily[daily.event_type == row.event_type]
+            .sort_values("day")
+            .n.astype(float)
+            .tolist()
+        )
+        level, trend = xs[0], 0.0
+        for x in xs[1:]:
+            lnew = 0.5 * x + 0.5 * (level + trend)
+            trend = 0.3 * (lnew - level) + 0.7 * trend
+            level = lnew
+        assert row.n_days == len(xs)
+        assert row.level == pytest.approx(level, abs=1e-6)
+        assert row.trend == pytest.approx(trend, abs=1e-6)
+
+
+def test_clamped_balance_matches_python_reference(spark, sf_dir):
+    from big_data_analysis_of_airline_data_set_spark.sources.readers import (
+        read_testdata_table,
+    )
+    from pyspark.sql import functions as F
+
+    pdf = (
+        all_queries()["events_clamped_balance"].fn(spark, sf_dir).toPandas()
+    )
+    daily = (
+        read_testdata_table(spark, sf_dir, "events")
+        .groupBy(
+            "user_id",
+            F.expr("unix_micros(ts) div 86400000000").alias("day"),
+        )
+        .agg(
+            (
+                F.sum(F.round(F.col("value"), 6).cast("decimal(18,6)"))
+                .cast("double")
+                - F.lit(100.0)
+            ).alias("dv")
+        )
+        .toPandas()
+    )
+    sample = pdf.sample(n=min(25, len(pdf)), random_state=7)
+    for _, row in sample.iterrows():
+        dvs = (
+            daily[daily.user_id == row.user_id]
+            .sort_values("day")
+            .dv.tolist()
+        )
+        bal = peak = 0.0
+        for d in dvs:
+            bal = max(bal + d, 0.0)
+            peak = max(peak, bal)
+        assert row.final_balance == pytest.approx(bal, abs=1e-6)
+        assert row.peak_balance == pytest.approx(peak, abs=1e-6)
+
+
+def test_weighted_median_bucket_invariance_and_ties(spark):
+    from decimal import Decimal
+
+    from big_data_analysis_of_airline_data_set_spark.operators.weighted_quantile import (
+        weighted_median,
+    )
+    from pyspark.sql import functions as F
+
+    rows = [
+        ("a", 1.0, 1), ("a", 2.0, 1), ("a", 3.0, 1),   # odd: median 2
+        ("b", 1.0, 1), ("b", 2.0, 1),                   # even: lower median 1
+        ("c", 5.0, 10), ("c", 100.0, 1),                # weight-skew: 5
+        ("d", 4.0, 2), ("d", 4.0, 2), ("d", 9.0, 1),    # dup values collapse
+    ]
+    df = spark.createDataFrame(rows, "g string, v double, q long")
+    for buckets in (1, 3, 128):
+        out = {
+            r.g: (r.weighted_median, r.total_weight)
+            for r in weighted_median(
+                df, "g", "v", F.col("q").cast("decimal(18,2)"), buckets
+            ).collect()
+        }
+        assert out == {
+            "a": (2.0, 3.0),
+            "b": (1.0, 2.0),
+            "c": (5.0, 11.0),
+            "d": (4.0, 5.0),
+        }, f"buckets={buckets}"
+
+
+def test_weighted_median_rejects_bad_buckets(spark):
+    from big_data_analysis_of_airline_data_set_spark.operators.weighted_quantile import (
+        weighted_median,
+    )
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame([("a", 1.0, 1)], "g string, v double, q long")
+    with pytest.raises(ValueError):
+        weighted_median(df, "g", "v", F.col("q").cast("decimal(18,2)"), 0)
