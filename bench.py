@@ -218,6 +218,8 @@ R6C_OPS = [
     "events_holt_smoothing",
     "events_max_drawdown",
     "stats_weighted_median",
+    "sink_orc_roundtrip",
+    "sink_jsonl_roundtrip",
 ]
 
 # Like ml_quick_fit: 3 TVS LR fits (full/uni/var feature sets) timed

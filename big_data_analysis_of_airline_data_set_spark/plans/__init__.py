@@ -104,6 +104,15 @@ _CORRECTNESS_WINDOW = [
     # are 3-sf builder-verified (tests/test_analytics_ops.py) and
     # HEAD the r7 rotation together with the displaced r2-era rows —
     # the documented-late-wave pattern the r5 verdict accepted.
+    # Likewise the wave-4 entries (stats_cuped_adjustment,
+    # stats_pareto_coverage, events_seasonality_profile,
+    # events_forecast_eval) and the wave-5/6 analytics_ops2 catalog
+    # (tpch_q3_style, tpch_q5_style, skyline_dominance, stats_pca_2d,
+    # events_stickiness, events_linear_interpolation,
+    # events_clamped_balance, events_holt_smoothing,
+    # events_max_drawdown, stats_weighted_median): all 3-sf
+    # builder-verified (tests/test_analytics_ops{,2}.py), queued at
+    # the head of r7 with the wave-3 five.
     # (b) code changed this round (round-5 verdict items 2/3/6 + the
     # ADVICE bloom/upsert fixes)
     "graph_triangles",

@@ -1077,6 +1077,86 @@ FROM orders GROUP BY 1
 """
 
 
+def q_sink_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC columnar sink round-trip (sources/writers.py:write_orc):
+    orders written as status-partitioned ORC, read back through
+    partition discovery, aggregated per partition. Same
+    sink-integrity contract as the parquet round-trip — dropped or
+    duplicated rows, a mangled partition column, or timestamp
+    re-encoding drift all fail the value hash (the max-orderdate-day
+    column pins the timestamp codec)."""
+    from ..sources.writers import write_orc
+
+    o = _t(spark, sf_dir, "orders")
+    out = _sink_dir("sink_orc_rt_")
+    write_orc(o, out, partition_by=["o_orderstatus"])
+    back = spark.read.orc(out)
+    agg = back.groupBy(
+        F.col("o_orderstatus").cast("string").alias("o_orderstatus")
+    ).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("total_price"),
+        (F.unix_micros(F.max("o_orderdate")) / F.lit(86_400_000_000))
+        .cast("long")
+        .alias("max_orderdate_day"),
+    )
+    return spark.createDataFrame(
+        agg.collect(),
+        "o_orderstatus string, n_orders long, total_price double,"
+        " max_orderdate_day long",
+    )
+
+
+_SINK_ORC_ORACLE = """
+SELECT o_orderstatus,
+       count(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price,
+       epoch_us(CAST(max(o_orderdate) AS TIMESTAMP)) // 86400000000
+         AS max_orderdate_day
+FROM orders GROUP BY 1
+"""
+
+
+def q_sink_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-lines sink round-trip (sources/writers.py:write_jsonl):
+    customer written as JSONL, read back with an EXPLICIT schema (the
+    reader never infers — SURVEY §2.1 S1 applies to JSON too), then
+    aggregated. Doubles must survive the text round-trip bit-for-bit
+    (Java's shortest-repr writer + exact parser), which the decimal
+    sum over re-parsed c_acctbal verifies against the parquet-sourced
+    oracle."""
+    from ..sources.writers import write_jsonl
+
+    c = _t(spark, sf_dir, "customer")
+    out = _sink_dir("sink_jsonl_rt_")
+    write_jsonl(c, out)
+    back = spark.read.schema(c.schema).json(out)
+    agg = back.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.sum(F.round(F.col("c_acctbal"), 2).cast("decimal(18,2)"))
+        .cast("double")
+        .alias("sum_acctbal"),
+        F.count_distinct("c_nationkey").alias("n_nations"),
+    )
+    return spark.createDataFrame(
+        agg.collect(),
+        "c_mktsegment string, n_customers long, sum_acctbal double,"
+        " n_nations long",
+    )
+
+
+_SINK_JSONL_ORACLE = """
+SELECT c_mktsegment,
+       count(*) AS n_customers,
+       CAST(SUM(CAST(round(c_acctbal, 2) AS DECIMAL(18,2))) AS DOUBLE)
+         AS sum_acctbal,
+       CAST(count(DISTINCT c_nationkey) AS BIGINT) AS n_nations
+FROM customer GROUP BY 1
+"""
+
+
 def q_projection_name_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P2 driver-checked: name-predicate column projection
     (operators/transforms.keep_columns_matching — the reference drops
@@ -1567,6 +1647,16 @@ QUERIES: dict[str, QuerySpec] = {
         "sink_report_csv_roundtrip", q_sink_report_csv_roundtrip,
         _SINK_CSV_ORACLE,
         "S5: guarded single-CSV report sink → schema read-back ≡ aggregate",
+    ),
+    "sink_orc_roundtrip": QuerySpec(
+        "sink_orc_roundtrip", q_sink_orc_roundtrip,
+        _SINK_ORC_ORACLE,
+        "status-partitioned ORC sink → partition-discovery read-back ≡ source",
+    ),
+    "sink_jsonl_roundtrip": QuerySpec(
+        "sink_jsonl_roundtrip", q_sink_jsonl_roundtrip,
+        _SINK_JSONL_ORACLE,
+        "JSONL sink → explicit-schema read-back, doubles bit-exact",
     ),
     "projection_name_pattern": QuerySpec(
         "projection_name_pattern", q_projection_name_pattern,

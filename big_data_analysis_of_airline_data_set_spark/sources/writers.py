@@ -85,3 +85,32 @@ def write_report_csv(df: DataFrame, path: str, *, max_rows: int = 100_000) -> No
             f"got >{max_rows}. Use write_parquet for data outputs."
         )
     df.coalesce(1).write.mode("overwrite").options(header=True).csv(path)
+
+
+def write_orc(
+    df: DataFrame,
+    path: str,
+    *,
+    mode: str = "overwrite",
+    partition_by: tuple[str, ...] | list[str] | None = None,
+) -> None:
+    """Columnar ORC sink — same contract as ``write_parquet``.
+
+    Engine surface beyond the reference (which only ever writes CSV,
+    Scripts/1:61,102): warehouses standardized on ORC (Hive-lineage)
+    read/write it natively in Spark, with the same predicate-pushdown
+    and partition-discovery behavior as parquet."""
+    writer = df.write.mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.orc(path)
+
+
+def write_jsonl(df: DataFrame, path: str, *, mode: str = "overwrite") -> None:
+    """JSON-lines sink (one JSON object per row, the interchange
+    format of every LLM data pipeline). Doubles serialize via Java's
+    shortest round-trippable repr, so a schema-explicit read-back
+    reproduces them bit-for-bit; readers must supply the schema (JSONL
+    carries none — inferSchema on 100 TB is the same anti-pattern the
+    CSV reader kills, SURVEY §2.1 S1)."""
+    df.write.mode(mode).json(path)

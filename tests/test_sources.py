@@ -210,3 +210,39 @@ def test_sorted_layout_yields_disjoint_file_ranges(spark, sf_dir, tmp_path):
         if a[1] > b[0]
     ]
     assert overlaps, "control layout unexpectedly sorted"
+
+
+def test_orc_roundtrip_parity(spark, sf_dir):
+    from big_data_analysis_of_airline_data_set_spark.plans import all_queries
+    from tests.oracle_harness import check_query
+
+    check_query(spark, all_queries()["sink_orc_roundtrip"], sf_dir)
+
+
+def test_jsonl_roundtrip_parity(spark, sf_dir):
+    from big_data_analysis_of_airline_data_set_spark.plans import all_queries
+    from tests.oracle_harness import check_query
+
+    check_query(spark, all_queries()["sink_jsonl_roundtrip"], sf_dir)
+
+
+def test_jsonl_doubles_bit_exact(spark, tmp_path):
+    """JSON text round-trip must reproduce doubles exactly — the
+    shortest-repr writer + exact parser contract the sink relies on."""
+    from big_data_analysis_of_airline_data_set_spark.sources.writers import (
+        write_jsonl,
+    )
+
+    vals = [
+        (1, 0.1), (2, 1.0 / 3.0), (3, 2.0 ** -1074), (4, 1.7976931348623157e308),
+        (5, -0.0), (6, 123456789.123456789),
+    ]
+    df = spark.createDataFrame(vals, "id long, v double")
+    out = str(tmp_path / "jsonl")
+    write_jsonl(df, out)
+    back = spark.read.schema(df.schema).json(out)
+    got = {r.id: r.v for r in back.collect()}
+    import struct
+
+    for k, v in vals:
+        assert struct.pack("<d", got[k]) == struct.pack("<d", v), (k, got[k], v)
