@@ -1157,6 +1157,82 @@ FROM customer GROUP BY 1
 """
 
 
+def q_join_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact⋈fact join through same-bucketed catalog tables
+    (sources/bucketing.py): both sides written bucketed by the join
+    key (8 buckets, external temp location), joined with broadcast
+    disabled — and the query ASSERTS its own scale property by
+    raising unless the join plan is Exchange-free SortMergeJoin
+    (bucket i joins bucket i; at 100 TB this deletes the dominant
+    shuffle). The aggregation after the join adds its own tiny
+    exchange, which is fine — the assertion is on the join subtree.
+    The oracle replays the plain join, so co-location must also be
+    RESULT-identical, not just shuffle-free."""
+    from ..sources.bucketing import bucketed_join, write_bucketed_table
+
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("o_orderkey"), "l_quantity"
+    )
+    for name, df in (("sg_bkt_orders", orders), ("sg_bkt_lineitem", li)):
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+        write_bucketed_table(
+            df,
+            name,
+            bucket_by="o_orderkey",
+            num_buckets=8,
+            sort_by="o_orderkey",
+            path=_sink_dir(f"bkt_{name}_"),
+        )
+    key = "spark.sql.autoBroadcastJoinThreshold"
+    saved = spark.conf.get(key)
+    spark.conf.set(key, "-1")
+    try:
+        joined = bucketed_join(
+            spark, "sg_bkt_orders", "sg_bkt_lineitem", "o_orderkey"
+        )
+        jmode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "simple"
+        )
+        plan = joined._jdf.queryExecution().explainString(jmode)
+        if "SortMergeJoin" not in plan or "Exchange" in plan:
+            raise AssertionError(
+                "bucketed join must plan as Exchange-free SortMergeJoin:\n"
+                + plan
+            )
+        agg = joined.groupBy(
+            (F.col("o_orderkey") % 8).alias("key_mod")
+        ).agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_qty"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_price"),
+        )
+        # materialize inside the conf window AND before the temp table
+        # dirs become evictable
+        return spark.createDataFrame(
+            agg.collect(),
+            "key_mod long, n_rows long, sum_qty double, sum_price double",
+        )
+    finally:
+        spark.conf.set(key, saved)
+
+
+_BUCKETED_JOIN_ORACLE = """
+SELECT o_orderkey % 8 AS key_mod,
+       count(*) AS n_rows,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+GROUP BY 1
+"""
+
+
 def q_projection_name_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P2 driver-checked: name-predicate column projection
     (operators/transforms.keep_columns_matching — the reference drops
@@ -1657,6 +1733,12 @@ QUERIES: dict[str, QuerySpec] = {
         "sink_jsonl_roundtrip", q_sink_jsonl_roundtrip,
         _SINK_JSONL_ORACLE,
         "JSONL sink → explicit-schema read-back, doubles bit-exact",
+    ),
+    "join_bucketed_colocated": QuerySpec(
+        "join_bucketed_colocated", q_join_bucketed_colocated,
+        _BUCKETED_JOIN_ORACLE,
+        "same-bucketed catalog tables join Exchange-free (self-asserted)"
+        " and result-match the plain join",
     ),
     "projection_name_pattern": QuerySpec(
         "projection_name_pattern", q_projection_name_pattern,

@@ -24,12 +24,17 @@ def write_bucketed_table(
     num_buckets: int,
     sort_by: str | None = None,
     mode: str = "overwrite",
+    path: str | None = None,
 ) -> None:
     """Persist ``df`` as a catalog table bucketed (and optionally
-    sorted) by the join key."""
+    sorted) by the join key. ``path`` makes it an external table at an
+    explicit location (keeps temp artifacts out of the session
+    warehouse dir)."""
     writer = df.write.mode(mode).bucketBy(num_buckets, bucket_by)
     if sort_by:
         writer = writer.sortBy(sort_by)
+    if path:
+        writer = writer.option("path", path)
     writer.format("parquet").saveAsTable(table_name)
 
 
