@@ -45,7 +45,15 @@ def skyline_2d(df: DataFrame, x: str, y: str, buckets: int = 64) -> DataFrame:
     """
     if buckets < 1:
         raise ValueError(f"buckets must be >= 1, got {buckets}")
-    per_x = df.groupBy(F.col(x).alias("_x")).agg(F.min(y).alias("_y"))
+    # per_x feeds three plan references (bounds scalar, bucket mins,
+    # survivor filter) — one lazy checkpoint or the input aggregation
+    # runs three times (Spark plans re-referenced frames as
+    # independent subtrees)
+    per_x = (
+        df.groupBy(F.col(x).alias("_x"))
+        .agg(F.min(y).alias("_y"))
+        .localCheckpoint(eager=False)
+    )
     bounds = per_x.agg(
         F.min("_x").cast("double").alias("_xlo"),
         F.max("_x").cast("double").alias("_xhi"),

@@ -49,9 +49,14 @@ def weighted_median(
     """
     if buckets < 1:
         raise ValueError(f"buckets must be >= 1, got {buckets}")
-    pairs = df.groupBy(
-        F.col(group).alias("_g"), F.col(val).alias("_v")
-    ).agg(F.sum(weight_expr).alias("_w"))
+    # pairs feeds three plan references (bounds scalar, bucket sums
+    # via bucketed, crossing-bucket rescan) — one lazy checkpoint or
+    # the fact-table aggregation runs three times
+    pairs = (
+        df.groupBy(F.col(group).alias("_g"), F.col(val).alias("_v"))
+        .agg(F.sum(weight_expr).alias("_w"))
+        .localCheckpoint(eager=False)
+    )
     bounds = pairs.agg(
         F.min("_v").cast("double").alias("_vlo"),
         F.max("_v").cast("double").alias("_vhi"),

@@ -292,6 +292,10 @@ def q_events_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregations partition by (event_type, week[, day]), so the join
     that zips them is between two already-reduced frames."""
     e = read_testdata_table(spark, sf_dir, "events")
+    # keyed feeds two aggregations and is deliberately NOT
+    # checkpointed: it is raw-event-sized, so materializing it costs
+    # more than the second column-pruned scan (the CUPED rationale);
+    # both branches prune to the same three columns at the source
     keyed = e.select(
         "event_type",
         F.expr(f"unix_micros(ts) div {_US_DAY}").alias("day"),
@@ -374,13 +378,15 @@ def q_events_linear_interpolation(spark: SparkSession, sf_dir: str) -> DataFrame
     anywhere. Daily sums quantize to DECIMAL(18,6) for
     order-independent accumulation before the float interpolation."""
     e = read_testdata_table(spark, sf_dir, "events")
+    # the daily aggregate feeds two plan references (span + calendar
+    # join) — one lazy checkpoint or the raw event scan runs twice
     daily = e.groupBy(
         "user_id", F.expr(f"unix_micros(ts) div {_US_DAY}").alias("day")
     ).agg(
         F.sum(F.round(F.col("value"), 6).cast("decimal(18,6)"))
         .cast("double")
         .alias("v")
-    )
+    ).localCheckpoint(eager=False)
     span = daily.groupBy("user_id").agg(
         F.min("day").alias("lo"), F.max("day").alias("hi")
     )
