@@ -1,0 +1,124 @@
+"""Global exact rank via range-bucketed prefix counts — total
+ordering without a whole-table ordered window.
+
+No reference analogue (mosama1994's only ordering surfaces are the
+driver-side top-1 model sort and a distributed orderBy, Scripts/2-3);
+this is engine surface backing the gains/decile-table family, and the
+third instance of the bucketed-prefix decomposition used by
+``operators/skyline.py`` and ``operators/weighted_quantile.py``.
+
+The textbook plan — ``row_number() OVER (ORDER BY v DESC)`` — funnels
+EVERY row through one ordered-window task: a single-partition sort
+that cannot scale past one executor. Decomposed:
+
+1. one 2-number scalar aggregate finds the value span (broadcast
+   back);
+2. rows range-bucket on the span (descending buckets for descending
+   rank); per-bucket counts are a ``buckets``-row frame;
+3. prefix counts over that tiny frame give each bucket its global
+   rank offset (the only ordered window over a global frame runs on
+   ``buckets`` rows, not N);
+4. ``row_number`` runs ONLY inside each bucket, partitioned by
+   bucket — state is 1/buckets of the data, and skew is bounded by
+   the value distribution, not the total row count.
+
+The (value, tiebreak) pair must be unique per row — ranks are then
+engine-deterministic with no float thresholds anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+
+def bucketed_global_rank(
+    df: DataFrame,
+    val: str,
+    tiebreak: str,
+    buckets: int = 64,
+    descending: bool = True,
+) -> DataFrame:
+    """Append ``_rank`` (1-based, dense over rows, no gaps) ordering by
+    ``val`` (DESC by default) with ``tiebreak`` ASC breaking ties.
+
+    ``(val, tiebreak)`` must be unique per row; ``val`` must be
+    castable to double for the range bucketing (rank comparisons
+    themselves use the original column, so no precision is lost).
+    """
+    if buckets < 1:
+        raise ValueError(f"buckets must be >= 1, got {buckets}")
+    # df feeds two plan references (bounds scalar + bucketed rows) —
+    # one lazy checkpoint or the upstream plan runs twice
+    src = df.localCheckpoint(eager=False)
+    bounds = src.agg(
+        F.min(F.col(val).cast("double")).alias("_vlo"),
+        F.max(F.col(val).cast("double")).alias("_vhi"),
+    )
+    width = (F.col("_vhi") - F.col("_vlo")) / F.lit(float(buckets))
+    pos = (F.col(val).cast("double") - F.col("_vlo")) / width
+    raw = F.floor(pos) if not descending else (
+        F.lit(buckets - 1).cast("long") - F.floor(pos)
+    )
+    bucketed = (
+        src.join(F.broadcast(bounds))
+        .withColumn(
+            "_b",
+            F.when(F.col("_vhi") <= F.col("_vlo"), F.lit(0).cast("long"))
+            .otherwise(
+                F.greatest(
+                    F.lit(0).cast("long"),
+                    F.least(F.lit(buckets - 1).cast("long"), raw),
+                )
+            ),
+        )
+        .drop("_vlo", "_vhi")
+    )
+    counts = bucketed.groupBy("_b").agg(F.count(F.lit(1)).alias("_nb"))
+    off_w = W.orderBy("_b").rowsBetween(W.unboundedPreceding, -1)
+    offsets = counts.withColumn(
+        "_off", F.coalesce(F.sum("_nb").over(off_w), F.lit(0)).cast("long")
+    ).select("_b", "_off")
+    order = (
+        [F.col(val).desc(), F.col(tiebreak).asc()]
+        if descending
+        else [F.col(val).asc(), F.col(tiebreak).asc()]
+    )
+    in_bucket = W.partitionBy("_b").orderBy(*order)
+    return (
+        bucketed.join(F.broadcast(offsets), "_b")
+        .withColumn(
+            "_rank",
+            (F.col("_off") + F.row_number().over(in_bucket)).cast("long"),
+        )
+        .drop("_b", "_off")
+    )
+
+
+def ntile_from_rank(rank, n, tiles: int):
+    """SQL-standard NTILE group from a 1-based global ``rank`` and the
+    total row count ``n`` (both Column expressions) — the first
+    ``n % tiles`` groups take ``n div tiles + 1`` rows, the rest
+    ``n div tiles``. Integer arithmetic only, so the assignment is
+    engine-exact; the ``q == 0`` divisor is guarded (when ``n <
+    tiles`` every row lands in the first branch, but ANSI mode would
+    still reject a reachable ``div 0``)."""
+    q = n / F.lit(tiles)  # intentionally: callers pass integral n
+    q = F.floor(q).cast("long")
+    rem = (n - q * F.lit(tiles)).cast("long")
+    big = q + F.lit(1)
+    first_span = big * rem
+    q_safe = F.greatest(q, F.lit(1).cast("long"))
+    return (
+        F.when(
+            rank <= first_span,
+            F.floor((rank - F.lit(1)) / big).cast("long") + F.lit(1),
+        )
+        .otherwise(
+            rem
+            + F.floor((rank - first_span - F.lit(1)) / q_safe).cast("long")
+            + F.lit(1)
+        )
+        .cast("long")
+    )

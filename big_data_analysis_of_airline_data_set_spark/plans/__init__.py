@@ -11,6 +11,7 @@ from .spec import QuerySpec
 from . import (
     analytics_ops,
     analytics_ops2,
+    analytics_ops3,
     content,
     curation_queries,
     events_queries,
@@ -40,6 +41,7 @@ _MODULES = [
     multimodal_queries,
     analytics_ops,
     analytics_ops2,
+    analytics_ops3,
 ]
 
 # The driver's correctness harness records only the first 50 registry

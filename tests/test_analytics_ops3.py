@@ -1,0 +1,104 @@
+"""Unit + oracle-parity tests for the wave-7 analytics catalog
+(plans/analytics_ops3.py): the adapted TPC-H query shapes
+(Q2/Q4/Q8/Q12/Q14/Q18/Q19/Q22), lag-1 autocorrelation, the
+bucketed-rank decile gains table, and embedding label centroids."""
+
+from __future__ import annotations
+
+import pytest
+
+from big_data_analysis_of_airline_data_set_spark.plans import all_queries
+from tests.oracle_harness import check_query
+
+NEW_OPS = [
+    "tpch_q2_style",
+    "tpch_q4_style",
+    "tpch_q8_style",
+    "tpch_q12_style",
+    "tpch_q14_style",
+    "tpch_q18_style",
+    "tpch_q19_style",
+    "tpch_q22_style",
+    "stats_autocorr_daily",
+    "customer_decile_lift",
+    "embedding_label_centroids",
+]
+
+
+@pytest.mark.parametrize("name", NEW_OPS)
+def test_oracle_parity(spark, name, sf_dir):
+    check_query(spark, all_queries()[name], sf_dir)
+
+
+# --------------------- bucketed_global_rank units ---------------------
+
+
+def _ranked(spark, rows, **kw):
+    from big_data_analysis_of_airline_data_set_spark.operators.ranking import (
+        bucketed_global_rank,
+    )
+
+    df = spark.createDataFrame(rows, "v double, k long")
+    out = bucketed_global_rank(df, "v", "k", **kw)
+    return {(r.v, r.k): r._rank for r in out.collect()}
+
+
+def test_rank_descending_with_ties_on_value(spark):
+    rows = [(5.0, 1), (5.0, 2), (3.0, 3), (9.0, 4)]
+    got = _ranked(spark, rows, buckets=4)
+    assert got == {(9.0, 4): 1, (5.0, 1): 2, (5.0, 2): 3, (3.0, 3): 4}
+
+
+def test_rank_ascending(spark):
+    rows = [(5.0, 1), (3.0, 3), (9.0, 4)]
+    got = _ranked(spark, rows, buckets=4, descending=False)
+    assert got == {(3.0, 3): 1, (5.0, 1): 2, (9.0, 4): 3}
+
+
+def test_rank_all_equal_values_single_bucket(spark):
+    # zero-width span exercises the width==0 guard
+    rows = [(7.0, 3), (7.0, 1), (7.0, 2)]
+    got = _ranked(spark, rows, buckets=8)
+    assert got == {(7.0, 1): 1, (7.0, 2): 2, (7.0, 3): 3}
+
+
+def test_rank_bucket_count_invariance(spark):
+    rows = [((x * 7919) % 100 / 3.0, x) for x in range(200)]
+    one = _ranked(spark, rows, buckets=1)
+    assert one == _ranked(spark, rows, buckets=7)
+    assert one == _ranked(spark, rows, buckets=64)
+    assert sorted(one.values()) == list(range(1, 201))
+
+
+def test_rank_rejects_bad_buckets(spark):
+    from big_data_analysis_of_airline_data_set_spark.operators.ranking import (
+        bucketed_global_rank,
+    )
+
+    df = spark.createDataFrame([(1.0, 1)], "v double, k long")
+    with pytest.raises(ValueError, match="buckets"):
+        bucketed_global_rank(df, "v", "k", buckets=0)
+
+
+# --------------------- ntile_from_rank units ---------------------
+
+
+@pytest.mark.parametrize("n", [1, 3, 9, 10, 11, 25, 100, 101])
+def test_ntile_formula_matches_spark_ntile(spark, n):
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window as W
+
+    from big_data_analysis_of_airline_data_set_spark.operators.ranking import (
+        ntile_from_rank,
+    )
+
+    df = spark.range(1, n + 1).withColumnRenamed("id", "r")
+    via_formula = df.select(
+        "r", ntile_from_rank(F.col("r"), F.lit(n).cast("long"), 10).alias("t")
+    )
+    via_ntile = df.select(
+        "r", F.ntile(10).over(W.orderBy("r")).cast("long").alias("t")
+    )
+    a = {r.r: r.t for r in via_formula.collect()}
+    b = {r.r: r.t for r in via_ntile.collect()}
+    assert a == b
