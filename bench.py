@@ -222,6 +222,42 @@ R6C_OPS = [
     "sink_jsonl_roundtrip",
 ]
 
+# Wave-7/8 analytics catalog (plans/analytics_ops{3,4}.py): the
+# remaining adapted TPC-H shapes (Q2 correlated-min, Q4 EXISTS, Q7
+# two-nation volume, Q8 market share, Q9 profit, Q10 returns, Q12
+# conditional split, Q13 count distribution, Q14 promo share, Q15
+# top supplier, Q16 supplier variety, Q17 small-quantity loss, Q18
+# HAVING prereduction, Q19 disjunctive join, Q21 waiting suppliers,
+# Q22 scalar-subquery + anti-join), integer-exact lag-1
+# autocorrelation, the bucketed-rank decile gains table, embedding
+# label centroids, the fixed-seed k-means assignment pass, calendar
+# lag features — plus the bucketed co-located join that landed after
+# the r6c list froze.
+R6D_OPS = [
+    "tpch_q2_style",
+    "tpch_q4_style",
+    "tpch_q7_style",
+    "tpch_q8_style",
+    "tpch_q9_style",
+    "tpch_q10_style",
+    "tpch_q12_style",
+    "tpch_q13_style",
+    "tpch_q14_style",
+    "tpch_q15_style",
+    "tpch_q16_style",
+    "tpch_q17_style",
+    "tpch_q18_style",
+    "tpch_q19_style",
+    "tpch_q21_style",
+    "tpch_q22_style",
+    "stats_autocorr_daily",
+    "customer_decile_lift",
+    "embedding_label_centroids",
+    "embedding_kmeans_assign",
+    "events_lag_features",
+    "join_bucketed_colocated",
+]
+
 # Like ml_quick_fit: 3 TVS LR fits (full/uni/var feature sets) timed
 # once, separately — fit-dominated and session-cached, so repeats would
 # time the cache, not the work.
@@ -342,6 +378,12 @@ def main() -> None:
     )
     print(f"# r6c_ops_suite: {r6c_total}s {r6c_timings}", file=sys.stderr)
 
+    _warm(specs, spark, R6D_OPS, sf_dir)
+    r6d_timings, r6d_total = _run_suite(
+        specs, spark, R6D_OPS, sf_dir, repeats, "r6d_ops"
+    )
+    print(f"# r6d_ops_suite: {r6d_total}s {r6d_timings}", file=sys.stderr)
+
     t0 = time.perf_counter()
     specs[ML_VARIANT_QUERY].fn(spark, sf_dir).count()
     ml_variants = time.perf_counter() - t0
@@ -402,6 +444,8 @@ def main() -> None:
         "r6b_ops_queries": r6b_timings,
         "r6c_ops_suite": r6c_total,
         "r6c_ops_queries": r6c_timings,
+        "r6d_ops_suite": r6d_total,
+        "r6d_ops_queries": r6d_timings,
         "skew_suite": skew_total,
         "skew_queries": skew_timings,
         "sf": float(sf),

@@ -12,6 +12,7 @@ from . import (
     analytics_ops,
     analytics_ops2,
     analytics_ops3,
+    analytics_ops4,
     content,
     curation_queries,
     events_queries,
@@ -42,6 +43,7 @@ _MODULES = [
     analytics_ops,
     analytics_ops2,
     analytics_ops3,
+    analytics_ops4,
 ]
 
 # The driver's correctness harness records only the first 50 registry
@@ -114,7 +116,16 @@ _CORRECTNESS_WINDOW = [
     # events_clamped_balance, events_holt_smoothing,
     # events_max_drawdown, stats_weighted_median): all 3-sf
     # builder-verified (tests/test_analytics_ops{,2}.py), queued at
-    # the head of r7 with the wave-3 five.
+    # the head of r7 with the wave-3 five. The wave-7/8 catalogs
+    # (plans/analytics_ops3.py: tpch_q2/q4/q8/q12/q14/q18/q19/q22
+    # -style, stats_autocorr_daily, customer_decile_lift,
+    # embedding_label_centroids; plans/analytics_ops4.py:
+    # tpch_q7/q9/q10/q13/q15/q16/q17/q21-style,
+    # embedding_kmeans_assign, events_lag_features) and the
+    # sink/bucketed-join entries (sink_orc_roundtrip,
+    # sink_jsonl_roundtrip, join_bucketed_colocated) are likewise
+    # 3-sf builder-verified (tests/test_analytics_ops{3,4}.py,
+    # tests/test_sources.py) and join that r7 queue.
     # (b) code changed this round (round-5 verdict items 2/3/6 + the
     # ADVICE bloom/upsert fixes)
     "graph_triangles",
