@@ -256,6 +256,13 @@ R6D_OPS = [
     "embedding_kmeans_assign",
     "events_lag_features",
     "join_bucketed_colocated",
+    # wave 9 (plans/analytics_ops5.py): Q6/Q11/Q20 complete the
+    # adapted TPC-H family; PQ codebook; inter-event gap stats
+    "tpch_q6_style",
+    "tpch_q11_style",
+    "tpch_q20_style",
+    "embedding_pq_codebook",
+    "events_gap_stats",
 ]
 
 # Like ml_quick_fit: 3 TVS LR fits (full/uni/var feature sets) timed

@@ -13,6 +13,7 @@ from . import (
     analytics_ops2,
     analytics_ops3,
     analytics_ops4,
+    analytics_ops5,
     content,
     curation_queries,
     events_queries,
@@ -44,6 +45,7 @@ _MODULES = [
     analytics_ops2,
     analytics_ops3,
     analytics_ops4,
+    analytics_ops5,
 ]
 
 # The driver's correctness harness records only the first 50 registry
@@ -125,7 +127,10 @@ _CORRECTNESS_WINDOW = [
     # sink/bucketed-join entries (sink_orc_roundtrip,
     # sink_jsonl_roundtrip, join_bucketed_colocated) are likewise
     # 3-sf builder-verified (tests/test_analytics_ops{3,4}.py,
-    # tests/test_sources.py) and join that r7 queue.
+    # tests/test_sources.py) and join that r7 queue, as does the
+    # wave-9 catalog (plans/analytics_ops5.py: tpch_q6/q11/q20-style
+    # completing all 22 adapted TPC-H shapes, embedding_pq_codebook,
+    # events_gap_stats; tests/test_analytics_ops5.py).
     # (b) code changed this round (round-5 verdict items 2/3/6 + the
     # ADVICE bloom/upsert fixes)
     "graph_triangles",
