@@ -47,34 +47,12 @@ def bucketed_global_rank(
     castable to double for the range bucketing (rank comparisons
     themselves use the original column, so no precision is lost).
     """
-    if buckets < 1:
-        raise ValueError(f"buckets must be >= 1, got {buckets}")
+    from .range_bucket import with_range_bucket
+
     # df feeds two plan references (bounds scalar + bucketed rows) —
     # one lazy checkpoint or the upstream plan runs twice
     src = df.localCheckpoint(eager=False)
-    bounds = src.agg(
-        F.min(F.col(val).cast("double")).alias("_vlo"),
-        F.max(F.col(val).cast("double")).alias("_vhi"),
-    )
-    width = (F.col("_vhi") - F.col("_vlo")) / F.lit(float(buckets))
-    pos = (F.col(val).cast("double") - F.col("_vlo")) / width
-    raw = F.floor(pos) if not descending else (
-        F.lit(buckets - 1).cast("long") - F.floor(pos)
-    )
-    bucketed = (
-        src.join(F.broadcast(bounds))
-        .withColumn(
-            "_b",
-            F.when(F.col("_vhi") <= F.col("_vlo"), F.lit(0).cast("long"))
-            .otherwise(
-                F.greatest(
-                    F.lit(0).cast("long"),
-                    F.least(F.lit(buckets - 1).cast("long"), raw),
-                )
-            ),
-        )
-        .drop("_vlo", "_vhi")
-    )
+    bucketed = with_range_bucket(src, val, buckets, descending=descending)
     counts = bucketed.groupBy("_b").agg(F.count(F.lit(1)).alias("_nb"))
     off_w = W.orderBy("_b").rowsBetween(W.unboundedPreceding, -1)
     offsets = counts.withColumn(

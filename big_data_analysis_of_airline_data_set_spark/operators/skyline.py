@@ -43,8 +43,8 @@ def skyline_2d(df: DataFrame, x: str, y: str, buckets: int = 64) -> DataFrame:
     of the driver-scale prefix frame against within-bucket window
     width; correctness is bucket-count-independent.
     """
-    if buckets < 1:
-        raise ValueError(f"buckets must be >= 1, got {buckets}")
+    from .range_bucket import with_range_bucket
+
     # per_x feeds three plan references (bounds scalar, bucket mins,
     # survivor filter) — one lazy checkpoint or the input aggregation
     # runs three times (Spark plans re-referenced frames as
@@ -54,27 +54,7 @@ def skyline_2d(df: DataFrame, x: str, y: str, buckets: int = 64) -> DataFrame:
         .agg(F.min(y).alias("_y"))
         .localCheckpoint(eager=False)
     )
-    bounds = per_x.agg(
-        F.min("_x").cast("double").alias("_xlo"),
-        F.max("_x").cast("double").alias("_xhi"),
-    )
-    width = (F.col("_xhi") - F.col("_xlo")) / F.lit(float(buckets))
-    bucketed = (
-        per_x.join(F.broadcast(bounds))
-        .withColumn(
-            "_b",
-            F.when(F.col("_xhi") <= F.col("_xlo"), F.lit(0).cast("long"))
-            .otherwise(
-                F.least(
-                    F.lit(buckets - 1).cast("long"),
-                    F.floor(
-                        (F.col("_x").cast("double") - F.col("_xlo")) / width
-                    ),
-                )
-            ),
-        )
-        .drop("_xlo", "_xhi")
-    )
+    bucketed = with_range_bucket(per_x, "_x", buckets)
     bucket_mins = bucketed.groupBy("_b").agg(F.min("_y").alias("_bymin"))
     prior_w = W.orderBy("_b").rowsBetween(W.unboundedPreceding, -1)
     prefix = bucket_mins.select(

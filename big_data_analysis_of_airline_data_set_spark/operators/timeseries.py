@@ -247,8 +247,12 @@ def peak_concurrency_by_bucket(
     (concurrency there is flat at the previous carry; resample_ffill
     densifies if a gapless curve is needed).
 
-    Buckets are integer ``unix_micros div bucket_micros`` — exact in
-    any engine; all arithmetic is integer, so the curve value-hashes.
+    Buckets are integer FLOOR division of unix_micros by
+    bucket_micros — written as ``(ts - pmod(ts, b)) div b`` because
+    Spark's ``div`` truncates toward zero while floor-division
+    replays (DuckDB ``//``) round toward −∞; the two disagree on
+    negative (pre-1970) timestamps. All arithmetic is integer, so
+    the curve value-hashes.
     """
     s = intervals.select(
         F.unix_micros(F.col(start_col)).alias("_ts"),
@@ -261,7 +265,10 @@ def peak_concurrency_by_bucket(
         *[F.col(c) for c in tiebreak_cols],
     )
     d = s.unionByName(e).withColumn(
-        "bucket", F.expr(f"_ts div {bucket_micros}")
+        "bucket",
+        F.expr(
+            f"(_ts - pmod(_ts, {bucket_micros})) div {bucket_micros}"
+        ),
     )
     w_intra = (
         Window.partitionBy("bucket")

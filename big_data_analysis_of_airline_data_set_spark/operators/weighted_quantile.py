@@ -47,8 +47,8 @@ def weighted_median(
     smallest value whose cumulative weight reaches half the group
     total (the lower weighted median), total_weight a DOUBLE.
     """
-    if buckets < 1:
-        raise ValueError(f"buckets must be >= 1, got {buckets}")
+    from .range_bucket import with_range_bucket
+
     # pairs feeds three plan references (bounds scalar, bucket sums
     # via bucketed, crossing-bucket rescan) — one lazy checkpoint or
     # the fact-table aggregation runs three times
@@ -57,27 +57,7 @@ def weighted_median(
         .agg(F.sum(weight_expr).alias("_w"))
         .localCheckpoint(eager=False)
     )
-    bounds = pairs.agg(
-        F.min("_v").cast("double").alias("_vlo"),
-        F.max("_v").cast("double").alias("_vhi"),
-    )
-    width = (F.col("_vhi") - F.col("_vlo")) / F.lit(float(buckets))
-    bucketed = (
-        pairs.join(F.broadcast(bounds))
-        .withColumn(
-            "_b",
-            F.when(F.col("_vhi") <= F.col("_vlo"), F.lit(0).cast("long"))
-            .otherwise(
-                F.least(
-                    F.lit(buckets - 1).cast("long"),
-                    F.floor(
-                        (F.col("_v").cast("double") - F.col("_vlo")) / width
-                    ),
-                )
-            ),
-        )
-        .drop("_vlo", "_vhi")
-    )
+    bucketed = with_range_bucket(pairs, "_v", buckets)
     per_bucket = bucketed.groupBy("_g", "_b").agg(
         F.sum("_w").alias("_wb")
     )

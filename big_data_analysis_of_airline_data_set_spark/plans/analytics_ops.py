@@ -31,6 +31,8 @@ from ..stats.regression import (
 from .patterns import hll_sql_parts
 from .spec import QuerySpec
 
+_US_DAY = 86_400_000_000
+
 _HLL_P = 8
 
 
@@ -282,7 +284,6 @@ FROM s1
 
 # --------------------- RFM quartile segmentation ---------------------
 
-_US_PER_DAY = 86_400_000_000
 
 
 def q_events_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -317,7 +318,7 @@ def q_events_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     anchor = per.agg(F.max("last_us").alias("anchor_us"))
     base = per.crossJoin(F.broadcast(anchor)).select(
         "user_id",
-        F.expr(f"(anchor_us - last_us) div {_US_PER_DAY}").alias(
+        F.expr(f"(anchor_us - last_us) div {_US_DAY}").alias(
             "recency_days"
         ),
         "frequency",
@@ -357,7 +358,7 @@ WITH per AS (
 ), anc AS (SELECT max(last_us) AS anchor_us FROM per),
 base AS (
   SELECT user_id,
-         CAST((anchor_us - last_us) // {_US_PER_DAY} AS BIGINT)
+         CAST((anchor_us - last_us) // {_US_DAY} AS BIGINT)
            AS recency_days,
          frequency, monetary
   FROM per CROSS JOIN anc
@@ -533,7 +534,6 @@ FROM {prev} GROUP BY label
 
 # --------------------- CUSUM change-point ---------------------
 
-_US_DAY = 86_400_000_000
 
 
 def q_events_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1592,11 +1592,6 @@ def q_events_forecast_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.abs(F.col("n") - F.col("n_lag7")),
             )
         ).cast("long").alias("ae7"),
-        F.count(
-            F.when(
-                F.col("n_lag7").isNotNull() & F.col("n_lag1").isNotNull(), 1
-            )
-        ).cast("long").alias("n_both"),
         F.sum(
             F.when(
                 F.col("n_lag7").isNotNull() & F.col("n_lag1").isNotNull(),

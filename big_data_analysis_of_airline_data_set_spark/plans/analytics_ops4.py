@@ -489,35 +489,28 @@ def q_embedding_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-cluster size and mean squared distance.
 
     Engine parity: coordinates quantize to integer micro-units
-    (floor(x·10⁶ + 0.5) — exact in BIGINT), so squared distances are
-    EXACT integers and the argmin is a deterministic (d², cid)
-    struct-min — no float comparison anywhere until the reported
-    mean. Scale shape: the 8 centroids broadcast; the distance fold
-    is a codegen zip_with/aggregate over each row's array (no 64×
-    explode, no Python UDF); one hash agg per cluster ends it."""
+    (operators/vector_quant.py:quantize_micro — exact in BIGINT), so
+    squared distances are EXACT integers and the argmin is a
+    deterministic (d², cid) struct-min — no float comparison
+    anywhere until the reported mean. Scale shape: the 8 centroids
+    broadcast; the distance fold is a codegen zip_with/aggregate
+    over each row's array (no 64× explode, no Python UDF); one hash
+    agg per cluster ends it."""
+    from ..operators.vector_quant import quantize_micro, squared_distance
+
     emb = read_testdata_table(spark, sf_dir, "embeddings")
-
-    def quant(col):
-        return F.transform(
-            col,
-            lambda x: F.floor(
-                x.cast("double") * F.lit(1_000_000.0) + F.lit(0.5)
-            ).cast("long"),
-        )
-
-    vecs = emb.select("vec_id", quant(F.col("embedding")).alias("vq"))
+    vecs = emb.select(
+        "vec_id", quantize_micro(F.col("embedding")).alias("vq")
+    )
     cents = (
         emb.orderBy("vec_id")
         .limit(8)
         .select(
-            F.col("vec_id").alias("cid"), quant(F.col("embedding")).alias("cq")
+            F.col("vec_id").alias("cid"),
+            quantize_micro(F.col("embedding")).alias("cq"),
         )
     )
-    d2 = F.aggregate(
-        F.zip_with(F.col("vq"), F.col("cq"), lambda a, b: (a - b) * (a - b)),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc + x,
-    )
+    d2 = squared_distance(F.col("vq"), F.col("cq"))
     best = (
         vecs.crossJoin(F.broadcast(cents))
         .select("vec_id", F.struct(d2.alias("d2"), F.col("cid")).alias("s"))

@@ -197,21 +197,17 @@ def q_embedding_pq_codebook(spark: SparkSession, sf_dir: str) -> DataFrame:
     index, whose 8-byte codes replace 256-byte vectors at serving
     time.
 
-    Engine parity: same integer micro-unit quantization as
-    embedding_kmeans_assign — distances are EXACT BIGINTs, argmin is
-    a (d², cid) struct-min. Scale shape: the subspace split is a
-    codegen transform over a sequence literal (8 structs per row,
-    not 64 exploded cells); 32 centroid sub-vectors broadcast; one
-    hash agg on (subspace, cid) ends it."""
-    emb = read_testdata_table(spark, sf_dir, "embeddings")
+    Engine parity: the same shared integer micro-unit quantization
+    as embedding_kmeans_assign
+    (operators/vector_quant.py:quantize_micro) — distances are EXACT
+    BIGINTs, argmin is a (d², cid) struct-min. Scale shape: the
+    subspace split is a codegen transform over a sequence literal
+    (8 structs per row, not 64 exploded cells); 32 centroid
+    sub-vectors broadcast; one hash agg on (subspace, cid) ends
+    it."""
+    from ..operators.vector_quant import quantize_micro, squared_distance
 
-    def quant(col):
-        return F.transform(
-            col,
-            lambda x: F.floor(
-                x.cast("double") * F.lit(1_000_000.0) + F.lit(0.5)
-            ).cast("long"),
-        )
+    emb = read_testdata_table(spark, sf_dir, "embeddings")
 
     def subspaces(qcol, out_sub, out_arr):
         # 8 subspaces of 8 dims: slice(j*8+1, 8) for j in 0..7
@@ -223,21 +219,17 @@ def q_embedding_pq_codebook(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias(out_sub, out_arr)
 
     vecs = emb.select(
-        "vec_id", subspaces(quant(F.col("embedding")), "sub", "vq")
+        "vec_id", subspaces(quantize_micro(F.col("embedding")), "sub", "vq")
     )
     cents = (
         emb.orderBy("vec_id")
         .limit(4)
         .select(
             F.col("vec_id").alias("cid"),
-            subspaces(quant(F.col("embedding")), "csub", "cq"),
+            subspaces(quantize_micro(F.col("embedding")), "csub", "cq"),
         )
     )
-    d2 = F.aggregate(
-        F.zip_with(F.col("vq"), F.col("cq"), lambda a, b: (a - b) * (a - b)),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc + x,
-    )
+    d2 = squared_distance(F.col("vq"), F.col("cq"))
     best = (
         vecs.join(F.broadcast(cents), F.col("sub") == F.col("csub"))
         .select(

@@ -245,11 +245,16 @@ WELCH_DOF = (
 # integer rank moments (nad, nbd, u2a_d = 2·U_a, s_ties_d = Σ(t³−t)
 # as DOUBLE):  z = (U_a − n_a·n_b/2) / sqrt(var),
 # var = (n_a·n_b/12)·((n+1) − Σ(t³−t)/(n(n−1))).
+# The tie-correction denominator n(n−1) is itself nullif-guarded: a
+# single-row group would otherwise produce 0/0 = NaN, and 0 * NaN
+# defeats the outer nullif — the group must surface as NULL z, not
+# NaN (shared text, so both engines change together).
 MANNWHITNEY_Z = (
     "(((u2a_d / 2.0) - nad * nbd / 2.0)"
     " / sqrt(nullif((nad * nbd / 12.0)"
     "   * ((nad + nbd + 1.0)"
-    "      - s_ties_d / ((nad + nbd) * (nad + nbd - 1.0))), 0.0)))"
+    "      - s_ties_d / nullif((nad + nbd) * (nad + nbd - 1.0), 0.0)),"
+    " 0.0)))"
 )
 
 # Two-feature OLS normal equations by Cramer's rule over moment

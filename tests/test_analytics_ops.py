@@ -268,6 +268,21 @@ def test_mann_whitney_shifted_segments(spark):
         seg_b=1,
     ).collect()[0]
     assert trow["z_stat"] is None
+    # single-row group: the tie-correction denominator n(n-1) is 0 —
+    # must surface as NULL z (not NaN; 0/0 would defeat the outer
+    # nullif if the inner denominator were unguarded)
+    single = spark.createDataFrame(
+        [("g", 0, 1.0)], "g string, seg int, value double"
+    )
+    srow = mann_whitney_u(
+        single,
+        group_cols=["g"],
+        segment_col=F.col("seg"),
+        value_col="value",
+        seg_a=0,
+        seg_b=1,
+    ).collect()[0]
+    assert srow["z_stat"] is None
 
 
 def test_bm25_scores_ordered_and_positive(spark, sf_dir):

@@ -541,3 +541,26 @@ def test_peak_concurrency_touching_endpoints_inclusive(spark):
         tiebreak_cols=["user_id", "session_ordinal"],
     ).first()
     assert r.peak_concurrent == 2
+
+
+def test_peak_concurrency_pre_1970_floor_buckets(spark):
+    """Negative unix micros must FLOOR into bucket -1, matching a
+    DuckDB `//` replay — truncation-toward-zero (`div`) would fold
+    a 23:30-before-epoch interval into bucket 0."""
+    import datetime as dt
+
+    from big_data_analysis_of_airline_data_set_spark.operators.timeseries import (
+        peak_concurrency_by_bucket,
+    )
+
+    s = dt.datetime(1969, 12, 31, 23, 30)
+    df = spark.createDataFrame(
+        [(1, 1, s, s + dt.timedelta(minutes=10))],
+        "user_id long, session_ordinal long, s timestamp, e timestamp",
+    )
+    rows = peak_concurrency_by_bucket(
+        df, start_col="s", end_col="e",
+        tiebreak_cols=["user_id", "session_ordinal"],
+    ).collect()
+    assert [r.bucket for r in rows] == [-1]
+    assert rows[0].peak_concurrent == 1
