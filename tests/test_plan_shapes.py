@@ -468,3 +468,80 @@ def test_streamed_sketch_state_is_constant_sized(spark, sf_dir):
         stream_shuffle_partitions=4,
     )
     assert cells.count() <= _CMS_STREAM_DEPTH * _CMS_STREAM_WIDTH
+
+
+# --------------------- wave-7/8/9 plan guards ---------------------
+
+
+def test_q6_scan_only_all_predicates_pushed(spark, sf_dir):
+    """Q6 is the pure pushdown benchmark: every predicate reaches the
+    parquet scan and no row data is ever hash-shuffled (the only
+    exchange feeds the single-row final aggregate)."""
+    plan = _plan(spark, sf_dir, "tpch_q6_style")
+    flat = plan.replace(" ", "")
+    assert "PushedFilters" in plan
+    assert "GreaterThanOrEqual(l_discount,0.05)" in flat
+    assert "LessThanOrEqual(l_discount,0.07)" in flat
+    assert "LessThan(l_quantity,24.0)" in flat
+    assert "Exchange hashpartitioning" not in plan
+    read = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    assert "l_extendedprice" in read and "o_" not in read
+
+
+def test_q2_correlated_min_is_broadcast_not_smj(spark, sf_dir):
+    """The per-brand minima must come back as a broadcast, never a
+    sort-merge self-join of part."""
+    plan = _plan(spark, sf_dir, "tpch_q2_style")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    flat = plan.replace(" ", "")
+    assert "LessThanOrEqual(p_size,10)" in flat  # pushed to BOTH scans
+
+
+def test_q14_single_conditional_aggregation_pass(spark, sf_dir):
+    """Promo and total revenue accumulate in ONE partial+final
+    aggregation over the join — not two scans of lineitem."""
+    plan = _plan(spark, sf_dir, "tpch_q14_style")
+    # lineitem + part once each; formatted mode prints every node
+    # twice (tree line + detail section)
+    assert plan.count("Scan parquet") <= 4
+    assert "partial_" in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_q4_exists_is_left_semi(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "tpch_q4_style")
+    assert "LeftSemi" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_top_n_queries_use_partial_topk(spark, sf_dir):
+    for name in ("tpch_q10_style", "tpch_q18_style"):
+        plan = _plan(spark, sf_dir, name)
+        assert "TakeOrderedAndProject" in plan, name
+
+
+def test_kmeans_distance_fold_no_explode_no_python(spark, sf_dir):
+    """The k-means distance computation must stay a codegen HOF fold:
+    no Generate (explode fan-out) and no Python evaluation; the 8-row
+    centroid side rides a broadcast nested-loop join by design."""
+    plan = _plan(spark, sf_dir, "embedding_kmeans_assign")
+    assert "Generate" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "BroadcastNestedLoopJoin" in plan
+
+
+def test_decile_lift_rownumber_confined_to_buckets(spark, sf_dir):
+    """The gains table's only full-data window is row_number
+    partitioned by the range bucket — the global-frame windows
+    (offsets, cumulative shares) run on buckets/deciles-sized rows.
+    Guard: a row_number window spec partitioned by _b exists, and no
+    row_number runs unpartitioned."""
+    plan = _plan(spark, sf_dir, "customer_decile_lift")
+    flat = plan.replace(" ", "")
+    assert "row_number" in flat
+    assert "partitionBy_b" not in flat  # sanity: formatted uses brackets
+    import re
+
+    rn_specs = re.findall(r"row_number\(\)[^\n]*", flat)
+    assert rn_specs and all("[_b" in s for s in rn_specs)
