@@ -263,6 +263,10 @@ R6D_OPS = [
     "tpch_q20_style",
     "embedding_pq_codebook",
     "events_gap_stats",
+    # wave 10 (plans/analytics_ops6.py)
+    "events_funnel_ttc",
+    "stats_power_analysis",
+    "events_cohort_ltv",
 ]
 
 # Like ml_quick_fit: 3 TVS LR fits (full/uni/var feature sets) timed

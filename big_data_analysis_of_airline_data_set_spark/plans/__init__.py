@@ -14,6 +14,7 @@ from . import (
     analytics_ops3,
     analytics_ops4,
     analytics_ops5,
+    analytics_ops6,
     content,
     curation_queries,
     events_queries,
@@ -46,6 +47,7 @@ _MODULES = [
     analytics_ops3,
     analytics_ops4,
     analytics_ops5,
+    analytics_ops6,
 ]
 
 # The driver's correctness harness records only the first 50 registry
@@ -130,7 +132,10 @@ _CORRECTNESS_WINDOW = [
     # tests/test_sources.py) and join that r7 queue, as does the
     # wave-9 catalog (plans/analytics_ops5.py: tpch_q6/q11/q20-style
     # completing all 22 adapted TPC-H shapes, embedding_pq_codebook,
-    # events_gap_stats; tests/test_analytics_ops5.py).
+    # events_gap_stats; tests/test_analytics_ops5.py) and the
+    # wave-10 catalog (plans/analytics_ops6.py: events_funnel_ttc,
+    # stats_power_analysis, events_cohort_ltv;
+    # tests/test_analytics_ops6.py).
     # (b) code changed this round (round-5 verdict items 2/3/6 + the
     # ADVICE bloom/upsert fixes)
     "graph_triangles",

@@ -1,0 +1,334 @@
+"""Decision-support analytics catalog, wave 10: funnel
+time-to-convert (the duration companion to the count funnel), A/B
+sample-size power analysis (the planning companion to the Welch/
+CUPED/z-test readouts), and weekly cohort LTV.
+
+No reference analogue (mosama1994 Scripts/1-2 are single-table).
+Catalog contract as everywhere: decimal/integer-exact accumulation,
+IEEE-identical float division, round(6) statistics.
+
+All three entries are 3-sf builder-verified
+(tests/test_analytics_ops6.py) and queue at the head of the r7
+correctness rotation with the earlier round-6 waves."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.weighted_quantile import weighted_median
+from ..sources.readers import read_testdata_table
+from .spec import QuerySpec
+
+_US_DAY = 86_400_000_000
+_US_SEC = 1_000_000
+
+# (z_{0.975} + z_{0.80})² for the two-sided α=0.05, power=0.80 design
+# — a transcendental-free literal pinned in Python and shipped
+# IDENTICALLY to both engines (erf/quantile functions differ between
+# JVM and C++ libm; a literal cannot).
+_Z_ALPHA = 1.959964
+_Z_BETA = 0.841621
+_Z2 = (_Z_ALPHA + _Z_BETA) ** 2
+_MDE_FRACTION = 0.05  # detect a 5% lift on the baseline mean
+
+
+# ------------- funnel time-to-convert -------------
+
+
+def q_events_funnel_ttc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-to-convert between funnel steps (view→click,
+    click→purchase): per-stage converter count, mean gap, and the
+    exact lower-median gap in whole seconds.
+
+    Scale shape: the funnel stage frames reduce to one row per user
+    before any join (same discipline as events_funnel); the median
+    runs on operators/weighted_quantile.py:weighted_median with unit
+    weights — range-bucketed prefix counts, ordered window only
+    inside the crossing bucket, never a whole-stage sort. Gaps are
+    exact integer seconds (micros div 10⁶ on positive gaps), so sums
+    stay in BIGINT/DECIMAL and only the mean divides as float."""
+    ev = read_testdata_table(spark, sf_dir, "events")
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(F.broadcast(v), "user_id")
+        .filter(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"), F.min("t1").alias("t1k"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(F.broadcast(c), "user_id")
+        .filter(F.col("ts") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"), F.min("t2").alias("t2k"))
+    )
+    # integer division, not /-then-cast: Spark's cast-to-long
+    # truncates while DuckDB's CAST rounds — div/// agree on the
+    # positive gaps
+    gap_vc = c.select(
+        F.lit("view_to_click").alias("stage"),
+        F.expr(
+            f"(unix_micros(t2) - unix_micros(t1k)) div {_US_SEC}"
+        ).alias("gap_s"),
+    )
+    gap_cp = p.select(
+        F.lit("click_to_purchase").alias("stage"),
+        F.expr(
+            f"(unix_micros(t3) - unix_micros(t2k)) div {_US_SEC}"
+        ).alias("gap_s"),
+    )
+    # gaps feeds the median operator (3 refs internally) AND the
+    # mean aggregate — checkpoint once here
+    gaps = gap_vc.unionByName(gap_cp).localCheckpoint(eager=False)
+    med = weighted_median(
+        gaps,
+        group="stage",
+        val="gap_s",
+        weight_expr=F.lit(1).cast("decimal(18,2)"),
+        buckets=64,
+    ).select(
+        "stage", F.col("weighted_median").alias("median_gap_s")
+    )
+    means = gaps.groupBy("stage").agg(
+        F.count(F.lit(1)).alias("n_converters"),
+        F.round(
+            F.sum("gap_s").cast("double") / F.count(F.lit(1)).cast("double"),
+            6,
+        ).alias("mean_gap_s"),
+    )
+    return (
+        means.join(med, "stage")
+        .select("stage", "n_converters", "mean_gap_s", "median_gap_s")
+        .orderBy("stage")
+    )
+
+
+_TTC_ORACLE = f"""
+WITH v AS (SELECT user_id, min(ts) AS t1 FROM events
+           WHERE event_type = 'view' GROUP BY user_id),
+c AS (SELECT e.user_id, min(e.ts) AS t2, min(v.t1) AS t1k FROM events e
+      JOIN v ON e.user_id = v.user_id
+      WHERE e.event_type = 'click' AND e.ts > v.t1 GROUP BY e.user_id),
+p AS (SELECT e.user_id, min(e.ts) AS t3, min(c.t2) AS t2k FROM events e
+      JOIN c ON e.user_id = c.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > c.t2 GROUP BY e.user_id),
+gaps AS (
+  SELECT 'view_to_click' AS stage,
+         (epoch_us(CAST(t2 AS TIMESTAMP))
+          - epoch_us(CAST(t1k AS TIMESTAMP))) // {_US_SEC} AS gap_s
+  FROM c
+  UNION ALL
+  SELECT 'click_to_purchase',
+         (epoch_us(CAST(t3 AS TIMESTAMP))
+          - epoch_us(CAST(t2k AS TIMESTAMP))) // {_US_SEC}
+  FROM p
+), cum AS (
+  SELECT stage, gap_s,
+         SUM(w) OVER (PARTITION BY stage ORDER BY gap_s
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS cw,
+         SUM(w) OVER (PARTITION BY stage) AS total
+  FROM (SELECT stage, gap_s,
+               SUM(CAST(1 AS DECIMAL(18,2))) AS w
+        FROM gaps GROUP BY 1, 2) d
+), med AS (
+  SELECT stage, min(gap_s) AS median_gap_s
+  FROM cum WHERE 2 * cw >= total GROUP BY stage
+)
+SELECT g.stage, count(*) AS n_converters,
+       round(CAST(SUM(g.gap_s) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6)
+         AS mean_gap_s,
+       min(m.median_gap_s) AS median_gap_s
+FROM gaps g JOIN med m ON g.stage = m.stage
+GROUP BY g.stage
+ORDER BY g.stage
+"""
+
+
+# ------------- A/B sample-size power analysis -------------
+
+
+def q_stats_power_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type A/B planning readout: from the per-user total
+    spend distribution, the users-per-arm needed to detect a 5% lift
+    at two-sided α=0.05 with 80% power —
+    n = ⌈2·σ²·(z_α/2+z_β)² / δ²⌉, δ = 5% of the mean.
+
+    Engine parity: per-user sums quantize to DECIMAL(18,6); mean and
+    sample variance derive from one exact power-sum pass (the
+    squared decimal sums stay inside hugeint/decimal128 range); the
+    z-constant SQUARE is a Python-pinned literal (libm-free); ceil
+    of the identical double is engine-identical. Degenerate types
+    (zero mean or single user) yield NULL via nullif."""
+    ev = read_testdata_table(spark, sf_dir, "events")
+    per_user = ev.groupBy("event_type", "user_id").agg(
+        F.sum(F.round(F.col("value"), 6).cast("decimal(18,6)")).alias("v")
+    )
+    agg = per_user.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum("v").cast("double").alias("sv"),
+        F.sum((F.col("v") * F.col("v")).cast("decimal(38,12)"))
+        .cast("double")
+        .alias("svv"),
+    )
+    nd = F.col("n_users").cast("double")
+    mean = F.col("sv") / nd
+    var = (F.col("svv") - F.col("sv") * F.col("sv") / nd) / F.nullif(
+        nd - F.lit(1.0), F.lit(0.0)
+    )
+    delta = F.lit(_MDE_FRACTION) * mean
+    n_arm = F.ceil(
+        F.lit(2.0) * var * F.lit(_Z2) / F.nullif(delta * delta, F.lit(0.0))
+    ).cast("long")
+    return agg.select(
+        "event_type",
+        "n_users",
+        F.round(mean, 6).alias("mean_v"),
+        F.round(var, 6).alias("var_v"),
+        n_arm.alias("n_per_arm"),
+    ).orderBy("event_type")
+
+
+_POWER_ORACLE = f"""
+WITH per_user AS (
+  SELECT event_type, user_id,
+         SUM(CAST(round(value, 6) AS DECIMAL(18,6))) AS v
+  FROM events GROUP BY 1, 2
+), agg AS (
+  SELECT event_type,
+         count(*) AS n_users,
+         CAST(SUM(v) AS DOUBLE) AS sv,
+         -- (19,6) operands force DuckDB's hugeint product path; the
+         -- (18,6)x(18,6) int64 fast path overflows on large per-user
+         -- sums (see the repo decimal-product gotcha)
+         CAST(SUM(CAST(v AS DECIMAL(19,6)) * CAST(v AS DECIMAL(19,6)))
+              AS DOUBLE) AS svv
+  FROM per_user GROUP BY 1
+)
+SELECT event_type, n_users,
+       round(sv / CAST(n_users AS DOUBLE), 6) AS mean_v,
+       round((svv - sv * sv / CAST(n_users AS DOUBLE))
+             / nullif(CAST(n_users AS DOUBLE) - 1.0, 0.0), 6) AS var_v,
+       CAST(ceil(2.0
+                 * ((svv - sv * sv / CAST(n_users AS DOUBLE))
+                    / nullif(CAST(n_users AS DOUBLE) - 1.0, 0.0))
+                 * {_Z2!r}
+                 / nullif(({_MDE_FRACTION!r} * sv / CAST(n_users AS DOUBLE))
+                          * ({_MDE_FRACTION!r} * sv
+                             / CAST(n_users AS DOUBLE)), 0.0))
+            AS BIGINT) AS n_per_arm
+FROM agg
+ORDER BY event_type
+"""
+
+
+# ------------- weekly cohort LTV -------------
+
+
+def q_events_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly-cohort lifetime value triangle: users cohort by their
+    first-activity week; revenue accumulates per (cohort_week,
+    weeks_since_first) with cohort size and cumulative LTV per user.
+
+    Scale shape: the cohort assignment is ONE per-user min
+    (broadcast back onto the user's own events via a keyed join —
+    both sides reduce/partition on user_id); the triangle frame is
+    O(weeks²) rows, so its cumulative window is bounded by the time
+    domain, never event volume. Revenue quantizes to DECIMAL(18,6);
+    the cumulative sum stays decimal until the final rounded
+    division."""
+    ev = read_testdata_table(spark, sf_dir, "events")
+    keyed = ev.select(
+        "user_id",
+        F.expr(f"(unix_micros(ts) div {_US_DAY}) div 7").alias("week"),
+        F.round(F.col("value"), 6).cast("decimal(18,6)").alias("v"),
+    )
+    first = keyed.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
+    joined = keyed.join(first, "user_id").withColumn(
+        "weeks_since", F.col("week") - F.col("cohort_week")
+    )
+    cohort_sizes = first.groupBy("cohort_week").agg(
+        F.count(F.lit(1)).alias("cohort_users")
+    )
+    tri = joined.groupBy("cohort_week", "weeks_since").agg(
+        F.sum("v").alias("rev")
+    )
+    from pyspark.sql.window import Window as W
+
+    cum_w = (
+        W.partitionBy("cohort_week")
+        .orderBy("weeks_since")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    return (
+        tri.withColumn("cum_rev", F.sum("rev").over(cum_w))
+        .join(F.broadcast(cohort_sizes), "cohort_week")
+        .select(
+            "cohort_week",
+            "weeks_since",
+            "cohort_users",
+            F.col("rev").cast("double").alias("week_revenue"),
+            F.round(
+                F.col("cum_rev").cast("double")
+                / F.col("cohort_users").cast("double"),
+                6,
+            ).alias("cum_ltv_per_user"),
+        )
+        .orderBy("cohort_week", "weeks_since")
+    )
+
+
+_LTV_ORACLE = f"""
+WITH keyed AS (
+  SELECT user_id,
+         (epoch_us(CAST(ts AS TIMESTAMP)) // {_US_DAY}) // 7 AS week,
+         CAST(round(value, 6) AS DECIMAL(18,6)) AS v
+  FROM events
+), first AS (
+  SELECT user_id, min(week) AS cohort_week FROM keyed GROUP BY 1
+), sizes AS (
+  SELECT cohort_week, count(*) AS cohort_users FROM first GROUP BY 1
+), tri AS (
+  SELECT f.cohort_week, k.week - f.cohort_week AS weeks_since,
+         SUM(k.v) AS rev
+  FROM keyed k JOIN first f ON k.user_id = f.user_id
+  GROUP BY 1, 2
+)
+SELECT t.cohort_week, t.weeks_since, s.cohort_users,
+       CAST(t.rev AS DOUBLE) AS week_revenue,
+       round(CAST(SUM(t.rev) OVER (PARTITION BY t.cohort_week
+                                   ORDER BY t.weeks_since
+                                   ROWS BETWEEN UNBOUNDED PRECEDING
+                                   AND CURRENT ROW) AS DOUBLE)
+             / CAST(s.cohort_users AS DOUBLE), 6) AS cum_ltv_per_user
+FROM tri t JOIN sizes s ON t.cohort_week = s.cohort_week
+ORDER BY t.cohort_week, t.weeks_since
+"""
+
+
+QUERIES = {
+    "events_funnel_ttc": QuerySpec(
+        "events_funnel_ttc",
+        q_events_funnel_ttc,
+        _TTC_ORACLE,
+        "Funnel step time-to-convert: mean + bucketed exact median",
+    ),
+    "stats_power_analysis": QuerySpec(
+        "stats_power_analysis",
+        q_stats_power_analysis,
+        _POWER_ORACLE,
+        "A/B users-per-arm from exact variance, libm-free constants",
+    ),
+    "events_cohort_ltv": QuerySpec(
+        "events_cohort_ltv",
+        q_events_cohort_ltv,
+        _LTV_ORACLE,
+        "Weekly cohort LTV triangle with decimal cumulative revenue",
+    ),
+}

