@@ -267,6 +267,7 @@ R6D_OPS = [
     "events_funnel_ttc",
     "stats_power_analysis",
     "events_cohort_ltv",
+    "events_funnel_windowed",
 ]
 
 # Like ml_quick_fit: 3 TVS LR fits (full/uni/var feature sets) timed

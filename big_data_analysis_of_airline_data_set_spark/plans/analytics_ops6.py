@@ -312,6 +312,75 @@ ORDER BY t.cohort_week, t.weeks_since
 """
 
 
+# ------------- conversion-window funnel -------------
+
+
+def q_events_funnel_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The count funnel with a CONVERSION WINDOW: a click counts only
+    within 7 days of the first view, a purchase only within 7 days
+    of the qualifying click — the production funnel semantics
+    (unbounded funnels overcount by attributing unrelated late
+    events).
+
+    Scale shape: identical reduction discipline to events_funnel —
+    each stage reduces to one row per user before the next broadcast
+    join; the window bound rides the stage filter, costing
+    nothing."""
+    ev = read_testdata_table(spark, sf_dir, "events")
+    win = F.expr("INTERVAL 7 DAYS")
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(F.broadcast(v), "user_id")
+        .filter((F.col("ts") > F.col("t1")) & (F.col("ts") <= F.col("t1") + win))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(F.broadcast(c), "user_id")
+        .filter((F.col("ts") > F.col("t2")) & (F.col("ts") <= F.col("t2") + win))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+
+    def step(df: DataFrame, n: int, stage: str) -> DataFrame:
+        return df.agg(F.count(F.lit(1)).alias("n_users")).select(
+            F.lit(n).cast("long").alias("step"),
+            F.lit(stage).alias("stage"),
+            "n_users",
+        )
+
+    return (
+        step(v, 1, "view")
+        .unionByName(step(c, 2, "click_7d"))
+        .unionByName(step(p, 3, "purchase_7d"))
+    )
+
+
+_FUNNEL_WINDOWED_ORACLE = """
+WITH v AS (SELECT user_id, min(ts) AS t1 FROM events
+           WHERE event_type = 'view' GROUP BY user_id),
+c AS (SELECT e.user_id, min(e.ts) AS t2 FROM events e
+      JOIN v ON e.user_id = v.user_id
+      WHERE e.event_type = 'click' AND e.ts > v.t1
+        AND e.ts <= v.t1 + INTERVAL 7 DAY
+      GROUP BY e.user_id),
+p AS (SELECT e.user_id, min(e.ts) AS t3 FROM events e
+      JOIN c ON e.user_id = c.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > c.t2
+        AND e.ts <= c.t2 + INTERVAL 7 DAY
+      GROUP BY e.user_id)
+SELECT CAST(1 AS BIGINT) AS step, 'view' AS stage, count(*) AS n_users FROM v
+UNION ALL SELECT 2, 'click_7d', count(*) FROM c
+UNION ALL SELECT 3, 'purchase_7d', count(*) FROM p
+"""
+
+
 QUERIES = {
     "events_funnel_ttc": QuerySpec(
         "events_funnel_ttc",
@@ -330,5 +399,11 @@ QUERIES = {
         q_events_cohort_ltv,
         _LTV_ORACLE,
         "Weekly cohort LTV triangle with decimal cumulative revenue",
+    ),
+    "events_funnel_windowed": QuerySpec(
+        "events_funnel_windowed",
+        q_events_funnel_windowed,
+        _FUNNEL_WINDOWED_ORACLE,
+        "Funnel with a 7-day conversion window per step",
     ),
 }

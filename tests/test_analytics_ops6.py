@@ -13,6 +13,7 @@ NEW_OPS = [
     "events_funnel_ttc",
     "stats_power_analysis",
     "events_cohort_ltv",
+    "events_funnel_windowed",
 ]
 
 
@@ -34,6 +35,23 @@ def test_ttc_converter_counts_match_funnel(spark, sf_dir):
     }
     assert ttc["view_to_click"] == funnel["click"]
     assert ttc["click_to_purchase"] == funnel["purchase"]
+
+
+def test_windowed_funnel_bounded_by_unbounded(spark, sf_dir):
+    """Each windowed step can never exceed its unbounded twin."""
+    unb = {
+        r.step: r.n_users
+        for r in all_queries()["events_funnel"].fn(spark, sf_dir).collect()
+    }
+    win = {
+        r.step: r.n_users
+        for r in all_queries()["events_funnel_windowed"]
+        .fn(spark, sf_dir)
+        .collect()
+    }
+    assert win[1] == unb[1]
+    assert win[2] <= unb[2]
+    assert win[3] <= unb[3]
 
 
 def test_power_analysis_scales_inverse_square_with_mde(spark, sf_dir):
