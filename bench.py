@@ -268,6 +268,8 @@ R6D_OPS = [
     "stats_power_analysis",
     "events_cohort_ltv",
     "events_funnel_windowed",
+    "curation_temperature_mixture",
+    "graph_degree_histogram",
 ]
 
 # Like ml_quick_fit: 3 TVS LR fits (full/uni/var feature sets) timed

@@ -381,6 +381,105 @@ UNION ALL SELECT 3, 'purchase_7d', count(*) FROM p
 """
 
 
+# ------------- temperature-smoothed domain mixture -------------
+
+
+def q_curation_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-smoothed source mixture for training-data
+    sampling (τ = 0.5): target share ∝ n^τ, the standard fix for
+    head-domain domination (raw sampling) vs uniform (τ→0). Reports
+    per source the raw share, the smoothed target share, and the
+    implied up/down-sampling factor.
+
+    Engine parity: τ = 0.5 makes the smoothing a SQRT — IEEE-exact
+    and identical in both engines, unlike a general pow/exp·ln
+    (libm-divergent). One count aggregation; the share denominators
+    are 2-number scalars broadcast back."""
+    docs = read_testdata_table(spark, sf_dir, "documents")
+    counts = docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    sq = F.sqrt(F.col("n_docs").cast("double"))
+    tot = counts.agg(
+        F.sum("n_docs").cast("double").alias("tot_n"),
+        F.sum(sq).alias("tot_sq"),
+    )
+    raw = F.col("n_docs").cast("double") / F.col("tot_n")
+    temp = sq / F.col("tot_sq")
+    return (
+        counts.crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "n_docs",
+            F.round(raw, 6).alias("raw_share"),
+            F.round(temp, 6).alias("temp_share"),
+            F.round(temp / raw, 6).alias("sample_factor"),
+        )
+        .orderBy("source")
+    )
+
+
+_TEMPERATURE_ORACLE = """
+WITH counts AS (
+  SELECT source, count(*) AS n_docs FROM documents GROUP BY 1
+), tot AS (
+  SELECT CAST(SUM(n_docs) AS DOUBLE) AS tot_n,
+         SUM(sqrt(CAST(n_docs AS DOUBLE))) AS tot_sq
+  FROM counts
+)
+SELECT source, n_docs,
+       round(CAST(n_docs AS DOUBLE) / tot_n, 6) AS raw_share,
+       round(sqrt(CAST(n_docs AS DOUBLE)) / tot_sq, 6) AS temp_share,
+       round((sqrt(CAST(n_docs AS DOUBLE)) / tot_sq)
+             / (CAST(n_docs AS DOUBLE) / tot_n), 6) AS sample_factor
+FROM counts, tot
+ORDER BY source
+"""
+
+
+# ------------- bit-length-binned degree distribution -------------
+
+
+def q_graph_degree_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log₂-binned degree distribution of the customer→order
+    bipartite graph (the first diagnostic before choosing a skew
+    strategy: how heavy is the degree tail?).
+
+    Engine parity: the bin is the integer BIT LENGTH of the degree —
+    LENGTH(BIN(deg)) is the engine-neutral floor(log₂)+1 (both
+    engines print minimal binary strings; float log2 misbins at
+    power-of-two boundaries, see the repo gotcha). All counts
+    exact."""
+    orders = read_testdata_table(spark, sf_dir, "orders")
+    deg = orders.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).alias("deg")
+    )
+    return (
+        deg.groupBy(
+            F.length(F.bin(F.col("deg"))).cast("long").alias("deg_bits")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.min("deg").alias("min_deg"),
+            F.max("deg").alias("max_deg"),
+            F.sum("deg").alias("total_orders"),
+        )
+        .orderBy("deg_bits")
+    )
+
+
+_DEGREE_ORACLE = """
+SELECT CAST(length(bin(deg)) AS BIGINT) AS deg_bits,
+       count(*) AS n_customers,
+       min(deg) AS min_deg,
+       max(deg) AS max_deg,
+       CAST(SUM(deg) AS BIGINT) AS total_orders
+FROM (SELECT o_custkey, count(*) AS deg FROM orders GROUP BY 1) d
+GROUP BY 1
+ORDER BY 1
+"""
+
+
 QUERIES = {
     "events_funnel_ttc": QuerySpec(
         "events_funnel_ttc",
@@ -405,5 +504,17 @@ QUERIES = {
         q_events_funnel_windowed,
         _FUNNEL_WINDOWED_ORACLE,
         "Funnel with a 7-day conversion window per step",
+    ),
+    "curation_temperature_mixture": QuerySpec(
+        "curation_temperature_mixture",
+        q_curation_temperature_mixture,
+        _TEMPERATURE_ORACLE,
+        "Sqrt-temperature source mixture with sampling factors",
+    ),
+    "graph_degree_histogram": QuerySpec(
+        "graph_degree_histogram",
+        q_graph_degree_histogram,
+        _DEGREE_ORACLE,
+        "Bit-length-binned degree distribution (skew diagnostic)",
     ),
 }

@@ -14,6 +14,8 @@ NEW_OPS = [
     "stats_power_analysis",
     "events_cohort_ltv",
     "events_funnel_windowed",
+    "curation_temperature_mixture",
+    "graph_degree_histogram",
 ]
 
 
@@ -77,3 +79,39 @@ def test_cohort_ltv_monotone_cumulative(spark, sf_dir):
         series.sort()
         vals = [v for _, v in series]
         assert vals == sorted(vals)
+
+
+def test_temperature_mixture_shares_sum_to_one(spark, sf_dir):
+    import math
+
+    rows = (
+        all_queries()["curation_temperature_mixture"]
+        .fn(spark, sf_dir)
+        .collect()
+    )
+    assert math.isclose(sum(r.raw_share for r in rows), 1.0, abs_tol=1e-4)
+    assert math.isclose(sum(r.temp_share for r in rows), 1.0, abs_tol=1e-4)
+    # sqrt smoothing moves every factor TOWARD 1 from the raw share
+    for r in rows:
+        if r.raw_share < max(x.raw_share for x in rows):
+            assert r.sample_factor >= 1.0 or abs(r.sample_factor - 1.0) < 1e-6
+
+
+def test_degree_histogram_partitions_all_customers(spark, sf_dir):
+    from big_data_analysis_of_airline_data_set_spark.sources.readers import (
+        read_testdata_table,
+    )
+    import pyspark.sql.functions as F
+
+    rows = all_queries()["graph_degree_histogram"].fn(spark, sf_dir).collect()
+    n_cust = (
+        read_testdata_table(spark, sf_dir, "orders")
+        .select("o_custkey")
+        .distinct()
+        .count()
+    )
+    assert sum(r.n_customers for r in rows) == n_cust
+    for r in rows:
+        # bin invariant: 2^(bits-1) <= deg < 2^bits
+        assert 2 ** (r.deg_bits - 1) <= r.min_deg
+        assert r.max_deg < 2**r.deg_bits
