@@ -102,3 +102,28 @@ def test_ntile_formula_matches_spark_ntile(spark, n):
     a = {r.r: r.t for r in via_formula.collect()}
     b = {r.r: r.t for r in via_ntile.collect()}
     assert a == b
+
+
+def test_rank_matches_python_sort_seeded_random(spark):
+    """Seeded randomized consistency: distributed bucketed rank must
+    equal the Python sort rank on (v desc, k asc), ties included."""
+    import random
+
+    rnd = random.Random(777)
+    rows = [(float(rnd.randint(0, 30)), k) for k in range(300)]
+    from big_data_analysis_of_airline_data_set_spark.operators.ranking import (
+        bucketed_global_rank,
+    )
+
+    df = spark.createDataFrame(rows, "v double, k long")
+    got = {
+        (r.v, r.k): r._rank
+        for r in bucketed_global_rank(df, "v", "k", buckets=16).collect()
+    }
+    want = {
+        (v, k): i + 1
+        for i, (v, k) in enumerate(
+            sorted(rows, key=lambda t: (-t[0], t[1]))
+        )
+    }
+    assert got == want

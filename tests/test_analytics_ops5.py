@@ -53,3 +53,57 @@ def test_gap_stats_mean_bounded_by_max(spark, sf_dir):
     for r in out.collect():
         assert 0.0 <= r.mean_gap_s <= r.max_gap_s
         assert 0.0 <= r.share_gt_1h <= 1.0
+
+
+def test_pq_subspace_assignment_matches_bruteforce(spark):
+    """Seeded randomized consistency: for a small synthetic table,
+    the distributed PQ argmin must equal a NumPy brute-force
+    computation of the same integer-quantized distances."""
+    import numpy as np
+
+    rng = np.random.default_rng(777)
+    n, d = 40, 16  # 2 subspaces of 8 when sliced the same way
+    vecs = rng.uniform(-0.5, 0.5, size=(n, d)).astype("float32")
+
+    from pyspark.sql import functions as F
+
+    from big_data_analysis_of_airline_data_set_spark.operators.vector_quant import (
+        quantize_micro,
+        squared_distance,
+    )
+
+    df = spark.createDataFrame(
+        [(int(i), [float(x) for x in vecs[i]]) for i in range(n)],
+        "vec_id long, embedding array<float>",
+    )
+    q = df.select("vec_id", quantize_micro(F.col("embedding")).alias("vq"))
+    cents = (
+        df.orderBy("vec_id")
+        .limit(4)
+        .select(
+            F.col("vec_id").alias("cid"),
+            quantize_micro(F.col("embedding")).alias("cq"),
+        )
+    )
+    best = (
+        q.crossJoin(F.broadcast(cents))
+        .select(
+            "vec_id",
+            F.struct(
+                squared_distance(F.col("vq"), F.col("cq")).alias("d2"),
+                F.col("cid"),
+            ).alias("s"),
+        )
+        .groupBy("vec_id")
+        .agg(F.min("s").alias("s"))
+        .select("vec_id", F.col("s.cid").alias("cid"))
+    )
+    got = {r.vec_id: r.cid for r in best.collect()}
+
+    qv = np.floor(vecs.astype("float64") * 1e6 + 0.5).astype("int64")
+    cq = qv[:4]
+    for i in range(n):
+        d2 = ((qv[i][None, :] - cq) ** 2).sum(axis=1)
+        # argmin with (d2, cid) tiebreak
+        want = min(range(4), key=lambda c: (d2[c], c))
+        assert got[i] == want, (i, got[i], want, d2.tolist())
