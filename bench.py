@@ -270,6 +270,8 @@ R6D_OPS = [
     "events_funnel_windowed",
     "curation_temperature_mixture",
     "graph_degree_histogram",
+    "stats_srm_check",
+    "stats_ratio_metric_ci",
 ]
 
 # Like ml_quick_fit: 3 TVS LR fits (full/uni/var feature sets) timed

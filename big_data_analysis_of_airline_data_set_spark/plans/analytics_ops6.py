@@ -381,6 +381,172 @@ UNION ALL SELECT 3, 'purchase_7d', count(*) FROM p
 """
 
 
+# ------------- hash-split sample-ratio-mismatch check -------------
+
+
+def q_stats_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample-ratio-mismatch audit of a deterministic 50/50 hash
+    split: users assign to arms by md5(user_id) parity — the
+    production assignment pattern — and the 1-dof χ² statistic
+    (n_a−n_b)²/(n_a+n_b) flags a broken split (the FIRST check run
+    on any experiment before reading its metrics).
+
+    Engine parity: md5 is the one hash both engines share
+    bit-for-bit (xxhash64 is Spark-only); the arm is the last hex
+    digit's parity. Counts are exact; the statistic is one float
+    division."""
+    ev = read_testdata_table(spark, sf_dir, "events")
+    arm = (
+        F.conv(
+            F.substring(F.md5(F.col("user_id").cast("string")), 32, 1),
+            16,
+            10,
+        ).cast("long")
+        % 2
+    )
+    users = ev.select("user_id").distinct().select(
+        "user_id", arm.alias("arm")
+    )
+    agg = users.agg(
+        F.sum(F.when(F.col("arm") == 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_a"),
+        F.sum(F.when(F.col("arm") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_b"),
+    )
+    diff = (F.col("n_a") - F.col("n_b")).cast("double")
+    tot = (F.col("n_a") + F.col("n_b")).cast("double")
+    return agg.select(
+        "n_a",
+        "n_b",
+        F.round(diff * diff / F.nullif(tot, F.lit(0.0)), 6).alias(
+            "srm_chi2"
+        ),
+        # 1-dof χ² critical value at α=0.001 — an SRM gate, pinned
+        # as a literal (no quantile function in either engine)
+        (diff * diff / F.nullif(tot, F.lit(0.0)) > 10.828).alias(
+            "srm_flag"
+        ),
+    )
+
+
+_SRM_ORACLE = """
+WITH users AS (
+  SELECT DISTINCT user_id,
+         CAST((strpos('0123456789abcdef',
+                      substr(md5(CAST(user_id AS VARCHAR)), 32, 1)) - 1)
+              % 2 AS BIGINT) AS arm
+  FROM events
+), agg AS (
+  SELECT CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+         CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b
+  FROM users
+)
+SELECT n_a, n_b,
+       round(CAST(n_a - n_b AS DOUBLE) * CAST(n_a - n_b AS DOUBLE)
+             / nullif(CAST(n_a + n_b AS DOUBLE), 0.0), 6) AS srm_chi2,
+       (CAST(n_a - n_b AS DOUBLE) * CAST(n_a - n_b AS DOUBLE)
+        / nullif(CAST(n_a + n_b AS DOUBLE), 0.0)) > 10.828 AS srm_flag
+FROM agg
+"""
+
+
+# ------------- delta-method ratio-metric CI -------------
+
+
+def q_stats_ratio_metric_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user ratio metric (clicks per view) with a delta-method
+    standard error: for R = X̄/Ȳ,
+    var(R) ≈ (var(X) − 2R·cov(X,Y) + R²·var(Y)) / (n·Ȳ²) — the
+    correct treatment of ratio metrics, which naive per-event division
+    gets wrong (users are the randomization unit, not events).
+
+    Engine parity: per-user click/view counts are exact integers, so
+    ALL five moment sums accumulate exactly in BIGINT; the ratio,
+    covariance combination, sqrt, and the ±1.959964 band are the
+    only float ops (z pinned as a literal). Degenerate inputs (zero
+    views or a single user) yield NULLs via nullif."""
+    ev = read_testdata_table(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.sum((F.col("event_type") == "click").cast("long")).alias("x"),
+        F.sum((F.col("event_type") == "view").cast("long")).alias("y"),
+    )
+    agg = per_user.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    nd = F.col("n_users").cast("double")
+    mx = F.col("sx").cast("double") / nd
+    my = F.col("sy").cast("double") / nd
+    nm1 = F.nullif(nd - F.lit(1.0), F.lit(0.0))
+    vx = (F.col("sxx").cast("double") - nd * mx * mx) / nm1
+    vy = (F.col("syy").cast("double") - nd * my * my) / nm1
+    cxy = (F.col("sxy").cast("double") - nd * mx * my) / nm1
+    r = mx / F.nullif(my, F.lit(0.0))
+    var_r = (vx - F.lit(2.0) * r * cxy + r * r * vy) / (
+        nd * F.nullif(my * my, F.lit(0.0))
+    )
+    se = F.sqrt(var_r)
+    z = F.lit(_Z_ALPHA)
+    return agg.select(
+        "n_users",
+        F.round(r, 6).alias("ratio"),
+        F.round(se, 6).alias("se"),
+        F.round(r - z * se, 6).alias("ci_lo"),
+        F.round(r + z * se, 6).alias("ci_hi"),
+    )
+
+
+_RATIO_ORACLE = f"""
+WITH per_user AS (
+  SELECT user_id,
+         CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+              AS BIGINT) AS x,
+         CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+              AS BIGINT) AS y
+  FROM events GROUP BY 1
+), agg AS (
+  SELECT count(*) AS n_users,
+         CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+         CAST(SUM(x * x) AS BIGINT) AS sxx,
+         CAST(SUM(y * y) AS BIGINT) AS syy,
+         CAST(SUM(x * y) AS BIGINT) AS sxy
+  FROM per_user
+), m AS (
+  SELECT n_users,
+         CAST(n_users AS DOUBLE) AS nd,
+         CAST(sx AS DOUBLE) / CAST(n_users AS DOUBLE) AS mx,
+         CAST(sy AS DOUBLE) / CAST(n_users AS DOUBLE) AS my,
+         CAST(sxx AS DOUBLE) AS sxxd, CAST(syy AS DOUBLE) AS syyd,
+         CAST(sxy AS DOUBLE) AS sxyd
+  FROM agg
+), s AS (
+  SELECT n_users, nd, mx, my,
+         (sxxd - nd * mx * mx) / nullif(nd - 1.0, 0.0) AS vx,
+         (syyd - nd * my * my) / nullif(nd - 1.0, 0.0) AS vy,
+         (sxyd - nd * mx * my) / nullif(nd - 1.0, 0.0) AS cxy,
+         mx / nullif(my, 0.0) AS r
+  FROM m
+), f AS (
+  SELECT n_users, r,
+         sqrt((vx - 2.0 * r * cxy + r * r * vy)
+              / (nd * nullif(my * my, 0.0))) AS se
+  FROM s
+)
+SELECT n_users,
+       round(r, 6) AS ratio,
+       round(se, 6) AS se,
+       round(r - {_Z_ALPHA!r} * se, 6) AS ci_lo,
+       round(r + {_Z_ALPHA!r} * se, 6) AS ci_hi
+FROM f
+"""
+
+
 # ------------- temperature-smoothed domain mixture -------------
 
 
@@ -516,5 +682,17 @@ QUERIES = {
         q_graph_degree_histogram,
         _DEGREE_ORACLE,
         "Bit-length-binned degree distribution (skew diagnostic)",
+    ),
+    "stats_srm_check": QuerySpec(
+        "stats_srm_check",
+        q_stats_srm_check,
+        _SRM_ORACLE,
+        "Sample-ratio-mismatch chi2 on an md5 50/50 hash split",
+    ),
+    "stats_ratio_metric_ci": QuerySpec(
+        "stats_ratio_metric_ci",
+        q_stats_ratio_metric_ci,
+        _RATIO_ORACLE,
+        "Delta-method CI for a per-user ratio metric",
     ),
 }

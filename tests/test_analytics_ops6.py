@@ -16,6 +16,8 @@ NEW_OPS = [
     "events_funnel_windowed",
     "curation_temperature_mixture",
     "graph_degree_histogram",
+    "stats_srm_check",
+    "stats_ratio_metric_ci",
 ]
 
 
@@ -115,3 +117,26 @@ def test_degree_histogram_partitions_all_customers(spark, sf_dir):
         # bin invariant: 2^(bits-1) <= deg < 2^bits
         assert 2 ** (r.deg_bits - 1) <= r.min_deg
         assert r.max_deg < 2**r.deg_bits
+
+
+def test_srm_split_is_balanced_and_complete(spark, sf_dir):
+    from big_data_analysis_of_airline_data_set_spark.sources.readers import (
+        read_testdata_table,
+    )
+
+    r = all_queries()["stats_srm_check"].fn(spark, sf_dir).collect()[0]
+    n_users = (
+        read_testdata_table(spark, sf_dir, "events")
+        .select("user_id")
+        .distinct()
+        .count()
+    )
+    assert r.n_a + r.n_b == n_users
+    # a genuine md5 50/50 split must not trip the alpha=0.001 gate
+    assert not r.srm_flag
+
+
+def test_ratio_ci_brackets_ratio(spark, sf_dir):
+    r = all_queries()["stats_ratio_metric_ci"].fn(spark, sf_dir).collect()[0]
+    assert r.ci_lo <= r.ratio <= r.ci_hi
+    assert r.se >= 0.0
