@@ -272,6 +272,8 @@ R6D_OPS = [
     "graph_degree_histogram",
     "stats_srm_check",
     "stats_ratio_metric_ci",
+    "rollup_share_of_parent",
+    "feature_hashing_audit",
 ]
 
 # Like ml_quick_fit: 3 TVS LR fits (full/uni/var feature sets) timed

@@ -15,6 +15,7 @@ from . import (
     analytics_ops4,
     analytics_ops5,
     analytics_ops6,
+    analytics_ops7,
     content,
     curation_queries,
     events_queries,
@@ -48,6 +49,7 @@ _MODULES = [
     analytics_ops4,
     analytics_ops5,
     analytics_ops6,
+    analytics_ops7,
 ]
 
 # The driver's correctness harness records only the first 50 registry
