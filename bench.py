@@ -274,6 +274,8 @@ R6D_OPS = [
     "stats_ratio_metric_ci",
     "rollup_share_of_parent",
     "feature_hashing_audit",
+    "events_disorder_audit",
+    "stats_anova_oneway",
 ]
 
 # Like ml_quick_fit: 3 TVS LR fits (full/uni/var feature sets) timed

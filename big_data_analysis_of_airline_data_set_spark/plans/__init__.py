@@ -16,6 +16,7 @@ from . import (
     analytics_ops5,
     analytics_ops6,
     analytics_ops7,
+    analytics_ops8,
     content,
     curation_queries,
     events_queries,
@@ -50,6 +51,7 @@ _MODULES = [
     analytics_ops5,
     analytics_ops6,
     analytics_ops7,
+    analytics_ops8,
 ]
 
 # The driver's correctness harness records only the first 50 registry
