@@ -276,6 +276,8 @@ R6D_OPS = [
     "feature_hashing_audit",
     "events_disorder_audit",
     "stats_anova_oneway",
+    "events_uplift_by_segment",
+    "orders_abc_classification",
 ]
 
 # Like ml_quick_fit: 3 TVS LR fits (full/uni/var feature sets) timed

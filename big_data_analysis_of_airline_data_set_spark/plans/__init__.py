@@ -17,6 +17,7 @@ from . import (
     analytics_ops6,
     analytics_ops7,
     analytics_ops8,
+    analytics_ops9,
     content,
     curation_queries,
     events_queries,
@@ -52,6 +53,7 @@ _MODULES = [
     analytics_ops6,
     analytics_ops7,
     analytics_ops8,
+    analytics_ops9,
 ]
 
 # The driver's correctness harness records only the first 50 registry
