@@ -39,12 +39,17 @@ def with_range_bucket(
         F.max(F.col(val).cast("double")).alias("_vhi"),
     )
     width = (F.col("_vhi") - F.col("_vlo")) / F.lit(float(buckets))
+    last = F.lit(buckets - 1).cast("long")
     idx = F.least(
-        F.lit(buckets - 1).cast("long"),
+        last,
         F.floor((F.col(val).cast("double") - F.col("_vlo")) / width),
     )
     if descending:
-        idx = F.lit(buckets - 1).cast("long") - idx
+        # NULL val must land in the LAST bucket in BOTH directions
+        # (nulls-last ordering). Ascending gets that for free —
+        # least() skips the NULL floor and yields buckets-1 — but the
+        # flip would send it to bucket 0, so guard explicitly.
+        idx = F.when(F.col(val).isNull(), last).otherwise(last - idx)
     return (
         df.join(F.broadcast(bounds))
         .withColumn(

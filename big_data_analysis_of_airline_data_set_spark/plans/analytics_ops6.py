@@ -17,6 +17,9 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators.weighted_quantile import weighted_median
+from ..functions.ab_assignment import (
+    md5_parity_arm_sql as _arm_sql,
+)
 from ..sources.readers import read_testdata_table
 from .spec import QuerySpec
 
@@ -219,9 +222,10 @@ SELECT event_type, n_users,
                  * ((svv - sv * sv / CAST(n_users AS DOUBLE))
                     / nullif(CAST(n_users AS DOUBLE) - 1.0, 0.0))
                  * {_Z2!r}
-                 / nullif(({_MDE_FRACTION!r} * sv / CAST(n_users AS DOUBLE))
-                          * ({_MDE_FRACTION!r} * sv
-                             / CAST(n_users AS DOUBLE)), 0.0))
+                 / nullif(({_MDE_FRACTION!r}
+                           * (sv / CAST(n_users AS DOUBLE)))
+                          * ({_MDE_FRACTION!r}
+                             * (sv / CAST(n_users AS DOUBLE))), 0.0))
             AS BIGINT) AS n_per_arm
 FROM agg
 ORDER BY event_type
@@ -395,17 +399,11 @@ def q_stats_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     bit-for-bit (xxhash64 is Spark-only); the arm is the last hex
     digit's parity. Counts are exact; the statistic is one float
     division."""
+    from ..functions.ab_assignment import md5_parity_arm
+
     ev = read_testdata_table(spark, sf_dir, "events")
-    arm = (
-        F.conv(
-            F.substring(F.md5(F.col("user_id").cast("string")), 32, 1),
-            16,
-            10,
-        ).cast("long")
-        % 2
-    )
     users = ev.select("user_id").distinct().select(
-        "user_id", arm.alias("arm")
+        "user_id", md5_parity_arm(F.col("user_id")).alias("arm")
     )
     agg = users.agg(
         F.sum(F.when(F.col("arm") == 0, 1).otherwise(0))
@@ -431,12 +429,9 @@ def q_stats_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_SRM_ORACLE = """
+_SRM_ORACLE = f"""
 WITH users AS (
-  SELECT DISTINCT user_id,
-         CAST((strpos('0123456789abcdef',
-                      substr(md5(CAST(user_id AS VARCHAR)), 32, 1)) - 1)
-              % 2 AS BIGINT) AS arm
+  SELECT DISTINCT user_id, {_arm_sql('user_id')} AS arm
   FROM events
 ), agg AS (
   SELECT CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
@@ -488,8 +483,13 @@ def q_stats_ratio_metric_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     vy = (F.col("syy").cast("double") - nd * my * my) / nm1
     cxy = (F.col("sxy").cast("double") - nd * mx * my) / nm1
     r = mx / F.nullif(my, F.lit(0.0))
-    var_r = (vx - F.lit(2.0) * r * cxy + r * r * vy) / (
-        nd * F.nullif(my * my, F.lit(0.0))
+    # float cancellation can land the mathematically-~0 variance a
+    # hair NEGATIVE on collinear data — Spark's sqrt would return
+    # NaN while DuckDB RAISES; clamp identically on both sides
+    var_r = F.greatest(
+        (vx - F.lit(2.0) * r * cxy + r * r * vy)
+        / (nd * F.nullif(my * my, F.lit(0.0))),
+        F.lit(0.0),
     )
     se = F.sqrt(var_r)
     z = F.lit(_Z_ALPHA)
@@ -534,8 +534,8 @@ WITH per_user AS (
   FROM m
 ), f AS (
   SELECT n_users, r,
-         sqrt((vx - 2.0 * r * cxy + r * r * vy)
-              / (nd * nullif(my * my, 0.0))) AS se
+         sqrt(greatest((vx - 2.0 * r * cxy + r * r * vy)
+                       / (nd * nullif(my * my, 0.0)), 0.0)) AS se
   FROM s
 )
 SELECT n_users,
@@ -565,13 +565,18 @@ def q_curation_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFram
     counts = docs.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_docs")
     )
-    sq = F.sqrt(F.col("n_docs").cast("double"))
+    # quantize each sqrt to 6 dp BEFORE summing: a raw double sum is
+    # order-dependent across partitions/engines (the repo's exact-
+    # accumulation contract); the decimal sum is exact
+    sq = F.round(F.sqrt(F.col("n_docs").cast("double")), 6).cast(
+        "decimal(18,6)"
+    )
     tot = counts.agg(
         F.sum("n_docs").cast("double").alias("tot_n"),
-        F.sum(sq).alias("tot_sq"),
+        F.sum(sq).cast("double").alias("tot_sq"),
     )
     raw = F.col("n_docs").cast("double") / F.col("tot_n")
-    temp = sq / F.col("tot_sq")
+    temp = sq.cast("double") / F.col("tot_sq")
     return (
         counts.crossJoin(F.broadcast(tot))
         .select(
@@ -590,13 +595,17 @@ WITH counts AS (
   SELECT source, count(*) AS n_docs FROM documents GROUP BY 1
 ), tot AS (
   SELECT CAST(SUM(n_docs) AS DOUBLE) AS tot_n,
-         SUM(sqrt(CAST(n_docs AS DOUBLE))) AS tot_sq
+         CAST(SUM(CAST(round(sqrt(CAST(n_docs AS DOUBLE)), 6)
+                       AS DECIMAL(18,6))) AS DOUBLE) AS tot_sq
   FROM counts
 )
 SELECT source, n_docs,
        round(CAST(n_docs AS DOUBLE) / tot_n, 6) AS raw_share,
-       round(sqrt(CAST(n_docs AS DOUBLE)) / tot_sq, 6) AS temp_share,
-       round((sqrt(CAST(n_docs AS DOUBLE)) / tot_sq)
+       round(CAST(CAST(round(sqrt(CAST(n_docs AS DOUBLE)), 6)
+                       AS DECIMAL(18,6)) AS DOUBLE) / tot_sq, 6)
+         AS temp_share,
+       round((CAST(CAST(round(sqrt(CAST(n_docs AS DOUBLE)), 6)
+                        AS DECIMAL(18,6)) AS DOUBLE) / tot_sq)
              / (CAST(n_docs AS DOUBLE) / tot_n), 6) AS sample_factor
 FROM counts, tot
 ORDER BY source

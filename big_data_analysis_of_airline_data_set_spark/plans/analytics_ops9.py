@@ -16,6 +16,9 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
+from ..functions.ab_assignment import (
+    md5_parity_arm_sql as _arm_sql,
+)
 from ..sources.readers import read_testdata_table
 from .spec import QuerySpec
 
@@ -40,15 +43,10 @@ def q_events_uplift_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
     nullif. Scale shape: one groupBy to user grain, one to
     (segment, arm) — 2 rows per segment — then a pivot-style
     conditional fold to one row per segment."""
+    from ..functions.ab_assignment import md5_parity_arm
+
     ev = read_testdata_table(spark, sf_dir, "events")
-    arm = (
-        F.conv(
-            F.substring(F.md5(F.col("user_id").cast("string")), 32, 1),
-            16,
-            10,
-        ).cast("long")
-        % 2
-    )
+    arm = md5_parity_arm(F.col("user_id"))
     per_user = ev.groupBy("event_type", "user_id").agg(
         F.sum(F.round(F.col("value"), 6).cast("decimal(18,6)")).alias("v")
     )
@@ -63,8 +61,12 @@ def q_events_uplift_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     nd = F.col("n").cast("double")
     mean = F.col("sv") / nd
-    var = (F.col("svv") - F.col("sv") * F.col("sv") / nd) / F.nullif(
-        nd - F.lit(1.0), F.lit(0.0)
+    # clamp at zero: an all-equal arm computes a tiny NEGATIVE
+    # variance by float cancellation — DuckDB's sqrt RAISES on it
+    var = F.greatest(
+        (F.col("svv") - F.col("sv") * F.col("sv") / nd)
+        / F.nullif(nd - F.lit(1.0), F.lit(0.0)),
+        F.lit(0.0),
     )
     m = per_arm.select(
         "event_type", "arm", "n", mean.alias("m"), (var / nd).alias("vn")
@@ -96,9 +98,7 @@ WITH per_user AS (
   FROM events GROUP BY 1, 2
 ), per_arm AS (
   SELECT event_type,
-         CAST((strpos('0123456789abcdef',
-                      substr(md5(CAST(user_id AS VARCHAR)), 32, 1)) - 1)
-              % 2 AS BIGINT) AS arm,
+         {_arm_sql('user_id')} AS arm,
          count(*) AS n,
          CAST(SUM(v) AS DOUBLE) AS sv,
          CAST(SUM(CAST(v AS DECIMAL(19,6)) * CAST(v AS DECIMAL(19,6)))
@@ -107,9 +107,9 @@ WITH per_user AS (
 ), m AS (
   SELECT event_type, arm, n,
          sv / CAST(n AS DOUBLE) AS m,
-         ((svv - sv * sv / CAST(n AS DOUBLE))
-          / nullif(CAST(n AS DOUBLE) - 1.0, 0.0)) / CAST(n AS DOUBLE)
-           AS vn
+         greatest((svv - sv * sv / CAST(n AS DOUBLE))
+                  / nullif(CAST(n AS DOUBLE) - 1.0, 0.0), 0.0)
+           / CAST(n AS DOUBLE) AS vn
   FROM per_arm
 ), folded AS (
   SELECT event_type,
