@@ -18,6 +18,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
+from ..operators.ranking import bucketed_global_rank, ntile_from_rank
 from ..sources.readers import read_testdata_table
 from ..stats.regression import (
     OLS2_B0,
@@ -290,17 +291,19 @@ def q_events_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RFM segmentation: per user, recency (whole days since the
     user's last event, anchored at the global latest event), frequency
     (event count), monetary (exact decimal value sum), each cut into
-    quartiles by ntile(4) with a user_id tie-break so the quartile
-    boundary is total-ordered and engine-identical; rfm_code packs the
-    three digits. Recency arithmetic is integer microseconds
+    quartiles with a user_id tie-break so the quartile boundary is
+    total-ordered and engine-identical; rfm_code packs the three
+    digits. Recency arithmetic is integer microseconds
     (unix_micros // us_per_day — no timezone, no date truncation).
 
-    Scale note: the three ntile windows are global single-partition
-    sorts over the USER-level frame (already aggregated — users, not
-    events). For planetary user counts, replace ntile with
-    approx-quantile cut points (the quantiles_approx pattern) and a
-    broadcast range join; exact ntile is kept here because the oracle
-    value-checks the quartile boundary semantics themselves."""
+    Scale shape: NTILE semantics without ntile's global ordered
+    window. Each of the three dimensions ranks via
+    operators/ranking.py:bucketed_global_rank (range-bucketed prefix
+    counts; row_number confined to one bucket's partition) and the
+    quartile is recomputed from (rank, n) in exact integer arithmetic
+    (ntile_from_rank) — three user-id-keyed joins instead of three
+    single-partition sorts of the user frame. The oracle value-checks
+    ntile(4) itself, proving the decomposition exact."""
     e = read_testdata_table(spark, sf_dir, "events")
     per = (
         e.groupBy("user_id")
@@ -316,34 +319,56 @@ def q_events_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint(eager=False)
     )
     anchor = per.agg(F.max("last_us").alias("anchor_us"))
-    base = per.crossJoin(F.broadcast(anchor)).select(
-        "user_id",
-        F.expr(f"(anchor_us - last_us) div {_US_DAY}").alias(
-            "recency_days"
-        ),
-        "frequency",
-        "monetary",
+    base = (
+        per.crossJoin(F.broadcast(anchor))
+        .select(
+            "user_id",
+            F.expr(f"(anchor_us - last_us) div {_US_DAY}").alias(
+                "recency_days"
+            ),
+            "frequency",
+            "monetary",
+        )
+        # referenced by the count scalar, three rank frames, and the
+        # final projection — one lazy checkpoint or the upstream
+        # aggregate runs five times
+        .localCheckpoint(eager=False)
     )
-    r_q = F.ntile(4).over(
-        W.orderBy(F.asc("recency_days"), F.asc("user_id"))
-    ).cast("long")
-    f_q = F.ntile(4).over(
-        W.orderBy(F.desc("frequency"), F.asc("user_id"))
-    ).cast("long")
-    m_q = F.ntile(4).over(
-        W.orderBy(F.desc("monetary"), F.asc("user_id"))
-    ).cast("long")
-    return base.select(
-        "user_id",
-        "recency_days",
-        "frequency",
-        "monetary",
-        r_q.alias("r_q"),
-        f_q.alias("f_q"),
-        m_q.alias("m_q"),
-    ).withColumn(
-        "rfm_code",
-        F.col("r_q") * 100 + F.col("f_q") * 10 + F.col("m_q"),
+    n_total = base.agg(F.count(F.lit(1)).cast("long").alias("n"))
+
+    def quartile(val: str, out: str, descending: bool) -> DataFrame:
+        ranked = bucketed_global_rank(
+            base.select("user_id", val),
+            val=val,
+            tiebreak="user_id",
+            buckets=64,
+            descending=descending,
+        )
+        return ranked.crossJoin(F.broadcast(n_total)).select(
+            "user_id",
+            ntile_from_rank(F.col("_rank"), F.col("n"), 4).alias(out),
+        )
+
+    r = quartile("recency_days", "r_q", descending=False)
+    f_ = quartile("frequency", "f_q", descending=True)
+    m = quartile("monetary", "m_q", descending=True)
+    return (
+        base.join(r, "user_id")
+        .join(f_, "user_id")
+        .join(m, "user_id")
+        .select(
+            "user_id",
+            "recency_days",
+            "frequency",
+            "monetary",
+            "r_q",
+            "f_q",
+            "m_q",
+        )
+        .withColumn(
+            "rfm_code",
+            F.col("r_q") * 100 + F.col("f_q") * 10 + F.col("m_q"),
+        )
     )
 
 
@@ -729,10 +754,14 @@ def q_text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "tf3",
         F.round(F.expr(_BM25_SCORE), 6).alias("score"),
     )
-    w = W.orderBy(F.desc("score"), F.asc("doc_id"))
+    # Top-k via orderBy().limit(): compiles to TakeOrderedAndProject —
+    # each partition keeps a local k-heap and the driver merges k-sized
+    # slices, so no single-partition global sort of the scored corpus.
+    # Result-identical to a row_number cutoff under the (score desc,
+    # doc_id asc) TOTAL order.
     return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= _BM25_TOPK)
+        scored.orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(_BM25_TOPK)
         .select(
             "doc_id",
             "dl",
@@ -1398,29 +1427,58 @@ def q_stats_pareto_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     cover 50% / 90% of revenue, and the revenue share of the top
     decile. All threshold crossings are EXACT DECIMAL comparisons
     (2·cumsum ≥ total, 10·cumsum ≥ 9·total — no float thresholds),
-    over a (revenue desc, custkey) totally-ordered cumulative
-    window. Shuffle: one customer aggregation + one customer-sized
-    ordered window."""
+    under a (revenue desc, custkey) total order.
+
+    Scale shape: the descending cumulative is the bucketed-prefix
+    decomposition (fifth instance of operators/range_bucket.py) —
+    per-bucket DECIMAL sums and counts chain on the 64-row bucket
+    frame, and the ordered window runs only WITHIN a bucket, so no
+    whole-customers single-partition sort exists in the plan."""
+    from ..operators.range_bucket import with_range_bucket
+
     o = read_testdata_table(spark, sf_dir, "orders")
-    per_cust = o.groupBy(F.col("o_custkey").alias("cust")).agg(
-        F.sum(F.col("o_totalprice").cast("decimal(18,2)").cast("decimal(38,2)"))
-        .cast("decimal(18,2)")
-        .alias("rev")
+    # per_cust feeds the bucketing twice (bounds + rows) via the helper
+    per_cust = (
+        o.groupBy(F.col("o_custkey").alias("cust"))
+        .agg(
+            F.sum(
+                F.col("o_totalprice")
+                .cast("decimal(18,2)")
+                .cast("decimal(38,2)")
+            )
+            .cast("decimal(18,2)")
+            .alias("rev")
+        )
+        .localCheckpoint(eager=False)
     )
-    w_cum = (
-        W.orderBy(F.desc("rev"), F.asc("cust"))
-        .rowsBetween(W.unboundedPreceding, 0)
+    bucketed = with_range_bucket(per_cust, "rev", 64, descending=True)
+    per_bucket = bucketed.groupBy("_b").agg(
+        F.sum(F.col("rev").cast("decimal(38,2)")).alias("_wb"),
+        F.count(F.lit(1)).alias("_nb"),
     )
-    w_all = W.rowsBetween(
-        W.unboundedPreceding, W.unboundedFollowing
+    off_w = W.orderBy("_b").rowsBetween(W.unboundedPreceding, -1)
+    tot_w = W.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    offsets = per_bucket.select(
+        "_b",
+        F.coalesce(
+            F.sum("_wb").over(off_w), F.lit(0).cast("decimal(38,2)")
+        ).alias("_carry"),
+        F.coalesce(F.sum("_nb").over(off_w), F.lit(0))
+        .cast("long")
+        .alias("_off"),
+        F.sum("_wb").over(tot_w).alias("total"),
+        F.sum("_nb").over(tot_w).cast("long").alias("n_customers"),
     )
-    ranked = per_cust.select(
-        F.row_number().over(W.orderBy(F.desc("rev"), F.asc("cust"))).alias(
-            "i"
-        ),
-        F.sum(F.col("rev").cast("decimal(38,2)")).over(w_cum).alias("cum"),
-        F.sum(F.col("rev").cast("decimal(38,2)")).over(w_all).alias("total"),
-        F.count(F.lit(1)).over(w_all).alias("n_customers"),
+    in_w = W.partitionBy("_b").orderBy(F.desc("rev"), F.asc("cust"))
+    in_cum = in_w.rowsBetween(W.unboundedPreceding, 0)
+    ranked = bucketed.join(F.broadcast(offsets), "_b").select(
+        (F.col("_off") + F.row_number().over(in_w)).cast("long").alias("i"),
+        (
+            F.col("_carry")
+            + F.sum(F.col("rev").cast("decimal(38,2)")).over(in_cum)
+        ).alias("cum"),
+        "total",
+        "n_customers",
     )
     return ranked.groupBy().agg(
         F.max("n_customers").cast("long").alias("n_customers"),

@@ -314,7 +314,9 @@ def q_ml_variant_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = (spark.sparkContext.applicationId, sf_dir)
     rows = _SWEEP_CACHE.get(key)
     if rows is None:
-        df = _sweep_frame(spark, sf_dir)
+        # the projected frame feeds two selector fits, the variance
+        # selection, and three TVS fits — persist once for the sweep
+        df = _sweep_frame(spark, sf_dir).persist()
         # selection on the full frame — the reference runs script 2 on
         # the whole cleaned table and hands the lists to scripts 3-10
         sel_cat = select_univariate_categorical(df, _SWEEP_CATS, "label", num_top=2)
@@ -344,6 +346,7 @@ def q_ml_variant_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
                     int(clf.numFeatures), int(clf.numClasses),
                 )
             )
+        df.unpersist()
         _SWEEP_CACHE.put(key, rows)
     return spark.createDataFrame(
         rows,

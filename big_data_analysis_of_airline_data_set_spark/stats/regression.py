@@ -86,42 +86,72 @@ def ks_two_sample(
     enough (KS sees shape changes the mean hides).
 
     D = max over pooled values x of |F_a(x) − F_b(x)|, computed exactly:
-    one window over the pooled rows ordered by value with a RANGE frame
-    (ties included on both CDFs simultaneously — the textbook
-    right-continuous empirical CDF), cumulative counts divided by group
-    sizes. Integer counts → identical IEEE divisions on every engine,
+    value-ordered RANGE-frame cumulative counts (ties included on both
+    CDFs simultaneously — the textbook right-continuous empirical CDF)
+    divided by group sizes. Integer counts → identical IEEE divisions
+    on every engine,
     so the statistic is value-hash stable. MLlib's KolmogorovSmirnovTest
     is one-sample-vs-theoretical only; this is the two-sample form.
 
-    Scale shape: one shuffle (the global ordering window). For 100 TB
-    drift checks, run it per partition-key stratum (add the stratum to
-    the window's partitionBy) so no global sort is needed.
+    Scale shape: the pooled-CDF ordering is the bucketed-prefix
+    decomposition (operators/range_bucket.py — the weighted-median /
+    Pareto pattern): rows range-bucket on the value span, per-bucket
+    group counts chain on the 64-row bucket frame, and the only
+    value-ordered window runs WITHIN a bucket's partition. Ties can
+    never split across buckets (equal values get equal bucket
+    indices), so the range-frame CDF stays exact and no
+    single-partition sort of the pooled rows exists in the plan.
     """
     from pyspark.sql.window import Window as W
+
+    from ..operators.range_bucket import with_range_bucket
 
     g = F.col(group_col)
     # NULL values are excluded, not 'observations': Spark's window
     # ORDER BY sorts NULLs first while DuckDB sorts them last, so a
-    # NULL row would both distort the CDFs and break oracle parity
-    pooled = df.filter(
-        g.isin([group_a, group_b]) & F.col(value_col).isNotNull()
-    ).select(g.alias("_g"), F.col(value_col).alias("_v"))
-    w = W.orderBy("_v").rangeBetween(W.unboundedPreceding, 0)
-    ca = F.sum(F.when(F.col("_g") == group_a, 1).otherwise(0)).over(w)
-    cb = F.sum(F.when(F.col("_g") == group_b, 1).otherwise(0)).over(w)
-    na = F.sum(F.when(F.col("_g") == group_a, 1).otherwise(0)).over(
-        W.partitionBy()
+    # NULL row would both distort the CDFs and break oracle parity.
+    # pooled feeds the bucketing twice (bounds + rows) via the helper.
+    pooled = (
+        df.filter(g.isin([group_a, group_b]) & F.col(value_col).isNotNull())
+        .select(g.alias("_g"), F.col(value_col).alias("_v"))
+        .localCheckpoint(eager=False)
     )
-    nb = F.sum(F.when(F.col("_g") == group_b, 1).otherwise(0)).over(
-        W.partitionBy()
+    is_a = F.when(F.col("_g") == group_a, 1).otherwise(0)
+    is_b = F.when(F.col("_g") == group_b, 1).otherwise(0)
+    bucketed = with_range_bucket(pooled, "_v", 64)
+    per_bucket = bucketed.groupBy("_b").agg(
+        F.sum(is_a).alias("_ab"), F.sum(is_b).alias("_bb")
     )
-    diffs = pooled.select(
+    off_w = W.orderBy("_b").rowsBetween(W.unboundedPreceding, -1)
+    tot_w = W.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    offsets = per_bucket.select(
+        "_b",
+        F.coalesce(F.sum("_ab").over(off_w), F.lit(0))
+        .cast("long")
+        .alias("_ca_off"),
+        F.coalesce(F.sum("_bb").over(off_w), F.lit(0))
+        .cast("long")
+        .alias("_cb_off"),
+        F.sum("_ab").over(tot_w).cast("long").alias("_na"),
+        F.sum("_bb").over(tot_w).cast("long").alias("_nb"),
+    )
+    # RANGE frame ties stay exact: carry counts rows from strictly
+    # lower buckets (all values <, since equal values share a bucket),
+    # the in-bucket range frame counts values <= current within it
+    in_w = (
+        W.partitionBy("_b")
+        .orderBy("_v")
+        .rangeBetween(W.unboundedPreceding, 0)
+    )
+    ca = F.col("_ca_off") + F.sum(is_a).over(in_w)
+    cb = F.col("_cb_off") + F.sum(is_b).over(in_w)
+    diffs = bucketed.join(F.broadcast(offsets), "_b").select(
         F.abs(
-            ca.cast("double") / na.cast("double")
-            - cb.cast("double") / nb.cast("double")
+            ca.cast("double") / F.col("_na").cast("double")
+            - cb.cast("double") / F.col("_nb").cast("double")
         ).alias("_d"),
-        na.alias("_na"),
-        nb.alias("_nb"),
+        F.col("_na").alias("_na"),
+        F.col("_nb").alias("_nb"),
     )
     return diffs.agg(
         F.max("_na").cast("long").alias("n_a"),

@@ -545,3 +545,59 @@ def test_decile_lift_rownumber_confined_to_buckets(spark, sf_dir):
 
     rn_specs = re.findall(r"row_number\(\)[^\n]*", flat)
     assert rn_specs and all("[_b" in s for s in rn_specs)
+
+
+# --------------------- round-7 single-partition-window retirement ---------------------
+
+
+def test_bm25_topk_is_partial_topk_no_window(spark, sf_dir):
+    """The BM25 top-25 must compile to TakeOrderedAndProject (per-
+    partition k-heaps), never a row_number over an unpartitioned
+    window that sorts the whole scored corpus in one task."""
+    plan = _plan(spark, sf_dir, "text_bm25_topk")
+    assert "TakeOrderedAndProject" in plan
+    assert "row_number" not in plan.replace(" ", "")
+
+
+def _data_sized_window_specs_all_bucket_partitioned(plan: str, order_cols):
+    """Every windowspecdefinition ordering by a data-level column must
+    be partitioned by the range bucket `_b`; the only unpartitioned
+    windows left run on the 64-row bucket frame (`_nb`/`_wb`/`_ab`
+    chains)."""
+    import re
+
+    flat = plan.replace(" ", "")
+    specs = re.findall(r"windowspecdefinition\([^)]*\)", flat)
+    data_specs = [
+        s for s in specs if any(f"{c}#" in s for c in order_cols)
+    ]
+    assert data_specs, f"no data-level window specs found in plan"
+    bad = [s for s in data_specs if not s.startswith("windowspecdefinition(_b#")]
+    assert not bad, f"data-sized window not bucket-partitioned: {bad}"
+
+
+def test_rfm_quartiles_decomposed_no_global_ntile(spark, sf_dir):
+    """RFM quartile assignment must not plan a single ntile/ordered
+    window over the user frame: each dimension's ranking row_number is
+    confined to a range-bucket partition."""
+    plan = _plan(spark, sf_dir, "events_rfm_segments")
+    assert "ntile" not in plan.replace(" ", "")
+    _data_sized_window_specs_all_bucket_partitioned(
+        plan, ["recency_days", "frequency", "monetary"]
+    )
+
+
+def test_pareto_cumulative_confined_to_buckets(spark, sf_dir):
+    """The descending revenue cumulative (rank + cumsum) runs only
+    within range-bucket partitions; cross-bucket state lives on the
+    64-row bucket frame."""
+    plan = _plan(spark, sf_dir, "stats_pareto_coverage")
+    _data_sized_window_specs_all_bucket_partitioned(plan, ["rev", "cust"])
+
+
+def test_ks_drift_cdf_windows_bucket_partitioned(spark, sf_dir):
+    """The pooled-CDF RANGE windows order by the pooled value `_v`
+    only inside a range-bucket partition — the last data-sized global
+    sort in the repo stays retired."""
+    plan = _plan(spark, sf_dir, "stats_ks_drift")
+    _data_sized_window_specs_all_bucket_partitioned(plan, ["_v"])
