@@ -284,6 +284,51 @@ _HLL_STREAM_ORACLE = _hll_oracle_sql(
 )
 
 
+_HDR_STREAM_SUB_BITS = 5
+
+
+def q_hdr_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Value quantiles (p50/p90/p99) per event type via an HDR bucket
+    sketch maintained INCREMENTALLY by the streaming runtime
+    (streaming.jobs.run_hdr_sketch_stream_available_now) — the RANK
+    member of the streamed sketch family: state is groups × ≤ ~1.9k
+    bucket counts, constant for any stream volume (no watermark
+    needed, complete-mode output cheap). Estimates, the additive-merge
+    'ALL' row, and the true-rank reference are computed over the
+    drained bucket table in batch; the assembly is SHARED with the
+    batch query (sketches.quantile.hdr_quantile_report), so the
+    estimator cannot diverge between paths. Oracle = full batch
+    integer replay: incremental count-maintenance must converge to
+    exactly the batch sketch."""
+    from ..sketches.quantile import hdr_quantile_report
+    from ..streaming.jobs import run_hdr_sketch_stream_available_now
+
+    sk = run_hdr_sketch_stream_available_now(
+        spark,
+        _landed_events_dir(spark, sf_dir),
+        group_col="event_type",
+        value_col="value",
+        sub_bits=_HDR_STREAM_SUB_BITS,
+        max_files_per_trigger=None,
+        stream_shuffle_partitions=8,
+    )
+    return hdr_quantile_report(
+        sk,
+        _events(spark, sf_dir),
+        group_col="event_type",
+        value_col="value",
+        sub_bits=_HDR_STREAM_SUB_BITS,
+    )
+
+
+from .patterns import hdr_oracle_sql as _hdr_oracle_sql  # noqa: E402
+
+_HDR_STREAM_ORACLE = _hdr_oracle_sql(
+    'SELECT event_type AS "group", value AS val FROM events',
+    _HDR_STREAM_SUB_BITS,
+)
+
+
 _HLL_SLIDE_P = 8
 _HLL_SLIDE_W = 3  # trailing 3-hour window, anchored per observed hour
 
@@ -1465,6 +1510,13 @@ QUERIES: dict[str, QuerySpec] = {
         " runtime (complete-mode sum state = the d×w cell table);"
         " exact top-k + probe estimates assembled in batch over the"
         " drain — completes the streamed sketch trio (min/max/sum)",
+    ),
+    "events_quantile_sketch_stream": QuerySpec(
+        "events_quantile_sketch_stream", q_hdr_stream, _HDR_STREAM_ORACLE,
+        "HDR quantile sketch maintained INCREMENTALLY by the streaming"
+        " runtime (complete-mode count state = the group × bucket"
+        " table); p50/p90/p99 + merge row assembled in batch over the"
+        " drain — the RANK member of the streamed sketch family",
     ),
     "events_hll_stream": QuerySpec(
         "events_hll_stream", q_hll_stream, _HLL_STREAM_ORACLE,

@@ -654,6 +654,106 @@ FROM est JOIN ex USING ("group")
 """
 
 
+# ------------------- HDR quantile sketch -------------------
+
+_HDR_SUB_BITS = 5
+
+
+def q_hdr_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable rank/quantile sketch (sketches/quantile.py) over
+    lineitem extended prices by return flag: HDR-style log2 bucket
+    counts (bit-length + 2^5 linear sub-buckets per octave — integer-
+    exact, no libm), p50/p90/p99 read off per-group cumulative bucket
+    counts, plus the 'ALL' row whose sketch is the per-code SUM of the
+    per-group sketches (the additive merge). True-rank fractions ride
+    along as the accuracy reference. Completes the sketch family:
+    KMV = distinct, HLL = grouped distinct, CMS = frequency,
+    HDR = rank."""
+    from ..sketches.quantile import hdr_quantiles_by_group
+    from ..sources.readers import read_testdata_table
+
+    li = read_testdata_table(spark, sf_dir, "lineitem")
+    return hdr_quantiles_by_group(
+        li,
+        group_col="l_returnflag",
+        value_col="l_extendedprice",
+        sub_bits=_HDR_SUB_BITS,
+    )
+
+
+def hdr_oracle_sql(base_select: str, sub_bits: int) -> str:
+    """DuckDB replay of the HDR quantile sketch + merge + estimates +
+    true-rank reference over any ``base_select`` yielding
+    ("group", val) columns — ONE builder for the batch (lineitem) and
+    streaming (events) catalog entries, consuming the SAME generated
+    bucket/decode expression text as the Spark side
+    (sketches.quantile.code_sql / rep_sql, duckdb dialect)."""
+    from ..sketches.quantile import DEFAULT_PERCENTS, code_sql, rep_sql
+
+    code = code_sql("c", sub_bits, "duckdb")
+    est_cols = ",\n         ".join(
+        f"min(CASE WHEN cum >= ({p} * n + 99) // 100 THEN code END)"
+        f" AS _qcode_{lab}"
+        for lab, p in DEFAULT_PERCENTS
+    )
+    rep_cols = ",\n         ".join(
+        f"{rep_sql(f'_qcode_{lab}', sub_bits, 'duckdb')} AS _qrep_{lab}"
+        for lab, _ in DEFAULT_PERCENTS
+    )
+    est_out = ",\n       ".join(
+        f"round(CAST(max(r._qrep_{lab}) AS DOUBLE) / 100.0, 6) AS est_{lab}"
+        for lab, _ in DEFAULT_PERCENTS
+    )
+    rank_out = ",\n       ".join(
+        f"round(CAST(sum(CASE WHEN ca.c <= r._qrep_{lab} THEN 1 ELSE 0 END)"
+        f" AS DOUBLE) / CAST(max(r.n_rows) AS DOUBLE), 6) AS rank_{lab}"
+        for lab, _ in DEFAULT_PERCENTS
+    )
+    return f"""
+WITH base AS (
+  {base_select}
+), cents AS (
+  SELECT "group", CAST(floor(val * 100 + 0.5) AS BIGINT) AS c
+  FROM base WHERE val IS NOT NULL
+), coded AS (
+  SELECT "group", {code} AS code FROM cents
+), sk AS (
+  SELECT "group", code, CAST(count(*) AS BIGINT) AS cnt
+  FROM coded GROUP BY 1, 2
+), allsk AS (
+  SELECT * FROM sk
+  UNION ALL
+  SELECT 'ALL' AS "group", code, CAST(sum(cnt) AS BIGINT) FROM sk GROUP BY code
+), cum AS (
+  SELECT "group", code,
+         sum(cnt) OVER (PARTITION BY "group" ORDER BY code) AS cum,
+         sum(cnt) OVER (PARTITION BY "group") AS n
+  FROM allsk
+), est AS (
+  SELECT "group",
+         CAST(max(n) AS BIGINT) AS n_rows,
+         CAST(count(*) AS BIGINT) AS n_buckets,
+         {est_cols}
+  FROM cum GROUP BY 1
+), reps AS (
+  SELECT "group", n_rows, n_buckets,
+         {rep_cols}
+  FROM est
+), centsall AS (
+  SELECT * FROM cents
+  UNION ALL
+  SELECT 'ALL' AS "group", c FROM cents
+)
+SELECT r."group" AS "group",
+       CAST(max(r.n_rows) AS BIGINT) AS n_rows,
+       CAST(max(r.n_buckets) AS BIGINT) AS n_buckets,
+       {est_out},
+       {rank_out}
+FROM centsall ca JOIN reps r USING ("group")
+GROUP BY 1
+"""
+
+
 # ------------------- CMS inner-product join sizing -------------------
 
 _CJS_SPLIT_YEAR = 1999
@@ -1796,6 +1896,16 @@ QUERIES: dict[str, QuerySpec] = {
         ),
         "k-minimum-values distinct sketch + sketch-merge union row,"
         " exact md5 replay (no within-bound fallback)",
+    ),
+    "sketch_quantile_hdr": QuerySpec(
+        "sketch_quantile_hdr", q_hdr_quantiles,
+        hdr_oracle_sql(
+            'SELECT l_returnflag AS "group",'
+            " l_extendedprice AS val FROM lineitem",
+            _HDR_SUB_BITS,
+        ),
+        "HDR log2-bucket quantile sketch (mergeable rank sketch):"
+        " p50/p90/p99 + additive-merge union row, exact integer replay",
     ),
     "sketch_cms_join_size": QuerySpec(
         "sketch_cms_join_size", q_cms_join_size, _cms_join_size_oracle(),

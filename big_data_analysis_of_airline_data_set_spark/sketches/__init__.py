@@ -8,5 +8,16 @@ engines re-derive the sketch bit-for-bit.
 """
 
 from .countmin import count_min_sketch_table, heavy_hitters_with_estimates
+from .quantile import (
+    hdr_bucket_counts,
+    hdr_quantile_report,
+    hdr_quantiles_by_group,
+)
 
-__all__ = ["count_min_sketch_table", "heavy_hitters_with_estimates"]
+__all__ = [
+    "count_min_sketch_table",
+    "heavy_hitters_with_estimates",
+    "hdr_bucket_counts",
+    "hdr_quantile_report",
+    "hdr_quantiles_by_group",
+]

@@ -390,6 +390,50 @@ def run_cms_sketch_stream_available_now(
     return spark.table(query_name)
 
 
+def run_hdr_sketch_stream_available_now(
+    spark: SparkSession,
+    events_dir: str,
+    *,
+    group_col: str = "event_type",
+    value_col: str = "value",
+    sub_bits: int = 5,
+    query_name: str = "events_hdr_sketch_stream",
+    max_files_per_trigger: int | None = 1,
+    stream_shuffle_partitions: int | None = None,
+) -> DataFrame:
+    """Incrementally maintain the HDR quantile sketch
+    (sketches.quantile) under the streaming runtime: per
+    (group, bucket code) the running COUNT of values routed there,
+    drained with availableNow — the RANK member of the streamed sketch
+    family (KMV = min, HLL = max, CMS/HDR = sum; all keep CONSTANT
+    state regardless of stream volume). Quantile estimates, the merged
+    'ALL' row, and the true-rank reference are computed over the
+    drained bucket table in batch via the shared
+    ``hdr_quantile_report`` assembly (the production split: streams
+    maintain sketches, queries read them). Bucket counts are
+    order-insensitive, so the drained state must equal the batch-built
+    sketch cell for cell — which the catalog oracle's full integer
+    replay checks."""
+    from ..sketches.quantile import hdr_bucket_counts
+
+    stream = events_stream_reader(
+        spark, events_dir, max_files_per_trigger=max_files_per_trigger
+    )
+    sk = hdr_bucket_counts(
+        stream.select(group_col, value_col),
+        group_col=group_col,
+        value_col=value_col,
+        sub_bits=sub_bits,
+    )
+    _run_to_memory(
+        sk,
+        query_name=query_name,
+        output_mode="complete",
+        shuffle_partitions=stream_shuffle_partitions,
+    )
+    return spark.table(query_name)
+
+
 def run_enrich_stream_available_now(
     spark: SparkSession,
     events_dir: str,

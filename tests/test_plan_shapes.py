@@ -601,3 +601,29 @@ def test_ks_drift_cdf_windows_bucket_partitioned(spark, sf_dir):
     sort in the repo stays retired."""
     plan = _plan(spark, sf_dir, "stats_ks_drift")
     _data_sized_window_specs_all_bucket_partitioned(plan, ["_v"])
+
+
+def test_streamed_hdr_state_is_constant_sized(spark, sf_dir):
+    """The streamed HDR quantile drain's state is the (group, bucket
+    code) count table: must never exceed groups × code-space rows no
+    matter the stream volume — the rank-sketch membership card."""
+    from big_data_analysis_of_airline_data_set_spark.plans.events_queries import (
+        _HDR_STREAM_SUB_BITS,
+        _landed_events_dir,
+    )
+    from big_data_analysis_of_airline_data_set_spark.streaming.jobs import (
+        run_hdr_sketch_stream_available_now,
+    )
+
+    sk = run_hdr_sketch_stream_available_now(
+        spark,
+        _landed_events_dir(spark, sf_dir),
+        sub_bits=_HDR_STREAM_SUB_BITS,
+        query_name="hdr_state_size_check",
+        max_files_per_trigger=None,
+        stream_shuffle_partitions=4,
+    )
+    rows = sk.collect()
+    groups = {r["group"] for r in rows}
+    # 64-bit cents, s=5: <= 64 + 57*32 codes ~ 1888 per group
+    assert len(rows) <= len(groups) * 1900

@@ -266,3 +266,147 @@ def test_cms_join_size_disjoint_keys(spark):
     assert r.exact_join_size == 0
     assert r.cms_join_size_estimate == 0
     assert r.overestimates
+
+
+# --------------------- HDR quantile sketch ---------------------
+
+
+def _py_code(c: int, s: int) -> int:
+    """Pure-Python reference of sketches.quantile.code_sql."""
+    split, sub = 1 << (s + 1), 1 << s
+    if c <= 0:
+        return 0
+    if c < split:
+        return c
+    b = c.bit_length()
+    return split + (b - s - 2) * sub + ((c >> (b - s - 1)) - sub)
+
+
+def _py_rep(code: int, s: int) -> int:
+    split, sub = 1 << (s + 1), 1 << s
+    if code < split:
+        return code
+    off = code - split
+    return (sub + off % sub) << (off // sub + 1)
+
+
+def test_hdr_code_monotone_and_rep_is_bucket_lower_bound():
+    s = 5
+    # every cents value through several octaves plus deep-octave spots
+    cases = list(range(0, 1 << (s + 4))) + [10**6, 10**9, (1 << 40) + 12345]
+    prev = -1
+    for c in sorted(cases):
+        code = _py_code(c, s)
+        assert code >= prev  # monotone
+        prev = code
+        rep = _py_rep(code, s)
+        assert rep <= max(c, 0)
+        if c >= (1 << (s + 1)):
+            # relative bucket width <= 2^-s
+            assert c < rep + (rep >> s) + (1 << (c.bit_length() - s - 1))
+            assert _py_code(rep, s) == code  # rep lands in its own bucket
+
+
+def test_hdr_sql_code_matches_python_reference(spark):
+    from pyspark.sql import functions as F
+
+    from big_data_analysis_of_airline_data_set_spark.sketches.quantile import (
+        code_sql,
+        rep_sql,
+    )
+
+    s = 5
+    vals = list(range(1, 300)) + [2**k + d for k in range(9, 40) for d in (0, 1, 7)]
+    df = spark.createDataFrame([(v,) for v in vals], "c long")
+    rows = df.select(
+        "c",
+        F.expr(code_sql("c", s, "spark")).alias("code"),
+    ).withColumn("rep", F.expr(rep_sql("code", s, "spark"))).collect()
+    import duckdb
+
+    con = duckdb.connect()
+    dk = {
+        r[0]: (r[1], r[2])
+        for r in con.execute(
+            "SELECT c, "
+            + code_sql("c", s, "duckdb").replace("c", "c", 1)
+            + " AS code, "
+            + rep_sql(code_sql("c", s, "duckdb"), s, "duckdb")
+            + " AS rep FROM (SELECT unnest(?) AS c)",
+            [vals],
+        ).fetchall()
+    }
+    for r in rows:
+        assert r["code"] == _py_code(r["c"], s), r["c"]
+        assert r["rep"] == _py_rep(r["code"], s), r["c"]
+        assert dk[r["c"]] == (r["code"], r["rep"]), r["c"]
+
+
+def test_hdr_merge_equals_rebuild(spark):
+    from pyspark.sql import functions as F
+
+    from big_data_analysis_of_airline_data_set_spark.sketches.quantile import (
+        hdr_bucket_counts,
+    )
+
+    rows_a = [("g", float(v) / 100) for v in range(1, 5000, 7)]
+    rows_b = [("g", float(v) / 100) for v in range(3, 90000, 11)]
+    dfa = spark.createDataFrame(rows_a, "grp string, v double")
+    dfb = spark.createDataFrame(rows_b, "grp string, v double")
+    sk_union = hdr_bucket_counts(
+        dfa.unionByName(dfb), group_col="grp", value_col="v"
+    )
+    merged = (
+        hdr_bucket_counts(dfa, group_col="grp", value_col="v")
+        .unionByName(hdr_bucket_counts(dfb, group_col="grp", value_col="v"))
+        .groupBy("group", "code")
+        .agg(F.sum("cnt").cast("long").alias("cnt"))
+    )
+    a = {(r["group"], r["code"]): r["cnt"] for r in sk_union.collect()}
+    b = {(r["group"], r["code"]): r["cnt"] for r in merged.collect()}
+    assert a == b
+
+
+def test_hdr_exact_in_small_value_regime(spark):
+    # cents < 2^(s+1) = 64 -> every bucket is one exact cent value, so
+    # the estimate IS the exact lower order statistic at ceil(q*n)
+    from big_data_analysis_of_airline_data_set_spark.sketches.quantile import (
+        hdr_quantiles_by_group,
+    )
+
+    vals = [0.01 * v for v in range(1, 41)]  # cents 1..40, n=40
+    df = spark.createDataFrame([("g", v) for v in vals], "grp string, v double")
+    out = {
+        r["group"]: r
+        for r in hdr_quantiles_by_group(
+            df, group_col="grp", value_col="v"
+        ).collect()
+    }
+    g = out["g"]
+    assert g["n_rows"] == 40 and g["n_buckets"] == 40
+    assert abs(g["est_p50"] - 0.20) < 1e-9  # ceil(0.5*40)=20th value
+    assert abs(g["est_p90"] - 0.36) < 1e-9
+    assert abs(g["est_p99"] - 0.40) < 1e-9
+    assert out["ALL"]["est_p50"] == g["est_p50"]
+
+
+def test_hdr_rank_accuracy_band(spark):
+    # uniform values: every rank fraction must sit within one bucket's
+    # mass of its target (relative bucket width 2^-5 ~ 3.1%)
+    from big_data_analysis_of_airline_data_set_spark.sketches.quantile import (
+        hdr_quantiles_by_group,
+    )
+
+    df = spark.createDataFrame(
+        [("u", 10.0 + 0.37 * i) for i in range(2000)], "grp string, v double"
+    )
+    out = {
+        r["group"]: r
+        for r in hdr_quantiles_by_group(
+            df, group_col="grp", value_col="v"
+        ).collect()
+    }
+    for lab, q in (("p50", 0.5), ("p90", 0.9), ("p99", 0.99)):
+        frac = out["u"][f"rank_{lab}"]
+        assert frac <= q + 1e-9, (lab, frac)  # lower bound never overshoots
+        assert frac >= q - 0.05, (lab, frac)
