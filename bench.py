@@ -280,6 +280,16 @@ R6D_OPS = [
     "orders_abc_classification",
 ]
 
+# Round-7 operator surface: the mergeable HDR quantile sketch (batch
+# build + streamed bucket-count maintenance). The four queries whose
+# round-7 PLANS changed (text_bm25_topk, events_rfm_segments,
+# stats_pareto_coverage in R6B; stats_ks_drift in R5) keep their
+# existing suite slots so their deltas stay visible round over round.
+R7_OPS = [
+    "sketch_quantile_hdr",
+    "events_quantile_sketch_stream",
+]
+
 # Like ml_quick_fit: 3 TVS LR fits (full/uni/var feature sets) timed
 # once, separately — fit-dominated and session-cached, so repeats would
 # time the cache, not the work.
@@ -406,6 +416,12 @@ def main() -> None:
     )
     print(f"# r6d_ops_suite: {r6d_total}s {r6d_timings}", file=sys.stderr)
 
+    _warm(specs, spark, R7_OPS, sf_dir)
+    r7_timings, r7_total = _run_suite(
+        specs, spark, R7_OPS, sf_dir, repeats, "r7_ops"
+    )
+    print(f"# r7_ops_suite: {r7_total}s {r7_timings}", file=sys.stderr)
+
     t0 = time.perf_counter()
     specs[ML_VARIANT_QUERY].fn(spark, sf_dir).count()
     ml_variants = time.perf_counter() - t0
@@ -468,6 +484,8 @@ def main() -> None:
         "r6c_ops_queries": r6c_timings,
         "r6d_ops_suite": r6d_total,
         "r6d_ops_queries": r6d_timings,
+        "r7_ops_suite": r7_total,
+        "r7_ops_queries": r7_timings,
         "skew_suite": skew_total,
         "skew_queries": skew_timings,
         "sf": float(sf),

@@ -57,166 +57,117 @@ _MODULES = [
 ]
 
 # The driver's correctness harness records only the first 50 registry
-# entries.  Round-6 window (r5 verdict, Next round #1): (a) the 17
-# never-driver-checked entries — the 9 documented late-round-5
-# additions plus this round's 8 new operators (grouped HLL batch +
-# streamed twin + sliding-window merge, streamed CMS, CM-prefiltered
-# heavy-hitter join, k-core peeling, CMS join sizing, sweep-line peak
-# concurrency); (b) queries whose
-# CODE changed this round: degree-ordered triangle counting, the
-# batched-convergence connected components (and entity resolution,
-# which rides on it), the bloom h2 fix, the upsert-sink eager
-# checkpoint, and the pagerank context-manager migration — each keeps
-# a green r4/r5 row, but the plan behind it is new; (c) the remaining
-# slots re-prove the OLDEST evidence: all 16 r1-era rows (the full
-# list the r5 verdict named — their last driver rows are four testdata
-# generations old) and then the 15 oldest r2-era rows (the S1/S3
-# reference-job entries, the MLlib stats family, the dedup family, and
-# brute/LSH ANN). Every rotated-out query keeps a green r4/r5 row on
-# record; the flagship stays driver-evidenced every round through the
-# t1 entry() smoke check.
+# entries.  Round-7 window (r6 verdict, Next round #1: clear the
+# driver-evidence debt — 62 catalog entries had never had a driver
+# CORRECTNESS row; rotate 50 of them in, never-checked-first, TPC-H
+# family / embedding trio / experimentation tail / infra entries
+# prioritized as the verdict names them).  Budget: 45 never-checked +
+# 3 code-changed re-proofs + 2 new stretch entries (themselves
+# never-checked; r6 verdict item 6 asks for them in-window) = 50.
+# Every rotated-out query keeps a green r5/r6 row on record; the
+# flagship stays driver-evidenced every round through the t1 entry()
+# smoke check.
 _CORRECTNESS_WINDOW = [
-    # (a) never driver-checked — late-round-5 wave
-    "ml_target_encoding",
-    "stats_ab_test",
-    "events_streaks",
-    "graph_hierarchy_flatten",
-    "union_schema_evolution",
-    "events_twap",
-    "events_journey_paths",
-    "events_capped_sessions",
-    "events_cumulative_users",
-    # (a) never driver-checked — new round-6 operators
-    "sketch_hll_distinct",
-    "events_hll_stream",
-    "events_cms_stream",
-    "events_hll_sliding_distinct",
-    "join_heavy_hitters_cm",
-    "graph_k_core",
-    "sketch_cms_join_size",
-    "events_peak_concurrency",
-    # (a) never driver-checked — the round-6 continuation wave
-    # (segment/network analytics, plans/analytics_ops.py); 3-sf
-    # builder-verified, never-checked-first displaces five r2-era
-    # re-proofs below (each keeps its green r2 row; displacement
-    # rationale at the bottom of the list)
-    "sketch_hll_set_ops",
-    "graph_bfs_distances",
-    "stats_welch_ttest",
+    # (a) never driver-checked — all 21 adapted TPC-H shapes beyond
+    # the r5-green Q1 (plans/analytics_ops{2..5}.py; 3-sf
+    # builder-verified, plan-guarded in tests/test_plan_shapes.py)
+    "tpch_q2_style",
+    "tpch_q3_style",
+    "tpch_q4_style",
+    "tpch_q5_style",
+    "tpch_q6_style",
+    "tpch_q7_style",
+    "tpch_q8_style",
+    "tpch_q9_style",
+    "tpch_q10_style",
+    "tpch_q11_style",
+    "tpch_q12_style",
+    "tpch_q13_style",
+    "tpch_q14_style",
+    "tpch_q15_style",
+    "tpch_q16_style",
+    "tpch_q17_style",
+    "tpch_q18_style",
+    "tpch_q19_style",
+    "tpch_q20_style",
+    "tpch_q21_style",
+    "tpch_q22_style",
+    # (a) never driver-checked — embedding serving trio
+    "embedding_kmeans_assign",
+    "embedding_pq_codebook",
+    "embedding_label_centroids",
+    # (a) never driver-checked — experimentation-stats tail
+    # (stats_pareto_coverage is also (b): its cumulative window was
+    # rebucketed this round, r6 verdict item 2)
+    "stats_cuped_adjustment",
+    "stats_pareto_coverage",
+    "stats_power_analysis",
+    "stats_srm_check",
+    "stats_ratio_metric_ci",
+    "stats_anova_oneway",
+    # (a) never driver-checked — infra entries the verdict names
+    "join_bucketed_colocated",
+    "sink_orc_roundtrip",
+    "sink_jsonl_roundtrip",
+    # (a) never driver-checked — twelve more from the backlog, chosen
+    # for family diversity: the range-bucket family (weighted median /
+    # decile gains / ABC — the machinery the round-7 fixes reuse), the
+    # unique-shape ops (skyline, closed-form PCA, degree histogram,
+    # temperature mixture), and the funnel/LTV/uplift/autocorr event
+    # analytics
+    "stats_weighted_median",
+    "customer_decile_lift",
+    "orders_abc_classification",
+    "skyline_dominance",
+    "stats_pca_2d",
+    "graph_degree_histogram",
+    "curation_temperature_mixture",
+    "events_funnel_ttc",
+    "events_funnel_windowed",
+    "events_cohort_ltv",
+    "events_uplift_by_segment",
+    "stats_autocorr_daily",
+    # (b) code changed this round (r6 verdict items 2/4): the global
+    # single-partition window sorts were replaced by bucketed
+    # decompositions — each keeps a green r5/r6 row, but the plan
+    # behind it is new, so the result is re-proved on the new plan
     "events_rfm_segments",
-    "stats_multi_ols",
-    "graph_label_propagation",
-    "events_cusum_changepoint",
     "text_bm25_topk",
-    "stats_mannwhitney_u",
-    # The FIVE wave-3 continuation entries (basket_frequent_pairs,
-    # stats_gini_by_group, events_diversity_index,
-    # text_bpe_merge_pairs, multimodal_image_phash) are NOT window
-    # slots this round: the window already carries 26 never-checked
-    # entries, and displacing more would eat the 16 r1-era re-proof
-    # slots the r5 verdict explicitly requested (item 1). All five
-    # are 3-sf builder-verified (tests/test_analytics_ops.py) and
-    # HEAD the r7 rotation together with the displaced r2-era rows —
-    # the documented-late-wave pattern the r5 verdict accepted.
-    # Likewise the wave-4 entries (stats_cuped_adjustment,
-    # stats_pareto_coverage, events_seasonality_profile,
-    # events_forecast_eval) and the wave-5/6 analytics_ops2 catalog
-    # (tpch_q3_style, tpch_q5_style, skyline_dominance, stats_pca_2d,
-    # events_stickiness, events_linear_interpolation,
-    # events_clamped_balance, events_holt_smoothing,
-    # events_max_drawdown, stats_weighted_median): all 3-sf
-    # builder-verified (tests/test_analytics_ops{,2}.py), queued at
-    # the head of r7 with the wave-3 five. The wave-7/8 catalogs
-    # (plans/analytics_ops3.py: tpch_q2/q4/q8/q12/q14/q18/q19/q22
-    # -style, stats_autocorr_daily, customer_decile_lift,
-    # embedding_label_centroids; plans/analytics_ops4.py:
-    # tpch_q7/q9/q10/q13/q15/q16/q17/q21-style,
-    # embedding_kmeans_assign, events_lag_features) and the
-    # sink/bucketed-join entries (sink_orc_roundtrip,
-    # sink_jsonl_roundtrip, join_bucketed_colocated) are likewise
-    # 3-sf builder-verified (tests/test_analytics_ops{3,4}.py,
-    # tests/test_sources.py) and join that r7 queue, as does the
-    # wave-9 catalog (plans/analytics_ops5.py: tpch_q6/q11/q20-style
-    # completing all 22 adapted TPC-H shapes, embedding_pq_codebook,
-    # events_gap_stats; tests/test_analytics_ops5.py) and the
-    # wave-10 catalog (plans/analytics_ops6.py: events_funnel_ttc,
-    # stats_power_analysis, events_cohort_ltv;
-    # tests/test_analytics_ops6.py).
-    # (b) code changed this round (round-5 verdict items 2/3/6 + the
-    # ADVICE bloom/upsert fixes)
-    "graph_triangles",
-    "dedup_connected_components",
-    "dedup_entity_resolution",
-    "join_bloom_prefiltered",
-    "events_upsert_sink_stream",
-    "graph_pagerank",
-    "graph_pagerank_converged",
-    # (c) r1-era re-proof — latest driver row is round 1, four
-    # testdata generations ago (the full 16-name list from the r5
-    # verdict; distinct_count rides with distinct_values)
-    "flagship_delay_summary_by_carrier",
-    "projection",
-    "filter_status",
-    "filter_year",
-    "cast_chain",
-    "deterministic_sample",
-    "global_count",
-    "count_by_month",
-    "count_by_dow",
-    "top_k",
-    "distinct_values",
-    "distinct_count",
-    "conditional_aggregates",
-    "set_intersect",
-    "scalar_functions",
-    "string_functions",
-    # (c) r2-era re-proof — oldest remaining evidence: the reference
-    # S1/S3 end-to-end jobs, the MLlib-parity stats family (M6-M11
-    # evidence), the dedup family, and the ANN baselines. The r2 rows
-    # not re-proved here (text_*, curation_pipeline, events_funnel,
-    # quantiles, unpivot, scd2_upsert, multimodal_asset_stats,
-    # flights_viz_dataset, trimmed_mean_udaf, ann_ivf_topk — IVF is
-    # exercised by r5-green ann_ivf_quantized_rerank) are next in the
-    # r7 rotation.
-    "flights_cleaning_job",
-    # (mllib_chi_square displaced by events_peak_concurrency, the 17th
-    # never-checked entry — the M7 ChiSquareTest surface stays
-    # evidenced by r4-green ml_reference_bands' exact dof-vector check
-    # [27,357,51,342,51] and the r5-green chi_square_sql contingency
-    # twin; queues for r7)
-    # (spearman_correlation displaced by sketch_cms_join_size, the
-    # 16th never-checked entry — rank correlation's window/join shape
-    # stays exercised by r5-green correlation_pairs and the in-window
-    # mllib_correlation_matrix; queues for r7)
-    # (variance_threshold_features displaced by graph_k_core, the 15th
-    # never-checked entry — the M11 k-th-largest variance selection
-    # stays exercised by r5-green ml_variant_sweep's var_data variant,
-    # replayed in SQL; queues for r7)
-    # (univariate_select_continuous displaced by
-    # events_hll_sliding_distinct, the 14th never-checked entry — the
-    # M9 ANOVA-F selection stays exercised by r5-green
-    # ml_variant_sweep, which replays it in SQL; queues for r7)
-    # (ann_lsh_topk displaced by events_cms_stream, the 13th
-    # never-checked entry — LSH banding stays exercised by the r2-green
-    # dedup_embedding_lsh path and queues for the r7 re-proof rotation)
-    # Continuation-wave displacements — nine r2-era re-proof slots
-    # yield to the nine never-driver-checked analytics_ops entries
-    # (policy: never-checked before oldest-evidence). Each displaced
-    # query keeps its green r2 row and queues for r7:
-    # - univariate_select_categorical + feature_selection_job: the
-    #   M8 chi-square selection and the S3 job around it are
-    #   SQL-replayed by r5-green ml_variant_sweep (flights_cleaning_job,
-    #   the S1 end-to-end reference job, KEEPS its slot above);
-    # - mllib_correlation_matrix: the correlation surface stays
-    #   evidenced by r5-green correlation_pairs;
-    # - dedup_exact / dedup_simhash / dedup_ngram_jaccard /
-    #   dedup_embedding_cosine / dedup_minhash_lsh: the dedup family
-    #   stays evidenced by r5-green dedup_fuzzy_pairs and the
-    #   in-window dedup_entity_resolution (whose pipeline embeds
-    #   exact grouping + candidate blocking);
-    # - ann_bruteforce_topk: the brute-force cosine baseline is
-    #   re-proved every round by r5-green ann_ivf_quantized_rerank,
-    #   whose recall@10 check recomputes it.
+    "stats_ks_drift",
+    # (c) new this round (r6 verdict item 6 stretch): the mergeable
+    # HDR quantile sketch, batch + streamed twins
+    "sketch_quantile_hdr",
+    "events_quantile_sketch_stream",
+    # Not in this window — deferred, with standing evidence:
+    # - 17 never-checked entries remain for r8 (head of that queue):
+    #   multimodal_image_phash, basket_frequent_pairs,
+    #   stats_gini_by_group, events_diversity_index,
+    #   text_bpe_merge_pairs, events_seasonality_profile,
+    #   events_forecast_eval, events_stickiness,
+    #   events_linear_interpolation, events_clamped_balance,
+    #   events_holt_smoothing, events_max_drawdown,
+    #   events_lag_features, events_gap_stats, events_disorder_audit,
+    #   rollup_share_of_parent, feature_hashing_audit — all oracled,
+    #   3-sf builder-verified (tests/test_analytics_ops*.py), and
+    #   re-swept at sf0.01 this round (BASELINE.md r7 section).
+    #   Displacement rationale: the verdict's priority list (TPC-H,
+    #   embedding, experimentation, infra) fills 33 slots; the 12
+    #   discretionary slots prefer one representative per op family
+    #   over same-family seconds (e.g. ABC + weighted median + decile
+    #   lift stand in for the whole range-bucket family the round-7
+    #   fixes reuse).
+    # - ml_variant_sweep changed only by a persist/unpersist pair
+    #   (r6 verdict item 5 — no logical-plan change; results cached
+    #   per session); its r5-green row stands, re-verified locally at
+    #   3 sfs this round.
+    # - the r2-era re-proof queue from the r6 window comments (text_*,
+    #   curation_pipeline, events_funnel, quantiles, unpivot,
+    #   scd2_upsert, multimodal_asset_stats, flights_viz_dataset,
+    #   trimmed_mean_udaf, ann_ivf_topk, ann_lsh_topk,
+    #   univariate_select_*, variance_threshold_features,
+    #   mllib_chi_square, spearman_correlation, dedup family,
+    #   ann_bruteforce_topk, mllib_correlation_matrix,
+    #   feature_selection_job) queues behind the 17 above for r8.
 ]
 
 
