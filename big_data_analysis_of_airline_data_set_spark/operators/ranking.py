@@ -39,6 +39,7 @@ def bucketed_global_rank(
     tiebreak: str,
     buckets: int = 64,
     descending: bool = True,
+    checkpoint: bool = True,
 ) -> DataFrame:
     """Append ``_rank`` (1-based, dense over rows, no gaps) ordering by
     ``val`` (DESC by default) with ``tiebreak`` ASC breaking ties.
@@ -46,12 +47,15 @@ def bucketed_global_rank(
     ``(val, tiebreak)`` must be unique per row; ``val`` must be
     castable to double for the range bucketing (rank comparisons
     themselves use the original column, so no precision is lost).
+    Pass ``checkpoint=False`` when ``df`` is already a checkpointed /
+    persisted frame (or a trivial projection of one) — the internal
+    barrier would materialize a redundant copy.
     """
     from .range_bucket import with_range_bucket
 
     # df feeds two plan references (bounds scalar + bucketed rows) —
     # one lazy checkpoint or the upstream plan runs twice
-    src = df.localCheckpoint(eager=False)
+    src = df.localCheckpoint(eager=False) if checkpoint else df
     bucketed = with_range_bucket(src, val, buckets, descending=descending)
     counts = bucketed.groupBy("_b").agg(F.count(F.lit(1)).alias("_nb"))
     off_w = W.orderBy("_b").rowsBetween(W.unboundedPreceding, -1)

@@ -343,6 +343,9 @@ def q_events_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             tiebreak="user_id",
             buckets=64,
             descending=descending,
+            # base is already lazily checkpointed; a 2-col projection
+            # of it is cheaper to recompute than to re-materialize
+            checkpoint=False,
         )
         return ranked.crossJoin(F.broadcast(n_total)).select(
             "user_id",
