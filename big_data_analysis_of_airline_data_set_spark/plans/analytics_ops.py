@@ -295,6 +295,11 @@ def q_events_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     total-ordered and engine-identical; rfm_code packs the three
     digits. Recency arithmetic is integer microseconds
     (unix_micros // us_per_day — no timezone, no date truncation).
+    Anonymous events (NULL user_id) are excluded in BOTH engines:
+    user-level RFM has no user to attribute them to, a NULL group
+    would silently vanish in the quartile equi-joins, and a NULL
+    tie-break key is itself engine-divergent (Spark windows sort
+    NULLs first, DuckDB last).
 
     Scale shape: NTILE semantics without ntile's global ordered
     window. Each of the three dimensions ranks via
@@ -306,7 +311,8 @@ def q_events_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     ntile(4) itself, proving the decomposition exact."""
     e = read_testdata_table(spark, sf_dir, "events")
     per = (
-        e.groupBy("user_id")
+        e.filter(F.col("user_id").isNotNull())
+        .groupBy("user_id")
         .agg(
             F.max(F.unix_micros(F.col("ts"))).alias("last_us"),
             F.count(F.lit(1)).cast("long").alias("frequency"),
@@ -382,7 +388,7 @@ WITH per AS (
          CAST(count(*) AS BIGINT) AS frequency,
          CAST(sum(CAST(CAST(value AS DECIMAL(18,6)) AS DECIMAL(38,6)))
               AS DOUBLE) AS monetary
-  FROM events GROUP BY user_id
+  FROM events WHERE user_id IS NOT NULL GROUP BY user_id
 ), anc AS (SELECT max(last_us) AS anchor_us FROM per),
 base AS (
   SELECT user_id,

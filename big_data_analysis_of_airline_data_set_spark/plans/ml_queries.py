@@ -317,36 +317,44 @@ def q_ml_variant_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         # the projected frame feeds two selector fits, the variance
         # selection, and three TVS fits — persist once for the sweep
         df = _sweep_frame(spark, sf_dir).persist()
-        # selection on the full frame — the reference runs script 2 on
-        # the whole cleaned table and hands the lists to scripts 3-10
-        sel_cat = select_univariate_categorical(df, _SWEEP_CATS, "label", num_top=2)
-        sel_num = select_univariate_continuous(df, _SWEEP_NUMS, "label", num_top=2)
-        var_num, _ = variance_threshold_select(df, _SWEEP_NUMS, k=2)
-        variants = [
-            ("full_data", _SWEEP_CATS, _SWEEP_NUMS),
-            ("uni_data", sorted(sel_cat), sorted(sel_num)),
-            ("var_data", _SWEEP_CATS, sorted(var_num)),
-        ]
         rows = []
-        for name, cats, nums in variants:
-            model, train, test, param_maps = fit_family(
-                df,
-                categorical_cols=cats,
-                numeric_cols=nums,
-                family="logistic_regression",
-                test_year=_TEST_YEAR,
-                tuner="tvs",
-                grid="quick",
+        try:
+            # selection on the full frame — the reference runs script 2
+            # on the whole cleaned table and hands the lists to 3-10
+            sel_cat = select_univariate_categorical(
+                df, _SWEEP_CATS, "label", num_top=2
             )
-            clf = model.bestModel.stages[-1]
-            rows.append(
-                (
-                    name, len(cats), len(nums), len(param_maps),
-                    train.count(), test.count(),
-                    int(clf.numFeatures), int(clf.numClasses),
+            sel_num = select_univariate_continuous(
+                df, _SWEEP_NUMS, "label", num_top=2
+            )
+            var_num, _ = variance_threshold_select(df, _SWEEP_NUMS, k=2)
+            variants = [
+                ("full_data", _SWEEP_CATS, _SWEEP_NUMS),
+                ("uni_data", sorted(sel_cat), sorted(sel_num)),
+                ("var_data", _SWEEP_CATS, sorted(var_num)),
+            ]
+            for name, cats, nums in variants:
+                model, train, test, param_maps = fit_family(
+                    df,
+                    categorical_cols=cats,
+                    numeric_cols=nums,
+                    family="logistic_regression",
+                    test_year=_TEST_YEAR,
+                    tuner="tvs",
+                    grid="quick",
                 )
-            )
-        df.unpersist()
+                clf = model.bestModel.stages[-1]
+                rows.append(
+                    (
+                        name, len(cats), len(nums), len(param_maps),
+                        train.count(), test.count(),
+                        int(clf.numFeatures), int(clf.numClasses),
+                    )
+                )
+        finally:
+            # a failed fit must not leave the frame pinned (a retry
+            # would persist a second copy on top of the leaked one)
+            df.unpersist()
         _SWEEP_CACHE.put(key, rows)
     return spark.createDataFrame(
         rows,

@@ -290,7 +290,8 @@ WITH pooled AS (
 )
 SELECT '{_KS_A}' AS group_a, '{_KS_B}' AS group_b,
        CAST(max(na) AS BIGINT) AS n_a, CAST(max(nb) AS BIGINT) AS n_b,
-       round(max(abs(CAST(ca AS DOUBLE) / na - CAST(cb AS DOUBLE) / nb)), 6)
+       round(max(abs(CAST(ca AS DOUBLE) / nullif(na, 0)
+                     - CAST(cb AS DOUBLE) / nullif(nb, 0))), 6)
          AS ks_d
 FROM c
 """

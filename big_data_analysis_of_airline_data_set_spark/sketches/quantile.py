@@ -154,6 +154,10 @@ def hdr_quantile_report(
     production rollup would drop to skip the extra raw scan."""
     sketches = sketch
     if with_union:
+        # sketch feeds two plan references (its own rows + the merged
+        # ALL row) — one lazy checkpoint or the build aggregation (a
+        # full raw scan in the batch path) runs twice
+        sketch = sketch.localCheckpoint(eager=False)
         merged = (
             sketch.groupBy("code")
             .agg(F.sum("cnt").cast("long").alias("cnt"))
@@ -197,11 +201,16 @@ def hdr_quantile_report(
         ],
     )
 
-    # accuracy reference: one conditional-count pass over raw cents
-    # against the ≤ groups+1 broadcast estimate rows
+    # accuracy reference: ONE conditional-count pass over raw cents
+    # against the ≤ groups+1 broadcast estimate rows; the ALL row is
+    # fed by a map-side explode fan-out (each row counts once for its
+    # group and once for 'ALL'), never a second raw scan
     pre = _cents_frame(raw, group_col, value_col)
     if with_union:
-        pre = pre.unionByName(pre.select(F.lit("ALL").alias("group"), "_qc"))
+        pre = pre.select(
+            F.explode(F.array(F.col("group"), F.lit("ALL"))).alias("group"),
+            "_qc",
+        )
     joined = pre.join(F.broadcast(reps), "group")
     return joined.groupBy("group").agg(
         F.max("n_rows").cast("long").alias("n_rows"),

@@ -145,10 +145,13 @@ def ks_two_sample(
     )
     ca = F.col("_ca_off") + F.sum(is_a).over(in_w)
     cb = F.col("_cb_off") + F.sum(is_b).over(in_w)
+    # degenerate inputs (one group entirely absent/NULL) yield NULL
+    # ks_d, never a DIVIDE_BY_ZERO crash under ANSI mode — the repo's
+    # nullif-zero-denominator rule
     diffs = bucketed.join(F.broadcast(offsets), "_b").select(
         F.abs(
-            ca.cast("double") / F.col("_na").cast("double")
-            - cb.cast("double") / F.col("_nb").cast("double")
+            ca.cast("double") / F.nullif(F.col("_na"), F.lit(0)).cast("double")
+            - cb.cast("double") / F.nullif(F.col("_nb"), F.lit(0)).cast("double")
         ).alias("_d"),
         F.col("_na").alias("_na"),
         F.col("_nb").alias("_nb"),

@@ -627,3 +627,33 @@ def test_streamed_hdr_state_is_constant_sized(spark, sf_dir):
     groups = {r["group"] for r in rows}
     # 64-bit cents, s=5: <= 64 + 57*32 codes ~ 1888 per group
     assert len(rows) <= len(groups) * 1900
+
+
+def test_rfm_null_user_ids_keep_oracle_parity(spark, sf_dir, tmp_path):
+    """Anonymous events (NULL user_id) are excluded in BOTH engines —
+    an unfiltered NULL group would silently vanish in the quartile
+    equi-joins (Spark) while surviving in the oracle's GROUP BY,
+    flipping the entry red on any testdata generation with anonymous
+    events. Regression: inject NULL user_ids and re-check parity.
+    (The filter itself sits inside the lazily checkpointed subtree,
+    so a plan-text assertion can't see it.)"""
+    import duckdb
+
+    from big_data_analysis_of_airline_data_set_spark.plans import all_queries
+    from tests.oracle_harness import check_query
+
+    con = duckdb.connect()
+    con.execute(
+        f"""COPY (SELECT * REPLACE (
+                 CASE WHEN user_id % 17 = 0 THEN NULL ELSE user_id END
+                 AS user_id)
+             FROM read_parquet('{sf_dir}/events.parquet'))
+            TO '{tmp_path}/events.parquet' (FORMAT PARQUET)"""
+    )
+    n_null = con.execute(
+        f"SELECT count(*) FROM read_parquet('{tmp_path}/events.parquet')"
+        " WHERE user_id IS NULL"
+    ).fetchone()[0]
+    con.close()
+    assert n_null > 0  # the injection must actually produce NULL rows
+    check_query(spark, all_queries()["events_rfm_segments"], str(tmp_path))

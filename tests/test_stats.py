@@ -217,3 +217,19 @@ def test_ab_ztest_three_variants_nulls_z_not_silent_reduce(spark):
     ).first()
     assert r.n_variants == 3
     assert r.variant_b is None and r.n_b is None and r.z_stat is None
+
+
+def test_ks_two_sample_degenerate_group_yields_null_not_crash(spark):
+    """ANSI mode errors on divide-by-zero: a drift check where one
+    group is entirely absent must return NULL ks_d (degenerate
+    statistic), never crash the suite run."""
+    from big_data_analysis_of_airline_data_set_spark.stats.regression import (
+        ks_two_sample,
+    )
+
+    df = spark.createDataFrame([("a", 1.0), ("a", 2.0)], "g string, v double")
+    row = ks_two_sample(
+        df, group_col="g", value_col="v", group_a="a", group_b="b"
+    ).collect()[0]
+    assert row["n_a"] == 2 and row["n_b"] == 0
+    assert row["ks_d"] is None
