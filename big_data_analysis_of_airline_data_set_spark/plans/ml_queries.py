@@ -314,47 +314,44 @@ def q_ml_variant_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = (spark.sparkContext.applicationId, sf_dir)
     rows = _SWEEP_CACHE.get(key)
     if rows is None:
-        # the projected frame feeds two selector fits, the variance
-        # selection, and three TVS fits — persist once for the sweep
-        df = _sweep_frame(spark, sf_dir).persist()
+        # The projected frame feeds two selector fits, the variance
+        # selection, and three TVS fits. Persisting it was A/B-measured
+        # (round 7, quiet host, fresh session each, sf0.1): with
+        # persist 47.7-53.1 s, without 46.4-48.9 s — the frame is a
+        # cheap whole-stage-codegen projection of one parquet scan, the
+        # TVS fits dominate, and the cache write/read plus memory
+        # pressure during fits costs as much as the rescans save. So:
+        # deliberately NOT persisted (BASELINE.md round-7 record).
+        df = _sweep_frame(spark, sf_dir)
+        # selection on the full frame — the reference runs script 2 on
+        # the whole cleaned table and hands the lists to scripts 3-10
+        sel_cat = select_univariate_categorical(df, _SWEEP_CATS, "label", num_top=2)
+        sel_num = select_univariate_continuous(df, _SWEEP_NUMS, "label", num_top=2)
+        var_num, _ = variance_threshold_select(df, _SWEEP_NUMS, k=2)
+        variants = [
+            ("full_data", _SWEEP_CATS, _SWEEP_NUMS),
+            ("uni_data", sorted(sel_cat), sorted(sel_num)),
+            ("var_data", _SWEEP_CATS, sorted(var_num)),
+        ]
         rows = []
-        try:
-            # selection on the full frame — the reference runs script 2
-            # on the whole cleaned table and hands the lists to 3-10
-            sel_cat = select_univariate_categorical(
-                df, _SWEEP_CATS, "label", num_top=2
+        for name, cats, nums in variants:
+            model, train, test, param_maps = fit_family(
+                df,
+                categorical_cols=cats,
+                numeric_cols=nums,
+                family="logistic_regression",
+                test_year=_TEST_YEAR,
+                tuner="tvs",
+                grid="quick",
             )
-            sel_num = select_univariate_continuous(
-                df, _SWEEP_NUMS, "label", num_top=2
+            clf = model.bestModel.stages[-1]
+            rows.append(
+                (
+                    name, len(cats), len(nums), len(param_maps),
+                    train.count(), test.count(),
+                    int(clf.numFeatures), int(clf.numClasses),
+                )
             )
-            var_num, _ = variance_threshold_select(df, _SWEEP_NUMS, k=2)
-            variants = [
-                ("full_data", _SWEEP_CATS, _SWEEP_NUMS),
-                ("uni_data", sorted(sel_cat), sorted(sel_num)),
-                ("var_data", _SWEEP_CATS, sorted(var_num)),
-            ]
-            for name, cats, nums in variants:
-                model, train, test, param_maps = fit_family(
-                    df,
-                    categorical_cols=cats,
-                    numeric_cols=nums,
-                    family="logistic_regression",
-                    test_year=_TEST_YEAR,
-                    tuner="tvs",
-                    grid="quick",
-                )
-                clf = model.bestModel.stages[-1]
-                rows.append(
-                    (
-                        name, len(cats), len(nums), len(param_maps),
-                        train.count(), test.count(),
-                        int(clf.numFeatures), int(clf.numClasses),
-                    )
-                )
-        finally:
-            # a failed fit must not leave the frame pinned (a retry
-            # would persist a second copy on top of the leaked one)
-            df.unpersist()
         _SWEEP_CACHE.put(key, rows)
     return spark.createDataFrame(
         rows,
