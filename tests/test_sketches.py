@@ -290,8 +290,11 @@ def _py_rep(code: int, s: int) -> int:
     return (sub + off % sub) << (off // sub + 1)
 
 
-def test_hdr_code_monotone_and_rep_is_bucket_lower_bound():
-    s = 5
+import pytest
+
+
+@pytest.mark.parametrize("s", [3, 4, 5, 6])
+def test_hdr_code_monotone_and_rep_is_bucket_lower_bound(s):
     # every cents value through several octaves plus deep-octave spots
     cases = list(range(0, 1 << (s + 4))) + [10**6, 10**9, (1 << 40) + 12345]
     prev = -1
