@@ -564,3 +564,163 @@ def test_peak_concurrency_pre_1970_floor_buckets(spark):
     ).collect()
     assert [r.bucket for r in rows] == [-1]
     assert rows[0].peak_concurrent == 1
+
+
+# ------- round-7 decomposition == textbook invariance guards -------
+
+
+def test_ks_bucketed_cdf_equals_naive_global_window(spark):
+    """The range-bucketed two-sample KS must equal the textbook
+    single-window formulation exactly — including tied values that
+    straddle would-be bucket boundaries."""
+    import random
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window as W
+
+    from big_data_analysis_of_airline_data_set_spark.stats.regression import (
+        ks_two_sample,
+    )
+
+    rng = random.Random(77)
+    # heavy ties: values drawn from a tiny support so many duplicates
+    rows = [
+        (rng.choice(["a", "b"]), float(rng.choice([1, 2, 2, 3, 5, 8, 8, 13])))
+        for _ in range(500)
+    ]
+    df = spark.createDataFrame(rows, "g string, v double")
+
+    got = ks_two_sample(
+        df, group_col="g", value_col="v", group_a="a", group_b="b"
+    ).collect()[0]
+
+    # naive reference: one global RANGE window (fine at test scale)
+    pooled = df.select(F.col("g").alias("_g"), F.col("v").alias("_v"))
+    w = W.orderBy("_v").rangeBetween(W.unboundedPreceding, 0)
+    ca = F.sum(F.when(F.col("_g") == "a", 1).otherwise(0)).over(w)
+    cb = F.sum(F.when(F.col("_g") == "b", 1).otherwise(0)).over(w)
+    na = F.sum(F.when(F.col("_g") == "a", 1).otherwise(0)).over(W.partitionBy())
+    nb = F.sum(F.when(F.col("_g") == "b", 1).otherwise(0)).over(W.partitionBy())
+    ref = (
+        pooled.select(
+            F.abs(
+                ca.cast("double") / na.cast("double")
+                - cb.cast("double") / nb.cast("double")
+            ).alias("_d")
+        )
+        .agg(F.round(F.max("_d"), 6).alias("ks_d"))
+        .collect()[0]["ks_d"]
+    )
+    assert got["ks_d"] == ref
+    assert got["n_a"] + got["n_b"] == 500
+
+
+def test_pareto_bucketed_cumulative_equals_naive(spark, sf_dir):
+    """stats_pareto_coverage's range-bucketed descending cumulative
+    must reproduce the textbook global-window answer on real data."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window as W
+
+    from big_data_analysis_of_airline_data_set_spark.plans import all_queries
+    from big_data_analysis_of_airline_data_set_spark.sources.readers import (
+        read_testdata_table,
+    )
+
+    got = all_queries()["stats_pareto_coverage"].fn(spark, sf_dir).collect()[0]
+
+    o = read_testdata_table(spark, sf_dir, "orders")
+    per = o.groupBy(F.col("o_custkey").alias("cust")).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)").cast("decimal(38,2)"))
+        .cast("decimal(18,2)")
+        .alias("rev")
+    )
+    w_cum = W.orderBy(F.desc("rev"), F.asc("cust")).rowsBetween(
+        W.unboundedPreceding, 0
+    )
+    w_all = W.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    ranked = per.select(
+        F.row_number().over(W.orderBy(F.desc("rev"), F.asc("cust"))).alias("i"),
+        F.sum(F.col("rev").cast("decimal(38,2)")).over(w_cum).alias("cum"),
+        F.sum(F.col("rev").cast("decimal(38,2)")).over(w_all).alias("total"),
+        F.count(F.lit(1)).over(w_all).alias("n_customers"),
+    )
+    ref = ranked.groupBy().agg(
+        F.max("n_customers").cast("long").alias("n_customers"),
+        F.max("total").cast("double").alias("total_revenue"),
+        F.min(F.when(F.col("cum") * 2 >= F.col("total"), F.col("i")))
+        .cast("long")
+        .alias("n_top_half"),
+        F.min(F.when(F.col("cum") * 10 >= F.col("total") * 9, F.col("i")))
+        .cast("long")
+        .alias("n_top_90pct"),
+        F.round(
+            F.max(
+                F.when(
+                    F.col("i") == F.expr("(n_customers + 9) div 10"),
+                    F.col("cum").cast("double") / F.col("total").cast("double"),
+                )
+            ),
+            6,
+        ).alias("top_decile_share"),
+    ).collect()[0]
+    for k in (
+        "n_customers",
+        "total_revenue",
+        "n_top_half",
+        "n_top_90pct",
+        "top_decile_share",
+    ):
+        assert got[k] == ref[k], k
+
+
+def test_rfm_bucketed_quartiles_equal_naive_ntile(spark, sf_dir):
+    """events_rfm_segments' decomposed quartiles must equal Spark's
+    own ntile(4) windows row for row."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window as W
+
+    from big_data_analysis_of_airline_data_set_spark.plans import all_queries
+    from big_data_analysis_of_airline_data_set_spark.plans.analytics_ops import (
+        _US_DAY,
+    )
+    from big_data_analysis_of_airline_data_set_spark.sources.readers import (
+        read_testdata_table,
+    )
+
+    got = {
+        r["user_id"]: (r["r_q"], r["f_q"], r["m_q"])
+        for r in all_queries()["events_rfm_segments"].fn(spark, sf_dir).collect()
+    }
+
+    e = read_testdata_table(spark, sf_dir, "events")
+    per = e.filter(F.col("user_id").isNotNull()).groupBy("user_id").agg(
+        F.max(F.unix_micros(F.col("ts"))).alias("last_us"),
+        F.count(F.lit(1)).cast("long").alias("frequency"),
+        F.sum(
+            F.col("value").cast("decimal(18,6)").cast("decimal(38,6)")
+        ).cast("double").alias("monetary"),
+    )
+    anchor = per.agg(F.max("last_us").alias("anchor_us"))
+    base = per.crossJoin(F.broadcast(anchor)).select(
+        "user_id",
+        F.expr(f"(anchor_us - last_us) div {_US_DAY}").alias("recency_days"),
+        "frequency",
+        "monetary",
+    )
+    ref_rows = base.select(
+        "user_id",
+        F.ntile(4)
+        .over(W.orderBy(F.asc("recency_days"), F.asc("user_id")))
+        .cast("long")
+        .alias("r_q"),
+        F.ntile(4)
+        .over(W.orderBy(F.desc("frequency"), F.asc("user_id")))
+        .cast("long")
+        .alias("f_q"),
+        F.ntile(4)
+        .over(W.orderBy(F.desc("monetary"), F.asc("user_id")))
+        .cast("long")
+        .alias("m_q"),
+    ).collect()
+    ref = {r["user_id"]: (r["r_q"], r["f_q"], r["m_q"]) for r in ref_rows}
+    assert got == ref and len(got) > 0

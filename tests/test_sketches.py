@@ -310,7 +310,8 @@ def test_hdr_code_monotone_and_rep_is_bucket_lower_bound(s):
             assert _py_code(rep, s) == code  # rep lands in its own bucket
 
 
-def test_hdr_sql_code_matches_python_reference(spark):
+@pytest.mark.parametrize("s", [4, 5, 6])
+def test_hdr_sql_code_matches_python_reference(spark, s):
     from pyspark.sql import functions as F
 
     from big_data_analysis_of_airline_data_set_spark.sketches.quantile import (
@@ -318,7 +319,6 @@ def test_hdr_sql_code_matches_python_reference(spark):
         rep_sql,
     )
 
-    s = 5
     vals = list(range(1, 300)) + [2**k + d for k in range(9, 40) for d in (0, 1, 7)]
     df = spark.createDataFrame([(v,) for v in vals], "c long")
     rows = df.select(
