@@ -206,3 +206,40 @@ def test_upsert_result_survives_state_dir_eviction(spark, events_dir):
     while sj._UPSERT_DIRS:
         shutil.rmtree(sj._UPSERT_DIRS.pop(), ignore_errors=True)
     assert out.count() == n_users
+
+
+def test_hdr_stream_incremental_batches_equal_batch_sketch(spark, sf_dir):
+    """Drain the HDR quantile sketch one file per micro-batch: the
+    incrementally maintained (group, code) count state must still
+    equal the batch-computed sketch cell for cell — the additive-merge
+    membership card of the rank sketch."""
+    from big_data_analysis_of_airline_data_set_spark.plans.events_queries import (
+        _landed_events_dir,
+    )
+    from big_data_analysis_of_airline_data_set_spark.sketches.quantile import (
+        hdr_bucket_counts,
+    )
+    from big_data_analysis_of_airline_data_set_spark.sources.readers import (
+        read_testdata_table,
+    )
+    from big_data_analysis_of_airline_data_set_spark.streaming.jobs import (
+        run_hdr_sketch_stream_available_now,
+    )
+
+    landed = _landed_events_dir(spark, sf_dir)
+    streamed = run_hdr_sketch_stream_available_now(
+        spark,
+        landed,
+        query_name="hdr_stream_incr_test",
+        max_files_per_trigger=1,  # several micro-batches
+        stream_shuffle_partitions=4,
+    )
+    ev = read_testdata_table(spark, sf_dir, "events")
+    batch = hdr_bucket_counts(
+        ev.select("event_type", "value"),
+        group_col="event_type",
+        value_col="value",
+    )
+    s = {(r.group, r.code): r.cnt for r in streamed.collect()}
+    b = {(r.group, r.code): r.cnt for r in batch.collect()}
+    assert s == b and len(s) > 0
