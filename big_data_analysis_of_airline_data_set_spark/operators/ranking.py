@@ -78,29 +78,29 @@ def bucketed_global_rank(
     )
 
 
-def ntile_from_rank(rank, n, tiles: int):
+def ntile_from_rank(rank_sql: str, n_sql: str, tiles: int):
     """SQL-standard NTILE group from a 1-based global ``rank`` and the
-    total row count ``n`` (both Column expressions) — the first
-    ``n % tiles`` groups take ``n div tiles + 1`` rows, the rest
-    ``n div tiles``. Integer arithmetic only, so the assignment is
-    engine-exact; the ``q == 0`` divisor is guarded (when ``n <
-    tiles`` every row lands in the first branch, but ANSI mode would
-    still reject a reachable ``div 0``)."""
-    q = n / F.lit(tiles)  # intentionally: callers pass integral n
-    q = F.floor(q).cast("long")
-    rem = (n - q * F.lit(tiles)).cast("long")
-    big = q + F.lit(1)
-    first_span = big * rem
-    q_safe = F.greatest(q, F.lit(1).cast("long"))
-    return (
-        F.when(
-            rank <= first_span,
-            F.floor((rank - F.lit(1)) / big).cast("long") + F.lit(1),
-        )
-        .otherwise(
-            rem
-            + F.floor((rank - first_span - F.lit(1)) / q_safe).cast("long")
-            + F.lit(1)
-        )
-        .cast("long")
+    total row count ``n`` — the first ``n % tiles`` groups take
+    ``n div tiles + 1`` rows, the rest ``n div tiles``.
+
+    ``rank_sql`` / ``n_sql`` are SQL expression strings (column names
+    or expressions) rather than Columns because BIGINT integer
+    division is only reachable through the SQL ``div`` operator —
+    the Column API's ``/`` is double division, whose quotient can
+    misround the tile boundary once rank exceeds 2^52. With ``div``
+    and ``pmod``-free remainder arithmetic the assignment is integer-
+    exact at ANY row count. The ``q == 0`` divisor is guarded (when
+    ``n < tiles`` every row lands in the first branch, but ANSI mode
+    would still reject a reachable ``div 0``)."""
+    r, n = f"(CAST({rank_sql} AS BIGINT))", f"(CAST({n_sql} AS BIGINT))"
+    q = f"({n} div {tiles})"
+    rem = f"({n} - {q} * {tiles})"
+    big = f"({q} + 1)"
+    first_span = f"({big} * {rem})"
+    q_safe = f"(greatest({q}, CAST(1 AS BIGINT)))"
+    return F.expr(
+        f"CAST(CASE WHEN {r} <= {first_span}"
+        f" THEN (({r} - 1) div {big}) + 1"
+        f" ELSE {rem} + (({r} - {first_span} - 1) div {q_safe}) + 1"
+        f" END AS BIGINT)"
     )

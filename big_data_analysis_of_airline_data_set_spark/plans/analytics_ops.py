@@ -355,7 +355,7 @@ def q_events_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         return ranked.crossJoin(F.broadcast(n_total)).select(
             "user_id",
-            ntile_from_rank(F.col("_rank"), F.col("n"), 4).alias(out),
+            ntile_from_rank("_rank", "n", 4).alias(out),
         )
 
     r = quartile("recency_days", "r_q", descending=False)

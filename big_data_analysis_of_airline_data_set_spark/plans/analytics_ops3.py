@@ -586,7 +586,7 @@ def q_customer_decile_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     n_total = rev.agg(F.count(F.lit(1)).cast("long").alias("n"))
     tiled = ranked.crossJoin(F.broadcast(n_total)).withColumn(
-        "decile", ntile_from_rank(F.col("_rank"), F.col("n"), 10)
+        "decile", ntile_from_rank("_rank", "n", 10)
     )
     per = tiled.groupBy("decile").agg(
         F.count(F.lit(1)).alias("n_customers"),

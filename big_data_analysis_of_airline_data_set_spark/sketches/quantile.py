@@ -222,11 +222,18 @@ def hdr_quantile_report(
             for lab, _ in percents
         ],
         *[
+            # denominator = a RECOUNT of the raw rows in this pass, not
+            # the sketch's n_rows: if sketch and raw inputs ever diverge
+            # (e.g. a partial stream drain), the rank columns then
+            # disagree with the sketch-implied percentile and the
+            # mismatch SURFACES in the report instead of silently
+            # normalizing to the sketch's own count. At rest the two
+            # counts are equal, so the emitted values are unchanged.
             F.round(
                 F.sum(
                     F.when(F.col("_qc") <= F.col(f"_qrep_{lab}"), 1).otherwise(0)
                 ).cast("double")
-                / F.max("n_rows").cast("double"),
+                / F.count(F.lit(1)).cast("double"),
                 6,
             ).alias(f"rank_{lab}")
             for lab, _ in percents

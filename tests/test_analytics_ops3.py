@@ -94,7 +94,7 @@ def test_ntile_formula_matches_spark_ntile(spark, n):
 
     df = spark.range(1, n + 1).withColumnRenamed("id", "r")
     via_formula = df.select(
-        "r", ntile_from_rank(F.col("r"), F.lit(n).cast("long"), 10).alias("t")
+        "r", ntile_from_rank("r", str(n), 10).alias("t")
     )
     via_ntile = df.select(
         "r", F.ntile(10).over(W.orderBy("r")).cast("long").alias("t")

@@ -28,7 +28,15 @@ import os
 import duckdb
 import pytest
 
-_SF_DIRS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01"]
+# Same dirs conftest points the suite at — a relocated testdata root
+# (SPARK_GRAFT_TEST_SF / SPARK_GRAFT_ORACLE_SF) is canaried too, not
+# just the default paths.
+_SF_DIRS = sorted(
+    {
+        os.environ.get("SPARK_GRAFT_TEST_SF", "/root/testdata/sf0.001"),
+        os.environ.get("SPARK_GRAFT_ORACLE_SF", "/root/testdata/sf0.01"),
+    }
+)
 
 # (table, key columns the catalog's join/group logic assumes non-null)
 _KEY_COLS = {
@@ -57,10 +65,19 @@ def test_key_columns_are_null_free(sf_dir):
     con = duckdb.connect()
     try:
         offenders = []
+        # a table VANISHING from a regeneration is as much a contract
+        # break as a NULL key — fail with names, never skip silently
+        missing = [
+            t
+            for t in _KEY_COLS
+            if not os.path.exists(os.path.join(sf_dir, f"{t}.parquet"))
+        ]
+        assert not missing, (
+            f"testdata regeneration dropped or renamed tables in {sf_dir}:"
+            f" {missing} — the nullability canary cannot vouch for them"
+        )
         for table, cols in _KEY_COLS.items():
             path = os.path.join(sf_dir, f"{table}.parquet")
-            if not os.path.exists(path):
-                continue
             checks = ", ".join(
                 f'count(*) FILTER (WHERE "{c}" IS NULL) AS "{c}"' for c in cols
             )
