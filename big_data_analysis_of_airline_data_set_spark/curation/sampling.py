@@ -110,3 +110,66 @@ def domain_mixture(
             F.round(F.least(F.lit(1.0), target / share), 6).alias("sample_weight"),
         )
     )
+
+
+def weighted_reservoir(
+    df: DataFrame,
+    *,
+    id_col: str,
+    weight_col: str,
+    k: int,
+    salt: str = "wrs",
+) -> DataFrame:
+    """Fixed-size weighted random sample WITHOUT replacement: the k
+    rows with the largest priority keys, inclusion probability
+    proportional to weight — the Efraimidis–Spirakis A-ES reservoir
+    (Inf. Process. Lett. 97(5), 2006).
+
+    A-ES assigns key_i = u_i^(1/w_i) with u_i ~ U(0,1) and keeps the
+    top k. For INTEGER weights the max of w_i independent uniforms has
+    the SAME law (CDF x^w on (0,1)), so each row instead takes the max
+    of w_i salted 56-bit md5-hash integers. That substitution is what
+    makes the sample replayable bit-for-bit by any SQL engine: the
+    textbook exponential-keys form needs ln/pow, and JVM Math.log vs C
+    libm disagree in the last ulp — enough to flip near-tied keys at
+    the reservoir boundary — while integer hashes compare exactly
+    everywhere.
+
+    Scale shape: the key is one projection per row (an array fold over
+    a sequence of bounded length w; no explode, no join, no shuffle),
+    and the reservoir itself is ``orderBy().limit(k)`` —
+    TakeOrderedAndProject, a per-partition top-k merged on the driver
+    at k rows. Both max and top-k are associative, so the whole
+    operator is a single mergeable pass no matter how many partitions
+    feed it. ``weight_col`` must be an integral column ≥ 1 (callers
+    clamp; a zero weight would hit Spark's DESCENDING sequence(1, 0)
+    while DuckDB's generate_series(1, 0) is empty — the cross-engine
+    trap this operator must never reach). Ties break by id.
+    """
+    rep_hash = lambda r: F.conv(  # noqa: E731 — per-replica 56-bit draw
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.col(id_col).cast("string"),
+                    F.lit(":"),
+                    r.cast("string"),
+                    F.lit(":" + salt),
+                )
+            ),
+            1,
+            14,
+        ),
+        16,
+        10,
+    ).cast("long")
+    key = F.array_max(
+        F.transform(
+            F.sequence(F.lit(1).cast("long"), F.col(weight_col).cast("long")),
+            rep_hash,
+        )
+    )
+    return (
+        df.withColumn("res_key", key)
+        .orderBy(F.desc("res_key"), F.asc(id_col))
+        .limit(k)
+    )

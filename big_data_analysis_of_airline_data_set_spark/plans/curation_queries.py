@@ -16,7 +16,12 @@ from pyspark.sql import functions as F
 
 from ..curation.contamination import contamination_hits
 from ..curation.packing import pack_sequences
-from ..curation.sampling import domain_mixture, quota_sample, weighted_sample
+from ..curation.sampling import (
+    domain_mixture,
+    quota_sample,
+    weighted_reservoir,
+    weighted_sample,
+)
 from ..curation.splitting import split_summary
 from ..dedup.components import connected_components, keeper_by_quality
 from ..dedup.minhash import minhash_near_dup_pairs
@@ -234,6 +239,60 @@ SELECT d.doc_id, d.source
 FROM documents d JOIN w USING (source)
 WHERE {_MD5_56}
       < CAST(floor(sample_weight * 72057594037927936) AS BIGINT)
+"""
+
+
+_WRS_K = 25
+_WRS_SALT = "wrs"
+# integral per-doc weight from length: 1..8, never 0 (the sequence(1,0)
+# cross-engine trap), identical text in both engines
+_WRS_WEIGHT_SPARK = "CAST(least(8, greatest(1, n_chars div 64)) AS BIGINT)"
+_WRS_WEIGHT_DUCK = "CAST(least(8, greatest(1, n_chars // 64)) AS BIGINT)"
+
+
+def q_weighted_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A-ES weighted reservoir (curation/sampling.py:weighted_reservoir)
+    over the documents table: the 25 docs with the largest max-of-w
+    salted md5 keys, inclusion probability proportional to a 1..8
+    length-derived weight. The oracle replays the identical integer
+    keys (nibble-summed md5 prefixes over generate_series replicas),
+    so the sampled SET, not just its size, is value-checked."""
+    d = read_testdata_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.expr(_WRS_WEIGHT_SPARK).alias("weight")
+    )
+    return weighted_reservoir(
+        d, id_col="doc_id", weight_col="weight", k=_WRS_K, salt=_WRS_SALT
+    )
+
+
+def _md5_56_of(expr: str) -> str:
+    """DuckDB replay of Spark's conv(substr(md5(expr),1,14),16,10) —
+    the nibble-sum pattern of _MD5_56, parameterized by the hashed
+    string expression."""
+    return (
+        "list_sum(list_transform(generate_series(1, 14), j -> "
+        f"CAST(strpos('0123456789abcdef', substr(md5({expr}), j, 1)) - 1"
+        " AS BIGINT) * (CAST(1 AS BIGINT) << (4 * (14 - j)))))"
+    )
+
+
+_WRS_REP = (
+    "CAST(doc_id AS VARCHAR) || ':' || CAST(r AS VARCHAR) || "
+    f"':{_WRS_SALT}'"
+)
+_WEIGHTED_RESERVOIR_ORACLE = f"""
+WITH wt AS (
+  SELECT doc_id, source, {_WRS_WEIGHT_DUCK} AS weight FROM documents
+), keyed AS (
+  SELECT doc_id, source, weight,
+         CAST(list_max(list_transform(generate_series(1, weight), r ->
+           {_md5_56_of(_WRS_REP)})) AS BIGINT) AS res_key
+  FROM wt
+)
+SELECT doc_id, source, weight, res_key
+FROM keyed
+ORDER BY res_key DESC, doc_id ASC
+LIMIT {_WRS_K}
 """
 
 
@@ -609,6 +668,11 @@ QUERIES: dict[str, QuerySpec] = {
     "curation_weighted_sample": QuerySpec(
         "curation_weighted_sample", q_weighted_sample, _WEIGHTED_SAMPLE_ORACLE,
         "mixture weights applied as deterministic md5-threshold Bernoulli",
+    ),
+    "curation_weighted_reservoir": QuerySpec(
+        "curation_weighted_reservoir", q_weighted_reservoir,
+        _WEIGHTED_RESERVOIR_ORACLE,
+        "A-ES weighted reservoir via integer max-of-uniforms keys",
     ),
     "dedup_canonical_keeper": QuerySpec(
         "dedup_canonical_keeper", q_dedup_canonical_keeper,

@@ -174,3 +174,61 @@ def test_chunking_edges_hand_checked(spark):
     assert got[(3, 0)] == (0, 32)
     assert got[(3, 1)] == (24, 9)
     assert len(got) == 5
+
+
+def test_weighted_reservoir_exact_k_and_determinism(spark):
+    from big_data_analysis_of_airline_data_set_spark.curation.sampling import (
+        weighted_reservoir,
+    )
+
+    df = spark.createDataFrame(
+        [(i, 1 + (i % 8)) for i in range(200)], ["doc_id", "weight"]
+    )
+    a = weighted_reservoir(df, id_col="doc_id", weight_col="weight", k=30)
+    b = weighted_reservoir(df, id_col="doc_id", weight_col="weight", k=30)
+    ra, rb = a.collect(), b.collect()
+    assert len(ra) == 30
+    assert [r.doc_id for r in ra] == [r.doc_id for r in rb]
+    # keys strictly ordered (56-bit hashes over 200 ids: collisions
+    # would signal a broken key construction, not bad luck)
+    keys = [r.res_key for r in ra]
+    assert keys == sorted(keys, reverse=True)
+
+
+def test_weighted_reservoir_k_exceeding_n_returns_all(spark):
+    from big_data_analysis_of_airline_data_set_spark.curation.sampling import (
+        weighted_reservoir,
+    )
+
+    df = spark.createDataFrame([(1, 3), (2, 1)], ["doc_id", "weight"])
+    out = weighted_reservoir(df, id_col="doc_id", weight_col="weight", k=10)
+    assert {r.doc_id for r in out.collect()} == {1, 2}
+
+
+def test_weighted_reservoir_inclusion_tracks_weight(spark):
+    """A-ES law check: over many independent reservoirs (varying the
+    salt), weight-8 rows must enter the sample far more often than
+    weight-1 rows — the max-of-w-uniforms key is stochastically larger
+    the larger w is (CDF x^w)."""
+    from big_data_analysis_of_airline_data_set_spark.curation.sampling import (
+        weighted_reservoir,
+    )
+
+    rows = [(i, 8 if i < 50 else 1) for i in range(400)]
+    df = spark.createDataFrame(rows, ["doc_id", "weight"]).cache()
+    heavy_hits = light_hits = 0
+    for s in range(12):
+        picked = {
+            r.doc_id
+            for r in weighted_reservoir(
+                df, id_col="doc_id", weight_col="weight", k=40, salt=f"t{s}"
+            ).collect()
+        }
+        heavy_hits += sum(1 for d in picked if d < 50)
+        light_hits += sum(1 for d in picked if d >= 50)
+    df.unpersist()
+    # 50 docs at weight 8 vs 350 at weight 1: heavy expected share
+    # 400/750 ≈ 53% of each 40-row sample vs light 47% spread over 7×
+    # the docs. Require heavy to at least DOUBLE its uniform share
+    # (uniform would give 40·50/400 = 5 per round).
+    assert heavy_hits > 2 * 12 * 40 * 50 / 400, (heavy_hits, light_hits)
