@@ -52,10 +52,18 @@ def minhash_near_dup_pairs(
     threshold: float = 0.5,
     num_hashes: int = 16,
     bands: int = 8,
+    stats_out: dict | None = None,
 ) -> DataFrame:
     """(id_a, id_b, jaccard_distance) for banded-candidate pairs whose
     EXACT Jaccard >= threshold. Docs with no shingles are excluded
-    (MinHash is undefined on empty sets)."""
+    (MinHash is undefined on empty sets).
+
+    ``stats_out``: diagnostics hook — when a dict is passed, it is
+    filled with ``n_docs`` and ``candidate_pairs`` (the banded-bucket
+    join's output size BEFORE exact verification, the number that must
+    grow sub-quadratically for the 100-TB claim to hold). Counting it
+    costs an extra action, so the default (None) leaves the plan
+    exactly as before."""
     if num_hashes % bands:
         raise ValueError("num_hashes must be divisible by bands")
     r = num_hashes // bands
@@ -129,6 +137,10 @@ def minhash_near_dup_pairs(
         .select("id_a", "id_b")
         .dropDuplicates(["id_a", "id_b"])
     )
+
+    if stats_out is not None:
+        stats_out["n_docs"] = base.count()
+        stats_out["candidate_pairs"] = candidates.count()
 
     # exact Jaccard on candidates only
     sh_a = base.select(F.col("_id").alias("id_a"), F.col("_sh").alias("sh_a"))

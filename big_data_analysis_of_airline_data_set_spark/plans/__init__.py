@@ -57,117 +57,100 @@ _MODULES = [
 ]
 
 # The driver's correctness harness records only the first 50 registry
-# entries.  Round-7 window (r6 verdict, Next round #1: clear the
-# driver-evidence debt — 62 catalog entries had never had a driver
-# CORRECTNESS row; rotate 50 of them in, never-checked-first, TPC-H
-# family / embedding trio / experimentation tail / infra entries
-# prioritized as the verdict names them).  Budget: 45 never-checked +
-# 3 code-changed re-proofs + 2 new stretch entries (themselves
-# never-checked; r6 verdict item 6 asks for them in-window) = 50.
-# Every rotated-out query keeps a green r5/r6 row on record; the
-# flagship stays driver-evidenced every round through the t1 entry()
-# smoke check.
+# entries.  Round-8 window (r7 verdict, Next round #1/#6: finish the
+# evidence debt — never-driver-checked to ZERO, drain the r2-era
+# re-proof queue, and re-prove the flight-semantics core).  Budget:
+# 17 remaining never-checked + 1 new stretch entry (never-checked by
+# construction) + 6 code-changed re-proofs + 4 flight-core re-proofs
+# (r5 evidence; r7 verdict item 6) + 22 oldest-evidence r2 entries
+# = 50.  Every rotated-out query keeps a green r5/r6/r7 row on
+# record; the flagship stays driver-evidenced every round through
+# the t1 entry() smoke check.
 _CORRECTNESS_WINDOW = [
-    # (a) never driver-checked — all 21 adapted TPC-H shapes beyond
-    # the r5-green Q1 (plans/analytics_ops{2..5}.py; 3-sf
-    # builder-verified, plan-guarded in tests/test_plan_shapes.py)
-    "tpch_q2_style",
-    "tpch_q3_style",
-    "tpch_q4_style",
-    "tpch_q5_style",
-    "tpch_q6_style",
-    "tpch_q7_style",
-    "tpch_q8_style",
-    "tpch_q9_style",
-    "tpch_q10_style",
-    "tpch_q11_style",
-    "tpch_q12_style",
-    "tpch_q13_style",
-    "tpch_q14_style",
-    "tpch_q15_style",
-    "tpch_q16_style",
-    "tpch_q17_style",
-    "tpch_q18_style",
-    "tpch_q19_style",
-    "tpch_q20_style",
-    "tpch_q21_style",
-    "tpch_q22_style",
-    # (a) never driver-checked — embedding serving trio
-    "embedding_kmeans_assign",
-    "embedding_pq_codebook",
-    "embedding_label_centroids",
-    # (a) never driver-checked — experimentation-stats tail
-    # (stats_pareto_coverage is also (b): its cumulative window was
-    # rebucketed this round, r6 verdict item 2)
-    "stats_cuped_adjustment",
-    "stats_pareto_coverage",
-    "stats_power_analysis",
-    "stats_srm_check",
-    "stats_ratio_metric_ci",
-    "stats_anova_oneway",
-    # (a) never driver-checked — infra entries the verdict names
-    "join_bucketed_colocated",
-    "sink_orc_roundtrip",
-    "sink_jsonl_roundtrip",
-    # (a) never driver-checked — twelve more from the backlog, chosen
-    # for family diversity: the range-bucket family (weighted median /
-    # decile gains / ABC — the machinery the round-7 fixes reuse), the
-    # unique-shape ops (skyline, closed-form PCA, degree histogram,
-    # temperature mixture), and the funnel/LTV/uplift/autocorr event
-    # analytics
-    "stats_weighted_median",
-    "customer_decile_lift",
-    "orders_abc_classification",
-    "skyline_dominance",
-    "stats_pca_2d",
-    "graph_degree_histogram",
-    "curation_temperature_mixture",
-    "events_funnel_ttc",
-    "events_funnel_windowed",
-    "events_cohort_ltv",
-    "events_uplift_by_segment",
-    "stats_autocorr_daily",
-    # (b) code changed this round (r6 verdict items 2/4): the global
-    # single-partition window sorts were replaced by bucketed
-    # decompositions — each keeps a green r5/r6 row, but the plan
-    # behind it is new, so the result is re-proved on the new plan
+    # (a) never driver-checked — the 17 deferred from r7 (head of the
+    # backlog named in the r7 window comment); with these, every
+    # pre-r8 catalog entry has a driver CORRECTNESS row
+    "multimodal_image_phash",
+    "basket_frequent_pairs",
+    "stats_gini_by_group",
+    "events_diversity_index",
+    "text_bpe_merge_pairs",
+    "events_seasonality_profile",
+    "events_forecast_eval",
+    "events_stickiness",
+    "events_linear_interpolation",
+    "events_clamped_balance",
+    "events_holt_smoothing",
+    "events_max_drawdown",
+    "events_lag_features",
+    "events_gap_stats",
+    "rollup_share_of_parent",
+    "feature_hashing_audit",
+    "events_disorder_audit",
+    # (b) new this round (r7 verdict item 5 stretch): A-ES weighted
+    # reservoir sampling with integer-exact max-of-uniforms keys
+    "curation_weighted_reservoir",
+    # (c) code changed this round — plans behind standing green rows
+    # were rebuilt, so the results are re-proved on the new plans:
+    # both PageRank queries (known-size broadcast joins + sized
+    # iteration shuffles, r7 verdict item 3), the two ntile consumers
+    # (ntile_from_rank moved to BIGINT div arithmetic), and the two
+    # HDR sketch entries (rank_<p> accuracy denominator recounted
+    # from raw rather than the sketch's n_rows)
+    "graph_pagerank",
+    "graph_pagerank_converged",
     "events_rfm_segments",
-    "text_bm25_topk",
-    "stats_ks_drift",
-    # (c) new this round (r6 verdict item 6 stretch): the mergeable
-    # HDR quantile sketch, batch + streamed twins
+    "customer_decile_lift",
     "sketch_quantile_hdr",
     "events_quantile_sketch_stream",
-    # Not in this window — deferred, with standing evidence:
-    # - 17 never-checked entries remain for r8 (head of that queue):
-    #   multimodal_image_phash, basket_frequent_pairs,
-    #   stats_gini_by_group, events_diversity_index,
-    #   text_bpe_merge_pairs, events_seasonality_profile,
-    #   events_forecast_eval, events_stickiness,
-    #   events_linear_interpolation, events_clamped_balance,
-    #   events_holt_smoothing, events_max_drawdown,
-    #   events_lag_features, events_gap_stats, events_disorder_audit,
-    #   rollup_share_of_parent, feature_hashing_audit — all oracled,
-    #   3-sf builder-verified (tests/test_analytics_ops*.py), and
-    #   re-swept at sf0.01 this round (BASELINE.md r7 section).
-    #   Displacement rationale: the verdict's priority list (TPC-H,
-    #   embedding, experimentation, infra) fills 33 slots; the 12
-    #   discretionary slots prefer one representative per op family
-    #   over same-family seconds (e.g. ABC + weighted median + decile
-    #   lift stand in for the whole range-bucket family the round-7
-    #   fixes reuse).
-    # - ml_variant_sweep changed only by a persist/unpersist pair
-    #   (r6 verdict item 5 — no logical-plan change; results cached
-    #   per session); its r5-green row stands, re-verified locally at
-    #   3 sfs this round.
-    # - the r2-era re-proof queue from the r6 window comments (text_*,
-    #   curation_pipeline, events_funnel, quantiles, unpivot,
-    #   scd2_upsert, multimodal_asset_stats, flights_viz_dataset,
-    #   trimmed_mean_udaf, ann_ivf_topk, ann_lsh_topk,
-    #   univariate_select_*, variance_threshold_features,
-    #   mllib_chi_square, spearman_correlation, dedup family,
-    #   ann_bruteforce_topk, mllib_correlation_matrix,
-    #   feature_selection_job) queues behind the 17 above for r8.
+    # (d) flight-semantics core re-proofs (r7 verdict item 6): the
+    # reference-parity heart, last driver-evidenced in r5
+    "case_label",
+    "time_digits",
+    "city_split",
+    "delay_group_counts",
+    # (e) oldest evidence — 22 of the 34 r2-era rows, verdict-named
+    # families first (dedup, ANN, text), then one representative per
+    # remaining family
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "dedup_ngram_jaccard",
+    "dedup_embedding_cosine",
+    "ann_ivf_topk",
+    "ann_lsh_topk",
+    "ann_bruteforce_topk",
+    "text_stats",
+    "text_tfidf",
+    "text_lang_id",
+    "text_fingerprint",
+    "mllib_chi_square",
+    "spearman_correlation",
+    "univariate_select_categorical",
+    "variance_threshold_features",
+    "feature_selection_job",
+    "approx_distinct_count",
+    "quantiles",
+    "events_funnel",
+    "scd2_upsert",
+    "unpivot",
+    # Not in this window — deferred to r9 with standing green rows,
+    # all same-family seconds of entries checked this round or r7:
+    # ann_bruteforce_pandas (ann_bruteforce_topk in-window),
+    # quantiles_approx (quantiles in-window), text_winnowing
+    # (text_fingerprint in-window), text_bpe_tokens
+    # (text_bpe_merge_pairs in-window), univariate_select_continuous
+    # (categorical in-window), mllib_correlation_matrix
+    # (spearman_correlation in-window), events_histogram /
+    # events_json_extract (events_funnel in-window + the 11 r8
+    # never-checked events entries), flights_viz_dataset (the four
+    # flight-core re-proofs in-window), multimodal_asset_stats
+    # (multimodal_image_phash in-window), curation_pipeline
+    # (curation_weighted_reservoir in-window), trimmed_mean_udaf
+    # (stats family re-proved broadly this round) — then the r3-era
+    # queue (ann_hard_negatives, asof_join, curation_contamination,
+    # curation_domain_mixture, curation_quota_sample,
+    # curation_sequence_packing, ...) behind them.
 ]
 
 

@@ -1,0 +1,240 @@
+"""Scale-stress evidence for the two LLM-pipeline flagships (r7
+verdict item 4): prove the banded/blocked candidate counts grow
+SUB-QUADRATICALLY as the corpus scales, with measured wall-times.
+
+Run manually (not collected by pytest):
+
+    PYTHONPATH=/root/repo python3 tests/scale_stress.py
+
+No sf1 testdata exists (sf0.1 is the largest the driver generates), so
+the top rung is a DERIVED 10× corpus written under
+``/root/repo/.scale_stress/`` — sf1-equivalent row counts
+(50k documents, 20k embeddings):
+
+- documents_x10: deterministic synthetic docs drawn word-by-word from
+  the sf0.1 vocabulary via xxhash64 — replicating sf0.1 rows verbatim
+  would plant ~45 near-dup pairs per original doc and quadratic
+  candidate growth IN THE DATA, which would measure the corpus, not
+  the algorithm. One in 25 docs is a planted near-duplicate (a pair
+  sharing its word seed, one side perturbed by a trailing token), so
+  the expected TRUE pair count grows linearly: n/50.
+- embeddings_x10: each sf0.1 vector replicated 10× under deterministic
+  per-coordinate jitter (±0.02) — clustered replicas, the realistic
+  hard case for IVF cell pruning.
+
+Metrics:
+- dedup_minhash_lsh: banded-candidate pairs (the stats_out hook in
+  dedup/minhash.py — the number that must not go quadratic) + verified
+  pairs + wall time.
+- ann_ivf_quantized_rerank: rows scanned after cell pruning vs corpus
+  size (the probed fraction), recall@10 vs brute force, wall time.
+
+Results are recorded in BASELINE.md ("Scale stress" section).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import time
+
+STRESS_DIR = "/root/repo/.scale_stress"
+SF01 = "/root/testdata/sf0.01"
+SF1 = "/root/testdata/sf0.1"
+
+
+def _docs_x10(spark, out_path: str) -> None:
+    from pyspark.sql import functions as F
+
+    if os.path.exists(out_path):
+        return
+    base = spark.read.parquet(os.path.join(SF1, "documents.parquet"))
+    vocab = (
+        base.select(F.explode(F.split(F.lower("text"), r"\s+")).alias("w"))
+        .filter(F.length("w") > 0)
+        .distinct()
+    )
+    # one-row array column, broadcast-crossed (large F.lit arrays
+    # degrade codegen — the repo-wide lookup-table pattern)
+    vrow = vocab.agg(F.array_sort(F.collect_list("w")).alias("_vocab"))
+    n = 50_000
+    docs = (
+        spark.range(n)
+        .crossJoin(F.broadcast(vrow))
+        .withColumn("_vsize", F.size("_vocab"))
+        # ids 50g and 50g+1 share a word seed -> planted near-dup pair
+        .withColumn(
+            "_seed",
+            F.when(F.col("id") % 50 < 2, (F.col("id") / 50).cast("long") * 50)
+            .otherwise(F.col("id")),
+        )
+        .withColumn("_len", (F.lit(40) + F.pmod(F.xxhash64("_seed"), F.lit(40))))
+        .withColumn(
+            "_words",
+            F.transform(
+                F.sequence(F.lit(1), F.col("_len")),
+                lambda j: F.element_at(
+                    "_vocab",
+                    (F.pmod(F.xxhash64(F.col("_seed"), j), F.col("_vsize")) + 1).cast(
+                        "int"
+                    ),
+                ),
+            ),
+        )
+        .select(
+            F.col("id").alias("doc_id"),
+            F.concat(
+                F.array_join("_words", " "),
+                F.when(F.col("id") % 50 == 1, F.concat(F.lit(" zq"), F.col("id")))
+                .otherwise(F.lit("")),
+            ).alias("text"),
+        )
+    )
+    docs.write.mode("overwrite").parquet(out_path)
+
+
+def _embeddings_x10(spark, out_path: str) -> None:
+    from pyspark.sql import functions as F
+
+    if os.path.exists(out_path):
+        return
+    base = spark.read.parquet(os.path.join(SF1, "embeddings.parquet"))
+    reps = base.select(
+        "vec_id", "embedding", F.explode(F.sequence(F.lit(0), F.lit(9))).alias("r")
+    )
+    jitter = F.transform(
+        "embedding",
+        lambda x, i: x
+        + (
+            F.pmod(F.xxhash64(F.col("vec_id"), F.col("r"), i), F.lit(1000)) - 500
+        ).cast("double")
+        / 25_000.0,
+    )
+    out = reps.select(
+        (F.col("vec_id") * 10 + F.col("r")).alias("vec_id"),
+        F.when(F.col("r") == 0, F.col("embedding")).otherwise(jitter).alias(
+            "embedding"
+        ),
+    )
+    out.write.mode("overwrite").parquet(out_path)
+
+
+def stress_minhash(spark) -> list[dict]:
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from big_data_analysis_of_airline_data_set_spark.dedup.minhash import (
+        minhash_near_dup_pairs,
+    )
+
+    rows = []
+    for label, path in [
+        ("sf0.01", os.path.join(SF01, "documents.parquet")),
+        ("sf0.1", os.path.join(SF1, "documents.parquet")),
+        ("x10 (sf1-equiv)", os.path.join(STRESS_DIR, "documents_x10.parquet")),
+    ]:
+        d = spark.read.parquet(path)
+        stats: dict = {}
+        t0 = time.time()
+        pairs = minhash_near_dup_pairs(
+            d, id_col="doc_id", text_col="text", n=3, threshold=0.5,
+            stats_out=stats,
+        )
+        verified = pairs.count()
+        wall = time.time() - t0
+        n = stats["n_docs"]
+        rows.append(
+            {
+                "scale": label,
+                "n_docs": n,
+                "candidate_pairs": stats["candidate_pairs"],
+                "verified_pairs": verified,
+                "cand_per_doc": round(stats["candidate_pairs"] / n, 2),
+                "all_pairs": n * (n - 1) // 2,
+                "wall_s": round(wall, 1),
+            }
+        )
+        print("minhash", rows[-1], flush=True)
+    return rows
+
+
+def stress_ivf(spark) -> list[dict]:
+    from pyspark.sql import functions as F
+
+    from big_data_analysis_of_airline_data_set_spark.dedup.embedding import (
+        cosine_sim_expr,
+    )
+    from big_data_analysis_of_airline_data_set_spark.similarity.ivf import (
+        build_ivf_index,
+        ivf_quantized_topk,
+        select_probe_cells,
+    )
+
+    rows = []
+    for label, path in [
+        ("sf0.01", os.path.join(SF01, "embeddings.parquet")),
+        ("sf0.1", os.path.join(SF1, "embeddings.parquet")),
+        ("x10 (sf1-equiv)", os.path.join(STRESS_DIR, "embeddings_x10.parquet")),
+    ]:
+        e = spark.read.parquet(path)
+        n = e.count()
+        qv = [float(x) for x in e.orderBy("vec_id").first().embedding]
+        t_build0 = time.time()
+        indexed, centroids = build_ivf_index(
+            e, id_col="vec_id", vec_col="embedding", nlist=16, multi_assign=2
+        )
+        indexed = indexed.persist()
+        indexed.count()
+        build_s = time.time() - t_build0
+        probe_cells = select_probe_cells(centroids, qv, 8)
+        probed = (
+            indexed.filter(F.col("cell").isin(probe_cells))
+            .dropDuplicates(["_id"])
+            .count()
+        )
+        t0 = time.time()
+        approx = ivf_quantized_topk(
+            indexed, centroids, qv, k=10, nprobe=8, candidates=100
+        )
+        got = [r.id for r in approx.collect()]
+        probe_s = time.time() - t0
+        q = F.array(*[F.lit(x) for x in qv])
+        truth = [
+            r.vec_id
+            for r in e.select(
+                "vec_id", F.round(cosine_sim_expr(F.col("embedding"), q), 6).alias("c")
+            )
+            .orderBy(F.desc("c"), F.asc("vec_id"))
+            .limit(10)
+            .collect()
+        ]
+        recall = len(set(got) & set(truth)) / 10.0
+        indexed.unpersist()
+        rows.append(
+            {
+                "scale": label,
+                "n_vectors": n,
+                "probed_rows": probed,
+                "probed_frac": round(probed / n, 3),
+                "recall_at_10": recall,
+                "build_s": round(build_s, 1),
+                "probe_s": round(probe_s, 1),
+            }
+        )
+        print("ivf", rows[-1], flush=True)
+    return rows
+
+
+def main() -> None:
+    from big_data_analysis_of_airline_data_set_spark.session import get_session
+
+    spark = get_session()
+    os.makedirs(STRESS_DIR, exist_ok=True)
+    _docs_x10(spark, os.path.join(STRESS_DIR, "documents_x10.parquet"))
+    _embeddings_x10(spark, os.path.join(STRESS_DIR, "embeddings_x10.parquet"))
+    report = {"minhash": stress_minhash(spark), "ivf": stress_ivf(spark)}
+    print(json.dumps(report, indent=1))
+
+
+if __name__ == "__main__":
+    main()
