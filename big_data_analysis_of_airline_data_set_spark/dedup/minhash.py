@@ -9,18 +9,27 @@ approxSimilarityJoin offers only r=1 OR-amplification, which floods
 candidates when many pairs share a little vocabulary — measured 30s vs
 <5s on the 5k-doc bench for exactly that reason.)
 
-The K hash families are md5-derived with Kirsch-Mitzenmacher double
-hashing: two 56-bit integers per shingle (``md5("a_"+g)`` and
-``md5("b_"+g)`` hex prefixes), family k = h1 + k·h2 (all sums < 2⁶¹,
-no overflow), signature = min. md5 is engine-universal and the family
-derivation is integer-exact, so an external SQL engine can replay the
-exact signatures, bands, and candidate set — this is what makes the
-catalog query hash-checkable against DuckDB rather than rows-only.
-(xxhash64 families are faster JVM-side but exist nowhere else; double
-hashing keeps the md5 count at 2 per shingle instead of K.) The h1/h2
-arrays are materialized as real columns BEFORE the per-family min —
-expressions inside a lambda re-evaluate per element per family, which
-would otherwise md5 each shingle 2K times.
+The K hash families are INDEPENDENT per-family md5 draws: family k
+hashes shingle g as the 56-bit hex prefix of ``md5("k<k>_" + g)``,
+signature = min. md5 is engine-universal and integer-exact, so an
+external SQL engine can replay the exact signatures, bands, and
+candidate set — this is what makes the catalog query hash-checkable
+against DuckDB rather than rows-only. (xxhash64 families are faster
+JVM-side but exist nowhere else.)
+
+Independence is LOAD-BEARING, not a style choice. An earlier version
+used Kirsch-Mitzenmacher double hashing (h1 + k·h2 from two base
+md5s, 2 md5s per shingle instead of K) — correct for Bloom filters,
+ruinous for banded MinHash: every family's min is dominated by the
+same few small-h1/small-h2 shingles, so the r rows WITHIN a band are
+strongly correlated and the AND-amplification P(band)=j^r collapses
+toward j^1. Measured on a 50k-doc corpus with ~1k planted near-dup
+pairs: KM banding produced 1.79M candidates at r=2 and still 1.68M at
+r=4 (the r knob did nothing — background candidates grew as ~0.13% of
+ALL n²/2 pairs, i.e. quadratically); independent families produced
+95k at r=2 and 1,015 at r=4. At 100 TB the extra K−2 md5s per shingle
+are embarrassingly-parallel map work; a quadratic candidate join is
+the end of the pipeline.
 
 Plan shape at 100 TB:
 - K signatures per row via array_min∘transform — no explode, no
@@ -31,7 +40,8 @@ Plan shape at 100 TB:
   back by id.
 
 Default b=8, r=2 (K=16): P(candidate) at j=0.5 is 0.90, at j=0.8 is
-0.9998, at j=0.01 is ~0.003.
+0.9998, at j=0.01 is ~0.003 — and with independent families those
+textbook numbers now actually hold (see above).
 """
 
 from __future__ import annotations
@@ -85,36 +95,26 @@ def minhash_near_dup_pairs(
     shingled = shingled.persist()
     base = shingled.filter(F.size("_sh") > 0)
 
-    # Double-hashing base arrays, computed ONCE (2 md5s per shingle):
-    # 56-bit hex prefixes so h1 + 15·h2 < 2⁶¹ never overflows a long.
-    def _hex56(tag: str):
-        return F.transform(
-            "_sh",
-            lambda s: F.conv(
-                F.substring(F.md5(F.concat(F.lit(tag), s)), 1, 14), 16, 10
-            ).cast("long"),
-        )
+    # K INDEPENDENT min-hashes, shuffle-free: family k draws each
+    # shingle's 56-bit integer from md5("k<k>_" + g) (hex-prefix →
+    # long), min via array_min ∘ transform. Independence across the K
+    # families is what makes the banded AND-amplification actually
+    # selective — see the module docstring for the measured failure of
+    # the double-hashing shortcut this replaces. K md5s per shingle is
+    # deliberate, paid map-side once per document.
+    def _minhash(k: int):
+        return F.array_min(
+            F.transform(
+                "_sh",
+                lambda s: F.conv(
+                    F.substring(F.md5(F.concat(F.lit(f"k{k}_"), s)), 1, 14),
+                    16,
+                    10,
+                ).cast("long"),
+            )
+        ).alias(f"mh{k}")
 
-    # persist as a ProjectCollapse barrier: without it Catalyst inlines
-    # the _h1/_h2 expressions into all K zip_withs below and the md5s
-    # run K times per shingle again (measured: 2.05s vs 0.9s at sf0.1;
-    # higher-order lambdas defeat codegen subexpression elimination).
-    hashed = base.select(
-        "_id", _hex56("a_").alias("_h1"), _hex56("b_").alias("_h2")
-    ).persist()
-
-    # K signatures per row, shuffle-free: family k = h1 + k·h2
-    # (Kirsch-Mitzenmacher), min via array_min ∘ zip_with over the
-    # MATERIALIZED h1/h2 columns — integer work only, whole-stage
-    # codegen, no explode, no shuffle.
-    def _family(k: int):
-        return lambda a, b: a + F.lit(k).cast("long") * b
-
-    sig_cols = [
-        F.array_min(F.zip_with("_h1", "_h2", _family(k))).alias(f"mh{k}")
-        for k in range(num_hashes)
-    ]
-    sigs = hashed.select("_id", *sig_cols)
+    sigs = base.select("_id", *[_minhash(k) for k in range(num_hashes)])
 
     # br-band digests, melted to (id, band_idx, s1, s2)
     band_cols = [

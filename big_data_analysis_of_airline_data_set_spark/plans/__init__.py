@@ -103,6 +103,14 @@ _CORRECTNESS_WINDOW = [
     "customer_decile_lift",
     "sketch_quantile_hdr",
     "events_quantile_sketch_stream",
+    # ... and the two downstream consumers of the MinHash edge set,
+    # whose candidate graphs changed when the signature family moved
+    # from Kirsch-Mitzenmacher double hashing to K independent md5
+    # families (the scale-stress measurement showed KM banding loses
+    # its AND-amplification — see dedup/minhash.py); dedup_minhash_lsh
+    # itself is in (e) below
+    "dedup_connected_components",
+    "dedup_canonical_keeper",
     # (d) flight-semantics core re-proofs (r7 verdict item 6): the
     # reference-parity heart, last driver-evidenced in r5
     "case_label",
@@ -132,10 +140,12 @@ _CORRECTNESS_WINDOW = [
     "approx_distinct_count",
     "quantiles",
     "events_funnel",
-    "scd2_upsert",
-    "unpivot",
     # Not in this window — deferred to r9 with standing green rows,
     # all same-family seconds of entries checked this round or r7:
+    # scd2_upsert and unpivot (r2 rows; displaced mid-round when the
+    # MinHash family fix forced dedup_connected_components and
+    # dedup_canonical_keeper into the changed-plan group — shape ops
+    # with code untouched since r2 are the lowest-risk deferral),
     # ann_bruteforce_pandas (ann_bruteforce_topk in-window),
     # quantiles_approx (quantiles in-window), text_winnowing
     # (text_fingerprint in-window), text_bpe_tokens

@@ -547,11 +547,12 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # Replays the full MinHash pipeline: same word-3-gram shingles, same
-# Kirsch-Mitzenmacher families (two 56-bit md5 hex prefixes per
-# shingle, family k = h1 + k·h2, integer-exact in both engines), same
-# b=8/r=2 bands, same candidate equi-join, same exact-Jaccard verify.
-# The LSH candidate set is therefore bit-identical across engines, not
-# just statistically close.
+# K INDEPENDENT md5 families (family k hashes shingle g as the 56-bit
+# hex prefix of md5('k<k>_' || g) — see dedup/minhash.py for why
+# independence across families is load-bearing), same b=8/r=2 bands,
+# same candidate equi-join, same exact-Jaccard verify. The LSH
+# candidate set is therefore bit-identical across engines, not just
+# statistically close.
 _HEX56_SQL = (
     "list_sum(list_transform(generate_series(1, 14), j -> "
     "CAST(strpos('0123456789abcdef', substr({h}, j, 1)) - 1 AS BIGINT)"
@@ -570,17 +571,12 @@ WITH sh AS (
   FROM documents
 ), base AS (
   SELECT doc_id, grams FROM sh WHERE len(grams) > 0
-), hashed AS (
-  SELECT doc_id,
-         list_transform(grams, g -> {_HEX56_SQL.format(h="substr(md5(concat('a_', g)), 1, 14)")}) AS h1,
-         list_transform(grams, g -> {_HEX56_SQL.format(h="substr(md5(concat('b_', g)), 1, 14)")}) AS h2
-  FROM base
 ), sigs AS (
   SELECT doc_id,
          list_transform(generate_series(0, 15),
-           k -> list_min(list_transform(generate_series(1, len(h1)),
-                                        i -> h1[i] + k * h2[i]))) AS mh
-  FROM hashed
+           k -> list_min(list_transform(grams,
+             g -> {_HEX56_SQL.format(h="substr(md5('k' || CAST(k AS VARCHAR) || '_' || g), 1, 14)")}))) AS mh
+  FROM base
 ), melted AS (
   SELECT doc_id, b.band AS band_idx,
          mh[b.band * 2 + 1] AS s0, mh[b.band * 2 + 2] AS s1
