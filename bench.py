@@ -290,6 +290,13 @@ R7_OPS = [
     "events_quantile_sketch_stream",
 ]
 
+R8_OPS = [
+    # graph_pagerank_converged (the other round-8 perf change) is
+    # already tracked in R5_OPS — its speedup shows as that suite's
+    # delta, not a duplicate slot here
+    "curation_weighted_reservoir",
+]
+
 # Like ml_quick_fit: 3 TVS LR fits (full/uni/var feature sets) timed
 # once, separately — fit-dominated and session-cached, so repeats would
 # time the cache, not the work.
@@ -422,6 +429,12 @@ def main() -> None:
     )
     print(f"# r7_ops_suite: {r7_total}s {r7_timings}", file=sys.stderr)
 
+    _warm(specs, spark, R8_OPS, sf_dir)
+    r8_timings, r8_total = _run_suite(
+        specs, spark, R8_OPS, sf_dir, repeats, "r8_ops"
+    )
+    print(f"# r8_ops_suite: {r8_total}s {r8_timings}", file=sys.stderr)
+
     t0 = time.perf_counter()
     specs[ML_VARIANT_QUERY].fn(spark, sf_dir).count()
     ml_variants = time.perf_counter() - t0
@@ -486,6 +499,8 @@ def main() -> None:
         "r6d_ops_queries": r6d_timings,
         "r7_ops_suite": r7_total,
         "r7_ops_queries": r7_timings,
+        "r8_ops_suite": r8_total,
+        "r8_ops_queries": r8_timings,
         "skew_suite": skew_total,
         "skew_queries": skew_timings,
         "sf": float(sf),
