@@ -146,6 +146,7 @@ def weighted_reservoir(
     while DuckDB's generate_series(1, 0) is empty — the cross-engine
     trap this operator must never reach). Ties break by id.
     """
+    w_ok = F.col(weight_col).cast("long") >= 1
     rep_hash = lambda r: F.conv(  # noqa: E731 — per-replica 56-bit draw
         F.substring(
             F.md5(
@@ -166,6 +167,18 @@ def weighted_reservoir(
         F.transform(
             F.sequence(F.lit(1).cast("long"), F.col(weight_col).cast("long")),
             rep_hash,
+        )
+    )
+    # the trap named above must FAIL, not silently over-sample: Spark's
+    # sequence(1, 0) DESCENDS, so an unclamped weight <= 0 would get
+    # EXTRA draws (a stochastically larger key) while the oracle's
+    # generate_series(1, 0) is empty — guard loudly at row level
+    key = F.when(w_ok, key).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit("weighted_reservoir: weight < 1 for id "),
+                F.col(id_col).cast("string"),
+            )
         )
     )
     return (

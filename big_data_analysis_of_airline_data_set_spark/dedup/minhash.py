@@ -139,6 +139,10 @@ def minhash_near_dup_pairs(
     )
 
     if stats_out is not None:
+        # the count action would otherwise run the signature build +
+        # band join once for the diagnostic and AGAIN for the verify
+        # below — persist so the diagnostics pass pays it once
+        candidates = candidates.persist()
         stats_out["n_docs"] = base.count()
         stats_out["candidate_pairs"] = candidates.count()
 

@@ -31,7 +31,7 @@ Scale notes:
 
 from __future__ import annotations
 
-from contextlib import contextmanager
+from contextlib import contextmanager, nullcontext
 from typing import Callable, Iterator
 
 from pyspark.sql import DataFrame
@@ -278,7 +278,20 @@ def pagerank_converged(
     pending = [ranks]
     stopped_at = max_iterations
     dec = f"decimal(30,{round_dp})"
-    with _iteration_shuffle_width(edges.sparkSession, n):
+    # Width-scoping is tied to the broadcast regime: with bc active the
+    # cached edge table never re-exchanges, so every per-iteration
+    # shuffle really is node-sized and narrowing them is safe. In the
+    # sort-merge regime (n > broadcast_nodes_max) the e ⋈ rate join
+    # re-exchanges rate to match e's partitioning and the contribs
+    # aggregate is edge-fed — sizing those from the NODE count would
+    # throttle edge-sized exchanges (e.g. 1M nodes / 1B edges → k=20),
+    # so the session width is left untouched there.
+    scope = (
+        _iteration_shuffle_width(edges.sparkSession, n)
+        if n <= broadcast_nodes_max
+        else nullcontext()
+    )
+    with scope:
         for it in range(1, max_iterations + 1):
             prev = ranks
             rate = ranks.filter(F.col("deg") > 0).select(

@@ -61,9 +61,10 @@ _MODULES = [
 # evidence debt — never-driver-checked to ZERO, drain the r2-era
 # re-proof queue, and re-prove the flight-semantics core).  Budget:
 # 17 remaining never-checked + 1 new stretch entry (never-checked by
-# construction) + 6 code-changed re-proofs + 4 flight-core re-proofs
-# (r5 evidence; r7 verdict item 6) + 22 oldest-evidence r2 entries
-# = 50.  Every rotated-out query keeps a green r5/r6/r7 row on
+# construction) + 8 code-changed re-proofs (6 planned + the 2 MinHash
+# edge-set consumers pulled in by the mid-round family fix) + 4
+# flight-core re-proofs (r5 evidence; r7 verdict item 6) + 20
+# oldest-evidence r2 entries = 50.  Every rotated-out query keeps a green r5/r6/r7 row on
 # record; the flagship stays driver-evidenced every round through
 # the t1 entry() smoke check.
 _CORRECTNESS_WINDOW = [

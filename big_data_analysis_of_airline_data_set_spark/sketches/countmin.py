@@ -12,11 +12,16 @@ shuffle is constant-size regardless of corpus size or vocabulary. An
 exact term count, by contrast, shuffles the full vocabulary. That's
 the trade a frequency sketch buys.
 
-Hash families are the same md5 Kirsch-Mitzenmacher construction as
-dedup.minhash (h1 = md5('a_'+t) prefix, h2 = md5('b_'+t) prefix,
-h_j = h1 + j·h2 — 2 md5s per occurrence for any depth d, sums < 2⁶¹),
-so a SQL oracle replays bucket assignment, bucket sums, and therefore
-every estimate exactly.
+Hash families are an md5 Kirsch-Mitzenmacher construction
+(h1 = md5('a_'+t) prefix, h2 = md5('b_'+t) prefix, h_j = h1 + j·h2 —
+2 md5s per occurrence for any depth d, sums < 2⁶¹), so a SQL oracle
+replays bucket assignment, bucket sums, and therefore every estimate
+exactly. KM is CORRECT here — CMS only needs each h_j pairwise-
+independent WITHIN itself, and taking the min of d estimates has no
+cross-family independence requirement — unlike banded MinHash, where
+round 8 measured KM collapsing the AND-amplification and moved
+dedup.minhash to fully independent per-family draws (see its
+docstring); don't port that fix back here, there is nothing to fix.
 """
 
 from __future__ import annotations

@@ -232,3 +232,20 @@ def test_weighted_reservoir_inclusion_tracks_weight(spark):
     # the docs. Require heavy to at least DOUBLE its uniform share
     # (uniform would give 40·50/400 = 5 per round).
     assert heavy_hits > 2 * 12 * 40 * 50 / 400, (heavy_hits, light_hits)
+
+
+def test_weighted_reservoir_rejects_nonpositive_weight(spark):
+    """Spark's sequence(1, 0) DESCENDS, so an unclamped weight would
+    silently OVER-sample (extra draws) while the DuckDB oracle's
+    generate_series(1, 0) is empty — the operator must fail loudly
+    instead (review finding, round 8)."""
+    import pytest as _pytest
+
+    from big_data_analysis_of_airline_data_set_spark.curation.sampling import (
+        weighted_reservoir,
+    )
+
+    df = spark.createDataFrame([(1, 2), (2, 0)], ["doc_id", "weight"])
+    out = weighted_reservoir(df, id_col="doc_id", weight_col="weight", k=5)
+    with _pytest.raises(Exception, match="weight < 1"):
+        out.collect()
