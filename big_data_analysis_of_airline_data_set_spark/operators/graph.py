@@ -497,6 +497,7 @@ def k_core(
     v: str = "v",
     max_rounds: int = 10,
     symmetric: bool = False,
+    broadcast_nodes_max: int = _BC_NODES_MAX,
 ) -> DataFrame:
     """(vertex, core_degree): the k-core of a simple undirected graph
     (DISTINCT pairs, each edge once, any endpoint order) — the maximal
@@ -509,7 +510,14 @@ def k_core(
 
     Per round: two semi-joins restrict the (symmetrized, persisted,
     src-partitioned) edge set to surviving endpoints, one degree
-    aggregate, one filter — all node/edge-sized, no driver data. The
+    aggregate, one filter — all node/edge-sized, no driver data.
+    The survivor set is node-sized and its count is already taken
+    every round for the fixpoint test, so while it stays under
+    ``broadcast_nodes_max`` both semi-joins broadcast it — the edge
+    set then never re-exchanges AND the degree groupBy(_s) reuses the
+    cached src-partitioning, making a whole peel round shuffle-free
+    (same known-size gate as pagerank; above the bound the shuffle
+    semi-join path is unchanged). The
     survivor set shrinks MONOTONICALLY, so the fixpoint test is one
     count comparison per round (a scalar driver boundary; peeling
     depth on thresholded co-occurrence graphs is a handful of rounds).
@@ -544,10 +552,11 @@ def k_core(
     )
     n_alive = alive.count()
     for _ in range(max_rounds + 1):
+        bc = _node_frame_bc(n_alive, broadcast_nodes_max)
         deg = (
-            sym.join(alive, sym["_s"] == alive["vertex"], "left_semi")
+            sym.join(bc(alive), sym["_s"] == alive["vertex"], "left_semi")
             .join(
-                alive.select(F.col("vertex").alias("_dv")),
+                bc(alive.select(F.col("vertex").alias("_dv"))),
                 F.col("_d") == F.col("_dv"),
                 "left_semi",
             )
@@ -582,6 +591,7 @@ def label_propagation(
     v: str = "v",
     rounds: int = 3,
     symmetric: bool = False,
+    broadcast_nodes_max: int = _BC_NODES_MAX,
 ) -> DataFrame:
     """(vertex, label): synchronous label-propagation communities
     after a FIXED number of rounds — each round every vertex adopts
@@ -598,13 +608,17 @@ def label_propagation(
     Fixed rounds, not convergence: synchronous LPA can oscillate
     2-cycles forever (bipartite-ish regions), so "run R rounds" IS
     the semantic — stated, and replayed by an oracle that unrolls
-    exactly R rounds. Per round: one edge⋈labels join, one
-    (vertex, label) count, one per-vertex top-1 window — all
-    edge-sized shuffles; the label table is materialized per round
-    through an eager localCheckpoint (linear, not exponential,
+    exactly R rounds. Per round: one edge⋈labels join (the label
+    table is node-sized and counted once, so under
+    ``broadcast_nodes_max`` it broadcasts and the cached edge set
+    never re-exchanges — the pagerank gate), one (vertex, label)
+    count, and the per-vertex top-1 taken by a ``min(struct(-n,
+    label))`` aggregate rather than a row_number window: the same
+    deterministic total order (count desc, label asc) as a partial-
+    aggregable hash agg — map-side combine, no per-partition sort,
+    and no window exchange. The label table is materialized per
+    round through an eager localCheckpoint (linear, not exponential,
     lineage)."""
-    from pyspark.sql.window import Window
-
     if rounds < 1:
         raise ValueError("rounds must be >= 1")
     directed = edges.select(F.col(u).alias("_s"), F.col(v).alias("_d"))
@@ -621,20 +635,25 @@ def label_propagation(
         .select("vertex", F.col("vertex").alias("label"))
         .localCheckpoint(eager=True)
     )
-    w = Window.partitionBy("vertex").orderBy(
-        F.desc("n"), F.asc("label")
-    )
+    bc = _node_frame_bc(labels.count(), broadcast_nodes_max)
     for _ in range(rounds):
         cnt = (
-            sym.join(labels, sym["_d"] == labels["vertex"])
+            sym.join(bc(labels), sym["_d"] == labels["vertex"])
             .groupBy(F.col("_s").alias("vertex_"), "label")
             .agg(F.count(F.lit(1)).alias("n"))
             .withColumnRenamed("vertex_", "vertex")
         )
+        # top-1 by (n desc, label asc) == min of struct(-n, label):
+        # lexicographic struct comparison, unique winner, same total
+        # order the window formulation sorted by
         labels = (
-            cnt.withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1)
-            .select("vertex", "label")
+            cnt.groupBy("vertex")
+            .agg(
+                F.min(
+                    F.struct((-F.col("n")).alias("_negn"), F.col("label"))
+                ).alias("_top")
+            )
+            .select("vertex", F.col("_top.label").alias("label"))
             .localCheckpoint(eager=True)
         )
     sym.unpersist()
@@ -650,6 +669,7 @@ def bfs_distances(
     seed_col: str = "vertex",
     max_hops: int = 8,
     symmetric: bool = False,
+    broadcast_nodes_max: int = _BC_NODES_MAX,
 ) -> DataFrame:
     """(vertex, dist): minimum hop count from ANY seed vertex over an
     undirected graph, up to ``max_hops`` — multi-source BFS, the
@@ -694,26 +714,43 @@ def bfs_distances(
         .distinct()
         .localCheckpoint(eager=True)
     )
+    # frontiers are node-sized and each is counted anyway (the
+    # empty-frontier exit), so under broadcast_nodes_max the semi- and
+    # anti-join sides broadcast and the cached edge set never
+    # re-exchanges — the pagerank gate, re-evaluated per level as the
+    # frontier grows/shrinks
+    n_frontier = frontier.count()
     levels = [frontier.select("vertex", F.lit(0).cast("long").alias("dist"))]
-    prev2 = None
+    prev2, n_prev2 = None, 0
     for h in range(1, max_hops + 1):
+        bc = _node_frame_bc(n_frontier, broadcast_nodes_max)
         cand = (
             sym.join(
-                frontier.withColumnRenamed("vertex", "_s"), "_s", "left_semi"
+                bc(frontier.withColumnRenamed("vertex", "_s")),
+                "_s",
+                "left_semi",
             )
             .select(F.col("_d").alias("vertex"))
             .distinct()
-            .join(frontier, "vertex", "left_anti")
+            .join(bc(frontier), "vertex", "left_anti")
         )
         if prev2 is not None:
-            cand = cand.join(prev2, "vertex", "left_anti")
+            # gate on prev2's OWN size — frontiers shrink as well as
+            # grow, so the current frontier's size doesn't vouch for it
+            cand = cand.join(
+                _node_frame_bc(n_prev2, broadcast_nodes_max)(prev2),
+                "vertex",
+                "left_anti",
+            )
         new = cand.localCheckpoint(eager=True)
-        if new.limit(1).count() == 0:
+        n_new = new.count()
+        if n_new == 0:
             break
         levels.append(
             new.select("vertex", F.lit(h).cast("long").alias("dist"))
         )
-        prev2, frontier = frontier, new
+        prev2, n_prev2 = frontier, n_frontier
+        frontier, n_frontier = new, n_new
     sym.unpersist()
     return reduce(lambda a, b: a.union(b), levels)
 

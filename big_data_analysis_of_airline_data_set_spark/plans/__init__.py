@@ -61,10 +61,11 @@ _MODULES = [
 # evidence debt — never-driver-checked to ZERO, drain the r2-era
 # re-proof queue, and re-prove the flight-semantics core).  Budget:
 # 17 remaining never-checked + 1 new stretch entry (never-checked by
-# construction) + 8 code-changed re-proofs (6 planned + the 2 MinHash
-# edge-set consumers pulled in by the mid-round family fix) + 4
-# flight-core re-proofs (r5 evidence; r7 verdict item 6) + 20
-# oldest-evidence r2 entries = 50.  Every rotated-out query keeps a green r5/r6/r7 row on
+# construction) + 11 code-changed re-proofs (6 planned + the 2 MinHash
+# edge-set consumers pulled in by the mid-round family fix + the 3
+# iterative graph ops given the pagerank broadcast treatment late in
+# the round) + 4 flight-core re-proofs (r5 evidence; r7 verdict item
+# 6) + 17 oldest-evidence r2 entries = 50.  Every rotated-out query keeps a green r5/r6/r7 row on
 # record; the flagship stays driver-evidenced every round through
 # the t1 entry() smoke check.
 _CORRECTNESS_WINDOW = [
@@ -112,6 +113,14 @@ _CORRECTNESS_WINDOW = [
     # itself is in (e) below
     "dedup_connected_components",
     "dedup_canonical_keeper",
+    # ... and the three other iterative graph ops, re-planned late in
+    # the round with the same known-size broadcast gate (k_core peel
+    # rounds now shuffle-free in the broadcast regime; LPA's per-round
+    # per-vertex top-1 window sort replaced by a min-struct hash
+    # aggregate; BFS frontier joins broadcast-gated per level)
+    "graph_k_core",
+    "graph_label_propagation",
+    "graph_bfs_distances",
     # (d) flight-semantics core re-proofs (r7 verdict item 6): the
     # reference-parity heart, last driver-evidenced in r5
     "case_label",
@@ -138,15 +147,18 @@ _CORRECTNESS_WINDOW = [
     "univariate_select_categorical",
     "variance_threshold_features",
     "feature_selection_job",
-    "approx_distinct_count",
-    "quantiles",
-    "events_funnel",
     # Not in this window — deferred to r9 with standing green rows,
     # all same-family seconds of entries checked this round or r7:
     # scd2_upsert and unpivot (r2 rows; displaced mid-round when the
     # MinHash family fix forced dedup_connected_components and
     # dedup_canonical_keeper into the changed-plan group — shape ops
     # with code untouched since r2 are the lowest-risk deferral),
+    # approx_distinct_count / quantiles / events_funnel (r2 rows;
+    # displaced when the late-round graph re-plans took three slots —
+    # their families carry FRESH driver evidence: distinct-count via
+    # the r4/r6 KMV/HLL/CMS rows, quantiles via the r8-in-window HDR
+    # sketch pair, events via the 11 events_* entries in this very
+    # window),
     # ann_bruteforce_pandas (ann_bruteforce_topk in-window),
     # quantiles_approx (quantiles in-window), text_winnowing
     # (text_fingerprint in-window), text_bpe_tokens
