@@ -300,3 +300,32 @@ def test_connected_components_rejects_zero_check_every(spark):
     edges = spark.createDataFrame([(1, 2)], "id_a long, id_b long")
     with pytest.raises(ValueError, match="check_every"):
         connected_components(nodes, edges, check_every=0)
+
+
+def test_minhash_band_selectivity_under_hot_shingles(spark):
+    """Round-8 regression pin: banded AND-amplification must hold when
+    every document shares a few hot shingles. The pre-r8
+    Kirsch-Mitzenmacher family (order-preserving h1 + k*h2) let the
+    globally-smallest-hash shingle dominate EVERY family's minimum, so
+    any two documents sharing that one shingle band-collided — on this
+    corpus that floods candidates toward all pairs. With independent
+    per-family draws, P(band) = j^r: at j ~ 0.2 and b=8, r=2 the
+    expected candidate fraction is ~1-(1-0.04)^8 ~ 0.28, and the
+    verified (j >= 0.5) set must be empty."""
+    common = "alpha beta gamma delta"  # shared 4-token prefix
+    docs = [
+        (i, f"{common} u{i}a u{i}b u{i}c u{i}d u{i}e u{i}f u{i}g u{i}h")
+        for i in range(80)
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    stats: dict = {}
+    verified = minhash_near_dup_pairs(
+        df, id_col="doc_id", text_col="text", n=3, threshold=0.5,
+        stats_out=stats,
+    ).count()
+    all_pairs = 80 * 79 // 2
+    # dominance pathology => candidates -> ~all_pairs; independent
+    # families keep the fraction near the j^r expectation (<60% with
+    # wide margin; measured ~0.3)
+    assert stats["candidate_pairs"] < 0.6 * all_pairs, stats
+    assert verified == 0
