@@ -119,11 +119,15 @@ def weighted_reservoir(
     weight_col: str,
     k: int,
     salt: str = "wrs",
+    max_weight: int = 10_000,
 ) -> DataFrame:
-    """Fixed-size weighted random sample WITHOUT replacement: the k
-    rows with the largest priority keys, inclusion probability
-    proportional to weight — the Efraimidis–Spirakis A-ES reservoir
-    (Inf. Process. Lett. 97(5), 2006).
+    """Fixed-size weighted random sample WITHOUT replacement per
+    Efraimidis–Spirakis A-ES (Inf. Process. Lett. 97(5), 2006): the k
+    rows with the largest priority keys — sequential probability-
+    proportional-to-size draws, i.e. at each draw the selection
+    probability is proportional to the remaining items' weights (NOT
+    exactly weight-proportional per-item inclusion in the final
+    size-k sample; no without-replacement scheme gives both).
 
     A-ES assigns key_i = u_i^(1/w_i) with u_i ~ U(0,1) and keeps the
     top k. For INTEGER weights the max of w_i independent uniforms has
@@ -141,12 +145,21 @@ def weighted_reservoir(
     TakeOrderedAndProject, a per-partition top-k merged on the driver
     at k rows. Both max and top-k are associative, so the whole
     operator is a single mergeable pass no matter how many partitions
-    feed it. ``weight_col`` must be an integral column ≥ 1 (callers
-    clamp; a zero weight would hit Spark's DESCENDING sequence(1, 0)
-    while DuckDB's generate_series(1, 0) is empty — the cross-engine
-    trap this operator must never reach). Ties break by id.
+    feed it. ``weight_col`` must be an integral column in
+    [1, max_weight]: the key costs O(w) time AND memory per row (w
+    hash draws), so raw token counts (10⁵–10⁶) as weights would build
+    million-element arrays per row — quantize such weights into a
+    bounded replica count before calling (e.g. ``ceil(tokens/1000)``).
+    Both bounds fail LOUDLY at row level: a zero weight would hit
+    Spark's DESCENDING sequence(1, 0) while DuckDB's
+    generate_series(1, 0) is empty (the cross-engine trap this
+    operator must never reach), and an over-cap weight means the
+    caller skipped quantization. Ties break by id.
     """
-    w_ok = F.col(weight_col).cast("long") >= 1
+    if max_weight < 1:
+        raise ValueError("max_weight must be >= 1")
+    w_long = F.col(weight_col).cast("long")
+    w_ok = (w_long >= 1) & (w_long <= int(max_weight))
     rep_hash = lambda r: F.conv(  # noqa: E731 — per-replica 56-bit draw
         F.substring(
             F.md5(
@@ -169,14 +182,18 @@ def weighted_reservoir(
             rep_hash,
         )
     )
-    # the trap named above must FAIL, not silently over-sample: Spark's
+    # both bounds must FAIL, not silently misbehave: Spark's
     # sequence(1, 0) DESCENDS, so an unclamped weight <= 0 would get
     # EXTRA draws (a stochastically larger key) while the oracle's
-    # generate_series(1, 0) is empty — guard loudly at row level
+    # generate_series(1, 0) is empty; an over-cap weight would build
+    # an O(w) array per row — guard loudly at row level
     key = F.when(w_ok, key).otherwise(
         F.raise_error(
             F.concat(
-                F.lit("weighted_reservoir: weight < 1 for id "),
+                F.lit(
+                    f"weighted_reservoir: weight outside [1, {int(max_weight)}]"
+                    " for id "
+                ),
                 F.col(id_col).cast("string"),
             )
         )

@@ -73,7 +73,10 @@ def minhash_near_dup_pairs(
     join's output size BEFORE exact verification, the number that must
     grow sub-quadratically for the 100-TB claim to hold). Counting it
     costs an extra action, so the default (None) leaves the plan
-    exactly as before."""
+    exactly as before. The stats path returns an EAGER localCheckpoint
+    and releases every cache it pinned (candidates + shingles) before
+    returning — a diagnostics loop over many corpora in one session
+    (tests/scale_stress.py) must not accumulate cached partitions."""
     if num_hashes % bands:
         raise ValueError("num_hashes must be divisible by bands")
     r = num_hashes // bands
@@ -153,9 +156,18 @@ def minhash_near_dup_pairs(
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     union = F.size(F.array_union("sh_a", "sh_b"))
     jac = F.when(union > 0, inter.cast("double") / union).otherwise(F.lit(0.0))
-    return (
+    out = (
         verified.select(
             "id_a", "id_b", F.round(1.0 - jac, 6).alias("jaccard_distance")
         )
         .filter(F.col("jaccard_distance") <= 1.0 - threshold)
     )
+    if stats_out is not None:
+        # diagnostics path: materialize NOW (eager checkpoint decouples
+        # the result from the caches below), then release everything
+        # this call pinned — scale_stress iterates corpora in one
+        # session and must not accumulate cached partitions
+        out = out.localCheckpoint(eager=True)
+        candidates.unpersist()
+        shingled.unpersist()
+    return out

@@ -72,9 +72,19 @@ def _iteration_shuffle_width(spark, n: int) -> Iterator[None]:
     value on exit — ONLY safe around loops whose actions all run
     inside the scope (the converged loop's barrier checks; the plain
     ``pagerank`` lazy chain materializes at the CALLER's action, after
-    restore, so it must not use this)."""
+    restore, so it must not use this). The conf mutation is session-
+    global: this assumes the single-threaded-driver discipline the
+    whole package runs under (caching.py) — queries issued
+    CONCURRENTLY on the same session during the loop would plan under
+    the narrowed width. A non-numeric session value (some platforms
+    set 'auto') disables the scoping rather than raising."""
     saved = spark.conf.get("spark.sql.shuffle.partitions")
-    k = max(1, min(int(saved), -(-n // _ITER_ROWS_PER_TASK)))
+    try:
+        saved_n = int(saved)
+    except (TypeError, ValueError):
+        yield  # unknown width: leave the session conf untouched
+        return
+    k = max(1, min(saved_n, -(-n // _ITER_ROWS_PER_TASK)))
     spark.conf.set("spark.sql.shuffle.partitions", str(k))
     try:
         yield

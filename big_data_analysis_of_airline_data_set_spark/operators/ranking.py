@@ -28,9 +28,17 @@ engine-deterministic with no float thresholds anywhere.
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
+
+# ntile_from_rank splices its arguments into SQL text; restrict them to
+# unqualified column identifiers (or bare integer literals) so a
+# malformed caller fails HERE with the offending string, not downstream
+# with a parse error or wrong SQL.
+_IDENTIFIER_RE = re.compile(r"[A-Za-z_][A-Za-z0-9_]*|[0-9]+")
 
 
 def bucketed_global_rank(
@@ -78,21 +86,30 @@ def bucketed_global_rank(
     )
 
 
-def ntile_from_rank(rank_sql: str, n_sql: str, tiles: int):
+def ntile_from_rank(rank_col: str, n_col: str, tiles: int):
     """SQL-standard NTILE group from a 1-based global ``rank`` and the
     total row count ``n`` — the first ``n % tiles`` groups take
     ``n div tiles + 1`` rows, the rest ``n div tiles``.
 
-    ``rank_sql`` / ``n_sql`` are SQL expression strings (column names
-    or expressions) rather than Columns because BIGINT integer
-    division is only reachable through the SQL ``div`` operator —
-    the Column API's ``/`` is double division, whose quotient can
-    misround the tile boundary once rank exceeds 2^52. With ``div``
-    and ``pmod``-free remainder arithmetic the assignment is integer-
-    exact at ANY row count. The ``q == 0`` divisor is guarded (when
-    ``n < tiles`` every row lands in the first branch, but ANSI mode
-    would still reject a reachable ``div 0``)."""
-    r, n = f"(CAST({rank_sql} AS BIGINT))", f"(CAST({n_sql} AS BIGINT))"
+    ``rank_col`` / ``n_col`` are COLUMN NAMES or bare integer
+    literals (identifier-validated, then spliced into a SQL
+    expression string) rather than Columns
+    because BIGINT integer division is only reachable through the SQL
+    ``div`` operator — the Column API's ``/`` is double division,
+    whose quotient can misround the tile boundary once rank exceeds
+    2^52. With ``div`` and ``pmod``-free remainder arithmetic the
+    assignment is integer-exact at ANY row count. The ``q == 0``
+    divisor is guarded (when ``n < tiles`` every row lands in the
+    first branch, but ANSI mode would still reject a reachable
+    ``div 0``). Arbitrary expression strings are rejected: a quote or
+    alias inside the splice would silently produce wrong SQL or an
+    opaque parse error far from the call site."""
+    for arg in (rank_col, n_col):
+        if not _IDENTIFIER_RE.fullmatch(arg):
+            raise ValueError(
+                f"ntile_from_rank takes plain column names, got {arg!r}"
+            )
+    r, n = f"(CAST({rank_col} AS BIGINT))", f"(CAST({n_col} AS BIGINT))"
     q = f"({n} div {tiles})"
     rem = f"({n} - {q} * {tiles})"
     big = f"({q} + 1)"
