@@ -517,11 +517,10 @@ def q_graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.graph import label_propagation
     from .patterns import _co_supplier_edges
 
-    co, e = _co_supplier_edges(spark, sf_dir, _LPA_PCT)
-    try:
-        labels = label_propagation(e, rounds=_LPA_ROUNDS)
-    finally:
-        co.unpersist()
+    # the co table under the edge set belongs to the session cache
+    # (plans/patterns.py:_co_supplier_co) — nothing to release here
+    e = _co_supplier_edges(spark, sf_dir, _LPA_PCT)
+    labels = label_propagation(e, rounds=_LPA_ROUNDS)
     return labels.groupBy(F.col("label").alias("community")).agg(
         F.count(F.lit(1)).cast("long").alias("n_members")
     )

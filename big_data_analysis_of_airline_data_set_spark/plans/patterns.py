@@ -1546,28 +1546,89 @@ _TRI_TOPK = 10
 _TRI_PCT = 0.9
 
 
-def _co_supplier_edges(spark: SparkSession, sf_dir: str, pct: float):
-    """(co, edges): the strong co-supplier graph shared by the graph
-    catalog queries (triangles at pct 0.9, k-core at pct 0.5) — ONE
-    copy of the graph construction (round-6 review dedup finding).
-    Suppliers become neighbors when their shared-part count exceeds
-    the ``pct`` percentile of all co-occurrence counts (a RELATIVE
-    threshold, so the graph stays non-trivial at every scale factor).
-    ``co`` is returned PERSISTED (it feeds the threshold scalar plus
-    every downstream scan of the edge set) — the CALLER releases it."""
-    li = _t(spark, sf_dir, "lineitem")
-    ps = li.select(
-        F.col("l_partkey").alias("p"), F.col("l_suppkey").alias("s")
-    ).distinct()
-    a, b = ps.alias("a"), ps.alias("b")
-    co = (
-        a.join(b, (F.col("a.p") == F.col("b.p")) & (F.col("a.s") < F.col("b.s")))
-        .groupBy(F.col("a.s").alias("u"), F.col("b.s").alias("v"))
-        .agg(F.count(F.lit(1)).alias("c"))
-        .persist()
-    )
+def _unpersist_quietly(_key, frame: DataFrame) -> None:
+    """BoundedCache eviction hook for persisted frames: an entry can
+    outlive its SparkSession (keys carry the applicationId precisely
+    because sessions cycle), and unpersisting against a stopped
+    session raises — eviction must release best-effort, never fail."""
+    try:
+        frame.unpersist()
+    except Exception:
+        pass
+
+
+# The co-occurrence table is PCT-INDEPENDENT: every co-supplier graph
+# query (triangles at pct 0.9, k-core and LPA at 0.5) consumes the same
+# (u, v, shared-part-count) frame and only the threshold filter
+# differs. Building it is the dominant cost of all three queries
+# (lineitem-wide shuffles), so one persisted copy per (session, sf_dir)
+# serves the whole family; eviction unpersists (round-8 verdict #3).
+_CO_CACHE = None
+
+
+def _co_supplier_co(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The co-supplier co-occurrence table (u, v, c): supplier pairs
+    (u < v) with the count of distinct parts both supply, persisted
+    and owned by the session cache.
+
+    Build shape — two shuffles, no join: group lineitem's (part,
+    supplier) pairs by part into a sorted DISTINCT supplier array
+    (collect_set dedups map-side), explode each array's ordered pairs
+    (posexplode + slice, no shuffle), then hash-aggregate pair counts.
+    The previous plan (distinct → self-join on part → count) paid
+    three lineitem-scale shuffles and a join for the same rows.
+
+    Skew posture at 100 TB: a part with d distinct suppliers emits
+    d(d-1)/2 pairs from ONE task here — but the self-join plan
+    co-partitions by part too, so the hot part's quadratic pair
+    generation is single-task in BOTH plans; the explosion is inherent
+    to co-occurrence counting, not to this shape. TPC-H bounds d at
+    ~4-8 suppliers/part at every SF. For corpora with unbounded hot
+    keys, cap or salt the per-part array upstream."""
+    global _CO_CACHE
+    from ..caching import BoundedCache
+
+    if _CO_CACHE is None:
+        _CO_CACHE = BoundedCache(4, on_evict=_unpersist_quietly)
+    key = (spark.sparkContext.applicationId, sf_dir)
+    hit = _CO_CACHE.get(key)
+    if hit is None:
+        li = _t(spark, sf_dir, "lineitem")
+        per_part = (
+            li.select(
+                F.col("l_partkey").alias("p"), F.col("l_suppkey").alias("s")
+            )
+            .groupBy("p")
+            .agg(F.sort_array(F.collect_set("s")).alias("ss"))
+        )
+        pairs = per_part.select(
+            F.posexplode("ss").alias("i", "u"), "ss"
+        ).select(
+            "u",
+            F.explode(
+                F.slice(F.col("ss"), F.col("i") + F.lit(2), F.size("ss"))
+            ).alias("v"),
+        )
+        hit = (
+            pairs.groupBy("u", "v").agg(F.count(F.lit(1)).alias("c")).persist()
+        )
+        _CO_CACHE.put(key, hit)
+    return hit
+
+
+def _co_supplier_edges(spark: SparkSession, sf_dir: str, pct: float) -> DataFrame:
+    """Edge set of the strong co-supplier graph: suppliers become
+    neighbors when their shared-part count exceeds the ``pct``
+    percentile of all co-occurrence counts (a RELATIVE threshold, so
+    the graph stays non-trivial at every scale factor). The underlying
+    co-occurrence table is session-cached (see _co_supplier_co) — ONE
+    copy of the graph construction serves triangles, k-core, and LPA
+    (round-6 review dedup finding; round-8 verdict made it per-session
+    instead of per-query). Callers must NOT unpersist the result's
+    lineage — the cache owns the persisted co frame."""
+    co = _co_supplier_co(spark, sf_dir)
     thr = co.agg(F.expr(f"percentile(c, {pct})")).first()[0]
-    return co, co.filter(F.col("c") > thr).select("u", "v")
+    return co.filter(F.col("c") > thr).select("u", "v")
 
 
 def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1576,17 +1637,18 @@ def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     shared-part count exceeds the 90th percentile of all co-occurrence
     counts (a RELATIVE threshold, so the graph stays non-trivial at
     every scale factor). Output: the top-10 vertices by triangle
-    participation plus a TOTAL row. The co-occurrence table and the
-    DEGREE-ORIENTED edge set are persisted for the duration (the
-    oriented set is consumed by all three wedge-join scans, so the
-    orientation's degree joins run once), collected, and released —
-    the pagerank result-materialization pattern. The oracle replays
-    the plain id-ordered closure: orientation changes which join finds
-    each triangle, never the triangle set, so results are identical by
+    participation plus a TOTAL row. The co-occurrence table lives in
+    the session cache (shared with k-core and LPA); the DEGREE-ORIENTED
+    edge set is persisted for the duration (it is consumed by all
+    three wedge-join scans, so the orientation's degree joins run
+    once), collected, and released — the pagerank
+    result-materialization pattern. The oracle replays the plain
+    id-ordered closure: orientation changes which join finds each
+    triangle, never the triangle set, so results are identical by
     construction."""
     from ..operators.graph import orient_by_degree, triangle_counts
 
-    co, edges = _co_supplier_edges(spark, sf_dir, _TRI_PCT)
+    edges = _co_supplier_edges(spark, sf_dir, _TRI_PCT)
     e = orient_by_degree(edges, u="u", v="v").persist()
     # per_vertex feeds TWO actions (top-10 collect + total agg) — persist
     # it too, or the whole wedge closure runs twice (review finding)
@@ -1602,7 +1664,6 @@ def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     # each triangle contributes 3 vertex participations
     total = per_vertex.agg((F.sum("n_triangles") / 3).cast("long")).first()[0]
     per_vertex.unpersist()
-    co.unpersist()
     e.unpersist()
     rows = [("TOTAL", int(total or 0))] + [(r.vertex, r.n_triangles) for r in top]
     return spark.createDataFrame(rows, "vertex string, n_triangles long")
@@ -1661,7 +1722,7 @@ def q_graph_k_core(spark: SparkSession, sf_dir: str) -> DataFrame:
     value-checked."""
     from ..operators.graph import k_core
 
-    co, e = _co_supplier_edges(spark, sf_dir, _KCORE_PCT)
+    e = _co_supplier_edges(spark, sf_dir, _KCORE_PCT)
     # symmetrize ONCE — the median-degree statistic and the peel loop
     # share it (k_core is told symmetric=True so it skips its own
     # union+distinct; round-6 review finding)
@@ -1683,8 +1744,8 @@ def q_graph_k_core(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         # release even when k_core raises (exhausted round budget) —
-        # the pagerank_scope error-path discipline
-        co.unpersist()
+        # the pagerank_scope error-path discipline (the co table
+        # underneath belongs to the session cache, not this query)
         sym.unpersist()
     # k_core's result is an EAGER localCheckpoint — already materialized
     # and decoupled from co/e, so the inputs are safe to release above
