@@ -36,6 +36,20 @@ the skew fix and the candidate-volume fix in one move; salting
 Levenshtein is O(|a|·|b|) per CANDIDATE pair only — the verify never
 sees the full cross product. Candidate-count reduction is pinned on a
 skewed fixture in tests/test_round4_late_ops.py.
+
+REGIME BOUNDARY (round-9 scale measurement, tests/scale_stress.py):
+q-gram blocking is for HIGH-entropy strings (IDs, codes, person
+names, addresses). When the corpus is word-composed over a small
+vocabulary (TPC-H p_name: 5 words from ~92 colors), the q-gram space
+saturates — 20k such names produce only 70 distinct bigrams, and
+every gram (including each name's "rarest") is shared by hundreds of
+names. Candidates then grow as Θ(n²/|gram space|): measured 55% of
+all pairs at q=2 and still 7% at q=8, prefix filter and all — no q
+rescues it, because ANY blocking on features drawn from a constant-
+size alphabet divides n² by a constant. For low-entropy corpora use
+the token-level similarity family instead (dedup/minhash.py,
+dedup/ngram.py — measured sub-quadratic on the same harness); edit
+distance as a VERIFY step still composes with those blockers.
 """
 
 from __future__ import annotations

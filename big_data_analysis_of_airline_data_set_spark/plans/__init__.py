@@ -57,123 +57,106 @@ _MODULES = [
 ]
 
 # The driver's correctness harness records only the first 50 registry
-# entries.  Round-8 window (r7 verdict, Next round #1/#6: finish the
-# evidence debt — never-driver-checked to ZERO, drain the r2-era
-# re-proof queue, and re-prove the flight-semantics core).  Budget:
-# 17 remaining never-checked + 1 new stretch entry (never-checked by
-# construction) + 11 code-changed re-proofs (6 planned + the 2 MinHash
-# edge-set consumers pulled in by the mid-round family fix + the 3
-# iterative graph ops given the pagerank broadcast treatment late in
-# the round) + 4 flight-core re-proofs (r5 evidence; r7 verdict item
-# 6) + 17 oldest-evidence r2 entries = 50.  Every rotated-out query keeps a green r5/r6/r7 row on
+# entries.  Round-9 window (r8 verdict, Next round #1: drain the
+# stale-evidence queue — every remaining r2-era row plus the oldest
+# r3-era rows; never-driver-checked is already ZERO).  Budget:
+# 4 code-changed re-proofs + 1 new stretch entry (never-checked by
+# construction) + 17 r2-era drains + 28 oldest r3-era drains = 50.  Every rotated-out query keeps a green r4–r8 row on
 # record; the flagship stays driver-evidenced every round through
-# the t1 entry() smoke check.
+# the t1 entry() smoke check.  After this window the only rows older
+# than r4 are the 13 r3-era deferrals listed at the bottom (each
+# justified by an in-window same-family twin) — r10 finishes them.
 _CORRECTNESS_WINDOW = [
-    # (a) never driver-checked — the 17 deferred from r7 (head of the
-    # backlog named in the r7 window comment); with these, every
-    # pre-r8 catalog entry has a driver CORRECTNESS row
-    "multimodal_image_phash",
-    "basket_frequent_pairs",
-    "stats_gini_by_group",
-    "events_diversity_index",
-    "text_bpe_merge_pairs",
-    "events_seasonality_profile",
-    "events_forecast_eval",
-    "events_stickiness",
-    "events_linear_interpolation",
-    "events_clamped_balance",
-    "events_holt_smoothing",
-    "events_max_drawdown",
-    "events_lag_features",
-    "events_gap_stats",
-    "rollup_share_of_parent",
-    "feature_hashing_audit",
-    "events_disorder_audit",
-    # (b) new this round (r7 verdict item 5 stretch): A-ES weighted
-    # reservoir sampling with integer-exact max-of-uniforms keys
-    "curation_weighted_reservoir",
-    # (c) code changed this round — plans behind standing green rows
+    # (a) code changed this round — plans behind standing green rows
     # were rebuilt, so the results are re-proved on the new plans:
-    # both PageRank queries (known-size broadcast joins + sized
-    # iteration shuffles, r7 verdict item 3), the two ntile consumers
-    # (ntile_from_rank moved to BIGINT div arithmetic), and the two
-    # HDR sketch entries (rank_<p> accuracy denominator recounted
-    # from raw rather than the sketch's n_rows)
-    "graph_pagerank",
-    "graph_pagerank_converged",
-    "events_rfm_segments",
-    "customer_decile_lift",
-    "sketch_quantile_hdr",
-    "events_quantile_sketch_stream",
-    # ... and the two downstream consumers of the MinHash edge set,
-    # whose candidate graphs changed when the signature family moved
-    # from Kirsch-Mitzenmacher double hashing to K independent md5
-    # families (the scale-stress measurement showed KM banding loses
-    # its AND-amplification — see dedup/minhash.py); dedup_minhash_lsh
-    # itself is in (e) below
-    "dedup_connected_components",
-    "dedup_canonical_keeper",
-    # ... and the three other iterative graph ops, re-planned late in
-    # the round with the same known-size broadcast gate (k_core peel
-    # rounds now shuffle-free in the broadcast regime; LPA's per-round
-    # per-vertex top-1 window sort replaced by a min-struct hash
-    # aggregate; BFS frontier joins broadcast-gated per level)
+    # the three co-supplier graph queries now consume the session-
+    # cached two-shuffle co-occurrence build (patterns.py
+    # _co_supplier_co; r8 verdict item 3), and the weighted reservoir
+    # gained the max_weight row-level guard (r8 verdict item 5)
+    "graph_triangles",
     "graph_k_core",
     "graph_label_propagation",
-    "graph_bfs_distances",
-    # (d) flight-semantics core re-proofs (r7 verdict item 6): the
-    # reference-parity heart, last driver-evidenced in r5
-    "case_label",
-    "time_digits",
-    "city_split",
-    "delay_group_counts",
-    # (e) oldest evidence — 22 of the 34 r2-era rows, verdict-named
-    # families first (dedup, ANN, text), then one representative per
-    # remaining family
-    "dedup_exact",
-    "dedup_minhash_lsh",
-    "dedup_simhash",
-    "dedup_ngram_jaccard",
-    "dedup_embedding_cosine",
-    "ann_ivf_topk",
-    "ann_lsh_topk",
-    "ann_bruteforce_topk",
-    "text_stats",
-    "text_tfidf",
-    "text_lang_id",
-    "text_fingerprint",
-    "mllib_chi_square",
-    "spearman_correlation",
-    "univariate_select_categorical",
-    "variance_threshold_features",
-    "feature_selection_job",
-    # Not in this window — deferred to r9 with standing green rows,
-    # all same-family seconds of entries checked this round or r7:
-    # scd2_upsert and unpivot (r2 rows; displaced mid-round when the
-    # MinHash family fix forced dedup_connected_components and
-    # dedup_canonical_keeper into the changed-plan group — shape ops
-    # with code untouched since r2 are the lowest-risk deferral),
-    # approx_distinct_count / quantiles / events_funnel (r2 rows;
-    # displaced when the late-round graph re-plans took three slots —
-    # their families carry FRESH driver evidence: distinct-count via
-    # the r4/r6 KMV/HLL/CMS rows, quantiles via the r8-in-window HDR
-    # sketch pair, events via the 11 events_* entries in this very
-    # window),
-    # ann_bruteforce_pandas (ann_bruteforce_topk in-window),
-    # quantiles_approx (quantiles in-window), text_winnowing
-    # (text_fingerprint in-window), text_bpe_tokens
-    # (text_bpe_merge_pairs in-window), univariate_select_continuous
-    # (categorical in-window), mllib_correlation_matrix
-    # (spearman_correlation in-window), events_histogram /
-    # events_json_extract (events_funnel in-window + the 11 r8
-    # never-checked events entries), flights_viz_dataset (the four
-    # flight-core re-proofs in-window), multimodal_asset_stats
-    # (multimodal_image_phash in-window), curation_pipeline
-    # (curation_weighted_reservoir in-window), trimmed_mean_udaf
-    # (stats family re-proved broadly this round) — then the r3-era
-    # queue (ann_hard_negatives, asof_join, curation_contamination,
-    # curation_domain_mixture, curation_quota_sample,
-    # curation_sequence_packing, ...) behind them.
+    "curation_weighted_reservoir",
+    # (a2) new this round (r8 verdict item 7 stretch): the SpaceSaving
+    # / Misra-Gries streamed counter-set summary — MG theorem verdicts
+    # + exact counts oracled (sketches/spacesaving.py)
+    "events_spacesaving_stream",
+    # (b) the 17 remaining r2-era rows (r8 verdict item 1 names them
+    # verbatim) — with these, no catalog entry's latest driver row is
+    # older than r3
+    "ann_bruteforce_pandas",
+    "approx_distinct_count",
+    "curation_pipeline",
+    "events_funnel",
+    "events_histogram",
+    "events_json_extract",
+    "flights_viz_dataset",
+    "mllib_correlation_matrix",
+    "multimodal_asset_stats",
+    "quantiles",
+    "quantiles_approx",
+    "scd2_upsert",
+    "text_bpe_tokens",
+    "text_winnowing",
+    "trimmed_mean_udaf",
+    "univariate_select_continuous",
+    "unpivot",
+    # (c) oldest evidence — 28 of the 40 r3-era rows (planner order,
+    # minus the 13 same-family deferrals justified at the bottom)
+    "ann_hard_negatives",
+    "asof_join",
+    "curation_contamination",
+    "curation_quota_sample",
+    "curation_sequence_packing",
+    "curation_stratified_split",
+    "curation_weighted_sample",
+    "data_quality_report",
+    "datetime_functions",
+    "dedup_embedding_lsh",
+    "dedup_spans_crossdoc",
+    "drop_any_null",
+    "embedding_quantize_int8",
+    "events_ewma",
+    "events_interval_join",
+    "events_multi_rollup",
+    "events_retention",
+    "events_session_window",
+    "events_skew_diagnosis",
+    "events_tumbling_window",
+    "ml_decision_tree_tvs",
+    "ml_gbt_tvs",
+    "ml_logistic_regression_tvs",
+    "ml_random_forest_tvs",
+    "sketch_count_min_heavy_hitters",
+    "table_profile",
+    "text_pii_redaction",
+    "text_repetition",
+    # Not in this window — the 13 r3-era deferrals, each the lowest-
+    # risk member of a family with an in-window (or fresher) twin on
+    # the same code path:
+    # curation_domain_mixture (curation_weighted_sample in-window
+    # embeds the domain-mixture weights CTE — the same math is
+    # value-checked through it), events_sliding_window
+    # (events_tumbling_window in-window, same windowed-agg path;
+    # events_sliding_stream carries an r4 row), events_tumbling_stream
+    # (the streamed drains share streaming/jobs.py with the r8-checked
+    # quantile stream; its batch twin events_tumbling_window is
+    # in-window), events_user_sessions (events_session_window
+    # in-window, same gap sessionization), events_anomaly_zscore
+    # (events_ewma in-window — same per-day rolling-moment machinery),
+    # ml_logistic_regression_cv (ml_logistic_regression_tvs in-window:
+    # same estimator/pipeline, only the tuner differs, and the CV
+    # tuner is pinned by tests/test_ml_grids.py), ml_naive_bayes_tvs /
+    # ml_linear_svc_tvs / ml_mlp_tvs (the TVS invariant harness is
+    # re-proved in-window through the LR/DT/GBT/RF entries; each
+    # family's banded metrics row is r4), multimodal_frame_sample
+    # (multimodal_image_phash r8 + decode/resize r4 cover the
+    # synthetic-codec and Arrow-batch plumbing), text_vocab_stats
+    # (text_stats r8, same token-count expressions), and
+    # text_heavy_hitters — displaced when the stretch entry
+    # events_spacesaving_stream landed (its CMS twin
+    # sketch_count_min_heavy_hitters IS in-window, same counter
+    # machinery over the same term stream).
 ]
 
 

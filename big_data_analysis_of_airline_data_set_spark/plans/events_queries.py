@@ -514,6 +514,88 @@ _CMS_STREAM_ORACLE = _cms_oracle_sql(
 )
 
 
+_SS_M = 4  # counters per group: 9-ish live buckets force real evictions
+
+
+def q_spacesaving_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SpaceSaving / Misra-Gries streamed top-k heavy hitters
+    (sketches/spacesaving.py): per event_type, a 4-counter summary of
+    the |value| bit-length buckets folded across 4 file-granular
+    micro-batches via the mergeable-summaries MG step — the
+    deletion-free COUNTER-SET member that completes the streamed
+    sketch family (min/max/sum/rank/counter-set).
+
+    The tracked counters are inherently batch-order-dependent (micro-
+    batch boundaries are not SQL-replayable), so the catalog output is
+    the deterministic part: exact group sizes, the guaranteed-heavy-
+    hitter count (c·(m+1) > n — integer compare), and the three MG
+    theorem verdicts (every guaranteed HH tracked; w ≤ c ≤ w + D per
+    tracked key; D·(m+1) ≤ n), plus stream-vs-batch row-count
+    equality — the ml_*_banded evidentiary pattern: booleans oracled
+    as constants, counts oracled exactly."""
+    from pyspark.sql import functions as F
+
+    from ..sketches.spacesaving import (
+        ITEM_SQL,
+        spacesaving_invariants_report,
+        spacesaving_stream,
+    )
+
+    summaries = spacesaving_stream(
+        spark,
+        _landed_events_flat_dir(spark, sf_dir),
+        m=_SS_M,
+        query_name="events_spacesaving_stream",
+        max_files_per_trigger=1,
+        stream_shuffle_partitions=8,
+    )
+    exact = (
+        _events(spark, sf_dir)
+        .filter(F.col("event_type").isNotNull())
+        .select("event_type", F.expr(ITEM_SQL).alias("item"))
+        .groupBy("event_type", "item")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    report = spacesaving_invariants_report(summaries, exact, m=_SS_M)
+    return report.join(
+        summaries.select("event_type", "n_seen"), "event_type"
+    ).select(
+        "event_type",
+        "n_events",
+        "n_guaranteed_hh",
+        "all_hh_tracked",
+        "bounds_valid",
+        "decrement_within_bound",
+        (F.col("n_seen") == F.col("n_events")).alias("stream_count_matches"),
+    )
+
+
+_SS_STREAM_ORACLE = f"""
+WITH it AS (
+  SELECT event_type,
+         least(15, length(bin(greatest(1,
+             CAST(floor(abs(coalesce(value, 0.0))) AS BIGINT))))) AS item
+  FROM events WHERE event_type IS NOT NULL
+), cnt AS (
+  SELECT event_type, item, CAST(count(*) AS BIGINT) AS c
+  FROM it GROUP BY 1, 2
+), tot AS (
+  SELECT event_type, CAST(sum(c) AS BIGINT) AS n_events
+  FROM cnt GROUP BY 1
+)
+SELECT t.event_type, t.n_events,
+       CAST(coalesce((SELECT count(*) FROM cnt
+                      WHERE cnt.event_type = t.event_type
+                        AND c * {_SS_M + 1} > t.n_events), 0) AS BIGINT)
+         AS n_guaranteed_hh,
+       TRUE AS all_hh_tracked,
+       TRUE AS bounds_valid,
+       TRUE AS decrement_within_bound,
+       TRUE AS stream_count_matches
+FROM tot t
+"""
+
+
 def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """First-order Markov transition matrix over each user's event
     stream: P(next event type | current), from lag pairs ordered by
@@ -1540,5 +1622,12 @@ QUERIES: dict[str, QuerySpec] = {
         "events_attribution", q_attribution, _ATTRIBUTION_ORACLE,
         "first/last-touch purchase attribution over the bounded click"
         " lookback (struct-min/max, no window)",
+    ),
+    "events_spacesaving_stream": QuerySpec(
+        "events_spacesaving_stream", q_spacesaving_stream, _SS_STREAM_ORACLE,
+        "SpaceSaving/Misra-Gries m-counter summary maintained by the"
+        " streaming runtime across 4 micro-batches — deletion-free"
+        " mergeable top-k; MG theorem verdicts + exact counts oracled"
+        " (counter contents are batch-order-dependent by nature)",
     ),
 }

@@ -1,15 +1,18 @@
-"""Scale-stress evidence for the two LLM-pipeline flagships (r7
-verdict item 4): prove the banded/blocked candidate counts grow
+"""Scale-stress evidence for the LLM-pipeline candidate-generation
+families (r7 verdict item 4; extended to fuzzy/entity by the r8
+verdict item 6): prove the banded/blocked candidate counts grow
 SUB-QUADRATICALLY as the corpus scales, with measured wall-times.
 
 Run manually (not collected by pytest):
 
-    PYTHONPATH=/root/repo python3 tests/scale_stress.py
+    PYTHONPATH=/root/repo python3 tests/scale_stress.py [minhash|ivf|fuzzy ...]
+
+(no args = all suites)
 
 No sf1 testdata exists (sf0.1 is the largest the driver generates), so
 the top rung is a DERIVED 10× corpus written under
 ``/root/repo/.scale_stress/`` — sf1-equivalent row counts
-(50k documents, 20k embeddings):
+(50k documents, 20k embeddings, 20k + 200k part-style names):
 
 - documents_x10: deterministic synthetic docs drawn word-by-word from
   the sf0.1 vocabulary via xxhash64 — replicating sf0.1 rows verbatim
@@ -21,6 +24,15 @@ the top rung is a DERIVED 10× corpus written under
 - embeddings_x10: each sf0.1 vector replicated 10× under deterministic
   per-coordinate jitter (±0.02) — clustered replicas, the realistic
   hard case for IVF cell pruning.
+- codes_20k / codes_200k: HIGH-entropy ~11-char base-36 codes with a
+  planted single-edit typo twin for one in 25 — the record-linkage
+  shape q-gram blocking exists for; TRUE pairs grow linearly (n/50)
+  and candidates must too. (The REAL part tables hold only ~64
+  distinct names at every sf, so growth needs synthetic corpora.)
+- names_20k: LOW-entropy 5-word part-style names over the sf0.1
+  p_name word vocabulary (~92 words) — the regime where the q-gram
+  space saturates and candidates are inherently quadratic; measured
+  as a documented NEGATIVE result (see dedup/fuzzy.py's regime note).
 
 Metrics:
 - dedup_minhash_lsh: banded-candidate pairs (the stats_out hook in
@@ -28,6 +40,11 @@ Metrics:
   pairs + wall time.
 - ann_ivf_quantized_rerank: rows scanned after cell pruning vs corpus
   size (the probed fraction), recall@10 vs brute force, wall time.
+- dedup_fuzzy_pairs / dedup_entity_resolution: prefix-filtered q-gram
+  blocking candidates vs corpus size (dedup/fuzzy.py:candidate_pairs —
+  the join the ER closure then consumes), the unfiltered-blocking
+  candidate count at the two smaller rungs (the filter's measured
+  effect), verified (lev ≤ 2) pairs, wall time.
 
 Results are recorded in BASELINE.md ("Scale stress" section).
 """
@@ -118,6 +135,149 @@ def _embeddings_x10(spark, out_path: str) -> None:
         ),
     )
     out.write.mode("overwrite").parquet(out_path)
+
+
+def _names_synth(spark, out_path: str, n: int) -> None:
+    from pyspark.sql import functions as F
+
+    if os.path.exists(out_path):
+        return
+    base = spark.read.parquet(os.path.join(SF1, "part.parquet"))
+    vocab = (
+        base.select(F.explode(F.split(F.lower("p_name"), r"\s+")).alias("w"))
+        .filter(F.length("w") > 0)
+        .distinct()
+    )
+    vrow = vocab.agg(F.array_sort(F.collect_list("w")).alias("_vocab"))
+    names = (
+        spark.range(n)
+        .crossJoin(F.broadcast(vrow))
+        .withColumn("_vsize", F.size("_vocab"))
+        # ids 50g and 50g+1 share a word seed -> planted typo pair
+        .withColumn(
+            "_seed",
+            F.when(F.col("id") % 50 < 2, (F.col("id") / 50).cast("long") * 50)
+            .otherwise(F.col("id")),
+        )
+        .withColumn(
+            "_words",
+            F.transform(
+                F.sequence(F.lit(1), F.lit(5)),
+                lambda j: F.element_at(
+                    "_vocab",
+                    (F.pmod(F.xxhash64(F.col("_seed"), j), F.col("_vsize")) + 1).cast(
+                        "int"
+                    ),
+                ),
+            ),
+        )
+        .withColumn("_name", F.array_join("_words", " "))
+        .select(
+            F.col("id").alias("name_id"),
+            # the twin (id % 50 == 1) flips its first character: a
+            # single-edit pair, well inside max_distance=2
+            F.when(
+                F.col("id") % 50 == 1,
+                F.concat(F.lit("q"), F.substring("_name", 2, 1 << 20)),
+            )
+            .otherwise(F.col("_name"))
+            .alias("p_name"),
+        )
+    )
+    names.write.mode("overwrite").parquet(out_path)
+
+
+def _codes_synth(spark, out_path: str, n: int) -> None:
+    """HIGH-entropy rung: ~11-char base-36 codes (md5-derived), one in
+    25 a planted single-edit typo twin — the record-linkage shape
+    (IDs, SKUs, license keys) q-gram blocking is actually for."""
+    from pyspark.sql import functions as F
+
+    if os.path.exists(out_path):
+        return
+    codes = (
+        spark.range(n)
+        .withColumn(
+            "_seed",
+            F.when(F.col("id") % 50 < 2, (F.col("id") / 50).cast("long") * 50)
+            .otherwise(F.col("id")),
+        )
+        .withColumn(
+            "_code",
+            F.conv(F.substring(F.md5(F.col("_seed").cast("string")), 1, 14), 16, 36),
+        )
+        .select(
+            F.col("id").alias("name_id"),
+            F.when(
+                F.col("id") % 50 == 1,
+                F.concat(F.lit("Z"), F.substring("_code", 2, 1 << 20)),
+            )
+            .otherwise(F.col("_code"))
+            .alias("p_name"),
+        )
+    )
+    codes.write.mode("overwrite").parquet(out_path)
+
+
+def stress_fuzzy(spark) -> list[dict]:
+    from big_data_analysis_of_airline_data_set_spark.dedup.fuzzy import (
+        candidate_pairs,
+        fuzzy_pairs,
+    )
+
+    rows = []
+    # Two corpus REGIMES, because the measurement showed they behave
+    # oppositely (the round-9 finding):
+    # - codes_*: high-entropy strings — the operator's actual domain;
+    #   candidates must grow sub-quadratically across the 10x rung.
+    # - names_20k: p_name-shaped 5-word names over a ~92-word
+    #   vocabulary — the LOW-entropy regime where the q-gram space
+    #   saturates (70 distinct bigrams for 20k names) and NO q or
+    #   prefix filter can keep candidates sub-quadratic (measured:
+    #   55% of all pairs at q=2, still 7% at q=8). Blocking on any
+    #   fixed feature of a 92-symbol alphabet divides n^2 by a
+    #   CONSTANT; the scale path for such corpora is the token-level
+    #   similarity family (minhash/ngram), not edit distance.
+    # The real part table (64 distinct names) is the catalog config
+    # row. verified_pairs must cover the planted n/50 twins (+ the
+    # background collisions of the generator).
+    for label, path, q, verify in [
+        ("sf0.1 p_name (catalog cfg)", os.path.join(SF1, "part.parquet"), 2, True),
+        ("codes 20k q=2", os.path.join(STRESS_DIR, "codes_20k.parquet"), 2, True),
+        ("codes 20k q=3", os.path.join(STRESS_DIR, "codes_20k.parquet"), 3, True),
+        ("codes 200k q=3", os.path.join(STRESS_DIR, "codes_200k.parquet"), 3, True),
+        ("names 20k q=2 (low-entropy)", os.path.join(STRESS_DIR, "names_20k.parquet"), 2, False),
+        ("names 20k q=8 (low-entropy)", os.path.join(STRESS_DIR, "names_20k.parquet"), 8, False),
+    ]:
+        d = spark.read.parquet(path)
+        n = d.select("p_name").distinct().count()
+        t0 = time.time()
+        cand = candidate_pairs(
+            d, name_col="p_name", q=q, max_distance=2, prefix_filter=True
+        ).count()
+        wall_c = time.time() - t0
+        verified = None
+        if verify:
+            verified = fuzzy_pairs(
+                d, name_col="p_name", q=q, max_distance=2, prefix_filter=True
+            ).count()
+        wall = time.time() - t0
+        rows.append(
+            {
+                "scale": label,
+                "n_names": n,
+                "q": q,
+                "candidate_pairs": cand,
+                "verified_pairs": verified,
+                "cand_per_name": round(cand / n, 2),
+                "all_pairs": n * (n - 1) // 2,
+                "cand_frac_of_all_pairs": round(cand / max(1, n * (n - 1) // 2), 5),
+                "wall_candidates_s": round(wall_c, 1),
+                "wall_s": round(wall, 1),
+            }
+        )
+        print("fuzzy", rows[-1], flush=True)
+    return rows
 
 
 def stress_minhash(spark) -> list[dict]:
@@ -226,13 +386,25 @@ def stress_ivf(spark) -> list[dict]:
 
 
 def main() -> None:
+    import sys
+
     from big_data_analysis_of_airline_data_set_spark.session import get_session
 
+    suites = sys.argv[1:] or ["minhash", "ivf", "fuzzy"]
     spark = get_session()
     os.makedirs(STRESS_DIR, exist_ok=True)
-    _docs_x10(spark, os.path.join(STRESS_DIR, "documents_x10.parquet"))
-    _embeddings_x10(spark, os.path.join(STRESS_DIR, "embeddings_x10.parquet"))
-    report = {"minhash": stress_minhash(spark), "ivf": stress_ivf(spark)}
+    report = {}
+    if "minhash" in suites:
+        _docs_x10(spark, os.path.join(STRESS_DIR, "documents_x10.parquet"))
+        report["minhash"] = stress_minhash(spark)
+    if "ivf" in suites:
+        _embeddings_x10(spark, os.path.join(STRESS_DIR, "embeddings_x10.parquet"))
+        report["ivf"] = stress_ivf(spark)
+    if "fuzzy" in suites:
+        _names_synth(spark, os.path.join(STRESS_DIR, "names_20k.parquet"), 20_000)
+        _codes_synth(spark, os.path.join(STRESS_DIR, "codes_20k.parquet"), 20_000)
+        _codes_synth(spark, os.path.join(STRESS_DIR, "codes_200k.parquet"), 200_000)
+        report["fuzzy"] = stress_fuzzy(spark)
     print(json.dumps(report, indent=1))
 
 

@@ -413,3 +413,123 @@ def test_hdr_rank_accuracy_band(spark):
         frac = out["u"][f"rank_{lab}"]
         assert frac <= q + 1e-9, (lab, frac)  # lower bound never overshoots
         assert frac >= q - 0.05, (lab, frac)
+
+
+# --------------------- SpaceSaving / Misra-Gries ---------------------
+
+
+def _mg_fold(stream_batches, m):
+    from big_data_analysis_of_airline_data_set_spark.sketches.spacesaving import (
+        mg_merge,
+    )
+
+    summary, d_total, n = {}, 0, 0
+    for batch in stream_batches:
+        counts = {}
+        for k in batch:
+            counts[k] = counts.get(k, 0) + 1
+        n += len(batch)
+        summary, d = mg_merge(summary, counts, m)
+        d_total += d
+    return summary, d_total, n
+
+
+def test_mg_theorems_hold_under_any_batching():
+    """The three Misra-Gries theorems must hold for EVERY batch
+    partitioning of the same multiset — this order-invariance is what
+    lets the catalog entry oracle the verdicts as constants."""
+    import random
+
+    rnd = random.Random(99)
+    # zipf-ish multiset: key k appears ~ 600 // (k + 1) times
+    items = [k for k in range(30) for _ in range(600 // (k + 1))]
+    exact = {}
+    for k in items:
+        exact[k] = exact.get(k, 0) + 1
+    n_total = len(items)
+    m = 6
+    for trial in range(8):
+        shuffled = items[:]
+        rnd.shuffle(shuffled)
+        cuts = sorted(rnd.sample(range(1, len(items)), 5))
+        batches = [
+            shuffled[a:b]
+            for a, b in zip([0] + cuts, cuts + [len(shuffled)])
+        ]
+        summary, d_total, n = _mg_fold(batches, m)
+        assert n == n_total
+        assert len(summary) <= m
+        # theorem 3: cumulative decrement bound
+        assert d_total * (m + 1) <= n
+        # theorem 2: weight brackets the true count for tracked keys
+        for k, w in summary.items():
+            assert w <= exact[k] <= w + d_total, (trial, k, w)
+        # theorem 1 (+ transitivity through theorem 3): every key with
+        # true count above n/(m+1) is tracked
+        for k, c in exact.items():
+            if c * (m + 1) > n:
+                assert k in summary, (trial, k, c, d_total)
+            if c > d_total:
+                assert k in summary, (trial, k, c, d_total)
+
+
+def test_mg_merge_deterministic_ties_and_guards():
+    from pytest import raises
+
+    from big_data_analysis_of_airline_data_set_spark.sketches.spacesaving import (
+        mg_merge,
+    )
+
+    # no eviction below capacity
+    s, d = mg_merge({}, {1: 5, 2: 3}, 4)
+    assert s == {1: 5, 2: 3} and d == 0
+    # eviction: d = (m+1)-th largest under (weight desc, key asc);
+    # ties with d drop to zero and disappear
+    s, d = mg_merge({1: 5, 2: 3, 3: 3}, {4: 3, 5: 9}, 2)
+    # ordered: (5,9),(1,5),(2,3),(3,3),(4,3) -> d = weights[2] = 3
+    assert d == 3 and s == {5: 6, 1: 2}
+    with raises(ValueError):
+        mg_merge({}, {1: -1}, 2)
+    with raises(ValueError):
+        mg_merge({}, {1: 1}, 0)
+
+
+def test_spacesaving_stream_matches_batch_fold(spark):
+    """File-granular drain ≡ the same fold applied per batch: state
+    carries across micro-batches and n_seen ends at the corpus size."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from big_data_analysis_of_airline_data_set_spark.sketches.spacesaving import (
+        spacesaving_stream,
+    )
+
+    d = tempfile.mkdtemp(prefix="ss_stream_")
+    rows = [
+        (i, "2024-01-01 00:00:00", i % 7, "a", float((i % 13) ** 2), None)
+        for i in range(400)
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts string, user_id long, event_type string,"
+        " value double, props string"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    df.repartition(4).write.mode("overwrite").parquet(d)
+    out = {
+        r.event_type: r
+        for r in spacesaving_stream(
+            spark, d, m=3, query_name="ss_unit", stream_shuffle_partitions=2
+        ).collect()
+    }
+    a = out["a"]
+    assert a.n_seen == 400
+    assert len(a.keys) <= 3
+    assert a.d_total * 4 <= a.n_seen
+    # tracked weights bracket true counts of the bit-length items
+    exact = {}
+    for i in range(400):
+        v = float((i % 13) ** 2)
+        item = min(15, max(1, int(abs(v))) .bit_length()) if v >= 1 else 1
+        exact[item] = exact.get(item, 0) + 1
+    for k, w in zip(a.keys, a.weights):
+        assert w <= exact[int(k)] <= w + a.d_total
