@@ -297,6 +297,16 @@ R8_OPS = [
     "curation_weighted_reservoir",
 ]
 
+# Round-9 operator surface: the SpaceSaving/Misra-Gries streamed
+# counter-set summary. The three queries whose round-9 PLANS changed
+# (graph_triangles in R4B, graph_k_core in R6, graph_label_propagation
+# in R6B — now sharing the session-cached two-shuffle co-occurrence
+# build) keep their existing suite slots so their deltas stay visible
+# round over round.
+R9_OPS = [
+    "events_spacesaving_stream",
+]
+
 # Like ml_quick_fit: 3 TVS LR fits (full/uni/var feature sets) timed
 # once, separately — fit-dominated and session-cached, so repeats would
 # time the cache, not the work.
@@ -435,6 +445,12 @@ def main() -> None:
     )
     print(f"# r8_ops_suite: {r8_total}s {r8_timings}", file=sys.stderr)
 
+    _warm(specs, spark, R9_OPS, sf_dir)
+    r9_timings, r9_total = _run_suite(
+        specs, spark, R9_OPS, sf_dir, repeats, "r9_ops"
+    )
+    print(f"# r9_ops_suite: {r9_total}s {r9_timings}", file=sys.stderr)
+
     t0 = time.perf_counter()
     specs[ML_VARIANT_QUERY].fn(spark, sf_dir).count()
     ml_variants = time.perf_counter() - t0
@@ -501,6 +517,8 @@ def main() -> None:
         "r7_ops_queries": r7_timings,
         "r8_ops_suite": r8_total,
         "r8_ops_queries": r8_timings,
+        "r9_ops_suite": r9_total,
+        "r9_ops_queries": r9_timings,
         "skew_suite": skew_total,
         "skew_queries": skew_timings,
         "sf": float(sf),

@@ -246,6 +246,11 @@ def stress_fuzzy(spark) -> list[dict]:
         ("codes 20k q=2", os.path.join(STRESS_DIR, "codes_20k.parquet"), 2, True),
         ("codes 20k q=3", os.path.join(STRESS_DIR, "codes_20k.parquet"), 3, True),
         ("codes 200k q=3", os.path.join(STRESS_DIR, "codes_200k.parquet"), 3, True),
+        # q must TRACK corpus size (the nlist ∝ sqrt(n) lesson from the
+        # r8 IVF stress): at fixed q the gram space saturates and the
+        # candidate FRACTION goes constant (quadratic growth); one more
+        # character of q multiplies the space by the alphabet size
+        ("codes 200k q=4", os.path.join(STRESS_DIR, "codes_200k.parquet"), 4, True),
         ("names 20k q=2 (low-entropy)", os.path.join(STRESS_DIR, "names_20k.parquet"), 2, False),
         ("names 20k q=8 (low-entropy)", os.path.join(STRESS_DIR, "names_20k.parquet"), 8, False),
     ]:
