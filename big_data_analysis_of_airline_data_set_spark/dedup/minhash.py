@@ -52,6 +52,26 @@ from pyspark.sql import functions as F
 from ..text.analysis import tokens_col
 from .ngram import shingles_from_tokens
 
+# The shingle cache of the MOST RECENT call (single-threaded driver
+# discipline, like caching.py). The returned pair frame consumes the
+# persisted shingle table lazily, so the function itself cannot
+# unpersist it — instead each new call releases the PREVIOUS call's
+# pin, bounding a session at one pinned copy no matter how many times
+# the catalog queries / bench repeats run (round-9 review finding: the
+# r8 fix released only the stats_out diagnostics path). A caller still
+# holding an unmaterialized result across a later call just recomputes
+# — correctness is unaffected by cache eviction.
+_LAST_SHINGLE_PIN: list = []
+
+
+def _pin_shingles(frame):
+    while _LAST_SHINGLE_PIN:
+        try:
+            _LAST_SHINGLE_PIN.pop().unpersist()
+        except Exception:
+            pass  # the previous pin's session may already be stopped
+    _LAST_SHINGLE_PIN.append(frame)
+
 
 def minhash_near_dup_pairs(
     df: DataFrame,
@@ -94,8 +114,10 @@ def minhash_near_dup_pairs(
     # persist BEFORE the size filter (a filter on a computed column
     # re-evaluates the expression), and because shingled feeds three
     # consumers (signatures + both sides of the exact verify join) —
-    # without a persist the tokenize+shingle stage runs 3×.
+    # without a persist the tokenize+shingle stage runs 3×. The pin
+    # holder releases the previous call's copy (see _pin_shingles).
     shingled = shingled.persist()
+    _pin_shingles(shingled)
     base = shingled.filter(F.size("_sh") > 0)
 
     # K INDEPENDENT min-hashes, shuffle-free: family k draws each

@@ -105,7 +105,9 @@ def ntile_from_rank(rank_col: str, n_col: str, tiles: int):
     alias inside the splice would silently produce wrong SQL or an
     opaque parse error far from the call site."""
     for arg in (rank_col, n_col):
-        if not _IDENTIFIER_RE.fullmatch(arg):
+        if not isinstance(arg, str) or not _IDENTIFIER_RE.fullmatch(arg):
+            # a Column or int from a pre-validation caller must get THIS
+            # message, not re's opaque TypeError
             raise ValueError(
                 f"ntile_from_rank takes plain column names, got {arg!r}"
             )

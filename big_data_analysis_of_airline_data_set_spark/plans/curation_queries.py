@@ -253,10 +253,12 @@ _WRS_WEIGHT_DUCK = "CAST(least(8, greatest(1, n_chars // 64)) AS BIGINT)"
 def q_weighted_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A-ES weighted reservoir (curation/sampling.py:weighted_reservoir)
     over the documents table: the 25 docs with the largest max-of-w
-    salted md5 keys, inclusion probability proportional to a 1..8
-    length-derived weight. The oracle replays the identical integer
-    keys (nibble-summed md5 prefixes over generate_series replicas),
-    so the sampled SET, not just its size, is value-checked."""
+    salted md5 keys — sequential probability-proportional-to-size
+    sampling without replacement on a 1..8 length-derived weight (per
+    the operator's contract, NOT exactly weight-proportional per-item
+    inclusion). The oracle replays the identical integer keys
+    (nibble-summed md5 prefixes over generate_series replicas), so the
+    sampled SET, not just its size, is value-checked."""
     d = read_testdata_table(spark, sf_dir, "documents").select(
         "doc_id", "source", F.expr(_WRS_WEIGHT_SPARK).alias("weight")
     )

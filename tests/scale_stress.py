@@ -24,11 +24,12 @@ the top rung is a DERIVED 10× corpus written under
 - embeddings_x10: each sf0.1 vector replicated 10× under deterministic
   per-coordinate jitter (±0.02) — clustered replicas, the realistic
   hard case for IVF cell pruning.
-- codes_20k / codes_200k: HIGH-entropy ~11-char base-36 codes with a
-  planted single-edit typo twin for one in 25 — the record-linkage
-  shape q-gram blocking exists for; TRUE pairs grow linearly (n/50)
-  and candidates must too. (The REAL part tables hold only ~64
-  distinct names at every sf, so growth needs synthetic corpora.)
+- codes_20k / codes_200k: HIGH-entropy ~11-char base-36 codes — the
+  record-linkage shape q-gram blocking exists for. Ids 50g and 50g+1
+  share a seed with the twin's first character flipped: ONE planted
+  single-edit pair per 50 ids, so TRUE pairs grow linearly (n/50) and
+  candidates must too. (The REAL part tables hold only ~64 distinct
+  names at every sf, so growth needs synthetic corpora.)
 - names_20k: LOW-entropy 5-word part-style names over the sf0.1
   p_name word vocabulary (~92 words) — the regime where the q-gram
   space saturates and candidates are inherently quadratic; measured
@@ -41,10 +42,10 @@ Metrics:
 - ann_ivf_quantized_rerank: rows scanned after cell pruning vs corpus
   size (the probed fraction), recall@10 vs brute force, wall time.
 - dedup_fuzzy_pairs / dedup_entity_resolution: prefix-filtered q-gram
-  blocking candidates vs corpus size (dedup/fuzzy.py:candidate_pairs —
-  the join the ER closure then consumes), the unfiltered-blocking
-  candidate count at the two smaller rungs (the filter's measured
-  effect), verified (lev ≤ 2) pairs, wall time.
+  blocking candidates vs corpus size AND vs q (dedup/fuzzy.py:
+  candidate_pairs — the join the ER closure then consumes; the q-curve
+  is the measured selectivity story), verified (lev ≤ 2) pairs, wall
+  time.
 
 Results are recorded in BASELINE.md ("Scale stress" section).
 """
@@ -188,9 +189,10 @@ def _names_synth(spark, out_path: str, n: int) -> None:
 
 
 def _codes_synth(spark, out_path: str, n: int) -> None:
-    """HIGH-entropy rung: ~11-char base-36 codes (md5-derived), one in
-    25 a planted single-edit typo twin — the record-linkage shape
-    (IDs, SKUs, license keys) q-gram blocking is actually for."""
+    """HIGH-entropy rung: ~11-char base-36 codes (md5-derived); ids
+    50g/50g+1 form one planted single-edit typo pair per 50 ids (n/50
+    TRUE pairs) — the record-linkage shape (IDs, SKUs, license keys)
+    q-gram blocking is actually for."""
     from pyspark.sql import functions as F
 
     if os.path.exists(out_path):
@@ -222,7 +224,6 @@ def _codes_synth(spark, out_path: str, n: int) -> None:
 def stress_fuzzy(spark) -> list[dict]:
     from big_data_analysis_of_airline_data_set_spark.dedup.fuzzy import (
         candidate_pairs,
-        fuzzy_pairs,
     )
 
     rows = []
@@ -254,19 +255,26 @@ def stress_fuzzy(spark) -> list[dict]:
         ("names 20k q=2 (low-entropy)", os.path.join(STRESS_DIR, "names_20k.parquet"), 2, False),
         ("names 20k q=8 (low-entropy)", os.path.join(STRESS_DIR, "names_20k.parquet"), 8, False),
     ]:
+        from pyspark.sql import functions as F
+
         d = spark.read.parquet(path)
         n = d.select("p_name").distinct().count()
         t0 = time.time()
-        cand = candidate_pairs(
+        cand_df = candidate_pairs(
             d, name_col="p_name", q=q, max_distance=2, prefix_filter=True
-        ).count()
+        ).persist()  # the verify step consumes the SAME frame — never
+        # rebuild the blocking join for it (review finding: the double
+        # build both doubled the harness wall and made wall_s conflate
+        # two candidate builds)
+        cand = cand_df.count()
         wall_c = time.time() - t0
         verified = None
         if verify:
-            verified = fuzzy_pairs(
-                d, name_col="p_name", q=q, max_distance=2, prefix_filter=True
+            verified = cand_df.filter(
+                F.levenshtein("name_a", "name_b") <= 2
             ).count()
         wall = time.time() - t0
+        cand_df.unpersist()
         rows.append(
             {
                 "scale": label,

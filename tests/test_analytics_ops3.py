@@ -112,7 +112,9 @@ def test_ntile_from_rank_rejects_expression_strings():
         ntile_from_rank,
     )
 
-    for bad in ("a + 1", "n'; --", "x.y", "r AS q", ""):
+    from pyspark.sql import functions as F
+
+    for bad in ("a + 1", "n'; --", "x.y", "r AS q", "", F.col("r"), 7):
         with pytest.raises(ValueError, match="plain column names"):
             ntile_from_rank(bad, "n", 4)
         with pytest.raises(ValueError, match="plain column names"):

@@ -329,3 +329,28 @@ def test_minhash_band_selectivity_under_hot_shingles(spark):
     # wide margin; measured ~0.3)
     assert stats["candidate_pairs"] < 0.6 * all_pairs, stats
     assert verified == 0
+
+
+def test_minhash_repeat_calls_do_not_accumulate_cached_shingles(spark):
+    """Each minhash call pins its shingle cache; the NEXT call must
+    release the previous pin so a session's cached-block count stays
+    flat across repeated calls (round-9 review: the r8 fix released
+    only the stats_out path)."""
+    from big_data_analysis_of_airline_data_set_spark.dedup.minhash import (
+        minhash_near_dup_pairs,
+    )
+
+    df = spark.createDataFrame(
+        [(i, f"alpha beta gamma delta {i} epsilon zeta") for i in range(40)],
+        ["doc_id", "text"],
+    )
+
+    def n_cached():
+        return len(spark.sparkContext._jsc.sc().getRDDStorageInfo())
+
+    minhash_near_dup_pairs(df, id_col="doc_id", text_col="text").count()
+    minhash_near_dup_pairs(df, id_col="doc_id", text_col="text").count()
+    after_two = n_cached()
+    minhash_near_dup_pairs(df, id_col="doc_id", text_col="text").count()
+    minhash_near_dup_pairs(df, id_col="doc_id", text_col="text").count()
+    assert n_cached() <= after_two
