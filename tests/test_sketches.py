@@ -533,3 +533,39 @@ def test_spacesaving_stream_matches_batch_fold(spark):
         exact[item] = exact.get(item, 0) + 1
     for k, w in zip(a.keys, a.weights):
         assert w <= exact[int(k)] <= w + a.d_total
+
+
+def test_mg_theorems_property():
+    """Property form of the MG theorems: random multisets, random batch
+    partitions, random m — the three invariants the catalog entry
+    oracles must hold universally, and with no eviction pressure the
+    summary must BE the exact counts. Pure Python: no Spark session."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=60, deadline=None)
+    @given(
+        items=st.lists(st.integers(min_value=0, max_value=12), min_size=1, max_size=300),
+        cut_seed=st.randoms(use_true_random=False),
+        m=st.integers(min_value=1, max_value=6),
+    )
+    def run(items, cut_seed, m):
+        n_items = len(items)
+        n_cuts = cut_seed.randint(0, min(5, n_items - 1))
+        cuts = sorted(cut_seed.sample(range(1, n_items), n_cuts)) if n_cuts else []
+        batches = [items[a:b] for a, b in zip([0] + cuts, cuts + [n_items])]
+        summary, d_total, n = _mg_fold(batches, m)
+        exact = {}
+        for k in items:
+            exact[k] = exact.get(k, 0) + 1
+        assert n == n_items and len(summary) <= m
+        assert d_total * (m + 1) <= n
+        for k, w in summary.items():
+            assert w <= exact[k] <= w + d_total
+        for k, c in exact.items():
+            if c > d_total:
+                assert k in summary
+        if len(exact) <= m:
+            assert summary == exact and d_total == 0
+
+    run()
