@@ -17,6 +17,18 @@ Two pair generators:
   trade-off (bits/bands tunable per threshold). Because the banding is
   hash-derived and integer-exact, a SQL engine can replay the identical
   candidate set — see ``plans/content.py`` for the DuckDB oracle.
+
+Measured regime boundary (tests/scale_stress.py emb_lsh; BASELINE.md
+"Round-9 scale stress"): candidate fraction is SCALE-INVARIANT at
+fixed (bands, bits) — 40.8 % of all pairs at bits=4 on both 2k and
+20k vectors — so candidates grow quadratically with a constant that
+``bits`` divides down (~2^bits per band); bits must track log(n).
+Whether the knob is usable depends on the threshold: a boundary pair
+at cosine t agrees with a random hyperplane with p = 1 − acos(t)/π,
+so at t=0.3 (p≈0.60) bits 4→12 collapses recall 0.70→0.02 (use IVF —
+similarity/ivf.py — for low-threshold similarity), while at t=0.95
+(p≈0.90) bits=12 keeps recall ≈ 1.0 at 0.33 % candidates. Sign-LSH
+banding is the HIGH-threshold near-dup tool.
 """
 
 from __future__ import annotations

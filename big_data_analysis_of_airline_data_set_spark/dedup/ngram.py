@@ -6,8 +6,14 @@ word-3-gram sets, Jaccard = |∩| / |∪|, pairs above a threshold.
 Scale posture: the pair join is blocked on a cheap predicate (length
 band) — at 100 TB you never run the unblocked O(n²) join; the LSH
 variant (dedup.minhash) is the production path and this one validates
-it. All expressions are JVM built-ins (transform/sequence/element_at/
-array_intersect) and fully SQL-expressible for the oracle.
+it. Measured (tests/scale_stress.py ngram; BASELINE.md "Round-9 scale
+stress"): the ±50-char band keeps a ~20–40 % constant FRACTION of all
+pairs at every corpus size — a constant divisor of n², not a growth
+cut — so the blocked exact join already needs ~18 min at 5k docs and
+a 507M-pair budget at 50k. Use it as the small-corpus recall oracle
+for MinHash, never the production path. All expressions are JVM
+built-ins (transform/sequence/element_at/array_intersect) and fully
+SQL-expressible for the oracle.
 """
 
 from __future__ import annotations

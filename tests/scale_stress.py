@@ -5,7 +5,8 @@ SUB-QUADRATICALLY as the corpus scales, with measured wall-times.
 
 Run manually (not collected by pytest):
 
-    PYTHONPATH=/root/repo python3 tests/scale_stress.py [minhash|ivf|fuzzy ...]
+    PYTHONPATH=/root/repo python3 tests/scale_stress.py \
+        [minhash|ivf|fuzzy|simhash|ngram|emb_lsh ...]
 
 (no args = all suites)
 
@@ -46,6 +47,23 @@ Metrics:
   candidate_pairs — the join the ER closure then consumes; the q-curve
   is the measured selectivity story), verified (lev ≤ 2) pairs, wall
   time.
+- dedup_simhash: banded-candidate pairs at the default 4×16-bit bands
+  vs the Manku block-combination scheme (blocks=6 → 20 combos keyed on
+  ~32 bits) — 16-bit band values have only 2^16 buckets, so the
+  default's candidates carry an irreducible ~4·n²/2^17 uniform-
+  collision floor; blocks is the knob that must kill it WITHOUT
+  changing the output (the two paths are proved output-identical in
+  tests/test_simhash_properties.py).
+- dedup_ngram_jaccard: length-band blocked candidate counts computed
+  EXACTLY from the length histogram (no quadratic join needed for the
+  count) — the documented NEGATIVE result: a ±50-char band divides n²
+  by a constant, so this stays the small-corpus validation oracle for
+  the MinHash path, never the production path.
+- dedup_embedding_cosine / dedup_embedding_lsh: sign-LSH candidate
+  counts vs signature bits (8 bands; bits 4 → 2^4 buckets per band) —
+  the bits-must-track-log(n) analogue of the IVF nlist ∝ √n and fuzzy
+  q-tracks-n findings, measured against the clustered 10× jittered
+  corpus (the realistic hard case).
 
 Results are recorded in BASELINE.md ("Scale stress" section).
 """
@@ -398,12 +416,252 @@ def stress_ivf(spark) -> list[dict]:
     return rows
 
 
+def stress_simhash(spark) -> list[dict]:
+    from big_data_analysis_of_airline_data_set_spark.dedup.simhash import (
+        simhash_near_dup_pairs,
+    )
+
+    rows = []
+    for label, path in [
+        ("sf0.01", os.path.join(SF01, "documents.parquet")),
+        ("sf0.1", os.path.join(SF1, "documents.parquet")),
+        ("x10 (sf1-equiv)", os.path.join(STRESS_DIR, "documents_x10.parquet")),
+    ]:
+        d = spark.read.parquet(path)
+        # blocks=4 is the catalog operating point (4×16-bit bands);
+        # blocks=6 is the Manku block-combination scale mode (20 combos
+        # keyed on ~32 bits). Outputs are proved identical — only the
+        # candidate count may differ.
+        for blocks in (4, 6):
+            stats: dict = {}
+            t0 = time.time()
+            pairs = simhash_near_dup_pairs(
+                d,
+                id_col="doc_id",
+                text_col="text",
+                max_hamming=3,
+                blocks=blocks,
+                stats_out=stats,
+            )
+            verified = pairs.count()
+            wall = time.time() - t0
+            n = stats["n_docs"]
+            rows.append(
+                {
+                    "scale": label,
+                    "blocks": blocks,
+                    "n_docs": n,
+                    "candidate_pairs": stats["candidate_pairs"],
+                    "verified_pairs": verified,
+                    "cand_per_doc": round(stats["candidate_pairs"] / n, 3),
+                    "all_pairs": n * (n - 1) // 2,
+                    "cand_frac_of_all_pairs": round(
+                        stats["candidate_pairs"] / max(1, n * (n - 1) // 2), 7
+                    ),
+                    "wall_s": round(wall, 1),
+                }
+            )
+            print("simhash", rows[-1], flush=True)
+    return rows
+
+
+def stress_ngram(spark) -> list[dict]:
+    """Length-band blocking candidate growth — the documented NEGATIVE
+    result. The candidate count is computed EXACTLY from the length
+    histogram (sum of c_l1·c_l2 over length pairs within the band, plus
+    C(c_l, 2) at equal lengths): a few hundred distinct lengths, so the
+    count never pays the quadratic join it is measuring. The operator
+    itself runs only on the rungs where its candidate budget is sane
+    (sf0.01 catalog point, sf0.1) — at x10 the measured point IS that
+    the budget is ~19 % of 1.25e9 pairs, which is the finding."""
+    from pyspark.sql import functions as F
+
+    from big_data_analysis_of_airline_data_set_spark.dedup.ngram import (
+        jaccard_pairs,
+    )
+
+    rows = []
+    for label, path, run_operator in [
+        ("sf0.01 (catalog cfg)", os.path.join(SF01, "documents.parquet"), True),
+        ("sf0.1", os.path.join(SF1, "documents.parquet"), True),
+        ("x10 (sf1-equiv)", os.path.join(STRESS_DIR, "documents_x10.parquet"), False),
+    ]:
+        d = spark.read.parquet(path)
+        hist = {
+            r.l: r.c
+            for r in d.select(F.length("text").alias("l"))
+            .groupBy("l")
+            .agg(F.count("*").alias("c"))
+            .collect()
+        }
+        n = sum(hist.values())
+        band = 50
+        lengths = sorted(hist)
+        cand = 0
+        for i, l1 in enumerate(lengths):
+            cand += hist[l1] * (hist[l1] - 1) // 2
+            for l2 in lengths[i + 1 :]:
+                if l2 - l1 > band:
+                    break
+                cand += hist[l1] * hist[l2]
+        verified = wall = None
+        if run_operator:
+            t0 = time.time()
+            verified = jaccard_pairs(
+                d, id_col="doc_id", text_col="text", n=3, threshold=0.5,
+                length_band=band,
+            ).count()
+            wall = round(time.time() - t0, 1)
+        rows.append(
+            {
+                "scale": label,
+                "n_docs": n,
+                "candidate_pairs": cand,
+                "verified_pairs": verified,
+                "cand_per_doc": round(cand / n, 1),
+                "all_pairs": n * (n - 1) // 2,
+                "cand_frac_of_all_pairs": round(cand / max(1, n * (n - 1) // 2), 4),
+                "wall_s": wall,
+            }
+        )
+        print("ngram", rows[-1], flush=True)
+    return rows
+
+
+def stress_emb_lsh(spark) -> list[dict]:
+    """Sign-LSH candidate growth vs signature bits at the catalog's
+    8-band operating point. bits=4 (the catalog config for the 2k-row
+    testdata) has only 2^4 buckets per band — at 20k clustered vectors
+    the uniform floor alone is ~8·n²/2^5. bits is the knob that must
+    track log(n); verified counts show what the extra pruning costs in
+    recall (sf0.1's exact all-pairs truth is small enough to compute)."""
+    from pyspark.sql import functions as F
+
+    from big_data_analysis_of_airline_data_set_spark.dedup.embedding import (
+        band_signatures,
+        banded_embedding_near_dup_pairs,
+        embedding_near_dup_pairs,
+    )
+
+    rows = []
+    for label, path in [
+        ("sf0.1", os.path.join(SF1, "embeddings.parquet")),
+        ("x10 (sf1-equiv)", os.path.join(STRESS_DIR, "embeddings_x10.parquet")),
+    ]:
+        e = spark.read.parquet(path).persist()
+        n = e.count()
+        exact = None
+        if n <= 5_000:
+            exact = embedding_near_dup_pairs(
+                e, id_col="vec_id", vec_col="embedding", threshold=0.3
+            ).count()
+        for bits in (4, 8, 12):
+            t0 = time.time()
+            sigs = band_signatures(
+                e, id_col="vec_id", vec_col="embedding", dims=64, bands=8,
+                bits=bits,
+            ).persist()
+            a = sigs.select(F.col("_id").alias("id_a"), "band", "sig")
+            b = sigs.select(F.col("_id").alias("id_b"), "band", "sig")
+            cand = (
+                a.join(b, ["band", "sig"])
+                .filter(F.col("id_a") < F.col("id_b"))
+                .select("id_a", "id_b")
+                .distinct()
+                .count()
+            )
+            verified = banded_embedding_near_dup_pairs(
+                e, id_col="vec_id", vec_col="embedding", dims=64,
+                threshold=0.3, bands=8, bits=bits,
+            ).count()
+            wall = time.time() - t0
+            sigs.unpersist()
+            rows.append(
+                {
+                    "scale": label,
+                    "bands": 8,
+                    "bits": bits,
+                    "n_vectors": n,
+                    "candidate_pairs": cand,
+                    "verified_pairs": verified,
+                    "exact_pairs": exact,
+                    "recall_vs_exact": (
+                        round(verified / exact, 3) if exact else None
+                    ),
+                    "cand_frac_of_all_pairs": round(
+                        cand / max(1, n * (n - 1) // 2), 5
+                    ),
+                    "wall_s": round(wall, 1),
+                }
+            )
+            print("emb_lsh", rows[-1], flush=True)
+        if label.startswith("x10"):
+            # High-threshold regime rung (t=0.95 — the production
+            # near-dup shape). Truth = within-replica-group pairs
+            # (vec_id div 10 shares the jitter origin) with exact
+            # cosine >= 0.95: computable WITHOUT the all-pairs join;
+            # found pairs outside groups are exact-verified >= t by
+            # construction, so recall vs this cluster mass is the
+            # honest number.
+            from big_data_analysis_of_airline_data_set_spark.dedup.embedding import (
+                cosine_sim_expr,
+            )
+
+            g = e.withColumn("grp", (F.col("vec_id") / 10).cast("long"))
+            ta = g.select(
+                "grp", F.col("vec_id").alias("id_a"), F.col("embedding").alias("va")
+            )
+            tb = g.select(
+                "grp", F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb")
+            )
+            truth = (
+                ta.join(tb, "grp")
+                .filter(F.col("id_a") < F.col("id_b"))
+                .filter(
+                    F.round(cosine_sim_expr(F.col("va"), F.col("vb")), 6) >= 0.95
+                )
+                .select("id_a", "id_b")
+                .persist()
+            )
+            t_n = truth.count()
+            for bits in (8, 12):
+                t0 = time.time()
+                found = (
+                    banded_embedding_near_dup_pairs(
+                        e, id_col="vec_id", vec_col="embedding", dims=64,
+                        threshold=0.95, bands=8, bits=bits,
+                    )
+                    .select("id_a", "id_b")
+                    .persist()
+                )
+                n_found = found.count()
+                hit = found.join(truth, ["id_a", "id_b"]).count()
+                wall = time.time() - t0
+                found.unpersist()
+                rows.append(
+                    {
+                        "scale": label + " t=0.95",
+                        "bands": 8,
+                        "bits": bits,
+                        "n_vectors": n,
+                        "found_pairs": n_found,
+                        "cluster_truth_pairs": t_n,
+                        "recall_vs_cluster_truth": round(hit / max(1, t_n), 3),
+                        "wall_s": round(wall, 1),
+                    }
+                )
+                print("emb_lsh", rows[-1], flush=True)
+            truth.unpersist()
+        e.unpersist()
+    return rows
+
+
 def main() -> None:
     import sys
 
     from big_data_analysis_of_airline_data_set_spark.session import get_session
 
-    suites = sys.argv[1:] or ["minhash", "ivf", "fuzzy"]
+    suites = sys.argv[1:] or ["minhash", "ivf", "fuzzy", "simhash", "ngram", "emb_lsh"]
     spark = get_session()
     os.makedirs(STRESS_DIR, exist_ok=True)
     report = {}
@@ -418,6 +676,15 @@ def main() -> None:
         _codes_synth(spark, os.path.join(STRESS_DIR, "codes_20k.parquet"), 20_000)
         _codes_synth(spark, os.path.join(STRESS_DIR, "codes_200k.parquet"), 200_000)
         report["fuzzy"] = stress_fuzzy(spark)
+    if "simhash" in suites:
+        _docs_x10(spark, os.path.join(STRESS_DIR, "documents_x10.parquet"))
+        report["simhash"] = stress_simhash(spark)
+    if "ngram" in suites:
+        _docs_x10(spark, os.path.join(STRESS_DIR, "documents_x10.parquet"))
+        report["ngram"] = stress_ngram(spark)
+    if "emb_lsh" in suites:
+        _embeddings_x10(spark, os.path.join(STRESS_DIR, "embeddings_x10.parquet"))
+        report["emb_lsh"] = stress_emb_lsh(spark)
     print(json.dumps(report, indent=1))
 
 

@@ -39,6 +39,87 @@ def test_single_token_simhash_equals_md5_digest(spark):
     assert any(v < 0 for v in want.values())
 
 
+def test_block_widths_partition_64_bits():
+    from big_data_analysis_of_airline_data_set_spark.dedup.simhash import (
+        _block_widths,
+    )
+
+    for blocks in (4, 5, 6, 7, 8, 13, 64):
+        widths = _block_widths(blocks)
+        assert sum(widths) == 64
+        assert max(widths) - min(widths) <= 1
+
+
+def test_block_combination_params_validated(spark):
+    import pytest
+
+    df = spark.createDataFrame([(0, "a b c")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="must exceed max_hamming"):
+        simhash_near_dup_pairs(
+            df, id_col="doc_id", text_col="text", max_hamming=3, blocks=3
+        )
+    with pytest.raises(ValueError, match="cannot exceed 64"):
+        simhash_near_dup_pairs(
+            df, id_col="doc_id", text_col="text", max_hamming=3, blocks=65
+        )
+
+
+def _twin_corpus(spark, sf_dir, n=120):
+    """Documents plus exact copies of every 10th one — guarantees
+    hamming-0 planted pairs so the equality tests compare non-empty
+    outputs, not vacuous empties."""
+    from big_data_analysis_of_airline_data_set_spark.sources.readers import (
+        read_testdata_table,
+    )
+
+    docs = read_testdata_table(spark, sf_dir, "documents").limit(n)
+    twins = (
+        docs.filter(F.col("doc_id") % 10 == 0)
+        .select((F.col("doc_id") + 1_000_000).alias("doc_id"), "text")
+    )
+    return docs.select("doc_id", "text").unionByName(twins)
+
+
+def test_block_combination_pairs_identical_to_banded(spark, sf_dir):
+    """The Manku block-combination path (blocks=6) must return EXACTLY
+    the banded path's pairs: both candidate schemes are recall-1
+    supersets for hamming <= k (pigeonhole) and both verify exact
+    64-bit hamming, so blocks trades join fanout against bucket
+    selectivity, never output."""
+    corpus = _twin_corpus(spark, sf_dir)
+    banded = {
+        (r.id_a, r.id_b, r.hamming)
+        for r in simhash_near_dup_pairs(
+            corpus, id_col="doc_id", text_col="text", max_hamming=3
+        ).collect()
+    }
+    blocked = {
+        (r.id_a, r.id_b, r.hamming)
+        for r in simhash_near_dup_pairs(
+            corpus, id_col="doc_id", text_col="text", max_hamming=3, blocks=6
+        ).collect()
+    }
+    assert banded, "twin corpus must plant at least the hamming-0 pairs"
+    assert blocked == banded
+
+
+def test_stats_out_counts_candidates_before_verify(spark, sf_dir):
+    corpus = _twin_corpus(spark, sf_dir)
+    for blocks in (4, 6):
+        stats: dict = {}
+        out = simhash_near_dup_pairs(
+            corpus,
+            id_col="doc_id",
+            text_col="text",
+            max_hamming=3,
+            blocks=blocks,
+            stats_out=stats,
+        )
+        verified = out.count()
+        assert stats["n_docs"] == corpus.count()
+        assert stats["candidate_pairs"] >= verified > 0
+
+
 def test_banded_pairs_complete_vs_bruteforce(spark, sf_dir):
     from big_data_analysis_of_airline_data_set_spark.sources.readers import (
         read_testdata_table,
