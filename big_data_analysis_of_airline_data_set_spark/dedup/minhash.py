@@ -61,16 +61,51 @@ from .ngram import shingles_from_tokens
 # r8 fix released only the stats_out diagnostics path). A caller still
 # holding an unmaterialized result across a later call just recomputes
 # — correctness is unaffected by cache eviction.
+#
+# PLAN-IDENTITY REUSE is load-bearing: Spark caches by CANONICAL PLAN,
+# not by DataFrame object, so a repeat call over the same corpus joins
+# the previous pin's cache entry rather than creating a second one.
+# The first pin implementation persisted the new frame and THEN
+# unpersisted the previous one — which evicted the shared entry the
+# new call had just claimed, leaving every repeat call uncached. That
+# is not a mild miss: without the persist barrier CollapseProject
+# inlines the tokenize into the per-gram shingle lambda (the
+# re-tokenize-per-gram trap ngram.py documents) and the whole chain
+# runs ~5x slower (measured 9.9 s vs 2.0 s per call at sf0.1). Hence:
+# same plan -> KEEP the previous pin and hand it back; different plan
+# (new corpus/params) -> release the old pin, persist and pin the new.
 _LAST_SHINGLE_PIN: list = []
 
 
 def _pin_shingles(frame):
+    """Persist and pin ``frame``, returning the frame to build on —
+    the PREVIOUS call's pin when it is plan-identical (shared cache
+    entry, see above), else ``frame`` freshly persisted."""
     while _LAST_SHINGLE_PIN:
+        prev = _LAST_SHINGLE_PIN[-1]
         try:
-            _LAST_SHINGLE_PIN.pop().unpersist()
+            if prev.sameSemantics(frame):
+                return prev
+        except Exception:
+            pass  # stopped session / cross-session frame: treat as stale
+        _LAST_SHINGLE_PIN.pop()
+        try:
+            prev.unpersist()
         except Exception:
             pass  # the previous pin's session may already be stopped
+    frame = frame.persist()
     _LAST_SHINGLE_PIN.append(frame)
+    return frame
+
+
+def _release_pinned_shingles(frame) -> None:
+    """Unpersist ``frame`` AND drop it from the pin if it is the pinned
+    copy — leaving an evicted frame pinned would hand later plan-
+    identical calls a cacheless frame (the stats_out path releases its
+    caches eagerly; see minhash_near_dup_pairs)."""
+    if _LAST_SHINGLE_PIN and _LAST_SHINGLE_PIN[-1] is frame:
+        _LAST_SHINGLE_PIN.pop()
+    frame.unpersist()
 
 
 def minhash_near_dup_pairs(
@@ -115,9 +150,9 @@ def minhash_near_dup_pairs(
     # re-evaluates the expression), and because shingled feeds three
     # consumers (signatures + both sides of the exact verify join) —
     # without a persist the tokenize+shingle stage runs 3×. The pin
-    # holder releases the previous call's copy (see _pin_shingles).
-    shingled = shingled.persist()
-    _pin_shingles(shingled)
+    # holder persists, reuses a plan-identical previous pin, and
+    # releases a stale one (see _pin_shingles).
+    shingled = _pin_shingles(shingled)
     base = shingled.filter(F.size("_sh") > 0)
 
     # K INDEPENDENT min-hashes, shuffle-free: family k draws each
@@ -191,5 +226,5 @@ def minhash_near_dup_pairs(
         # session and must not accumulate cached partitions
         out = out.localCheckpoint(eager=True)
         candidates.unpersist()
-        shingled.unpersist()
+        _release_pinned_shingles(shingled)
     return out

@@ -354,3 +354,42 @@ def test_minhash_repeat_calls_do_not_accumulate_cached_shingles(spark):
     minhash_near_dup_pairs(df, id_col="doc_id", text_col="text").count()
     minhash_near_dup_pairs(df, id_col="doc_id", text_col="text").count()
     assert n_cached() <= after_two
+
+
+def test_minhash_pin_reuses_identical_plan_and_swaps_on_new_corpus(spark):
+    """Spark caches by CANONICAL PLAN: a repeat call over the same
+    corpus shares the previous pin's cache entry, so the pin must KEEP
+    that entry (unpersisting it first evicts the cache the new call
+    just claimed — measured as a 5× per-call regression, BASELINE.md
+    round-9 amendments). A different corpus must swap the pin and
+    leave exactly one pinned copy."""
+    from big_data_analysis_of_airline_data_set_spark.dedup import minhash as mh
+
+    df1 = spark.createDataFrame(
+        [(i, f"alpha beta gamma delta {i} epsilon zeta") for i in range(40)],
+        ["doc_id", "text"],
+    )
+    df2 = spark.createDataFrame(
+        [(i, f"one two three four {i} five six") for i in range(40)],
+        ["doc_id", "text"],
+    )
+
+    mh.minhash_near_dup_pairs(df1, id_col="doc_id", text_col="text").count()
+    first_pin = mh._LAST_SHINGLE_PIN[-1]
+    assert first_pin.storageLevel.useMemory
+
+    mh.minhash_near_dup_pairs(df1, id_col="doc_id", text_col="text").count()
+    assert mh._LAST_SHINGLE_PIN[-1] is first_pin  # reused, not evicted
+    assert first_pin.storageLevel.useMemory
+
+    mh.minhash_near_dup_pairs(df2, id_col="doc_id", text_col="text").count()
+    assert len(mh._LAST_SHINGLE_PIN) == 1
+    assert mh._LAST_SHINGLE_PIN[-1] is not first_pin
+
+    # stats path releases eagerly THROUGH the pin — no dangling frame
+    stats: dict = {}
+    mh.minhash_near_dup_pairs(
+        df1, id_col="doc_id", text_col="text", stats_out=stats
+    ).count()
+    assert stats["n_docs"] == 40
+    assert not mh._LAST_SHINGLE_PIN  # released, not left pinned-but-evicted
