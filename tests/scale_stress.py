@@ -64,6 +64,10 @@ Metrics:
   the bits-must-track-log(n) analogue of the IVF nlist ∝ √n and fuzzy
   q-tracks-n findings, measured against the clustered 10× jittered
   corpus (the realistic hard case).
+- graph (pagerank): the broadcast-gate crossover — synthetic graphs
+  one per regime (100k nodes ≤ gate < 400k), same avg degree; the
+  'degrades gracefully above 200k nodes' claim holds if the
+  sort-merge rung's wall tracks the edge count ~linearly.
 
 Results are recorded in BASELINE.md ("Scale stress" section).
 """
@@ -656,12 +660,73 @@ def stress_emb_lsh(spark) -> list[dict]:
     return rows
 
 
+def stress_graph(spark) -> list[dict]:
+    """The broadcast-gate crossover claim, measured. operators/graph.py
+    broadcasts the node-sized per-iteration frames when n <= 200k and
+    falls back to sort-merge above — the r8 verdict accepted the
+    'degrades gracefully' argument from plan shape only. Protocol:
+    synthetic uniform graphs at avg degree 5, PageRank 5 rounds, BOTH
+    regimes forced at every n, spark.catalog.clearCache() before every
+    run (pagerank persists its repartitioned edge table under a
+    plan-identity cache key, so without the clear every run after the
+    first per n reuses it and the A/B measures nothing — the same
+    CacheManager behavior the minhash pin fix is about). The claim
+    holds if wall grows ~linearly in the edge count across the gate
+    (no cliff); the broadcast-vs-sort-merge DELTA is the secondary
+    reading. rank_sum is the determinism checksum (exact DECIMAL
+    iteration arithmetic)."""
+    from pyspark.sql import functions as F
+
+    from big_data_analysis_of_airline_data_set_spark.operators.graph import (
+        pagerank,
+    )
+
+    rows = []
+    deg = 5
+    for n_nodes in (20_000, 100_000, 400_000):
+        edges = (
+            spark.range(n_nodes * deg)
+            .select(
+                (F.col("id") % n_nodes).alias("src"),
+                F.pmod(F.xxhash64("id"), F.lit(n_nodes)).alias("dst"),
+            )
+            .filter(F.col("src") != F.col("dst"))
+        )
+        for regime, bc_max in (("broadcast", 10**9), ("sort-merge", 0)):
+            walls = []
+            agg = None
+            for _ in range(2):
+                spark.catalog.clearCache()
+                t0 = time.time()
+                ranks = pagerank(
+                    edges, iterations=5, broadcast_nodes_max=bc_max
+                )
+                agg = ranks.agg(
+                    F.count("*").alias("n"), F.round(F.sum("rank"), 6).alias("s")
+                ).first()
+                walls.append(round(time.time() - t0, 1))
+            rows.append(
+                {
+                    "n_nodes": n_nodes,
+                    "avg_degree": deg,
+                    "regime": regime,
+                    "ranked_nodes": agg.n,
+                    "rank_sum": float(agg.s),
+                    "wall_s": walls,
+                }
+            )
+            print("graph", rows[-1], flush=True)
+    return rows
+
+
 def main() -> None:
     import sys
 
     from big_data_analysis_of_airline_data_set_spark.session import get_session
 
-    suites = sys.argv[1:] or ["minhash", "ivf", "fuzzy", "simhash", "ngram", "emb_lsh"]
+    suites = sys.argv[1:] or [
+        "minhash", "ivf", "fuzzy", "simhash", "ngram", "emb_lsh", "graph",
+    ]
     spark = get_session()
     os.makedirs(STRESS_DIR, exist_ok=True)
     report = {}
@@ -685,6 +750,8 @@ def main() -> None:
     if "emb_lsh" in suites:
         _embeddings_x10(spark, os.path.join(STRESS_DIR, "embeddings_x10.parquet"))
         report["emb_lsh"] = stress_emb_lsh(spark)
+    if "graph" in suites:
+        report["graph"] = stress_graph(spark)
     print(json.dumps(report, indent=1))
 
 
