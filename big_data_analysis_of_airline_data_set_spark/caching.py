@@ -66,3 +66,58 @@ class BoundedCache(Generic[K, V]):
 
     def __contains__(self, key: K) -> bool:
         return key in self._data
+
+
+class PlanPin:
+    """Single-slot DataFrame persist pin keyed by PLAN IDENTITY.
+
+    Spark's CacheManager caches by CANONICAL PLAN, not by DataFrame
+    object: two frames with the same plan share ONE cache entry, so
+    "persist the new frame, then unpersist the previous one" EVICTS the
+    entry the new frame just claimed (measured as a 5× per-call
+    regression in the minhash shingle cache — BASELINE.md round-9
+    amendment). This pin gets the ordering right once, for every
+    callsite that wants "at most one persisted copy of X per session":
+
+    - ``pin(frame)``: if the currently pinned frame is plan-identical
+      (``sameSemantics``) AND from the same session, return the pinned
+      frame (shared entry, kept warm). Otherwise release the stale pin,
+      persist ``frame``, pin and return it.
+    - ``release(frame)``: unpersist ``frame`` and drop it from the pin
+      if it is the pinned copy — for eager-cleanup paths (diagnostics)
+      that must not leave a pinned-but-evicted frame behind.
+
+    Single-threaded-driver discipline, like BoundedCache. A caller
+    still holding an unmaterialized result across a pin swap just
+    recomputes — correctness is unaffected by eviction.
+    """
+
+    def __init__(self) -> None:
+        self._pinned: list = []
+
+    def pin(self, frame):
+        while self._pinned:
+            prev = self._pinned[-1]
+            try:
+                if prev.sparkSession is frame.sparkSession and prev.sameSemantics(
+                    frame
+                ):
+                    return prev
+            except Exception:
+                pass  # stopped session: treat the pin as stale
+            self._pinned.pop()
+            try:
+                prev.unpersist()
+            except Exception:
+                pass  # the previous pin's session may already be stopped
+        frame = frame.persist()
+        self._pinned.append(frame)
+        return frame
+
+    def release(self, frame) -> None:
+        if self._pinned and self._pinned[-1] is frame:
+            self._pinned.pop()
+        frame.unpersist()
+
+    def __len__(self) -> int:
+        return len(self._pinned)

@@ -49,6 +49,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..caching import PlanPin
 from ..text.analysis import tokens_col
 from .ngram import shingles_from_tokens
 
@@ -71,41 +72,10 @@ from .ngram import shingles_from_tokens
 # is not a mild miss: without the persist barrier CollapseProject
 # inlines the tokenize into the per-gram shingle lambda (the
 # re-tokenize-per-gram trap ngram.py documents) and the whole chain
-# runs ~5x slower (measured 9.9 s vs 2.0 s per call at sf0.1). Hence:
-# same plan -> KEEP the previous pin and hand it back; different plan
-# (new corpus/params) -> release the old pin, persist and pin the new.
-_LAST_SHINGLE_PIN: list = []
-
-
-def _pin_shingles(frame):
-    """Persist and pin ``frame``, returning the frame to build on —
-    the PREVIOUS call's pin when it is plan-identical (shared cache
-    entry, see above), else ``frame`` freshly persisted."""
-    while _LAST_SHINGLE_PIN:
-        prev = _LAST_SHINGLE_PIN[-1]
-        try:
-            if prev.sameSemantics(frame):
-                return prev
-        except Exception:
-            pass  # stopped session / cross-session frame: treat as stale
-        _LAST_SHINGLE_PIN.pop()
-        try:
-            prev.unpersist()
-        except Exception:
-            pass  # the previous pin's session may already be stopped
-    frame = frame.persist()
-    _LAST_SHINGLE_PIN.append(frame)
-    return frame
-
-
-def _release_pinned_shingles(frame) -> None:
-    """Unpersist ``frame`` AND drop it from the pin if it is the pinned
-    copy — leaving an evicted frame pinned would hand later plan-
-    identical calls a cacheless frame (the stats_out path releases its
-    caches eagerly; see minhash_near_dup_pairs)."""
-    if _LAST_SHINGLE_PIN and _LAST_SHINGLE_PIN[-1] is frame:
-        _LAST_SHINGLE_PIN.pop()
-    frame.unpersist()
+# runs ~5x slower (measured 9.9 s vs 2.0 s per call at sf0.1). The
+# ordering lives in caching.PlanPin: same plan -> KEEP the previous
+# pin; different plan (new corpus/params) -> swap.
+_SHINGLE_PIN = PlanPin()
 
 
 def minhash_near_dup_pairs(
@@ -151,8 +121,8 @@ def minhash_near_dup_pairs(
     # consumers (signatures + both sides of the exact verify join) —
     # without a persist the tokenize+shingle stage runs 3×. The pin
     # holder persists, reuses a plan-identical previous pin, and
-    # releases a stale one (see _pin_shingles).
-    shingled = _pin_shingles(shingled)
+    # releases a stale one (caching.PlanPin).
+    shingled = _SHINGLE_PIN.pin(shingled)
     base = shingled.filter(F.size("_sh") > 0)
 
     # K INDEPENDENT min-hashes, shuffle-free: family k draws each
@@ -226,5 +196,5 @@ def minhash_near_dup_pairs(
         # session and must not accumulate cached partitions
         out = out.localCheckpoint(eager=True)
         candidates.unpersist()
-        _release_pinned_shingles(shingled)
+        _SHINGLE_PIN.release(shingled)
     return out

@@ -32,10 +32,18 @@ from itertools import combinations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..caching import PlanPin
 from ..text.analysis import tokens_col
 
 N_BANDS = 4
 BAND_BITS = 16
+
+# One persisted band table per session, keyed by plan identity — the
+# same bounded pin the minhash shingle cache uses (caching.PlanPin):
+# a repeat call over the same corpus (e.g. blocks=4 then blocks=6 in
+# a near-dup sweep — the band table is blocks-independent) reuses the
+# persisted copy instead of leaking one entry per call.
+_BANDS_PIN = PlanPin()
 
 
 def _hex_long(hex_col):
@@ -147,7 +155,7 @@ def simhash_near_dup_pairs(
             )
         if blocks > 64:
             raise ValueError(f"blocks ({blocks}) cannot exceed 64 bits")
-    bands = simhash_bands(df, id_col=id_col, text_col=text_col).persist()
+    bands = _BANDS_PIN.pin(simhash_bands(df, id_col=id_col, text_col=text_col))
     if blocks == N_BANDS:
         melted = bands.select(
             F.col(id_col).alias("_id"),
@@ -224,10 +232,10 @@ def simhash_near_dup_pairs(
     )
     if stats_out is not None:
         # diagnostics path: materialize NOW, then release everything
-        # this call pinned (bands was persisted unconditionally before
-        # this hook existed and still is — the stats path is the one
-        # caller that iterates corpora in a single session)
+        # this call pinned — a corpora loop in one session must not
+        # accumulate cached partitions (release goes THROUGH the pin
+        # so no evicted frame stays pinned)
         out = out.localCheckpoint(eager=True)
         candidates.unpersist()
-        bands.unpersist()
+        _BANDS_PIN.release(bands)
     return out

@@ -94,3 +94,29 @@ def test_rejects_none_values():
     c = BoundedCache(2)
     with _pytest.raises(ValueError, match="None"):
         c.put("k", None)
+
+
+def test_plan_pin_reuses_identical_plan_and_swaps(spark):
+    """PlanPin: plan-identical frames share one Spark cache entry, so
+    pin() must hand back the existing pin (not evict it); a different
+    plan swaps; release() through the pin leaves nothing dangling."""
+    from big_data_analysis_of_airline_data_set_spark.caching import PlanPin
+
+    pin = PlanPin()
+    df1 = spark.range(100).selectExpr("id", "id * 2 as v")
+    df2 = spark.range(100).selectExpr("id", "id * 3 as v")
+
+    a = pin.pin(df1)
+    a.count()
+    assert a.storageLevel.useMemory
+    # plan-identical frame (fresh object): reuse, still cached
+    b = pin.pin(spark.range(100).selectExpr("id", "id * 2 as v"))
+    assert b is a
+    assert a.storageLevel.useMemory and len(pin) == 1
+    # different plan: swap, old released
+    c = pin.pin(df2)
+    assert c is not a and len(pin) == 1
+    assert not a.storageLevel.useMemory
+    # release through the pin
+    pin.release(c)
+    assert len(pin) == 0 and not c.storageLevel.useMemory

@@ -375,16 +375,16 @@ def test_minhash_pin_reuses_identical_plan_and_swaps_on_new_corpus(spark):
     )
 
     mh.minhash_near_dup_pairs(df1, id_col="doc_id", text_col="text").count()
-    first_pin = mh._LAST_SHINGLE_PIN[-1]
+    first_pin = mh._SHINGLE_PIN._pinned[-1]
     assert first_pin.storageLevel.useMemory
 
     mh.minhash_near_dup_pairs(df1, id_col="doc_id", text_col="text").count()
-    assert mh._LAST_SHINGLE_PIN[-1] is first_pin  # reused, not evicted
+    assert mh._SHINGLE_PIN._pinned[-1] is first_pin  # reused, not evicted
     assert first_pin.storageLevel.useMemory
 
     mh.minhash_near_dup_pairs(df2, id_col="doc_id", text_col="text").count()
-    assert len(mh._LAST_SHINGLE_PIN) == 1
-    assert mh._LAST_SHINGLE_PIN[-1] is not first_pin
+    assert len(mh._SHINGLE_PIN) == 1
+    assert mh._SHINGLE_PIN._pinned[-1] is not first_pin
 
     # stats path releases eagerly THROUGH the pin — no dangling frame
     stats: dict = {}
@@ -392,4 +392,4 @@ def test_minhash_pin_reuses_identical_plan_and_swaps_on_new_corpus(spark):
         df1, id_col="doc_id", text_col="text", stats_out=stats
     ).count()
     assert stats["n_docs"] == 40
-    assert not mh._LAST_SHINGLE_PIN  # released, not left pinned-but-evicted
+    assert len(mh._SHINGLE_PIN) == 0  # released, not left pinned-but-evicted
