@@ -42,6 +42,16 @@ class BoundedCache(Generic[K, V]):
         return hit
 
     def put(self, key: K, value: V) -> None:
+        # Re-putting an EXISTING key replaces the value WITHOUT firing
+        # on_evict on the old one — deliberately. For persisted-
+        # DataFrame values, unpersisting the old value here would evict
+        # the Spark cache entry the (plan-identical) new value shares
+        # (CacheManager keys by canonical plan — see PlanPin). Every
+        # current caller follows get-miss-build-put, so a re-put means
+        # a same-plan rebuild and the replaced frame leaks nothing the
+        # shared entry doesn't still own; a caller that re-puts
+        # genuinely DIFFERENT resources under one key must release the
+        # old value itself.
         if value is None:
             # get() signals a miss with None, so a stored None would be
             # invisible: recomputed every call and never LRU-refreshed.
