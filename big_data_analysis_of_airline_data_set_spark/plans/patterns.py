@@ -1550,7 +1550,17 @@ def _unpersist_quietly(_key, frame: DataFrame) -> None:
     """BoundedCache eviction hook for persisted frames: an entry can
     outlive its SparkSession (keys carry the applicationId precisely
     because sessions cycle), and unpersisting against a stopped
-    session raises — eviction must release best-effort, never fail."""
+    session raises — eviction must release best-effort, never fail.
+
+    Plan-identity caveat (the caching.PlanPin postmortem pattern):
+    Spark's CacheManager keys by canonical plan and is shared across
+    sessions of one SparkContext, so evicting an OLD session's entry
+    whose plan matches a LIVE session's freshly-cached twin (same
+    sf_dir, new applicationId) would evict the live entry too. The
+    consequence is a recompute, never wrongness, and the repo's
+    one-session-per-process discipline (session.get_session) makes
+    the overlap unreachable in practice — noted here because the
+    failure would look like an inexplicable cache miss, not an error."""
     try:
         frame.unpersist()
     except Exception:
