@@ -14,9 +14,12 @@ DataFrame, remove a landed directory).
 
 from __future__ import annotations
 
+import logging
 from collections import OrderedDict
 from collections.abc import Callable
 from typing import Generic, TypeVar
+
+_LOG = logging.getLogger(__name__)
 
 K = TypeVar("K")
 V = TypeVar("V")
@@ -95,7 +98,12 @@ class PlanPin:
       persist ``frame``, pin and return it.
     - ``release(frame)``: unpersist ``frame`` and drop it from the pin
       if it is the pinned copy — for eager-cleanup paths (diagnostics)
-      that must not leave a pinned-but-evicted frame behind.
+      that must not leave a pinned-but-evicted frame behind. Releasing
+      a frame that is NOT the pinned object while a plan-identical
+      frame IS pinned is a no-op: the two share one CacheManager entry,
+      and unpersisting the twin would evict it out from under the pin
+      (the exact silent-recompute failure this class exists to
+      prevent).
 
     Single-threaded-driver discipline, like BoundedCache. A caller
     still holding an unmaterialized result across a pin swap just
@@ -105,16 +113,35 @@ class PlanPin:
     def __init__(self) -> None:
         self._pinned: list = []
 
+    @staticmethod
+    def _session_stopped(frame) -> bool:
+        """True iff the frame's session is stopped (SparkContext.stop()
+        nulls ``_jsc``) or so torn down the probe itself fails."""
+        try:
+            return frame.sparkSession._sc._jsc is None
+        except Exception:
+            return True
+
     def pin(self, frame):
         while self._pinned:
             prev = self._pinned[-1]
-            try:
-                if prev.sparkSession is frame.sparkSession and prev.sameSemantics(
-                    frame
-                ):
-                    return prev
-            except Exception:
-                pass  # stopped session: treat the pin as stale
+            if not self._session_stopped(prev):
+                try:
+                    if prev.sparkSession is frame.sparkSession and prev.sameSemantics(
+                        frame
+                    ):
+                        return prev
+                except Exception:
+                    # A comparison error on a LIVE session is not the
+                    # stopped-session path — if systematic it degrades
+                    # every call to unpersist-and-repersist (the
+                    # measured 5× minhash regression), so make it
+                    # observable instead of silent.
+                    _LOG.warning(
+                        "PlanPin.pin: sameSemantics failed on a live "
+                        "session; treating pin as stale",
+                        exc_info=True,
+                    )
             self._pinned.pop()
             try:
                 prev.unpersist()
@@ -127,6 +154,20 @@ class PlanPin:
     def release(self, frame) -> None:
         if self._pinned and self._pinned[-1] is frame:
             self._pinned.pop()
+            frame.unpersist()
+            return
+        if self._pinned:
+            pinned = self._pinned[-1]
+            try:
+                if pinned.sparkSession is frame.sparkSession and pinned.sameSemantics(
+                    frame
+                ):
+                    # Plan-identical twin of the pinned frame: they
+                    # share one CacheManager entry owned by the pin —
+                    # unpersisting here would evict it. No-op.
+                    return
+            except Exception:
+                pass  # stopped/torn-down session: fall through
         frame.unpersist()
 
     def __len__(self) -> int:

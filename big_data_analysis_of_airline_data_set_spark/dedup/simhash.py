@@ -143,9 +143,11 @@ def simhash_near_dup_pairs(
     ``n_docs`` and ``candidate_pairs`` (the equi-join's output size
     BEFORE hamming verification — the number that must stay
     sub-quadratic). The stats path returns an eager localCheckpoint and
-    releases every cache it pinned, so a diagnostics loop over many
-    corpora in one session does not accumulate cached partitions; the
-    default (None) leaves the plan exactly as before.
+    releases the candidates persist it created; the band table stays
+    in its single-slot session pin so a same-corpus blocks sweep
+    reuses it (the next corpus's pin() evicts it, bounding a corpora
+    loop to one cached band table). The default (None) leaves the
+    plan exactly as before.
     """
     if blocks != N_BANDS:
         if blocks <= max_hamming:
@@ -155,6 +157,18 @@ def simhash_near_dup_pairs(
             )
         if blocks > 64:
             raise ValueError(f"blocks ({blocks}) cannot exceed 64 bits")
+    elif max_hamming >= N_BANDS:
+        # The default banded path needs the same pigeonhole: with 4
+        # bands and max_hamming >= 4 a pair can differ one bit per band
+        # and share NO band — such pairs would be silently dropped
+        # (recall loss), not caught. Same guard as the block path.
+        raise ValueError(
+            f"max_hamming ({max_hamming}) must be < {N_BANDS} on the "
+            f"default {N_BANDS}-band path — a pair can differ one bit "
+            "per band and share no band; pass "
+            f"blocks >= {max_hamming + 1} to key on "
+            "(blocks - max_hamming)-chunk combinations instead"
+        )
     bands = _BANDS_PIN.pin(simhash_bands(df, id_col=id_col, text_col=text_col))
     if blocks == N_BANDS:
         melted = bands.select(
@@ -231,11 +245,12 @@ def simhash_near_dup_pairs(
         .filter(F.col("hamming") <= max_hamming)
     )
     if stats_out is not None:
-        # diagnostics path: materialize NOW, then release everything
-        # this call pinned — a corpora loop in one session must not
-        # accumulate cached partitions (release goes THROUGH the pin
-        # so no evicted frame stays pinned)
+        # diagnostics path: materialize NOW, then release the
+        # candidates persist this call created. The band table stays
+        # in its single-slot pin — a same-corpus sweep (blocks=4 then
+        # blocks=6; the band table is blocks-independent) reuses the
+        # persisted copy, and the NEXT corpus's pin() evicts it, so a
+        # corpora loop holds at most one cached band table at a time.
         out = out.localCheckpoint(eager=True)
         candidates.unpersist()
-        _BANDS_PIN.release(bands)
     return out

@@ -120,3 +120,63 @@ def test_plan_pin_reuses_identical_plan_and_swaps(spark):
     # release through the pin
     pin.release(c)
     assert len(pin) == 0 and not c.storageLevel.useMemory
+
+
+def test_plan_pin_release_of_unpinned_twin_is_noop(spark):
+    """Round-10 advice: release() of a plan-identical TWIN of the
+    pinned frame must not unpersist — the two share one CacheManager
+    entry owned by the pin, and unpersisting the twin would evict it
+    out from under the pin (silent recompute). A genuinely different
+    frame still unpersists normally."""
+    from big_data_analysis_of_airline_data_set_spark.caching import PlanPin
+
+    pin = PlanPin()
+    a = pin.pin(spark.range(50).selectExpr("id", "id * 7 as v"))
+    a.count()
+    assert a.storageLevel.useMemory
+    twin = spark.range(50).selectExpr("id", "id * 7 as v")
+    pin.release(twin)  # NOT the pinned object — must be a no-op
+    assert len(pin) == 1 and a.storageLevel.useMemory
+    other = spark.range(50).selectExpr("id", "id * 9 as v").persist()
+    other.count()
+    pin.release(other)  # different plan: releases normally
+    assert not other.storageLevel.useMemory
+    assert len(pin) == 1 and a.storageLevel.useMemory
+    pin.release(a)
+    assert len(pin) == 0 and not a.storageLevel.useMemory
+
+
+def test_one_session_per_process_discipline(spark):
+    """Pins the discipline that makes _unpersist_quietly's
+    plan-identity caveat unreachable (plans/patterns.py: evicting an
+    OLD session's cache entry whose canonical plan matches a LIVE
+    session's twin would evict the live entry too, because Spark's
+    CacheManager is shared across sessions of one SparkContext and
+    keys by canonical plan). Two guarantees: (1) get_session() can
+    never mint a second concurrent session — getOrCreate() hands back
+    the one active session; (2) no library code calls newSession(),
+    the only API that could create a concurrent sibling."""
+    import glob
+    import os
+
+    from pyspark.sql import SparkSession
+
+    from big_data_analysis_of_airline_data_set_spark.session import get_session
+
+    s1 = get_session("discipline-probe")
+    s2 = get_session("discipline-probe-2")
+    assert s1 is s2 is spark
+    assert SparkSession.getActiveSession() is spark
+
+    pkg = os.path.dirname(
+        os.path.dirname(os.path.abspath(get_session.__code__.co_filename))
+    )
+    offenders = []
+    for path in glob.glob(
+        os.path.join(pkg, "big_data_analysis_of_airline_data_set_spark", "**", "*.py"),
+        recursive=True,
+    ):
+        with open(path) as fh:
+            if ".newSession(" in fh.read():
+                offenders.append(path)
+    assert not offenders, f"newSession() would break the discipline: {offenders}"

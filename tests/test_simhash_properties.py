@@ -143,3 +143,57 @@ def test_banded_pairs_complete_vs_bruteforce(spark, sf_dir):
         ).collect()
     }
     assert got == want  # banding loses nothing within the pigeonhole bound
+
+
+def test_default_band_path_validates_max_hamming(spark):
+    """Round-10 advice (medium): the default 4-band path must reject
+    max_hamming >= N_BANDS — a pair can differ one bit per band and
+    share no band, so such pairs would be SILENTLY dropped (recall
+    loss), unlike the block path which raises on the equivalent
+    misuse. The guard routes the user to the block-combination melt."""
+    import pytest
+
+    df = spark.createDataFrame([(0, "a b c")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="blocks >= 5"):
+        simhash_near_dup_pairs(
+            df, id_col="doc_id", text_col="text", max_hamming=4
+        )
+    # the same k is legal once blocks exceeds it (pigeonhole restored)
+    simhash_near_dup_pairs(
+        df, id_col="doc_id", text_col="text", max_hamming=4, blocks=5
+    ).collect()
+
+
+def test_stats_path_keeps_band_pin_for_sweep_reuse(spark, sf_dir):
+    """Round-10 advice: the stats path must KEEP the single-slot band
+    pin so the documented blocks=4-then-blocks=6 sweep actually reuses
+    the persisted band table (the band table is blocks-independent);
+    a different corpus's call then swaps the slot, so a corpora loop
+    still holds at most one cached band table."""
+    from big_data_analysis_of_airline_data_set_spark.dedup.simhash import (
+        _BANDS_PIN,
+    )
+
+    corpus = _twin_corpus(spark, sf_dir, n=60)
+    stats: dict = {}
+    simhash_near_dup_pairs(
+        corpus, id_col="doc_id", text_col="text", max_hamming=3,
+        blocks=4, stats_out=stats,
+    ).count()
+    assert len(_BANDS_PIN) == 1
+    pinned = _BANDS_PIN._pinned[-1]
+    assert pinned.storageLevel.useMemory  # survived the stats release
+    simhash_near_dup_pairs(
+        corpus, id_col="doc_id", text_col="text", max_hamming=3,
+        blocks=6, stats_out=stats,
+    ).count()
+    # same corpus: the sweep's second leg reused the very same frame
+    assert _BANDS_PIN._pinned[-1] is pinned and len(_BANDS_PIN) == 1
+    other = _twin_corpus(spark, sf_dir, n=30)
+    simhash_near_dup_pairs(
+        other, id_col="doc_id", text_col="text", max_hamming=3,
+        stats_out=stats,
+    ).count()
+    # different corpus: slot swapped, old band table released
+    assert _BANDS_PIN._pinned[-1] is not pinned and len(_BANDS_PIN) == 1
+    assert not pinned.storageLevel.useMemory
