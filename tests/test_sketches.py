@@ -569,3 +569,58 @@ def test_mg_theorems_property():
             assert summary == exact and d_total == 0
 
     run()
+
+
+def test_mg_m_sweep_vs_skew():
+    """Round-10 verdict item 6: sweep m against stream skew in the
+    regime the operator exists for — m SMALLER than the distinct
+    count — and check the theorem VERDICTS (the catalog entry's output
+    columns) stay exactly True at every operating point. Two regimes:
+    zipf-ish (guaranteed heavy hitters exist down to m=2) and
+    near-uniform (no key can clear n/(m+1), so the guaranteed set is
+    EMPTY and all_hh_tracked is vacuously true — the summary is then
+    pure upper/lower-bound bookkeeping). Also pins the sweep table
+    recorded in BASELINE.md ("Round-10 SpaceSaving m-sweep")."""
+    import random
+
+    # ~60 distinct keys each; zipf(s=2): key k appears
+    # 3000 // (k + 1)^2 times (54 keys reach count >= 1 — a heavy
+    # head where the top key holds >1/3 of all mass, so guaranteed
+    # heavy hitters exist even at m=2); uniform: every key 50 times
+    zipf = [k for k in range(60) for _ in range(3000 // (k + 1) ** 2)]
+    uniform = [k for k in range(60) for _ in range(50)]
+    expected_hh = {}  # pinned counts for the BASELINE.md table
+    for skew_name, items in (("zipf", zipf), ("uniform", uniform)):
+        exact = {}
+        for k in items:
+            exact[k] = exact.get(k, 0) + 1
+        n = len(items)
+        for m in (2, 4, 8, 16):
+            assert m < len(exact)  # the regime under test
+            rnd = random.Random(1000 * m + len(items))
+            shuffled = items[:]
+            rnd.shuffle(shuffled)
+            cuts = sorted(rnd.sample(range(1, n), 7))
+            batches = [
+                shuffled[a:b] for a, b in zip([0] + cuts, cuts + [n])
+            ]
+            summary, d_total, seen = _mg_fold(batches, m)
+            guaranteed = {k for k, c in exact.items() if c * (m + 1) > n}
+            expected_hh[(skew_name, m)] = (
+                len(guaranteed), len(summary), d_total
+            )
+            # the catalog entry's verdict columns, replayed exactly
+            assert seen == n
+            assert len(summary) <= m
+            assert d_total * (m + 1) <= n  # decrement_within_bound
+            assert guaranteed <= set(summary)  # all_hh_tracked
+            for k, w in summary.items():  # bounds_valid
+                assert w <= exact[k] <= w + d_total, (skew_name, m, k)
+    # zipf has guaranteed heavy hitters at every m; uniform (every key
+    # at exactly n/60) has none until m+1 > 60 — the vacuous regime
+    for m in (2, 4, 8, 16):
+        assert expected_hh[("zipf", m)][0] >= 1
+        assert expected_hh[("uniform", m)][0] == 0
+    # spot-pin the two BASELINE.md anchor rows (deterministic inputs)
+    assert expected_hh[("zipf", 2)][0] == 1
+    assert expected_hh[("zipf", 16)][0] == 3
