@@ -35,7 +35,7 @@ plain join, sketch invisible), and xxhash64 runs in whole-stage
 codegen at a fraction of md5-string-parse cost — the md5 probe
 measured ~4× slower over the fact scan, which is the whole hot path.
 h2 is forced into [1, width-1] (the Kirsch-Mitzenmacher h2≡0 collapse,
-see bloom_join._positions).
+see bloom_join.seeded_double_hash).
 """
 
 from __future__ import annotations

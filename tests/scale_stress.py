@@ -719,6 +719,188 @@ def stress_graph(spark) -> list[dict]:
     return rows
 
 
+def _relational_xn(spark, out_dir: str, n_rep: int) -> None:
+    """Derived fact-growth rung for the relational family: lineitem and
+    orders replicated ``n_rep``× with orderkeys shifted per replica
+    (the order→lineitem FK and per-order line groups are preserved, so
+    Q21's per-(order, supplier) flag table and Q9's order join scale
+    linearly in replicas); every other table is symlinked unscaled.
+    This is the fixed-dims fact-growth regime (events accumulating over
+    time) — dim-join selectivity per fact row is unchanged, exactly as
+    TPC-H keeps lineitems-per-part constant across SF. n_rep=1 is a
+    pure rewrite of sf0.1 through the same writer, so both rungs share
+    layout and provenance and the exponent isolates data volume."""
+    from pyspark.sql import functions as F
+
+    if os.path.exists(out_dir):
+        return
+    os.makedirs(out_dir)
+    orders = spark.read.parquet(os.path.join(SF1, "orders.parquet"))
+    li = spark.read.parquet(os.path.join(SF1, "lineitem.parquet"))
+    span = orders.agg(F.max("o_orderkey")).first()[0] + 1
+    rep = F.explode(F.sequence(F.lit(0), F.lit(n_rep - 1))).alias("_r")
+    (
+        orders.select("*", rep)
+        .withColumn("o_orderkey", F.col("o_orderkey") + F.col("_r") * span)
+        .drop("_r")
+        .write.parquet(os.path.join(out_dir, "orders.parquet"))
+    )
+    (
+        li.select("*", rep)
+        .withColumn("l_orderkey", F.col("l_orderkey") + F.col("_r") * span)
+        .drop("_r")
+        .write.parquet(os.path.join(out_dir, "lineitem.parquet"))
+    )
+    for t in (
+        "region", "nation", "customer", "supplier", "part",
+        "events", "documents", "embeddings",
+    ):
+        src = os.path.join(SF1, f"{t}.parquet")
+        if os.path.exists(src):
+            os.symlink(src, os.path.join(out_dir, f"{t}.parquet"))
+
+
+_REL_QUERIES = [
+    "tpch_q9_style",
+    "tpch_q21_style",
+    "join_bloom_prefiltered",
+    "ri_orphans",
+    "sink_partitioned_roundtrip",
+]
+
+
+def stress_relational(spark) -> list[dict]:
+    """r9 verdict item 2: extend the measured-scale-evidence standard
+    to the relational side — the 5 most expensive relational catalog
+    queries timed at 1× and 10× fact volume on the derived rungs
+    (_relational_xn), wall-vs-rows exponent = log10(t10/t1). Protocol:
+    3 reps per (rung, query), median reported; rep 1 carries the
+    per-sf_dir session-cache builds (bloom filter, CMS) and JIT —
+    those builds are not query work by the catalog's own contract, so
+    the exponent reads the median. No clearCache: none of these
+    queries persists Spark-cached state across calls (Q21's lazy
+    localCheckpoint is per-call), so reps are honest re-executions."""
+    from big_data_analysis_of_airline_data_set_spark.plans import all_queries
+
+    q = all_queries()
+    rows = []
+    for rung, n_rep in (("x1", 1), ("x10", 10)):
+        d = os.path.join(STRESS_DIR, f"relational_{rung}")
+        _relational_xn(spark, d, n_rep)
+        li_rows = spark.read.parquet(os.path.join(d, "lineitem.parquet")).count()
+        for name in _REL_QUERIES:
+            walls, out_rows = [], None
+            for _ in range(3):
+                t0 = time.time()
+                out_rows = len(q[name].fn(spark, d).collect())
+                walls.append(round(time.time() - t0, 2))
+            rows.append(
+                {
+                    "rung": rung,
+                    "lineitem_rows": li_rows,
+                    "query": name,
+                    "out_rows": out_rows,
+                    "wall_s": walls,
+                    "median_s": sorted(walls)[1],
+                }
+            )
+            print("relational", rows[-1], flush=True)
+    return rows
+
+
+def stress_text(spark) -> list[dict]:
+    """r9 verdict item 7 (stretch): the two text operators with
+    join-shaped plans whose candidate growth was never measured.
+
+    - curation_contamination: training-shingle stream ⋈ broadcast
+      (distinct bench shingles). The numbers that must stay in regime:
+      the BROADCAST side (bench shingle set — must stay under the
+      broadcast threshold; it grows with the benchmark, not the
+      corpus) and the join's matched postings (hit rows — grows with
+      training volume × hit rate).
+    - text_inverted_index: posexplode postings stream → df ranking →
+      semi-join → per-token sort-agg. The bound that must hold: the
+      per-token collect_list is the token's corpus frequency (top-df
+      postings), linear in corpus size; everything before it is
+      hash-agg.
+
+    Both measured on the documents (sf0.1, 5k docs) vs documents_x10
+    (50k synthetic docs, same vocabulary) rungs through the CATALOG
+    queries themselves (a per-rung dir symlinks the corpus as
+    documents.parquet), 2 reps, plus the structural counts computed
+    once per rung from the same expressions."""
+    from pyspark.sql import functions as F
+
+    from big_data_analysis_of_airline_data_set_spark.curation.contamination import (
+        _hashed_shingles,
+    )
+    from big_data_analysis_of_airline_data_set_spark.plans import all_queries
+    from big_data_analysis_of_airline_data_set_spark.plans.curation_queries import (
+        _BENCH_MOD,
+        _CONTAM_N,
+    )
+    from big_data_analysis_of_airline_data_set_spark.text.analysis import tokens_col
+
+    q = all_queries()
+    rows = []
+    for rung, src in (
+        ("x1", os.path.join(SF1, "documents.parquet")),
+        ("x10", os.path.join(STRESS_DIR, "documents_x10.parquet")),
+    ):
+        d = os.path.join(STRESS_DIR, f"text_{rung}")
+        if not os.path.exists(d):
+            os.makedirs(d)
+            os.symlink(src, os.path.join(d, "documents.parquet"))
+        docs = spark.read.parquet(src)
+        n_docs = docs.count()
+        sh = docs.select(
+            (F.col("doc_id") % _BENCH_MOD == 0).alias("bench"),
+            F.explode(
+                _hashed_shingles(F.col("text"), _CONTAM_N)
+            ).alias("h"),
+        )
+        bench_distinct = sh.filter("bench").select("h").distinct().count()
+        train_postings = sh.filter("NOT bench").count()
+        toks = docs.select(F.explode(tokens_col(F.col("text"))).alias("t"))
+        total_postings = toks.count()
+        distinct_tokens = toks.distinct().count()
+        for name in ("curation_contamination", "text_inverted_index"):
+            walls, agg = [], None
+            for _ in range(2):
+                t0 = time.time()
+                out = q[name].fn(spark, d)
+                if name == "curation_contamination":
+                    agg = out.agg(
+                        F.sum("n_hits").alias("hit_rows"),
+                        F.sum(F.col("contaminated").cast("long")).alias(
+                            "contaminated_docs"
+                        ),
+                    ).first()
+                else:
+                    agg = out.agg(F.sum("n_postings").alias("topk_postings")).first()
+                walls.append(round(time.time() - t0, 2))
+            counts = (
+                {
+                    "bench_distinct_shingles": bench_distinct,
+                    "train_shingle_postings": train_postings,
+                    "hit_rows": int(agg.hit_rows),
+                    "contaminated_docs": int(agg.contaminated_docs),
+                }
+                if name == "curation_contamination"
+                else {
+                    "total_postings": total_postings,
+                    "distinct_tokens": distinct_tokens,
+                    "topk_postings": int(agg.topk_postings),
+                }
+            )
+            rows.append(
+                {"rung": rung, "n_docs": n_docs, "query": name,
+                 "wall_s": walls, **counts}
+            )
+            print("text", rows[-1], flush=True)
+    return rows
+
+
 def main() -> None:
     import sys
 
@@ -726,6 +908,7 @@ def main() -> None:
 
     suites = sys.argv[1:] or [
         "minhash", "ivf", "fuzzy", "simhash", "ngram", "emb_lsh", "graph",
+        "relational", "text",
     ]
     spark = get_session()
     os.makedirs(STRESS_DIR, exist_ok=True)
@@ -752,6 +935,11 @@ def main() -> None:
         report["emb_lsh"] = stress_emb_lsh(spark)
     if "graph" in suites:
         report["graph"] = stress_graph(spark)
+    if "relational" in suites:
+        report["relational"] = stress_relational(spark)
+    if "text" in suites:
+        _docs_x10(spark, os.path.join(STRESS_DIR, "documents_x10.parquet"))
+        report["text"] = stress_text(spark)
     print(json.dumps(report, indent=1))
 
 

@@ -446,22 +446,25 @@ def test_heavy_hitter_join_counter_geometry_checked(spark):
         )
 
 
-def test_bloom_positions_never_collapse_to_one_bit(spark):
-    """The h2-nonzero fix (round-5 ADVICE): with h2 drawn mod (m-1)+1,
-    no key's k probe positions can all collapse onto h1 — every key
-    sets at least 2 distinct bits (h1 and h1+h2 differ mod m when
-    0 < h2 < m). Before the fix, ~1/m of keys behaved as a 1-hash
-    filter and quietly inflated the false-positive rate."""
+def test_bloom_block_masks_never_collapse_to_one_bit(spark):
+    """Blocked-layout analogue of the round-5 h2≡0 finding: a key whose
+    in-block mask degenerates to very few bits behaves like a 1-hash
+    filter. With k=7 independent 6-bit slices of h2, full collapse
+    needs all 7 slices equal (64^-6 per key ≈ 1.5e-11 — not the
+    SYSTEMATIC 1/m failure h2≡0 was); empirically every one of 20k
+    keys must set ≥ 2 bits, the mean must sit near the 7-slice
+    birthday expectation (~6.7), and no mask may be zero."""
     from big_data_analysis_of_airline_data_set_spark.operators.bloom_join import (
-        _positions,
+        _block_mask,
     )
 
-    m, k = 1024, 7
     keys = spark.range(0, 20000).select(F.col("id").cast("string").alias("s"))
-    n_distinct = keys.select(
-        F.size(F.array_distinct(_positions(F.col("s"), m_bits=m, k=k))).alias("n")
-    )
-    assert n_distinct.agg(F.min("n")).first()[0] >= 2
+    bits = keys.select(F.bit_count(_block_mask(F.col("s"), 7)).alias("n"))
+    stats = bits.agg(
+        F.min("n").alias("lo"), F.avg("n").alias("mean")
+    ).first()
+    assert stats.lo >= 2
+    assert 6.3 <= stats.mean <= 7.0
 
 
 def test_resample_ffill_rejects_unknown_unit(spark):
