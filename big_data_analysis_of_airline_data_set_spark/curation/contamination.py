@@ -18,15 +18,21 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ..dedup.ngram import shingles_from_tokens
-from ..text.analysis import tokens_col
+from ..text.analysis import bind_once, tokens_col
 
 
 def _hashed_shingles(text: Column, n: int) -> Column:
-    # Materialize tokens inside the expression tree once per row via
-    # transform over a real array (lambda-captured split would
-    # re-tokenize per gram — see dedup.ngram.shingles_from_tokens).
-    return F.transform(
-        shingles_from_tokens(tokens_col(text), n), lambda g: F.md5(g)
+    # bind_once materializes the token array per row BEFORE the gram
+    # lambdas see it; passing tokens_col(text) straight into
+    # shingles_from_tokens re-tokenizes per gram (its docstring's
+    # warning — this function did exactly that until round 10:
+    # ~(2 + grams) regexp splits per document, measured 28.5 s vs
+    # 0.9 s at sf0.1 for the identical output; BASELINE.md round-10).
+    return bind_once(
+        tokens_col(text),
+        lambda toks: F.transform(
+            shingles_from_tokens(toks, n), lambda g: F.md5(g)
+        ),
     )
 
 

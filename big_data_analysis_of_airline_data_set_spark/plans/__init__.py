@@ -60,20 +60,24 @@ _MODULES = [
 # entries.  Round-10 window (r9 verdict, Next round #1: finish the
 # stale-evidence drain — the last 12 r3-era rows go first, then the
 # oldest r4-era rows fill the rest; never-driver-checked is ZERO).
-# Budget: 1 changed-plan re-proof + 12 r3-era drains + 37 oldest
+# Budget: 2 changed-plan re-proofs + 12 r3-era drains + 36 oldest
 # r4-era drains = 50.  After this window the oldest
 # latest-driver-row anywhere in the catalog is r4, held by exactly
-# the 10 leftovers listed at the bottom — they fit in the r11 window
-# with 40 slots to spare.  Every rotated-out query keeps a green
+# the 11 leftovers listed at the bottom — they fit in the r11 window
+# with 39 slots to spare.  Every rotated-out query keeps a green
 # r4–r9 row on record; the flagship stays driver-evidenced every
 # round through the t1 entry() smoke check.
 _CORRECTNESS_WINDOW = [
-    # (a) code changed this round — the bloom probe was rebuilt
-    # (operators/bloom_join.py: scalar-subquery word table, projected
-    # double-hash, unrolled short-circuit probes, shiftleft masks;
-    # measured 8.5× on the x10 rung), so the standing r6 row's plan
-    # no longer exists and the result is re-proved on the new plan
+    # (a) code changed this round — plans behind standing green rows
+    # were rebuilt, so the results are re-proved on the new plans:
+    # the bloom probe became a blocked filter with a scalar-subquery
+    # word table (operators/bloom_join.py; 34 s → 3.4 s on the x10
+    # rung), and the contamination shingle build now binds the token
+    # array once per row instead of re-tokenizing per gram
+    # (curation/contamination.py via text.analysis.bind_once;
+    # 36 s → 2.2 s at sf0.1, identical output)
     "join_bloom_prefiltered",
+    "curation_contamination",
     # (b) the last 12 r3-era rows (r9 verdict item 1 names them
     # verbatim; the judge's own r9 spot-run found all 12 green, so
     # this is bookkeeping closure, not risk retirement)
@@ -89,7 +93,7 @@ _CORRECTNESS_WINDOW = [
     "multimodal_frame_sample",
     "text_heavy_hitters",
     "text_vocab_stats",
-    # (c) the 37 oldest r4-era rows (planner order — sorted by name
+    # (c) the 36 oldest r4-era rows (planner order — sorted by name
     # within the round, matching tests/window_planner.py output)
     "ann_quantized_rerank",
     "coreset_kcenter",
@@ -127,15 +131,15 @@ _CORRECTNESS_WINDOW = [
     "projection_name_pattern",
     "quantiles_approx_by_group",
     "ri_orphans",
-    "sink_partitioned_roundtrip",
-    # Not in this window — the 10 remaining r4-era rows, displaced
+    # Not in this window — the 11 remaining r4-era rows, displaced
     # only by window size (planner order continues alphabetically;
-    # sink_report_csv_roundtrip yielded its slot to the changed-plan
-    # re-proof in (a)): sink_report_csv_roundtrip,
+    # sink_partitioned_roundtrip and sink_report_csv_roundtrip
+    # yielded their slots to the two changed-plan re-proofs in (a)):
+    # sink_partitioned_roundtrip, sink_report_csv_roundtrip,
     # sketch_kmv_distinct, snapshot_diff, stats_bootstrap_means,
     # stats_mad_by_group, text_gopher_rules, text_inverted_index,
     # text_oov_rate, text_quality_classifier, zorder_cells.  Each
-    # keeps its green r4 row; all ten rotate into r11.
+    # keeps its green r4 row; all eleven rotate into r11.
 ]
 
 

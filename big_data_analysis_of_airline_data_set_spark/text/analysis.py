@@ -34,6 +34,28 @@ def tokens_col(text: Column) -> Column:
     return F.split(F.trim(text), r"\s+")
 
 
+def bind_once(col: Column, body) -> Column:
+    """Evaluate ``col`` ONCE per row and hand it to ``body`` as a
+    lambda variable: ``element_at(transform(array(col), body), 1)``.
+
+    Catalyst substitutes aliases back into consumers (CollapseProject /
+    PushDownPredicates) and neither FilterExec nor interpreted HOF
+    lambdas do common-subexpression elimination, so every TEXTUAL
+    occurrence of an expression executes per row — and an expression
+    referenced inside a lambda executes once per ELEMENT. A regexp
+    split referenced by an n-gram lambda therefore re-tokenizes the
+    document once per gram (measured: 28.5 s for 250k grams at sf0.1
+    vs 0.9 s through this binder — BASELINE.md round-10). Lambda
+    variables are the one expression-level vehicle Catalyst never
+    substitutes through, so this makes single evaluation structural
+    rather than hoping a projection survives optimization. Limits:
+    scalar subqueries may not appear under ``body`` (Spark rejects
+    subqueries inside higher-order functions), and the HOF itself
+    evaluates outside whole-stage codegen — worth it only when ``col``
+    is expensive relative to an interpreted-eval round trip."""
+    return F.element_at(F.transform(F.array(col), body), 1)
+
+
 def token_count(text: Column) -> Column:
     return F.size(tokens_col(text)).cast("long")
 

@@ -850,7 +850,24 @@ def stress_text(spark) -> list[dict]:
         d = os.path.join(STRESS_DIR, f"text_{rung}")
         if not os.path.exists(d):
             os.makedirs(d)
-            os.symlink(src, os.path.join(d, "documents.parquet"))
+            if rung == "x1":
+                os.symlink(src, os.path.join(d, "documents.parquet"))
+            else:
+                # the minhash-suite corpus carries only (doc_id, text);
+                # the catalog reader aligns to the full documents
+                # schema, so pad the derived columns deterministically
+                (
+                    spark.read.parquet(src)
+                    .withColumn("lang", F.lit("en"))
+                    .withColumn(
+                        "source",
+                        F.concat(
+                            F.lit("synth"), (F.col("doc_id") % 5).cast("string")
+                        ),
+                    )
+                    .withColumn("n_chars", F.length("text").cast("long"))
+                    .write.parquet(os.path.join(d, "documents.parquet"))
+                )
         docs = spark.read.parquet(src)
         n_docs = docs.count()
         sh = docs.select(
