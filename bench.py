@@ -330,9 +330,24 @@ def _warm(specs, spark, names: list[str], sf_dir: str) -> None:
         return
     for name in names:
         try:
-            specs[name].fn(spark, WARM_DIR).count()
+            _materialize(specs[name].fn(spark, WARM_DIR))
         except Exception:
             pass  # warm-up is best-effort; the timed run surfaces real errors
+
+
+def _materialize(df) -> None:
+    """Force FULL evaluation of a query through the noop sink.
+
+    count() is NOT a faithful materializer: Catalyst prunes every
+    column no aggregate references and can eliminate whole subtrees —
+    a left join against a grouped (hence unique-keyed) right side
+    whose columns nobody reads is REMOVED, so count() on
+    curation_contamination measured 0.25 s while the query costs
+    ~2.2 s (found round 10 — the committed r1-r9 per-query records
+    carry this undercount for wide-output queries; BASELINE.md
+    round-10 amendment). The noop sink writes every row of every
+    output column and prunes nothing, JVM-side only."""
+    df.write.format("noop").mode("overwrite").save()
 
 
 def _run_suite(
@@ -344,13 +359,23 @@ def _run_suite(
     for r in range(repeats):
         for name in names:
             t0 = time.perf_counter()
-            n = specs[name].fn(spark, sf_dir).count()
+            df = specs[name].fn(spark, sf_dir)
+            _materialize(df)
             dt = time.perf_counter() - t0
             samples[name].append(dt)
-            print(
-                f"# [{tag}] round {r + 1}/{repeats} {name}: {dt:.2f}s ({n} rows)",
-                file=sys.stderr,
-            )
+            if r == 0:
+                # row count printed for sanity, OUTSIDE the timed
+                # region (count() re-executes a pruned plan)
+                n = df.count()
+                print(
+                    f"# [{tag}] round 1/{repeats} {name}: {dt:.2f}s ({n} rows)",
+                    file=sys.stderr,
+                )
+            else:
+                print(
+                    f"# [{tag}] round {r + 1}/{repeats} {name}: {dt:.2f}s",
+                    file=sys.stderr,
+                )
     timings = {name: round(statistics.median(ts), 3) for name, ts in samples.items()}
     total = round(sum(statistics.median(ts) for ts in samples.values()), 3)
     return timings, total
@@ -385,7 +410,7 @@ def main() -> None:
     )
 
     t0 = time.perf_counter()
-    raw_metrics_query(ML_FIT_FAMILY)(spark, sf_dir).count()
+    _materialize(raw_metrics_query(ML_FIT_FAMILY)(spark, sf_dir))
     ml_fit = time.perf_counter() - t0
     print(f"# ml_quick_fit (raw {ML_FIT_FAMILY} metrics): {ml_fit:.2f}s", file=sys.stderr)
 
@@ -452,7 +477,7 @@ def main() -> None:
     print(f"# r9_ops_suite: {r9_total}s {r9_timings}", file=sys.stderr)
 
     t0 = time.perf_counter()
-    specs[ML_VARIANT_QUERY].fn(spark, sf_dir).count()
+    _materialize(specs[ML_VARIANT_QUERY].fn(spark, sf_dir))
     ml_variants = time.perf_counter() - t0
     print(f"# ml_variant_sweep: {ml_variants:.2f}s", file=sys.stderr)
 
@@ -473,7 +498,7 @@ def main() -> None:
         and os.path.realpath(WARM_DIR) != os.path.realpath(sf_dir)
     ) else {}
     for df in warm_plans.values():
-        df.count()
+        _materialize(df)
     plans = skew_stress_plans(spark, sf_dir)
     expected = _rows(plans["broadcast"])
     skew_samples: dict[str, list[float]] = {name: [] for name in plans}
