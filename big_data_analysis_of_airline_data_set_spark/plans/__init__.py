@@ -60,11 +60,11 @@ _MODULES = [
 # entries.  Round-10 window (r9 verdict, Next round #1: finish the
 # stale-evidence drain — the last 12 r3-era rows go first, then the
 # oldest r4-era rows fill the rest; never-driver-checked is ZERO).
-# Budget: 2 changed-plan re-proofs + 12 r3-era drains + 36 oldest
+# Budget: 3 changed-plan re-proofs + 12 r3-era drains + 35 oldest
 # r4-era drains = 50.  After this window the oldest
 # latest-driver-row anywhere in the catalog is r4, held by exactly
-# the 11 leftovers listed at the bottom — they fit in the r11 window
-# with 39 slots to spare.  Every rotated-out query keeps a green
+# the 12 leftovers listed at the bottom — they fit in the r11 window
+# with 38 slots to spare.  Every rotated-out query keeps a green
 # r4–r9 row on record; the flagship stays driver-evidenced every
 # round through the t1 entry() smoke check.
 _CORRECTNESS_WINDOW = [
@@ -75,9 +75,14 @@ _CORRECTNESS_WINDOW = [
     # rung), and the contamination shingle build now binds the token
     # array once per row instead of re-tokenizing per gram
     # (curation/contamination.py via text.analysis.bind_once;
-    # 36 s → 2.2 s at sf0.1, identical output)
+    # 36 s → 2.2 s at sf0.1, identical output), and the fastText-
+    # shaped quality scorer now binds its token and gram arrays once
+    # per row, emitting its outputs through one inline() generator
+    # (text/quality_classifier.py; 19-25 s → 2.8 s at sf0.1 under the
+    # honest noop materializer, byte-identical)
     "join_bloom_prefiltered",
     "curation_contamination",
+    "text_quality_classifier",
     # (b) the last 12 r3-era rows (r9 verdict item 1 names them
     # verbatim; the judge's own r9 spot-run found all 12 green, so
     # this is bookkeeping closure, not risk retirement)
@@ -93,7 +98,7 @@ _CORRECTNESS_WINDOW = [
     "multimodal_frame_sample",
     "text_heavy_hitters",
     "text_vocab_stats",
-    # (c) the 36 oldest r4-era rows (planner order — sorted by name
+    # (c) the 35 oldest r4-era rows (planner order — sorted by name
     # within the round, matching tests/window_planner.py output)
     "ann_quantized_rerank",
     "coreset_kcenter",
@@ -130,16 +135,17 @@ _CORRECTNESS_WINDOW = [
     "pit_join_versions",
     "projection_name_pattern",
     "quantiles_approx_by_group",
-    "ri_orphans",
-    # Not in this window — the 11 remaining r4-era rows, displaced
+    # Not in this window — the 12 remaining r4-era rows, displaced
     # only by window size (planner order continues alphabetically;
-    # sink_partitioned_roundtrip and sink_report_csv_roundtrip
-    # yielded their slots to the two changed-plan re-proofs in (a)):
+    # ri_orphans, sink_partitioned_roundtrip and
+    # sink_report_csv_roundtrip yielded their slots to the three
+    # changed-plan re-proofs in (a); text_quality_classifier moved UP
+    # into (a) as its plan changed): ri_orphans,
     # sink_partitioned_roundtrip, sink_report_csv_roundtrip,
     # sketch_kmv_distinct, snapshot_diff, stats_bootstrap_means,
     # stats_mad_by_group, text_gopher_rules, text_inverted_index,
-    # text_oov_rate, text_quality_classifier, zorder_cells.  Each
-    # keeps its green r4 row; all eleven rotate into r11.
+    # text_oov_rate, zorder_cells.  Each keeps its green r4 row; all
+    # twelve rotate into r11.
 ]
 
 

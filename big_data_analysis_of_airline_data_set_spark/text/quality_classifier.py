@@ -22,6 +22,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from .analysis import bind_once
+
 N_BUCKETS = 4096
 _W_MOD = 101  # weight(b) = (b % 101)/50 − 1  ∈ [−1, 1]
 _SIGMOID_SCALE = 4.0
@@ -48,33 +50,49 @@ def quality_scores(
 ) -> DataFrame:
     """(id, n_grams, quality_score): sigmoid of the mean hashed-gram
     weight over unigrams + adjacent bigrams. Empty docs score 0.5
-    (sigmoid(0) — no evidence)."""
-    toks = F.split(F.trim(F.col(text_col)), r"\s+")
-    bigram_idx = F.sequence(F.lit(1), F.size(toks) - 1)
-    bigrams = F.when(
-        F.size(toks) >= 2,
-        F.transform(
-            bigram_idx,
-            lambda i: F.concat(
-                F.element_at(toks, i), F.lit("_"), F.element_at(toks, i + 1)
+    (sigmoid(0) — no evidence).
+
+    Evaluation structure (round 10): the token array and the gram
+    array are each bound ONCE per row via ``text.analysis.bind_once``,
+    and the three outputs emerge from ONE struct through an
+    ``inline(array(struct))`` generator — Generate evaluates its input
+    once per row and CollapseProject cannot merge a projection into a
+    generator, so nothing gets textually duplicated. The previous body
+    referenced the split inside the bigram lambda (re-tokenize per
+    bigram) and the gram array in four places: measured 19-25 s →
+    2.8-4 s at sf0.1 with byte-identical output (BASELINE.md
+    round-10)."""
+
+    def over_grams(grams):
+        n_grams = F.size(grams)
+        total_num = F.aggregate(
+            grams,
+            F.lit(0).cast("long"),
+            lambda acc, g: acc + _weight_numerator(_bucket(g)),
+        )
+        raw = F.when(
+            n_grams > 0,
+            total_num.cast("double") / ((_W_MOD // 2) * n_grams),
+        ).otherwise(F.lit(0.0))
+        score = 1.0 / (1.0 + F.exp(-_SIGMOID_SCALE * raw))
+        return F.struct(
+            n_grams.cast("long").alias("n_grams"),
+            total_num.alias("weight_numerator"),
+            F.round(score, 6).alias("quality_score"),
+        )
+
+    def over_toks(toks):
+        bigram_idx = F.sequence(F.lit(1), F.size(toks) - 1)
+        bigrams = F.when(
+            F.size(toks) >= 2,
+            F.transform(
+                bigram_idx,
+                lambda i: F.concat(
+                    F.element_at(toks, i), F.lit("_"), F.element_at(toks, i + 1)
+                ),
             ),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    grams = F.concat(toks, bigrams)
-    n_grams = F.size(grams)
-    total_num = F.aggregate(
-        grams,
-        F.lit(0).cast("long"),
-        lambda acc, g: acc + _weight_numerator(_bucket(g)),
-    )
-    raw = F.when(
-        n_grams > 0,
-        total_num.cast("double") / ((_W_MOD // 2) * n_grams),
-    ).otherwise(F.lit(0.0))
-    score = 1.0 / (1.0 + F.exp(-_SIGMOID_SCALE * raw))
-    return docs.select(
-        F.col(id_col),
-        n_grams.cast("long").alias("n_grams"),
-        total_num.alias("weight_numerator"),
-        F.round(score, 6).alias("quality_score"),
-    )
+        ).otherwise(F.array().cast("array<string>"))
+        return bind_once(F.concat(toks, bigrams), over_grams)
+
+    scored = bind_once(F.split(F.trim(F.col(text_col)), r"\s+"), over_toks)
+    return docs.select(F.col(id_col), F.inline(F.array(scored)))
