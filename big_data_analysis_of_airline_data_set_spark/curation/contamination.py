@@ -49,9 +49,17 @@ def contamination_hits(
     training row — ``n_hits = 0`` for clean docs, ``contaminated``
     boolean alongside — so downstream filtering is a plain predicate.
     """
-    sh = df.select(
+    from ..operators.transforms import rebalance_for_fanout
+
+    # per-gram md5 shingling multiplies per-row work well past the
+    # input bytes the scan partitioning was sized by — rebalance a
+    # small input first (no-op on large ones)
+    src = rebalance_for_fanout(
+        df.select(F.col(id_col), is_benchmark.alias("_bench_src"), F.col(text_col))
+    )
+    sh = src.select(
         F.col(id_col).alias("_id"),
-        is_benchmark.alias("_bench"),
+        F.col("_bench_src").alias("_bench"),
         _hashed_shingles(F.col(text_col), n).alias("_sh"),
     )
     bench = (

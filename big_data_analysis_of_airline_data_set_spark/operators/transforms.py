@@ -14,6 +14,25 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
+def rebalance_for_fanout(df: DataFrame) -> DataFrame:
+    """Repartition up to the session's default parallelism when the
+    input has fewer partitions — for operators that MULTIPLY per-row
+    work (explode ×B, per-gram hashing, per-replica draws).
+
+    Spark sizes scan partitions by INPUT bytes (maxPartitionBytes),
+    which is blind to downstream fan-out: a few-MB single-file input
+    runs a B×-the-bytes workload in ONE task while the rest of the
+    cluster idles. The rebalance is a cheap shuffle of the skinny
+    pre-fan-out rows, and a NO-OP whenever the input already has
+    enough partitions — so a large fact-table scan never pays it
+    (measured: stats_bootstrap_means 15 s single-task → 1.6 s at
+    local[32]; BASELINE.md round-10)."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def project_without(df: DataFrame, remove: Iterable[str]) -> DataFrame:
     """P1 — drop a column set (the reference's 40-column remove list,
     Scripts/1_cs_777_cleaning_data.py:41-48). Catalyst column pruning

@@ -60,11 +60,12 @@ _MODULES = [
 # entries.  Round-10 window (r9 verdict, Next round #1: finish the
 # stale-evidence drain — the last 12 r3-era rows go first, then the
 # oldest r4-era rows fill the rest; never-driver-checked is ZERO).
-# Budget: 3 changed-plan re-proofs + 12 r3-era drains + 35 oldest
+# Budget: 4 changed-plan re-proofs + 12 r3-era drains + 34 oldest
 # r4-era drains = 50.  After this window the oldest
 # latest-driver-row anywhere in the catalog is r4, held by exactly
-# the 12 leftovers listed at the bottom — they fit in the r11 window
-# with 38 slots to spare.  Every rotated-out query keeps a green
+# the 11 leftovers listed at the bottom (two of the four (a) entries
+# are themselves r4-era, so they drain through (a)) — they fit in the
+# r11 window with 39 slots to spare.  Every rotated-out query keeps a green
 # r4–r9 row on record; the flagship stays driver-evidenced every
 # round through the t1 entry() smoke check.
 _CORRECTNESS_WINDOW = [
@@ -79,10 +80,15 @@ _CORRECTNESS_WINDOW = [
     # shaped quality scorer now binds its token and gram arrays once
     # per row, emitting its outputs through one inline() generator
     # (text/quality_classifier.py; 19-25 s → 2.8 s at sf0.1 under the
-    # honest noop materializer, byte-identical)
+    # honest noop materializer, byte-identical); the Poisson
+    # bootstrap binds its uniform draw once, emits (replica, weight)
+    # through one generator, and rebalances its fan-out input
+    # (stats/bootstrap.py + operators/transforms.rebalance_for_fanout;
+    # 13-16 s → ~2 s at sf0.1, identical output)
     "join_bloom_prefiltered",
     "curation_contamination",
     "text_quality_classifier",
+    "stats_bootstrap_means",
     # (b) the last 12 r3-era rows (r9 verdict item 1 names them
     # verbatim; the judge's own r9 spot-run found all 12 green, so
     # this is bookkeeping closure, not risk retirement)
@@ -98,8 +104,9 @@ _CORRECTNESS_WINDOW = [
     "multimodal_frame_sample",
     "text_heavy_hitters",
     "text_vocab_stats",
-    # (c) the 35 oldest r4-era rows (planner order — sorted by name
-    # within the round, matching tests/window_planner.py output)
+    # (c) the 34 oldest r4-era rows (planner order — sorted by name
+    # within the round, matching tests/window_planner.py output;
+    # stats_bootstrap_means moved UP into (a) as its plan changed)
     "ann_quantized_rerank",
     "coreset_kcenter",
     "curation_dsir_resample",
@@ -134,18 +141,18 @@ _CORRECTNESS_WINDOW = [
     "multimodal_image_resize",
     "pit_join_versions",
     "projection_name_pattern",
-    "quantiles_approx_by_group",
-    # Not in this window — the 12 remaining r4-era rows, displaced
+    # Not in this window — the 11 remaining r4-era rows, displaced
     # only by window size (planner order continues alphabetically;
-    # ri_orphans, sink_partitioned_roundtrip and
-    # sink_report_csv_roundtrip yielded their slots to the three
-    # changed-plan re-proofs in (a); text_quality_classifier moved UP
-    # into (a) as its plan changed): ri_orphans,
-    # sink_partitioned_roundtrip, sink_report_csv_roundtrip,
-    # sketch_kmv_distinct, snapshot_diff, stats_bootstrap_means,
+    # quantiles_approx_by_group, ri_orphans,
+    # sink_partitioned_roundtrip and sink_report_csv_roundtrip
+    # yielded their slots to the four changed-plan re-proofs in (a);
+    # text_quality_classifier and stats_bootstrap_means moved UP into
+    # (a) as their plans changed): quantiles_approx_by_group,
+    # ri_orphans, sink_partitioned_roundtrip,
+    # sink_report_csv_roundtrip, sketch_kmv_distinct, snapshot_diff,
     # stats_mad_by_group, text_gopher_rules, text_inverted_index,
     # text_oov_rate, zorder_cells.  Each keeps its green r4 row; all
-    # twelve rotate into r11.
+    # eleven rotate into r11.
 ]
 
 

@@ -42,8 +42,15 @@ POISSON1_CUTPOINTS = (
 
 def poisson_weight_expr(replica: F.Column, row_key: F.Column) -> F.Column:
     """Deterministic Poisson(1) draw for (replica, row): md5-uniform
-    against the fixed integer cutpoints."""
-    u = F.conv(
+    against the fixed integer cutpoints. The uniform draw is bound
+    ONCE (``bind_once``) before the cutpoint CASE chain references it
+    four times — Catalyst re-evaluates textual occurrences, so the
+    unbound form paid four md5+conv per draw (part of the measured
+    13-16 s → ~2 s rework of stats_bootstrap_means; BASELINE.md
+    round-10)."""
+    from ..text.analysis import bind_once
+
+    u_expr = F.conv(
         F.substring(
             F.md5(F.concat(F.lit("bs_"), replica.cast("string"),
                            F.lit("_"), row_key.cast("string"))),
@@ -51,10 +58,14 @@ def poisson_weight_expr(replica: F.Column, row_key: F.Column) -> F.Column:
         ),
         16, 10,
     ).cast("long")
-    w = F.lit(4)
-    for k in range(len(POISSON1_CUTPOINTS) - 1, -1, -1):
-        w = F.when(u < POISSON1_CUTPOINTS[k], F.lit(k)).otherwise(w)
-    return w
+
+    def chain(u):
+        w = F.lit(4)
+        for k in range(len(POISSON1_CUTPOINTS) - 1, -1, -1):
+            w = F.when(u < POISSON1_CUTPOINTS[k], F.lit(k)).otherwise(w)
+        return w
+
+    return bind_once(u_expr, chain)
 
 
 def bootstrap_replica_means(
@@ -69,12 +80,37 @@ def bootstrap_replica_means(
     uncertainty of the mean. Emitted as the replica table (not a
     collapsed stddev) so every number is exactly engine-replayable;
     deriving the SE is one trivial aggregation away for the consumer."""
-    b = F.explode(F.sequence(F.lit(0), F.lit(n_replicas - 1))).alias("replica")
-    rows = df.select(F.col(id_col).alias("_id"), F.col(value_col).alias("_v"), b)
-    w = poisson_weight_expr(F.col("replica"), F.col("_id"))
+    # This operator does B md5 draws per row — rebalance a small input
+    # before the fan-out (no-op on large inputs; measured 15 s
+    # single-task → 1.6 s at sf0.1/local[32]).
+    from ..operators.transforms import rebalance_for_fanout
+
+    src = rebalance_for_fanout(
+        df.select(F.col(id_col).alias("_id"), F.col(value_col).alias("_v"))
+    )
+    # The (replica, weight) pairs come out of ONE explode(transform())
+    # generator: the weight is computed inside the transform lambda
+    # (once per replica element) and reaches the aggregate as a REAL
+    # attribute. The previous shape projected the weight expression
+    # under the aggregate, which CollapseProject merged into the agg's
+    # two _w references — with the unbound uniform draw that meant ~8
+    # md5 evaluations per (row, replica).
+    kv = F.explode(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(n_replicas - 1)),
+            lambda b: F.struct(
+                b.cast("long").alias("replica"),
+                poisson_weight_expr(b, F.col("_id")).alias("w"),
+            ),
+        )
+    ).alias("_kv")
+    rows = src.select("_v", kv)
     return (
-        rows.select(F.col("replica").cast("long").alias("replica"),
-                    w.alias("_w"), "_v")
+        rows.select(
+            F.col("_kv.replica").alias("replica"),
+            F.col("_kv.w").alias("_w"),
+            "_v",
+        )
         .groupBy("replica")
         .agg(
             F.sum("_w").cast("long").alias("n_eff"),

@@ -95,4 +95,9 @@ def quality_scores(
         return bind_once(F.concat(toks, bigrams), over_grams)
 
     scored = bind_once(F.split(F.trim(F.col(text_col)), r"\s+"), over_toks)
+    # per-gram md5 multiplies per-row work ~100× over the input bytes —
+    # rebalance a small input first (no-op on large ones)
+    from ..operators.transforms import rebalance_for_fanout
+
+    docs = rebalance_for_fanout(docs.select(F.col(id_col), F.col(text_col)))
     return docs.select(F.col(id_col), F.inline(F.array(scored)))
