@@ -44,3 +44,55 @@ def test_union_by_name_reorders_and_fills(spark):
     out = union_by_name([a, b])
     rows = {tuple(r) for r in out.collect()}
     assert rows == {(1, "x"), (2, "y")}
+
+
+def test_rebalance_for_fanout_expands_small_and_keeps_large(spark):
+    """Round-10: fan-out operators rebalance a small input up to the
+    session's default parallelism (scan partitioning is sized by input
+    bytes, blind to work multiplication) and leave an already-wide
+    input alone — so a large fact scan never pays the extra shuffle."""
+    from big_data_analysis_of_airline_data_set_spark.operators.transforms import (
+        rebalance_for_fanout,
+    )
+
+    target = spark.sparkContext.defaultParallelism
+    small_df = spark.createDataFrame([(i,) for i in range(100)], "id long")
+    small_df = small_df.coalesce(1)
+    out = rebalance_for_fanout(small_df)
+    assert out.rdd.getNumPartitions() == target
+    assert out.count() == 100
+    wide = spark.range(1000).repartition(target + 7)
+    kept = rebalance_for_fanout(wide)
+    assert kept.rdd.getNumPartitions() == target + 7
+
+
+def test_bind_once_single_evaluation_in_plan(spark):
+    """Round-10: bind_once must leave exactly ONE occurrence of the
+    expensive expression in the plan even when the body references its
+    lambda variable many times — the textual-duplication trap behind
+    the contamination/classifier/bootstrap regressions (Catalyst
+    substitutes aliases into consumers and FilterExec/HOF lambdas get
+    no CSE, so every textual xxhash64 executes per row)."""
+    from pyspark.sql import functions as F
+
+    from big_data_analysis_of_airline_data_set_spark.text.analysis import (
+        bind_once,
+    )
+
+    df = spark.range(10).select(F.col("id").cast("string").alias("s"))
+    expensive = F.xxhash64(F.col("s"))
+
+    # naive form: 4 textual references -> 4 occurrences in the plan
+    naive = df.select(
+        (expensive + expensive % 7 + expensive % 11 + expensive % 13).alias("x")
+    )
+    assert naive._jdf.queryExecution().analyzed().toString().count("xxhash64") == 4
+
+    bound = df.select(
+        bind_once(
+            expensive, lambda h: h + h % 7 + h % 11 + h % 13
+        ).alias("x")
+    )
+    assert bound._jdf.queryExecution().analyzed().toString().count("xxhash64") == 1
+    # and the values are identical
+    assert [r.x for r in naive.collect()] == [r.x for r in bound.collect()]
