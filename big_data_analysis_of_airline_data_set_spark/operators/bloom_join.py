@@ -44,7 +44,7 @@ runs per fact row and must stay tiny:
   row after collapse; this layout needs 8 (1 for the word index, 7
   cheap slices of one h2 — still textually repeated, but each term is
   one hash + shift). Measured on the x10 rung (6M rows × 65k words,
-  BASELINE.md round-10): 34 s → 3.6 s for the full catalog query.
+  BASELINE.md round-10): 34 s → 3.4 s for the full catalog query.
 - price: a slightly higher false-positive rate than the scattered
   layout at equal bits/key (per-block load variance; measured 0.68 %
   vs 0.15 % at 10 bits/key, k=7 on the x10 rung) — irrelevant for a
@@ -76,7 +76,9 @@ set; cheaper than before, since the explode-by-k is gone).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+import itertools
+
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
@@ -197,12 +199,35 @@ def bloom_might_contain(
     )
 
 
-# apply_bloom_filter registers its word table under ONE session view
-# name, re-bound per call: Dataset analysis is eager, so every
-# already-built filter plan holds its own resolved copy of the words
-# (a LocalRelation) and later re-binds can't touch it — one name never
-# collides and never accumulates per-call state.
-_WORDS_VIEW = "__bloom_filter_words"
+# Per-process sequence for unique scalar-subquery view names (round-11
+# advice fix: the previous single shared name relied on eager analysis
+# PLUS single-threaded-driver discipline — a concurrent caller
+# re-binding the view between createOrReplaceTempView and the consumer
+# Dataset's analysis would probe the wrong table).
+_SCALAR_VIEW_SEQ = itertools.count()
+
+
+def ship_as_scalar_subquery(
+    spark: SparkSession, values: list[int], *, element_type: str = "long"
+) -> tuple[F.Column, str]:
+    """Bind ``values`` as a one-row temp view under a unique per-call
+    name and return ``(subquery Column, view_name)`` — the
+    driver-built-constant-table shipping shape shared by the Bloom and
+    CMS probes (see module docstring for the measured A/B: literal
+    array 50 s / broadcast-crossJoin carry 34 s / scalar subquery
+    3.4 s on the bloom x10 rung).
+
+    The caller must build its consumer DataFrame (classic-mode Dataset
+    analysis is eager, which resolves the subquery into the view's
+    LocalRelation) and then drop the view via
+    ``spark.catalog.dropTempView(view_name)`` — after analysis the
+    plan holds its own resolved copy and the name is dead. Identical
+    repeated subqueries in one plan execute once (ReuseSubquery)."""
+    name = f"__scalar_arr_{next(_SCALAR_VIEW_SEQ)}"
+    spark.createDataFrame(
+        [(values,)], f"arr: array<{element_type}>"
+    ).createOrReplaceTempView(name)
+    return F.expr(f"(SELECT arr FROM {name})"), name
 
 
 def apply_bloom_filter(
@@ -214,7 +239,7 @@ def apply_bloom_filter(
     probe as a runtime constant, so the filter expression stays one
     node regardless of m; the probe itself is the blocked one-gather
     condition (see module docstring for the probe-shape A/B — 34 s →
-    3.6 s on the x10 rung).
+    3.4 s on the x10 rung).
 
     The plain join this pre-filters costs 1.5 s on that same rung
     because local[32] makes shuffles memcpy-cheap — the filter exists
@@ -223,13 +248,12 @@ def apply_bloom_filter(
     price that must stay low for the map-side drop to be worth it
     there."""
     spark = df.sparkSession
-    spark.createDataFrame([(words,)], "arr: array<long>").createOrReplaceTempView(
-        _WORDS_VIEW
-    )
-    arr = F.expr(f"(SELECT arr FROM {_WORDS_VIEW})")
-    return df.filter(
+    arr, view = ship_as_scalar_subquery(spark, words)
+    out = df.filter(
         _might_contain_cond(F.col(key_col), arr, m_bits=m_bits, k=k)
     )
+    spark.catalog.dropTempView(view)
+    return out
 
 
 def bloom_prefiltered_join(

@@ -24,10 +24,13 @@ SQL, no sketch anywhere — checks).
 Plumbing shared with the package's sketch discipline: the sketch build
 is one constant-size groupBy; the finished d·w counter table is
 collected once (bounded by the SKETCH size, never the data) and
-re-broadcast as a one-row dense array COLUMN so the probe runs inside
-whole-stage codegen with no Python and no join — the same
-ship-as-column pattern bloom_join measured 2.3× faster than a literal
-expression tree. Hashes are seeded ``xxhash64`` — the JVM-native hash,
+shipped back as a SCALAR SUBQUERY over a one-row view
+(``bloom_join.ship_as_scalar_subquery``), so the probe sees it as a
+runtime constant with no Python and no join. Round 11 moved here from
+a broadcast-crossJoin array-column carry — the exact shape whose
+per-row cost the bloom probe measured and abandoned in round 10
+(34 s → 3.4 s on its x10 rung; this operator's own A/B is in
+BASELINE.md round 11). Hashes are seeded ``xxhash64`` — the JVM-native hash,
 NOT the md5+conv construction the ORACLED sketches (countmin/kmv/hll)
 use, deliberately and for the same reason bloom_join documents: these
 bucket positions never need cross-engine replay (the oracle is the
@@ -131,12 +134,19 @@ def heavy_hitter_join(
             f" = {depth * width} (sketch geometry must match the probe)"
         )
     spark = big.sparkSession
-    cms = spark.createDataFrame([(counters,)], "___cms: array<long>")
-    est = cms_estimate_expr(F.col(on), F.col("___cms"), depth=depth, width=width)
+    # The d·w counter table rides in as a SCALAR SUBQUERY over a
+    # one-row view (bloom_join.ship_as_scalar_subquery) so it reaches
+    # the probe as a runtime constant. The previous broadcast-crossJoin
+    # carried the 32k-long array as a per-row COLUMN through FilterExec
+    # — the exact shape the bloom probe abandoned in round 10 (34 s →
+    # 3.4 s on its x10 rung); the d textual repeats of the subquery in
+    # the min-over-depth probe execute once (ReuseSubquery).
+    from .bloom_join import ship_as_scalar_subquery
+
+    arr, view = ship_as_scalar_subquery(spark, counters)
+    est = cms_estimate_expr(F.col(on), arr, depth=depth, width=width)
     survivors = (
-        big.crossJoin(F.broadcast(cms))
-        .filter(est >= F.lit(min_count))
-        .drop("___cms")
+        big.filter(est >= F.lit(min_count))
         # survivors feed TWO consumers (the exact count and the final
         # join); a lazy localCheckpoint computes the fact scan + probe
         # ONCE at first materialization instead of per consumer — the
@@ -145,6 +155,7 @@ def heavy_hitter_join(
         # ContextCleaner frees it when the frame is dropped
         .localCheckpoint(eager=False)
     )
+    spark.catalog.dropTempView(view)
     # exact counts over survivors only == global counts for every
     # surviving key (per-key-deterministic prefilter); drops CMS false
     # positives. The count table is hot-key-sized — broadcast it back.

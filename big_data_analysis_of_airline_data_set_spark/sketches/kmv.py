@@ -55,22 +55,45 @@ def kmv_sketch(
 ) -> DataFrame:
     """(group, j, min_h): the k-minima sketch per group — one groupBy,
     constant-size shuffle. Kept in long form (k rows per group) so
-    merging is a further groupBy-min over the same shape."""
+    merging is a further groupBy-min over the same shape.
+
+    Shape (round 11): k ``min`` AGGREGATE COLUMNS over one (h1, h2)
+    pair per input row, exploded back to long form AFTER the aggregate
+    — the explode therefore runs over k·groups rows, not k·data rows.
+    The previous explode-by-k multiplied the input k× before the
+    partial agg (k hash-agg probes per row instead of k expression
+    evals into one buffer); output is identical by construction — the
+    same (h1 + j·h2) mod 2⁵⁶ minima, md5-replayable by the oracle.
+    The two md5s stay in a projection BELOW the aggregate; Catalyst's
+    CollapseProject will not inline a non-cheap producer referenced k
+    times, so they evaluate once per row (plan-shape-guarded in
+    tests/test_sketches.py). Streaming-safe: the aggregate is the
+    stateful op (state = groups × k longs, unchanged) and the explode
+    is a stateless Generate above it."""
     if not 1 <= k <= 127:
         raise ValueError("k must be in [1, 127] to keep k*2^56 inside int64")
     h1 = _h56("ka_", F.col(value_col).cast("string"))
     h2 = _h56("kb_", F.col(value_col).cast("string"))
-    js = F.explode(F.sequence(F.lit(0), F.lit(k - 1))).alias("j")
-    return (
+    mins = (
         df.select(F.col(group_col).alias("group"), h1.alias("_h1"), h2.alias("_h2"))
-        .select("group", "_h1", "_h2", js)
-        .select(
-            "group",
-            "j",
-            ((F.col("_h1") + F.col("j") * F.col("_h2")) % _HASH_SPACE).alias("h"),
+        .groupBy("group")
+        .agg(
+            *[
+                F.min(
+                    (F.col("_h1") + F.lit(j) * F.col("_h2")) % _HASH_SPACE
+                ).alias(f"_m{j}")
+                for j in range(k)
+            ]
         )
-        .groupBy("group", "j")
-        .agg(F.min("h").alias("min_h"))
+    )
+    pairs = F.array(
+        *[
+            F.struct(F.lit(j).alias("j"), F.col(f"_m{j}").alias("min_h"))
+            for j in range(k)
+        ]
+    )
+    return mins.select("group", F.explode(pairs).alias("_p")).select(
+        "group", F.col("_p.j").alias("j"), F.col("_p.min_h").alias("min_h")
     )
 
 

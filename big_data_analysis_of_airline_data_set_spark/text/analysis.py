@@ -126,8 +126,15 @@ def winnowing_fingerprints(df, *, id_col: str, text_col: str, k: int = 8, window
 
 
 def stopword_count(text: Column, words: tuple[str, ...]) -> Column:
-    """How many tokens are in ``words`` (duplicates counted)."""
-    wordset = F.array(*[F.lit(w) for w in words])
+    """How many tokens are in ``words`` (duplicates counted).
+
+    The wordset is ONE array Literal (``F.lit(list)``), not
+    ``F.array(*[F.lit(w) …])``: a CreateArray referenced inside the
+    filter lambda re-builds the array per TOKEN (no CSE in HOF lambdas
+    — docs/expression-shapes.md), while a Literal is a leaf the
+    evaluator returns by reference. Same output, ~20× less per-token
+    work for a 20-word list."""
+    wordset = F.lit(list(words))
     return F.size(F.filter(tokens_col(text), lambda t: F.array_contains(wordset, t))).cast(
         "long"
     )

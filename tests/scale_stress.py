@@ -764,6 +764,7 @@ _REL_QUERIES = [
     "tpch_q9_style",
     "tpch_q21_style",
     "join_bloom_prefiltered",
+    "join_heavy_hitters_cm",  # r11: scalar-subquery probe rewrite
     "ri_orphans",
     "sink_partitioned_roundtrip",
 ]

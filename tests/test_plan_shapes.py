@@ -423,7 +423,8 @@ def test_hll_registers_single_partial_final_aggregate(spark, sf_dir):
 
 def test_heavy_hitter_cms_filter_is_map_side(spark, sf_dir):
     """The CMS estimate filter must run in the fact scan's stage — a
-    Filter over element_at probes against the broadcast counter array,
+    Filter over element_at probes against the scalar-subquery counter
+    array (r11 shape: no crossJoin/BroadcastNestedLoopJoin carry),
     below any exchange, with no Python anywhere. The catalog query's
     own plan truncates at the survivors' localCheckpoint, so the
     prefilter stage is examined pre-checkpoint here (same construction
@@ -431,6 +432,9 @@ def test_heavy_hitter_cms_filter_is_map_side(spark, sf_dir):
     the full catalog plan."""
     from pyspark.sql import functions as F
 
+    from big_data_analysis_of_airline_data_set_spark.operators.bloom_join import (
+        ship_as_scalar_subquery,
+    )
     from big_data_analysis_of_airline_data_set_spark.operators.heavy_hitter_join import (
         build_cms_counters,
         cms_estimate_expr,
@@ -441,17 +445,11 @@ def test_heavy_hitter_cms_filter_is_map_side(spark, sf_dir):
 
     li = read_testdata_table(spark, sf_dir, "lineitem").select("l_partkey")
     counters = build_cms_counters(li, term_col="l_partkey", width=4096)
-    cms = spark.createDataFrame([(counters,)], "___cms: array<long>")
-    pre = (
-        li.crossJoin(F.broadcast(cms))
-        .filter(
-            cms_estimate_expr(
-                F.col("l_partkey"), F.col("___cms"), depth=4, width=4096
-            )
-            >= 38
-        )
-        .drop("___cms")
+    arr, view = ship_as_scalar_subquery(spark, counters)
+    pre = li.filter(
+        cms_estimate_expr(F.col("l_partkey"), arr, depth=4, width=4096) >= 38
     )
+    spark.catalog.dropTempView(view)
     jmode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
         "extended"
     )
@@ -460,12 +458,15 @@ def test_heavy_hitter_cms_filter_is_map_side(spark, sf_dir):
     assert any(
         "Filter" in l and "element_at" in l for l in plan.splitlines()
     ), "CMS estimate test is not a pre-join Filter"
-    assert "Exchange" not in plan.split("== Physical Plan ==")[-1].split(
-        "BroadcastExchange"
-    )[0], "prefilter stage shuffles before filtering"
+    assert "BroadcastNestedLoopJoin" not in plan
+    physical = plan.split("== Physical Plan ==")[-1]
+    assert "Exchange" not in physical.replace("ReusedExchange", ""), (
+        "prefilter stage shuffles before filtering"
+    )
 
     full = _plan(spark, sf_dir, "join_heavy_hitters_cm", mode="extended")
     assert "CartesianProduct" not in full
+    assert "BroadcastNestedLoopJoin" not in full
     assert "BroadcastHashJoin" in full
     assert "BatchEvalPython" not in full and "ArrowEvalPython" not in full
 

@@ -99,6 +99,25 @@ def test_kmv_small_group_estimate_sane(spark):
     assert 1 <= row.distinct_estimate <= 30
 
 
+def test_kmv_sketch_hashes_once_per_row(spark):
+    """Round-11 plan-shape guard for the explode-by-k → k-min-column
+    fold: the two md5 draws must evaluate ONCE per input row, i.e. the
+    producer projection survives below the aggregate (CollapseProject
+    must not inline a non-cheap expression referenced k times) and the
+    Generate that restores long form sits ABOVE the aggregate, so it
+    multiplies k·groups rows, not k·data rows."""
+    from big_data_analysis_of_airline_data_set_spark.sketches.kmv import kmv_sketch
+
+    df = spark.createDataFrame(
+        [("g", f"v{i}") for i in range(10)], "grp string, val string"
+    )
+    sk = kmv_sketch(df, group_col="grp", value_col="val", k=64)
+    plan = sk._jdf.queryExecution().optimizedPlan().toString()
+    assert plan.count("md5(") == 2
+    # top-down print: the Generate must appear before (above) the Aggregate
+    assert plan.index("Generate") < plan.index("Aggregate")
+
+
 def test_hll_estimate_within_band_and_union_merge(spark):
     """p=8 → standard error ~1.04/sqrt(256) ≈ 6.5%; assert both group
     estimates and the max-merged 'ALL' union row land within 4σ, and
