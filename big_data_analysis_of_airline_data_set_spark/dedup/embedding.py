@@ -55,6 +55,29 @@ def cosine_sim_expr(a: Column, b: Column) -> Column:
     return _dot(ad, bd) / (F.sqrt(_dot(ad, ad)) * F.sqrt(_dot(bd, bd)))
 
 
+def cosine_to_const_expr(vec: Column, query_vec: list[float]) -> Column:
+    """``cosine_sim_expr(vec, query)`` for a DRIVER-CONSTANT query —
+    the ANN probe shape (round-11 expression-shape audit). The generic
+    form pays per ROW for work that is constant across rows: the query
+    lands as a CreateArray of dim literals re-built per textual
+    occurrence (3× — the dot plus both norms re-evaluate ``bd``), each
+    re-cast elementwise, and ``sqrt(q·q)`` — a driver-computable
+    number — re-folds dim multiplies per row. Here the query is ONE
+    array Literal and its norm ONE double Literal.
+
+    Float parity with the generic form (and hence the DuckDB oracles)
+    is exact: the Python ``sum`` folds x·x in the same left-to-right
+    element order as ``F.aggregate``, ``math.sqrt`` and JVM/DuckDB
+    sqrt are all IEEE correctly-rounded, and the final
+    dot/(norm_a·norm_q) grouping is unchanged."""
+    import math
+
+    qd = [float(x) for x in query_vec]
+    q_norm = math.sqrt(sum(x * x for x in qd))
+    ad = _to_double(vec)
+    return _dot(ad, F.lit(qd)) / (F.sqrt(_dot(ad, ad)) * F.lit(q_norm))
+
+
 def embedding_near_dup_pairs(
     df: DataFrame,
     *,

@@ -26,7 +26,18 @@ def rebalance_for_fanout(df: DataFrame) -> DataFrame:
     pre-fan-out rows, and a NO-OP whenever the input already has
     enough partitions — so a large fact-table scan never pays it
     (measured: stats_bootstrap_means 15 s single-task → 1.6 s at
-    local[32]; BASELINE.md round-10)."""
+    local[32]; BASELINE.md round-10).
+
+    BATCH-SCAN-ONLY contract (round-11 advice): the partition-count
+    probe goes through ``df.rdd``, which finalizes the physical plan —
+    under AQE that can execute upstream shuffle stages (running them
+    twice once the real query runs), and on a streaming DataFrame it
+    raises AnalysisException. Streaming inputs return unchanged
+    (micro-batch sizing is the scheduler's job there); batch callers
+    should pass plain scan projections, not plans with shuffles below
+    this point."""
+    if df.isStreaming:
+        return df
     target = df.sparkSession.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() < target:
         return df.repartition(target)

@@ -31,7 +31,7 @@ from ..text.analysis import (
     LANG_STOPWORDS,
     content_fingerprint,
     lang_id_expr,
-    quality_components,
+    quality_struct,
 )
 from .spec import QuerySpec
 
@@ -45,13 +45,16 @@ _JACCARD_THRESHOLD = 0.5
 
 def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = read_testdata_table(spark, sf_dir, "documents")
-    comp = quality_components(F.col("text"))
-    return d.select(
+    # all four components from ONE tokenization via the inline
+    # generator (r11 expression-shape audit; the per-component dict
+    # form re-split the text per selected column)
+    comps = d.select("doc_id", F.inline(F.array(quality_struct(F.col("text")))))
+    return comps.select(
         "doc_id",
-        comp["n_chars"].alias("n_chars"),
-        comp["n_tokens"].alias("n_tokens"),
-        F.round(comp["mean_token_len"], 6).alias("mean_token_len"),
-        F.round(comp["stopword_ratio"], 6).alias("stopword_ratio"),
+        "n_chars",
+        "n_tokens",
+        F.round("mean_token_len", 6).alias("mean_token_len"),
+        F.round("stopword_ratio", 6).alias("stopword_ratio"),
     )
 
 
@@ -1122,17 +1125,15 @@ def q_text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Published Gopher quality-filter heuristics (text/analysis.py
     gopher_rules) as per-document booleans + the AND'd keep decision —
     one shuffle-free codegen projection over the corpus."""
-    from ..text.analysis import gopher_rules
+    from ..text.analysis import gopher_rules_struct
 
     d = read_testdata_table(spark, sf_dir, "documents")
-    rules = gopher_rules(F.col("text"))
-    keep = None
-    cols = [F.col("doc_id")]
-    for name, expr in rules.items():
-        cols.append(expr.alias(name))
-        keep = expr if keep is None else (keep & expr)
-    cols.append(keep.alias("keep"))
-    return d.select(*cols)
+    # one tokenization per row: the struct carries all five rules plus
+    # the AND'd keep, emitted through the inline generator (r11
+    # expression-shape audit — the dict form re-split per rule column)
+    return d.select(
+        "doc_id", F.inline(F.array(gopher_rules_struct(F.col("text"))))
+    )
 
 
 _GOPHER_ORACLE = r"""
@@ -1290,15 +1291,17 @@ def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     copy among exact duplicates. Output: kept doc_ids + the gate
     verdicts — the filter chain every pretraining corpus runs."""
     d = read_testdata_table(spark, sf_dir, "documents")
-    comp = quality_components(F.col("text"))
+    # quality components from ONE tokenization (inline generator mixes
+    # with plain columns in the same select); lang_id binds its own
+    # tokens internally — ~3 expensive passes per row instead of the
+    # audited 31 (r11 expression-shape audit)
     scored = d.select(
         "doc_id",
         "text",
-        comp["n_tokens"].alias("n_tokens"),
-        comp["stopword_ratio"].alias("stopword_ratio"),
+        F.inline(F.array(quality_struct(F.col("text")))),
         lang_id_expr(F.col("text")).alias("lang_pred"),
         content_fingerprint(F.col("text")).alias("fp"),
-    )
+    ).drop("n_chars", "mean_token_len")
     canonical = scored.groupBy("fp").agg(F.min("doc_id").alias("keep_id"))
     return (
         scored.join(canonical, "fp")

@@ -731,9 +731,7 @@ def q_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n")
     )
     total = F.sum("n").over(Window.partitionBy())
-    expected = F.element_at(
-        F.array(*[F.lit(x) for x in _BENFORD]), F.col("digit").cast("int")
-    )
+    expected = F.element_at(F.lit(list(_BENFORD)), F.col("digit").cast("int"))
     return per.select(
         "digit",
         "n",

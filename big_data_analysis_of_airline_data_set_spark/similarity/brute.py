@@ -8,7 +8,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..dedup.embedding import cosine_sim_expr
+from ..dedup.embedding import cosine_to_const_expr
 
 
 def brute_force_topk(
@@ -21,8 +21,10 @@ def brute_force_topk(
 ) -> DataFrame:
     """(id, cosine) of the k nearest rows to ``query_vec`` by cosine,
     deterministic tie-break on id."""
-    q = F.array(*[F.lit(float(x)) for x in query_vec])
-    cos = F.round(cosine_sim_expr(F.col(vec_col), q), 6)
+    # const-query cosine: Literal query array + driver-side q-norm
+    # (r11 expression-shape audit — the generic form re-built the
+    # query CreateArray and re-folded sqrt(q*q) per row)
+    cos = F.round(cosine_to_const_expr(F.col(vec_col), query_vec), 6)
     return (
         df.select(F.col(id_col).alias("id"), cos.alias("cosine"))
         .orderBy(F.desc("cosine"), F.asc("id"))

@@ -19,7 +19,7 @@ from pyspark.ml.functions import array_to_vector
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..dedup.embedding import cosine_sim_expr
+from ..dedup.embedding import cosine_to_const_expr
 
 SEED = 777
 
@@ -56,10 +56,12 @@ def build_ivf_index(
     # score(c) = x·c − ||c||²/2 (argmax == Euclidean assignment); rank
     # the nlist scores per row and keep the top-m cell ids. Struct sort
     # orders by the first field, so reverse(array_sort) = best first.
-    cents = F.array(*[F.array(*[F.lit(float(v)) for v in c]) for c in centroids])
-    half_norms = F.array(
-        *[F.lit(sum(v * v for v in c) / 2.0) for c in centroids]
-    )
+    # both constant tables as single array LITERALS (r11 expression-
+    # shape audit): the nested CreateArray form re-built nlist*dim
+    # literal nodes per ROW as arrays_zip's input — same order of work
+    # as the nlist dot products themselves, i.e. ~2x the row cost
+    cents = F.lit([[float(v) for v in c] for c in centroids])
+    half_norms = F.lit([sum(v * v for v in c) / 2.0 for c in centroids])
     scored = F.transform(
         F.arrays_zip(
             cents.alias("c"),
@@ -153,13 +155,12 @@ def ivf_probe(
     differ, and measurably lost recall on weakly-clustered corpora."""
     probe_cells = select_probe_cells(centroids, query_vec, nprobe)
 
-    q = F.array(*[F.lit(float(x)) for x in query_vec])
     return (
         indexed.filter(F.col("cell").isin(probe_cells))
         .dropDuplicates(["_id"])
         .select(
             F.col("_id").alias("id"),
-            F.round(cosine_sim_expr(F.col("_arr"), q), 6).alias("cosine"),
+            F.round(cosine_to_const_expr(F.col("_arr"), query_vec), 6).alias("cosine"),
         )
         .orderBy(F.desc("cosine"), F.asc("id"))
         .limit(k)

@@ -106,7 +106,7 @@ def lsh_topk(
     against the brute-force oracle."""
     from pyspark.ml.linalg import Vectors
 
-    from ..dedup.embedding import cosine_sim_expr
+    from ..dedup.embedding import cosine_to_const_expr
 
     model, indexed = fit_lsh_model(
         df,
@@ -122,10 +122,12 @@ def lsh_topk(
     )
     cand = neighbors.select(F.col("_id").alias("id"))
     raw = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("_arr"))
-    q_arr = F.array(*[F.lit(float(x)) for x in query_vec])
     return (
         cand.join(raw, "id")
-        .select("id", F.round(cosine_sim_expr(F.col("_arr"), q_arr), 6).alias("cosine"))
+        .select(
+            "id",
+            F.round(cosine_to_const_expr(F.col("_arr"), query_vec), 6).alias("cosine"),
+        )
         .orderBy(F.desc("cosine"), F.asc("id"))
         .limit(k)
     )

@@ -38,7 +38,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 from pyspark.sql.types import LongType
 
-from ..dedup.embedding import cosine_sim_expr
+from ..dedup.embedding import cosine_to_const_expr
 
 
 def _int8_codes(x: np.ndarray) -> np.ndarray:
@@ -69,7 +69,6 @@ def quantized_rerank_topk(
             out.append(int(c @ qc) if c.size == qc.size else 0)
         return pd.Series(out, dtype="int64")
 
-    q = F.array(*[F.lit(float(x)) for x in query_vec])
     pool = (
         df.select(
             F.col(id_col).alias("id"),
@@ -83,7 +82,7 @@ def quantized_rerank_topk(
         pool.select(
             "id",
             "int_score",
-            F.round(cosine_sim_expr(F.col("_v"), q), 6).alias("cosine"),
+            F.round(cosine_to_const_expr(F.col("_v"), query_vec), 6).alias("cosine"),
         )
         .orderBy(F.desc("cosine"), F.asc("id"))
         .limit(k)

@@ -157,7 +157,7 @@ def hll_estimate(
         1 << scale
     ).cast("decimal(38,0)")
     e_raw = F.lit(numerator) / raw_sum.cast("double")
-    lc = F.array(*[F.lit(v) for v in _lc_table(m)])
+    lc = F.lit(_lc_table(m))  # one array Literal, not a CreateArray
     est = F.when(
         (e_raw <= 2.5 * m) & (zero > 0), F.element_at(lc, zero.cast("int"))
     ).otherwise(e_raw)

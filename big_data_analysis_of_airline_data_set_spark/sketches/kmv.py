@@ -57,43 +57,35 @@ def kmv_sketch(
     constant-size shuffle. Kept in long form (k rows per group) so
     merging is a further groupBy-min over the same shape.
 
-    Shape (round 11): k ``min`` AGGREGATE COLUMNS over one (h1, h2)
-    pair per input row, exploded back to long form AFTER the aggregate
-    — the explode therefore runs over k·groups rows, not k·data rows.
-    The previous explode-by-k multiplied the input k× before the
-    partial agg (k hash-agg probes per row instead of k expression
-    evals into one buffer); output is identical by construction — the
-    same (h1 + j·h2) mod 2⁵⁶ minima, md5-replayable by the oracle.
-    The two md5s stay in a projection BELOW the aggregate; Catalyst's
-    CollapseProject will not inline a non-cheap producer referenced k
-    times, so they evaluate once per row (plan-shape-guarded in
-    tests/test_sketches.py). Streaming-safe: the aggregate is the
-    stateful op (state = groups × k longs, unchanged) and the explode
-    is a stateless Generate above it."""
+    Shape note (round-11 measured NEGATIVE result): folding the
+    explode-by-k into k ``min`` aggregate COLUMNS over one (h1, h2)
+    pair per row looks like the r10 expression-shape class, but is a
+    measured 3× PESSIMIZATION (2.4 s → 7.3 s median at sf0.1, k=64;
+    BASELINE.md round 11). Two reasons: (a) the expensive md5s were
+    NEVER multiplied — they sit in the projection below the explode,
+    evaluated once per input row; the explode multiplies only cheap
+    (group, long, long) rows through a 2-buffer codegen hash-agg; and
+    (b) a 64-function HashAggregate falls out of whole-stage codegen
+    entirely (no codegen ids in the formatted plan), trading the cheap
+    row fan-out for interpreted per-row evaluation of 64 expressions.
+    The explode form below is the fast one; the plan-shape guard in
+    tests/test_sketches.py pins md5-once-per-row, which both shapes
+    satisfy."""
     if not 1 <= k <= 127:
         raise ValueError("k must be in [1, 127] to keep k*2^56 inside int64")
     h1 = _h56("ka_", F.col(value_col).cast("string"))
     h2 = _h56("kb_", F.col(value_col).cast("string"))
-    mins = (
+    js = F.explode(F.sequence(F.lit(0), F.lit(k - 1))).alias("j")
+    return (
         df.select(F.col(group_col).alias("group"), h1.alias("_h1"), h2.alias("_h2"))
-        .groupBy("group")
-        .agg(
-            *[
-                F.min(
-                    (F.col("_h1") + F.lit(j) * F.col("_h2")) % _HASH_SPACE
-                ).alias(f"_m{j}")
-                for j in range(k)
-            ]
+        .select("group", "_h1", "_h2", js)
+        .select(
+            "group",
+            "j",
+            ((F.col("_h1") + F.col("j") * F.col("_h2")) % _HASH_SPACE).alias("h"),
         )
-    )
-    pairs = F.array(
-        *[
-            F.struct(F.lit(j).alias("j"), F.col(f"_m{j}").alias("min_h"))
-            for j in range(k)
-        ]
-    )
-    return mins.select("group", F.explode(pairs).alias("_p")).select(
-        "group", F.col("_p.j").alias("j"), F.col("_p.min_h").alias("min_h")
+        .groupBy("group", "j")
+        .agg(F.min("h").alias("min_h"))
     )
 
 

@@ -125,8 +125,10 @@ def winnowing_fingerprints(df, *, id_col: str, text_col: str, k: int = 8, window
     )
 
 
-def stopword_count(text: Column, words: tuple[str, ...]) -> Column:
-    """How many tokens are in ``words`` (duplicates counted).
+def stopword_count_of(tokens: Column, words: tuple[str, ...]) -> Column:
+    """How many elements of a TOKEN-ARRAY column are in ``words``
+    (duplicates counted) — the bound-tokens form for callers that
+    already hold the array (one tokenization feeding many counts).
 
     The wordset is ONE array Literal (``F.lit(list)``), not
     ``F.array(*[F.lit(w) …])``: a CreateArray referenced inside the
@@ -135,15 +137,21 @@ def stopword_count(text: Column, words: tuple[str, ...]) -> Column:
     evaluator returns by reference. Same output, ~20× less per-token
     work for a 20-word list."""
     wordset = F.lit(list(words))
-    return F.size(F.filter(tokens_col(text), lambda t: F.array_contains(wordset, t))).cast(
-        "long"
-    )
+    return F.size(F.filter(tokens, lambda t: F.array_contains(wordset, t))).cast("long")
 
 
-def lang_id_expr(text: Column) -> Column:
-    """Stopword-count argmax over LANG_STOPWORDS, ties resolved by dict
-    order, 'und' (undetermined) when no list matches at all."""
-    counts = {lang: stopword_count(text, words) for lang, words in LANG_STOPWORDS.items()}
+def stopword_count(text: Column, words: tuple[str, ...]) -> Column:
+    """How many tokens of ``text`` are in ``words`` (duplicates
+    counted). Tokenizes per call — when one expression needs several
+    counts of the SAME text, bind the tokens once and use
+    ``stopword_count_of`` (every textual occurrence of this function
+    re-runs the regexp split per row; docs/expression-shapes.md)."""
+    return stopword_count_of(tokens_col(text), words)
+
+
+def _lang_case(counts: dict[str, Column]) -> Column:
+    """Argmax CASE over per-language counts, ties resolved by
+    LANG_STOPWORDS order, 'und' when nothing matches."""
     langs = list(LANG_STOPWORDS)
     expr = F.lit("und")
     # build the CASE from last to first so earlier langs win ties
@@ -162,10 +170,39 @@ def lang_id_expr(text: Column) -> Column:
     return expr
 
 
+def lang_id_expr(text: Column) -> Column:
+    """Stopword-count argmax over LANG_STOPWORDS, ties resolved by dict
+    order, 'und' (undetermined) when no list matches at all.
+
+    Shape (round-11 expression-shape audit): the token array is bound
+    ONCE per row and the four per-language counts ONCE as a struct —
+    the argmax CASE references each count ~4 times, and with inline
+    count expressions each textual reference re-ran the regexp split
+    (28 splits per row measured on the old plan; now 1). Struct-field
+    reads of a lambda variable are free."""
+    langs = list(LANG_STOPWORDS)
+
+    def over_toks(toks: Column) -> Column:
+        counts = F.struct(
+            *[
+                stopword_count_of(toks, LANG_STOPWORDS[lang]).alias(lang)
+                for lang in langs
+            ]
+        )
+        return bind_once(counts, lambda c: _lang_case({l: c[l] for l in langs}))
+
+    return bind_once(tokens_col(text), over_toks)
+
+
 def quality_components(text: Column) -> dict[str, Column]:
     """Document-quality signals: length, token stats, stopword ratio,
     mean token length. Combine however the pipeline needs; the catalog
-    query freezes one scoring formula."""
+    query freezes one scoring formula.
+
+    Each dict value is an INDEPENDENT expression — selecting several
+    re-tokenizes per column. Hot paths that want all of them should
+    emit ``quality_struct`` through ``F.inline(F.array(...))``
+    instead (one tokenization per row)."""
     n_tokens = token_count(text)
     n_chars = F.length(text).cast("long")
     non_space = F.length(F.regexp_replace(text, r"\s", ""))
@@ -176,6 +213,32 @@ def quality_components(text: Column) -> dict[str, Column]:
         "mean_token_len": (non_space.cast("double") / n_tokens),
         "stopword_ratio": (en_stop.cast("double") / n_tokens),
     }
+
+
+def quality_struct(text: Column) -> Column:
+    """``struct(n_chars, n_tokens, mean_token_len, stopword_ratio)``
+    with the token array bound ONCE per row (r11 expression-shape
+    audit; same formulas as ``quality_components``).
+
+    Emit it through ``F.inline(F.array(struct))`` — a Generate
+    evaluates its input once per row and CollapseProject cannot merge
+    a projection into it. Extracting fields in a PLAIN projection
+    instead re-evaluates the whole struct per field
+    (docs/expression-shapes.md)."""
+    n_chars = F.length(text).cast("long")
+    non_space = F.length(F.regexp_replace(text, r"\s", ""))
+
+    def over_toks(toks: Column) -> Column:
+        n_tokens = F.size(toks).cast("long")
+        en_stop = stopword_count_of(toks, LANG_STOPWORDS["en"])
+        return F.struct(
+            n_chars.alias("n_chars"),
+            n_tokens.alias("n_tokens"),
+            (non_space.cast("double") / n_tokens).alias("mean_token_len"),
+            (en_stop.cast("double") / n_tokens).alias("stopword_ratio"),
+        )
+
+    return bind_once(tokens_col(text), over_toks)
 
 
 def oov_stats(
@@ -281,3 +344,68 @@ def gopher_rules(
         ),
         "stopwords_ok": stop_hits >= min_stopword_hits,
     }
+
+
+def gopher_rules_struct(
+    text: Column,
+    *,
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_ratio: float = 0.1,
+    min_alpha_word_ratio: float = 0.8,
+    min_stopword_hits: int = 2,
+) -> Column:
+    """The five ``gopher_rules`` booleans plus their AND as ONE struct
+    (r11 expression-shape audit): the token array is bound once per
+    row, the five integer scalars once as a struct, and every boolean
+    (including ``keep``, which references all five) reads struct
+    FIELDS of a lambda variable — the dict form re-tokenized per
+    selected rule (16 splits per row measured on the catalog query;
+    now 1 split + 2 regex passes). Same formulas, same engine-parity
+    argument as ``gopher_rules``. Emit through
+    ``F.inline(F.array(struct))`` (see ``quality_struct``)."""
+
+    def over_scalars(s: Column) -> Column:
+        n = s["n"]
+        mean_len = s["non_space"].cast("double") / n
+        words_in_range = (n >= min_words) & (n <= max_words)
+        mean_word_len_ok = (mean_len >= min_mean_word_len) & (
+            mean_len <= max_mean_word_len
+        )
+        symbol_ratio_ok = s["n_symbols"].cast("double") / n <= max_symbol_ratio
+        alpha_word_ratio_ok = (
+            s["n_alpha_words"].cast("double") / n >= min_alpha_word_ratio
+        )
+        stopwords_ok = s["stop_hits"] >= min_stopword_hits
+        return F.struct(
+            words_in_range.alias("words_in_range"),
+            mean_word_len_ok.alias("mean_word_len_ok"),
+            symbol_ratio_ok.alias("symbol_ratio_ok"),
+            alpha_word_ratio_ok.alias("alpha_word_ratio_ok"),
+            stopwords_ok.alias("stopwords_ok"),
+            (
+                words_in_range
+                & mean_word_len_ok
+                & symbol_ratio_ok
+                & alpha_word_ratio_ok
+                & stopwords_ok
+            ).alias("keep"),
+        )
+
+    def over_toks(toks: Column) -> Column:
+        scalars = F.struct(
+            F.size(toks).cast("long").alias("n"),
+            F.length(F.regexp_replace(text, r"\s", "")).cast("long").alias("non_space"),
+            F.size(F.regexp_extract_all(text, F.lit(r"#|\.\.\.|…"), 0))
+            .cast("long")
+            .alias("n_symbols"),
+            F.size(F.filter(toks, lambda t: t.rlike("[a-zA-Z]")))
+            .cast("long")
+            .alias("n_alpha_words"),
+            stopword_count_of(toks, GOPHER_STOPWORDS).alias("stop_hits"),
+        )
+        return bind_once(scalars, over_scalars)
+
+    return bind_once(tokens_col(text), over_toks)

@@ -368,6 +368,34 @@ def test_gopher_rules_single_projection_no_shuffle(spark, sf_dir):
     assert "text" in read and "n_chars" not in read
 
 
+def test_text_plans_tokenize_once_per_row(spark, sf_dir):
+    """Round-11 expression-shape guard: the audited text plans must
+    hold exactly ONE regexp split per plan leg — the dict-of-Columns
+    consumers used to re-tokenize per selected column (28 splits/row
+    in text_lang_id, 16 in text_gopher_rules; tests/
+    expression_audit.py is the sweep tool, BASELINE.md round 11 the
+    record). The struct variants bind tokens once and emit through an
+    inline() generator that CollapseProject cannot merge into."""
+    from big_data_analysis_of_airline_data_set_spark.plans import all_queries
+
+    specs = all_queries()
+    for name, max_splits in (
+        ("text_lang_id", 1),
+        ("text_stats", 1),
+        ("text_gopher_rules", 1),
+    ):
+        plan = (
+            specs[name]
+            .fn(spark, sf_dir)
+            ._jdf.queryExecution()
+            .optimizedPlan()
+            .toString()
+        )
+        assert plan.count("split(") <= max_splits, (
+            f"{name}: {plan.count('split(')} splits in optimized plan"
+        )
+
+
 def test_bloom_prefilter_is_map_side_before_shuffle(spark, sf_dir):
     """The Bloom membership test must run in the scan/project stage of
     the big side — BELOW the join's exchange — and stay a Column

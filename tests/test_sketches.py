@@ -100,12 +100,13 @@ def test_kmv_small_group_estimate_sane(spark):
 
 
 def test_kmv_sketch_hashes_once_per_row(spark):
-    """Round-11 plan-shape guard for the explode-by-k → k-min-column
-    fold: the two md5 draws must evaluate ONCE per input row, i.e. the
-    producer projection survives below the aggregate (CollapseProject
-    must not inline a non-cheap expression referenced k times) and the
-    Generate that restores long form sits ABOVE the aggregate, so it
-    multiplies k·groups rows, not k·data rows."""
+    """Round-11 plan-shape guard: the two md5 draws must evaluate ONCE
+    per input row — the producer projection survives below the
+    explode, so the k× row fan-out carries computed longs, never
+    re-hashes (CollapseProject must not inline a non-cheap producer).
+    The fold to k min-agg columns was measured and REJECTED (3× slower
+    — 64-function HashAggregate drops out of codegen; BASELINE.md
+    round 11, kmv_sketch docstring)."""
     from big_data_analysis_of_airline_data_set_spark.sketches.kmv import kmv_sketch
 
     df = spark.createDataFrame(
@@ -114,8 +115,6 @@ def test_kmv_sketch_hashes_once_per_row(spark):
     sk = kmv_sketch(df, group_col="grp", value_col="val", k=64)
     plan = sk._jdf.queryExecution().optimizedPlan().toString()
     assert plan.count("md5(") == 2
-    # top-down print: the Generate must appear before (above) the Aggregate
-    assert plan.index("Generate") < plan.index("Aggregate")
 
 
 def test_hll_estimate_within_band_and_union_merge(spark):
