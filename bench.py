@@ -355,6 +355,12 @@ def _run_suite(
 ) -> tuple[dict[str, float], float]:
     """Median-of-``repeats`` per query (interleaved rounds), plus the
     suite total of medians."""
+    # Sanity row counts re-EXECUTE each query once (count() runs a
+    # pruned second plan; observe() is off-limits — the Spark 4.1
+    # ObservationManager serialization bug breaks later MLlib
+    # evaluates). Timings never included it, but it inflated total
+    # bench wall-clock (round-10 advice), so it is opt-in now.
+    want_rows = os.environ.get("SPARK_GRAFT_BENCH_ROWCOUNT") == "1"
     samples: dict[str, list[float]] = {name: [] for name in names}
     for r in range(repeats):
         for name in names:
@@ -363,10 +369,8 @@ def _run_suite(
             _materialize(df)
             dt = time.perf_counter() - t0
             samples[name].append(dt)
-            if r == 0:
-                # row count printed for sanity, OUTSIDE the timed
-                # region (count() re-executes a pruned plan)
-                n = df.count()
+            if r == 0 and want_rows:
+                n = df.count()  # outside the timed region
                 print(
                     f"# [{tag}] round 1/{repeats} {name}: {dt:.2f}s ({n} rows)",
                     file=sys.stderr,
@@ -381,10 +385,31 @@ def _run_suite(
     return timings, total
 
 
+def _testdata_generation(sf_dir: str) -> str:
+    """Generation stamp of the timed corpus: newest parquet mtime under
+    ``sf_dir`` (UTC, second resolution). The driver REGENERATES
+    /root/testdata every round, so per-query wall-clock deltas are
+    comparable ONLY between records carrying the SAME stamp — round 10
+    measured a +26 % uniform swing across code-untouched queries from
+    generation drift alone (BASELINE.md round-10 continuity runs).
+    Stamped into every record; ``main`` adds an explicit comparability
+    warning when the previous record's stamp differs."""
+    import glob
+
+    mtimes = [
+        os.stat(p).st_mtime
+        for p in glob.glob(os.path.join(sf_dir, "**", "*.parquet"), recursive=True)
+    ]
+    if not mtimes:
+        return "unknown"
+    return time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime(max(mtimes)))
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     repeats = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3")))
+    generation = _testdata_generation(sf_dir)
 
     from big_data_analysis_of_airline_data_set_spark.plans import all_queries
     from big_data_analysis_of_airline_data_set_spark.plans.events_queries import (
@@ -547,7 +572,24 @@ def main() -> None:
         "skew_suite": skew_total,
         "skew_queries": skew_timings,
         "sf": float(sf),
+        "testdata_generation": generation,
     }
+    # Mechanical cross-generation fence (round-10 verdict item 4): if
+    # the previous committed record was measured against a different
+    # testdata generation, say so IN the record — per-query deltas
+    # across generations are ill-posed (the corpus changed, not the
+    # code; round 10's 170× contamination surprise).
+    out_path = os.environ.get("SPARK_GRAFT_BENCH_OUT", "BENCH_LOCAL.json")
+    try:
+        with open(out_path) as f:
+            prev_gen = json.loads(f.readline()).get("testdata_generation")
+        if prev_gen and prev_gen != generation:
+            record["comparability"] = (
+                f"per-query deltas vs the previous record are ill-posed: "
+                f"testdata generation changed ({prev_gen} -> {generation})"
+            )
+    except (OSError, ValueError):
+        pass
     # The driver records only a 4096-char TAIL of stdout and parses the
     # final line as JSON (round-5 verdict #4: the r5 record came back
     # "parsed": null because the full per-suite dump overflowed that
@@ -555,7 +597,6 @@ def main() -> None:
     # timings plus per-suite totals, comfortably under 4 KB — and the
     # full per-suite detail goes to the committed file, anchored to a
     # commit rather than a captured stream.
-    out_path = os.environ.get("SPARK_GRAFT_BENCH_OUT", "BENCH_LOCAL.json")
     compact = {
         k: v
         for k, v in record.items()

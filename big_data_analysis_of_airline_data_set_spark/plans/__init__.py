@@ -57,102 +57,97 @@ _MODULES = [
 ]
 
 # The driver's correctness harness records only the first 50 registry
-# entries.  Round-10 window (r9 verdict, Next round #1: finish the
-# stale-evidence drain — the last 12 r3-era rows go first, then the
-# oldest r4-era rows fill the rest; never-driver-checked is ZERO).
-# Budget: 4 changed-plan re-proofs + 12 r3-era drains + 34 oldest
-# r4-era drains = 50.  After this window the oldest
-# latest-driver-row anywhere in the catalog is r4, held by exactly
-# the 11 leftovers listed at the bottom (two of the four (a) entries
-# are themselves r4-era, so they drain through (a)) — they fit in the
-# r11 window with 39 slots to spare.  Every rotated-out query keeps a green
-# r4–r9 row on record; the flagship stays driver-evidenced every
-# round through the t1 entry() smoke check.
+# entries.  Round-11 window (r10 verdict items 1-2 and 5): every plan
+# the round's expression-shape work changed re-proves first, the 11
+# remaining r4-era rows drain next (closing r4 entirely), and the
+# oldest r5-era rows fill the rest.  Budget: 15 changed-plan
+# re-proofs + 11 r4-era drains (text_gopher_rules is BOTH — counted
+# once, in (b)) + 24 oldest r5-era = 50.  After this window the
+# oldest latest-driver-row anywhere is r5, held by the 15 r5-era
+# leftovers listed at the bottom.  The flagship stays
+# driver-evidenced every round through the t1 entry() smoke check.
 _CORRECTNESS_WINDOW = [
-    # (a) code changed this round — plans behind standing green rows
-    # were rebuilt, so the results are re-proved on the new plans:
-    # the bloom probe became a blocked filter with a scalar-subquery
-    # word table (operators/bloom_join.py; 34 s → 3.4 s on the x10
-    # rung), and the contamination shingle build now binds the token
-    # array once per row instead of re-tokenizing per gram
-    # (curation/contamination.py via text.analysis.bind_once;
-    # 36 s → 2.2 s at sf0.1, identical output), and the fastText-
-    # shaped quality scorer now binds its token and gram arrays once
-    # per row, emitting its outputs through one inline() generator
-    # (text/quality_classifier.py; 19-25 s → 2.8 s at sf0.1 under the
-    # honest noop materializer, byte-identical); the Poisson
-    # bootstrap binds its uniform draw once, emits (replica, weight)
-    # through one generator, and rebalances its fan-out input
-    # (stats/bootstrap.py + operators/transforms.rebalance_for_fanout;
-    # 13-16 s → ~2 s at sf0.1, identical output)
+    # (a) plans changed by the round-11 expression-shape sweep
+    # (BASELINE.md round 11; all pre-proved green against the DuckDB
+    # oracle at sf0.01 before commit):
+    # - join_heavy_hitters_cm: CMS probe crossJoin carry → scalar
+    #   subquery (wall-neutral, BNLJ stage gone, tail variance down)
+    # - join_bloom_prefiltered: word-table view now unique-per-call +
+    #   dropped after analysis (advice concurrency fix)
+    # - text_lang_id / text_stats / curation_pipeline: tokens bound
+    #   once; struct components via inline() generator (28→1 splits)
+    # - ann_*: query vector as one array Literal + driver-side q-norm
+    #   (cosine_to_const_expr, bit-identical floats); IVF centroid
+    #   table as nested Literal
+    # - sketch_hll_* / events_hll_*: linear-counting table as Literal
+    # - stats_benford_audit: expected-share table as Literal
+    "join_heavy_hitters_cm",
     "join_bloom_prefiltered",
-    "curation_contamination",
-    "text_quality_classifier",
-    "stats_bootstrap_means",
-    # (b) the last 12 r3-era rows (r9 verdict item 1 names them
-    # verbatim; the judge's own r9 spot-run found all 12 green, so
-    # this is bookkeeping closure, not risk retirement)
-    "curation_domain_mixture",
-    "events_anomaly_zscore",
-    "events_sliding_window",
-    "events_tumbling_stream",
-    "events_user_sessions",
-    "ml_linear_svc_tvs",
-    "ml_logistic_regression_cv",
-    "ml_mlp_tvs",
-    "ml_naive_bayes_tvs",
-    "multimodal_frame_sample",
-    "text_heavy_hitters",
-    "text_vocab_stats",
-    # (c) the 34 oldest r4-era rows (planner order — sorted by name
-    # within the round, matching tests/window_planner.py output;
-    # stats_bootstrap_means moved UP into (a) as its plan changed)
+    "text_lang_id",
+    "text_stats",
+    "curation_pipeline",
+    "ann_bruteforce_topk",
+    "ann_lsh_topk",
+    "ann_ivf_topk",
     "ann_quantized_rerank",
-    "coreset_kcenter",
-    "curation_dsir_resample",
-    "curation_group_split",
-    "curation_length_buckets",
-    "dedup_attribution",
-    "dedup_span_scrub",
-    "embedding_class_profile",
-    "events_dedup_stream",
-    "events_interval_join_stream",
-    "events_kmv_stream",
-    "events_markov_transitions",
-    "events_session_stream",
-    "events_sliding_stream",
-    "events_user_totals_stream",
-    "fd_violations",
-    "feature_winsorize",
-    "incremental_mv_merge",
-    "ml_decision_tree_metrics_banded",
-    "ml_gbt_metrics_banded",
-    "ml_linear_svc_metrics_banded",
-    "ml_logistic_regression_cv_metrics_banded",
-    "ml_logistic_regression_metrics_banded",
-    "ml_mlp_metrics_banded",
-    "ml_naive_bayes_metrics_banded",
-    "ml_random_forest_metrics_banded",
-    "ml_reference_bands",
-    "multimodal_audio_features",
-    "multimodal_decode_audio",
-    "multimodal_decode_image",
-    "multimodal_image_features",
-    "multimodal_image_resize",
-    "pit_join_versions",
-    "projection_name_pattern",
-    # Not in this window — the 11 remaining r4-era rows, displaced
-    # only by window size (planner order continues alphabetically;
-    # quantiles_approx_by_group, ri_orphans,
-    # sink_partitioned_roundtrip and sink_report_csv_roundtrip
-    # yielded their slots to the four changed-plan re-proofs in (a);
-    # text_quality_classifier and stats_bootstrap_means moved UP into
-    # (a) as their plans changed): quantiles_approx_by_group,
-    # ri_orphans, sink_partitioned_roundtrip,
-    # sink_report_csv_roundtrip, sketch_kmv_distinct, snapshot_diff,
-    # stats_mad_by_group, text_gopher_rules, text_inverted_index,
-    # text_oov_rate, zorder_cells.  Each keeps its green r4 row; all
-    # eleven rotate into r11.
+    "ann_ivf_quantized_rerank",
+    "sketch_hll_distinct",
+    "sketch_hll_set_ops",
+    "events_hll_sliding_distinct",
+    "events_hll_stream",
+    "stats_benford_audit",
+    # (b) the 11 remaining r4-era rows (r10 verdict item 5 names them;
+    # closes the r4 era — text_gopher_rules is also a changed plan,
+    # its struct rewrite re-proves here)
+    "quantiles_approx_by_group",
+    "ri_orphans",
+    "sink_partitioned_roundtrip",
+    "sink_report_csv_roundtrip",
+    "sketch_kmv_distinct",
+    "snapshot_diff",
+    "stats_mad_by_group",
+    "text_gopher_rules",
+    "text_inverted_index",
+    "text_oov_rate",
+    "zorder_cells",
+    # (c) the 24 oldest r5-era rows (planner order — sorted by name
+    # within the round, matching tests/window_planner.py output;
+    # ann_ivf_quantized_rerank and stats_benford_audit are r5-era but
+    # moved UP into (a) as their plans changed)
+    "approx_distinct_by_group",
+    "array_functions",
+    "chi_square_sql",
+    "correlation_pairs",
+    "cube_agg",
+    "curation_chunking",
+    "dedup_fuzzy_pairs",
+    "events_attribution",
+    "events_enrich_stream",
+    "events_resample_ffill",
+    "events_rolling_active_users",
+    "feature_winsorize_exact",
+    "flagship_sql",
+    "grouping_sets_agg",
+    "incremental_join_delta",
+    "join_anti",
+    "join_full_outer",
+    "join_inner_agg",
+    "join_semi",
+    "lateral_explode",
+    "map_functions",
+    "ml_variant_sweep",
+    "multimodal_decode_png",
+    "range_join_bucketized",
+    # Not in this window — the 15 remaining r5-era rows, displaced
+    # only by window size (planner order continues alphabetically):
+    # rollup_agg, salted_join_agg, set_except,
+    # sketch_kmv_join_cardinality, stats_group_ols, stats_moments,
+    # sum_by_year, text_token_rarity, tpch_q1_style, union_reassembly,
+    # variance, window_analytics, window_frames, window_ranking,
+    # window_top_order.  Each keeps its green r5 row; all fifteen
+    # rotate into r12 with 35 slots to spare.  (sketch_kmv_* plans are
+    # UNCHANGED this round: the queued explode-fold was measured 3×
+    # slower and rejected — BASELINE.md round 11 negative results.)
 ]
 
 

@@ -61,6 +61,13 @@ def events_stream_reader(
     return reader.parquet(events_dir)
 
 
+# Observability: final + per-batch progress of the last drain per
+# query name (state-store rows, batch durations). Written after every
+# _run_to_memory drain; read by tests/scale_stress.py's streaming
+# growth rung. Never read by any query path.
+LAST_PROGRESS: dict[str, list[dict]] = {}
+
+
 def _run_to_memory(
     result: DataFrame,
     *,
@@ -95,6 +102,10 @@ def _run_to_memory(
             .start()
         )
         q.awaitTermination()
+        try:
+            LAST_PROGRESS[query_name] = list(q.recentProgress)
+        except Exception:  # noqa: BLE001 — observability must never fail a drain
+            LAST_PROGRESS[query_name] = []
     finally:
         if saved is not None:
             spark.conf.set("spark.sql.shuffle.partitions", saved)

@@ -919,6 +919,99 @@ def stress_text(spark) -> list[dict]:
     return rows
 
 
+def _events_xn(spark, out_dir: str, n_rep: int) -> None:
+    """Derived event-volume rung: events replicated ``n_rep``× with
+    user_id and event_id SHIFTED per replica (user_id + r·2000,
+    event_id + r·100000 — both beyond the sf0.1 key ranges), timestamps
+    UNCHANGED. Same time range at n× row density is the streaming
+    risk regime: every watermark horizon holds n× rows, so join/session
+    state must grow n× while matched output grows LINEARLY (shifted
+    keys mean replicas never join each other — unshifted replication
+    would square the matches and measure the corpus, not the state
+    store). Other tables symlinked unscaled; n_rep=1 is a rewrite of
+    sf0.1 through the same writer (shared layout + provenance)."""
+    from pyspark.sql import functions as F
+
+    if os.path.exists(out_dir):
+        return
+    os.makedirs(out_dir)
+    ev = spark.read.parquet(os.path.join(SF1, "events.parquet"))
+    rep = F.explode(F.sequence(F.lit(0), F.lit(n_rep - 1))).alias("_r")
+    (
+        ev.select("*", rep)
+        .withColumn("user_id", F.col("user_id") + F.col("_r") * 2_000)
+        .withColumn("event_id", F.col("event_id") + F.col("_r") * 100_000)
+        .drop("_r")
+        .write.parquet(os.path.join(out_dir, "events.parquet"))
+    )
+    for t in (
+        "region", "nation", "customer", "supplier", "part", "orders",
+        "lineitem", "documents", "embeddings",
+    ):
+        src = os.path.join(SF1, f"{t}.parquet")
+        if os.path.exists(src):
+            os.symlink(src, os.path.join(out_dir, f"{t}.parquet"))
+
+
+_STREAM_QUERIES = [
+    # query name -> the memory-sink name its drain registers
+    ("events_interval_join_stream", "events_interval_join_stream"),
+    ("events_session_stream", "events_session_stream"),
+    ("events_spacesaving_stream", "events_spacesaving_stream"),
+]
+
+
+def stress_streaming(spark) -> list[dict]:
+    """r10 verdict item 3: the streaming drains were the last family
+    with no measured ×10 growth evidence — the stream-stream join's
+    state store is the named 100× risk. Times the three state-heaviest
+    streaming catalog entries at 1× and 10× event volume (same time
+    range, n× density — see _events_xn) and reads the state-store
+    peak (max numRowsTotal across micro-batches) from the drain's
+    recorded progress (streaming.jobs.LAST_PROGRESS). 3 reps; the
+    reported wall is the MEDIAN OF THE LAST TWO (rep 1 carries the
+    one-time event landing for the rung dir plus JIT)."""
+    from big_data_analysis_of_airline_data_set_spark.plans import all_queries
+    from big_data_analysis_of_airline_data_set_spark.streaming import jobs
+
+    q = all_queries()
+    rows = []
+    for rung, n_rep in (("x1", 1), ("x10", 10)):
+        d = os.path.join(STRESS_DIR, f"events_{rung}")
+        _events_xn(spark, d, n_rep)
+        ev_rows = spark.read.parquet(os.path.join(d, "events.parquet")).count()
+        for name, sink in _STREAM_QUERIES:
+            walls, out_rows, state_peak, batches = [], None, None, None
+            for _ in range(3):
+                t0 = time.time()
+                out_rows = q[name].fn(spark, d).count()
+                walls.append(round(time.time() - t0, 2))
+                progress = jobs.LAST_PROGRESS.get(sink, [])
+                batches = len(progress)
+                state_peak = max(
+                    (
+                        op.get("numRowsTotal", 0)
+                        for p in progress
+                        for op in p.get("stateOperators", [])
+                    ),
+                    default=None,
+                )
+            rows.append(
+                {
+                    "rung": rung,
+                    "events_rows": ev_rows,
+                    "query": name,
+                    "out_rows": out_rows,
+                    "state_rows_peak": state_peak,
+                    "micro_batches": batches,
+                    "wall_s": walls,
+                    "warm_s": round(sum(sorted(walls[1:])[:2]) / 2, 2),
+                }
+            )
+            print("streaming", rows[-1], flush=True)
+    return rows
+
+
 def main() -> None:
     import sys
 
@@ -926,7 +1019,7 @@ def main() -> None:
 
     suites = sys.argv[1:] or [
         "minhash", "ivf", "fuzzy", "simhash", "ngram", "emb_lsh", "graph",
-        "relational", "text",
+        "relational", "text", "streaming",
     ]
     spark = get_session()
     os.makedirs(STRESS_DIR, exist_ok=True)
@@ -958,6 +1051,8 @@ def main() -> None:
     if "text" in suites:
         _docs_x10(spark, os.path.join(STRESS_DIR, "documents_x10.parquet"))
         report["text"] = stress_text(spark)
+    if "streaming" in suites:
+        report["streaming"] = stress_streaming(spark)
     print(json.dumps(report, indent=1))
 
 
