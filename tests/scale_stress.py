@@ -976,7 +976,13 @@ def stress_streaming(spark) -> list[dict]:
 
     q = all_queries()
     rows = []
-    for rung, n_rep in (("x1", 1), ("x10", 10)):
+    # default rungs x1/x10; SPARK_GRAFT_STREAM_RUNGS="x1,x10,x100"
+    # adds the literal 100x tier (10M events, ~10M session-state rows)
+    rungs = [
+        (r, int(r[1:]))
+        for r in os.environ.get("SPARK_GRAFT_STREAM_RUNGS", "x1,x10").split(",")
+    ]
+    for rung, n_rep in rungs:
         d = os.path.join(STRESS_DIR, f"events_{rung}")
         _events_xn(spark, d, n_rep)
         ev_rows = spark.read.parquet(os.path.join(d, "events.parquet")).count()
