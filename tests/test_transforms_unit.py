@@ -96,3 +96,32 @@ def test_bind_once_single_evaluation_in_plan(spark):
     assert bound._jdf.queryExecution().analyzed().toString().count("xxhash64") == 1
     # and the values are identical
     assert [r.x for r in naive.collect()] == [r.x for r in bound.collect()]
+
+
+def test_ship_as_scalar_subquery_unique_names_and_safe_drop(spark):
+    """Round-11 advice fix: each call binds its own uniquely-named view
+    and the view can be dropped immediately after the consumer is
+    built (eager analysis resolves the subquery into the view's
+    LocalRelation) — a later re-bind or drop must not affect an
+    already-analyzed plan, and concurrent callers can never collide on
+    one shared name."""
+    from pyspark.sql import functions as F
+
+    from big_data_analysis_of_airline_data_set_spark.operators.bloom_join import (
+        ship_as_scalar_subquery,
+    )
+
+    arr1, view1 = ship_as_scalar_subquery(spark, [10, 20, 30])
+    df1 = spark.range(3).select(
+        F.element_at(arr1, (F.col("id") + 1).cast("int")).alias("v")
+    )
+    arr2, view2 = ship_as_scalar_subquery(spark, [7, 7, 7])
+    df2 = spark.range(3).select(
+        F.element_at(arr2, (F.col("id") + 1).cast("int")).alias("v")
+    )
+    assert view1 != view2
+    spark.catalog.dropTempView(view1)
+    spark.catalog.dropTempView(view2)
+    # both plans keep their own resolved copies after the drops
+    assert [r.v for r in df1.collect()] == [10, 20, 30]
+    assert [r.v for r in df2.collect()] == [7, 7, 7]
