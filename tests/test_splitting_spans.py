@@ -109,3 +109,34 @@ def test_group_split_no_leakage_and_stability(spark):
     b = {r.user_id: r.split for r in
          group_split(df2, group_col="user_id").select("user_id", "split").distinct().collect()}
     assert a == b
+
+
+def test_cross_doc_span_stats_persist_variant_identical(spark):
+    """persist_spans trades the double tokenize+md5 for a lazy
+    localCheckpoint of the span table (r11 A/B: 3x faster on long
+    docs, slower on short — module docstring); output must be
+    byte-identical either way."""
+    from big_data_analysis_of_airline_data_set_spark.dedup.spans import (
+        cross_doc_span_stats,
+    )
+
+    rows = [
+        (1, "alpha beta gamma delta epsilon zeta eta theta " * 3),
+        (2, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+        (3, "totally different words here that no one else shares okay"),
+        (4, ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    base = sorted(
+        map(tuple, cross_doc_span_stats(df, id_col="doc_id", text_col="text").collect())
+    )
+    ckpt = sorted(
+        map(
+            tuple,
+            cross_doc_span_stats(
+                df, id_col="doc_id", text_col="text", persist_spans=True
+            ).collect(),
+        )
+    )
+    assert base == ckpt
+    assert base[0][1] > 0  # doc 1 has spans
