@@ -173,10 +173,15 @@ def q_dedup_spans_crossdoc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C4/RefinedWeb-style cross-document span dedup signal: per doc,
     how many of its 8-token spans also occur in ANOTHER document
     (boilerplate/template detection — dedup/spans.py). Two hash
-    shuffles, md5-replayable fingerprints."""
+    shuffles, md5-replayable fingerprints. ``persist_spans=True``: the
+    documents corpus is the long-document regime where checkpointing
+    the span table beats recomputing its two consumers 3× (6.8 →
+    2.3 s at sf0.1; the short-document counter-case and the crossover
+    rule are measured in BASELINE.md round 11)."""
     d = read_testdata_table(spark, sf_dir, "documents")
     return cross_doc_span_stats(
-        d, id_col="doc_id", text_col="text", span_words=_SPAN_WORDS
+        d, id_col="doc_id", text_col="text", span_words=_SPAN_WORDS,
+        persist_spans=True,
     )
 
 
