@@ -61,10 +61,11 @@ _MODULES = [
 # the round's expression-shape work changed re-proves first, the 11
 # remaining r4-era rows drain next (closing r4 entirely), and the
 # oldest r5-era rows fill the rest.  Budget: 16 changed-plan
-# re-proofs (incl. the spans persist_spans flip) + 11 r4-era drains
-# (text_gopher_rules is BOTH — counted once, in (b)) + 23 oldest
-# r5-era = 50.  After this window the oldest latest-driver-row
-# anywhere is r5, held by the 16 r5-era leftovers listed at the
+# re-proofs (incl. the spans persist_spans flip) + 1 NEW entry
+# (text_bigram_perplexity — never-checked goes first by policy) + 11
+# r4-era drains (text_gopher_rules is BOTH — counted once, in (b)) +
+# 22 oldest r5-era = 50.  After this window the oldest latest-driver-row
+# anywhere is r5, held by the 17 r5-era leftovers listed at the
 # bottom.  The flagship stays
 # driver-evidenced every round through the t1 entry() smoke check.
 _CORRECTNESS_WINDOW = [
@@ -93,6 +94,12 @@ _CORRECTNESS_WINDOW = [
     # displaces the last (c) filler range_join_bucketized, which
     # keeps its green r5 row and rotates into r12
     "dedup_spans_crossdoc",
+    # text_bigram_perplexity: NEW this round (CCNet-style bigram-LM
+    # quality scoring — the one capability add inside the <=290
+    # freeze); never-driver-checked entries go first by policy, so it
+    # takes the (c) slot multimodal_decode_png held (green r5 row,
+    # rotates to r12)
+    "text_bigram_perplexity",
     "ann_bruteforce_topk",
     "ann_lsh_topk",
     "ann_ivf_topk",
@@ -117,7 +124,7 @@ _CORRECTNESS_WINDOW = [
     "text_inverted_index",
     "text_oov_rate",
     "zorder_cells",
-    # (c) the 23 oldest r5-era rows (planner order — sorted by name
+    # (c) the 22 oldest r5-era rows (planner order — sorted by name
     # within the round, matching tests/window_planner.py output;
     # ann_ivf_quantized_rerank and stats_benford_audit are r5-era but
     # moved UP into (a) as their plans changed)
@@ -143,17 +150,18 @@ _CORRECTNESS_WINDOW = [
     "lateral_explode",
     "map_functions",
     "ml_variant_sweep",
-    "multimodal_decode_png",
-    # Not in this window — the 16 remaining r5-era rows, displaced
+    # Not in this window — the 17 remaining r5-era rows, displaced
     # only by window size (planner order continues alphabetically;
-    # range_join_bucketized yielded its slot to the
-    # dedup_spans_crossdoc changed-plan re-proof):
-    # range_join_bucketized, rollup_agg, salted_join_agg, set_except,
+    # range_join_bucketized and multimodal_decode_png yielded their
+    # slots to the dedup_spans_crossdoc changed-plan re-proof and the
+    # new text_bigram_perplexity entry):
+    # multimodal_decode_png, range_join_bucketized, rollup_agg,
+    # salted_join_agg, set_except,
     # sketch_kmv_join_cardinality, stats_group_ols, stats_moments,
     # sum_by_year, text_token_rarity, tpch_q1_style, union_reassembly,
     # variance, window_analytics, window_frames, window_ranking,
-    # window_top_order.  Each keeps its green r5 row; all sixteen
-    # rotate into r12 with 34 slots to spare.  (sketch_kmv_* plans are
+    # window_top_order.  Each keeps its green r5 row; all seventeen
+    # rotate into r12 with 33 slots to spare.  (sketch_kmv_* plans are
     # UNCHANGED this round: the queued explode-fold was measured 3×
     # slower and rejected — BASELINE.md round 11 negative results.)
 ]

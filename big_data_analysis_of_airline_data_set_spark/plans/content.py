@@ -1606,11 +1606,71 @@ FROM scored
 """
 
 
+_PPL_REF_MOD = 10
+
+
+def q_text_bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style bigram-LM perplexity scoring (text/perplexity.py):
+    every document's mean negative log2 bigram probability under an
+    add-one model built from the deterministic reference slice
+    ``doc_id % 10 == 0``. Lower bits = more reference-like — the
+    standard model-based quality-bucketing signal (Wenzek et al.
+    2020). One bigram-key shuffle join + one broadcast history join;
+    tokens bound once per row (docs/expression-shapes.md)."""
+    from ..text.perplexity import perplexity_scores
+
+    d = read_testdata_table(spark, sf_dir, "documents")
+    return perplexity_scores(
+        d, id_col="doc_id", text_col="text", ref_mod=_PPL_REF_MOD
+    )
+
+
+_PPL_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t FROM documents
+),
+pairs AS (
+  SELECT doc_id, t[i] AS w1, t[i + 1] AS w2
+  FROM toks, LATERAL (SELECT unnest(range(1, len(t))) AS i)
+  WHERE len(t) >= 2
+),
+ref_pairs AS (SELECT * FROM pairs WHERE doc_id % {_PPL_REF_MOD} = 0),
+c12 AS (SELECT w1, w2, count(*) AS c12 FROM ref_pairs GROUP BY 1, 2),
+c1  AS (SELECT w1, count(*) AS c1 FROM ref_pairs GROUP BY 1),
+v   AS (
+  SELECT count(DISTINCT tok) AS v
+  FROM (SELECT unnest(t) AS tok FROM toks WHERE doc_id % {_PPL_REF_MOD} = 0)
+),
+bits AS (
+  SELECT p.doc_id,
+         -log2(CAST(COALESCE(c12.c12, 0) + 1 AS DOUBLE)
+               / CAST(COALESCE(c1.c1, 0) + v.v AS DOUBLE)) AS b
+  FROM pairs p
+  LEFT JOIN c12 USING (w1, w2)
+  LEFT JOIN c1 USING (w1)
+  CROSS JOIN v
+),
+per AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+         round(sum(b) / count(*), 6) AS ppl_bits
+  FROM bits GROUP BY 1
+)
+SELECT d.doc_id,
+       COALESCE(per.n_bigrams, 0) AS n_bigrams,
+       per.ppl_bits AS ppl_bits
+FROM documents d LEFT JOIN per USING (doc_id)
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "text_quality_classifier": QuerySpec(
         "text_quality_classifier", q_text_quality_classifier,
         _quality_classifier_oracle(),
         "fastText-shaped hashed-ngram linear quality scorer, shuffle-free",
+    ),
+    "text_bigram_perplexity": QuerySpec(
+        "text_bigram_perplexity", q_text_bigram_perplexity, _PPL_ORACLE,
+        "CCNet-style bigram-LM perplexity quality scoring (add-one, log2 bits)",
     ),
     "text_token_rarity": QuerySpec(
         "text_token_rarity", q_text_token_rarity, _TOKEN_RARITY_ORACLE,

@@ -1,3 +1,4 @@
+from .perplexity import bigrams_col, perplexity_scores
 from .analysis import (
     tokens_col,
     token_count,
@@ -15,6 +16,8 @@ from .analysis import (
 )
 
 __all__ = [
+    "bigrams_col",
+    "perplexity_scores",
     "tokens_col",
     "token_count",
     "bpe_style_token_count",

@@ -393,3 +393,36 @@ def test_minhash_pin_reuses_identical_plan_and_swaps_on_new_corpus(spark):
     ).count()
     assert stats["n_docs"] == 40
     assert len(mh._SHINGLE_PIN) == 0  # released, not left pinned-but-evicted
+
+
+def test_bigram_perplexity_hand_computed(spark):
+    """Tiny corpus, add-one bigram model checked against hand-derived
+    bits. Reference slice = doc_id % 10 == 0 → only doc 0.
+    doc 0 tokens: a b a b  → bigrams (a,b) x2, (b,a) x1
+    c12: (a,b)=2, (b,a)=1; c1: a=2, b=1; V = 2 (distinct tokens {a,b})
+    doc 0 bits: (a,b): -log2(3/4) ; (b,a): -log2(2/3) ; (a,b) again
+       mean = (2*log2(4/3) + log2(3/2)) / 3
+    doc 1 tokens: a c → bigram (a,c) unseen: -log2((0+1)/(2+2)) = 2.0
+    doc 2: single token → n_bigrams 0, ppl_bits NULL."""
+    import math
+
+    from big_data_analysis_of_airline_data_set_spark.text.perplexity import (
+        perplexity_scores,
+    )
+
+    df = spark.createDataFrame(
+        [(0, "a b a b"), (1, "a c"), (2, "solo")],
+        "doc_id int, text string",
+    )
+    got = {
+        r.doc_id: r
+        for r in perplexity_scores(
+            df, id_col="doc_id", text_col="text", ref_mod=10
+        ).collect()
+    }
+    exp0 = (2 * math.log2(4 / 3) + math.log2(3 / 2)) / 3
+    assert got[0].n_bigrams == 3
+    assert abs(got[0].ppl_bits - round(exp0, 6)) < 1e-9
+    assert got[1].n_bigrams == 1
+    assert got[1].ppl_bits == 2.0
+    assert got[2].n_bigrams == 0 and got[2].ppl_bits is None
