@@ -222,7 +222,16 @@ def ship_as_scalar_subquery(
     LocalRelation) and then drop the view via
     ``spark.catalog.dropTempView(view_name)`` — after analysis the
     plan holds its own resolved copy and the name is dead. Identical
-    repeated subqueries in one plan execute once (ReuseSubquery)."""
+    repeated subqueries in one plan execute once (ReuseSubquery).
+
+    CLASSIC-MODE ONLY: under Spark Connect, Dataset analysis is lazy
+    (deferred to the server at execution), so a caller following the
+    build-then-drop contract would drop the view before the consumer
+    plan ever resolves and the subquery fails at execution.  Connect
+    callers must defer ``dropTempView`` until after the consumer's
+    first materialization (or leak the view for the session) — guard
+    on ``spark.conf.get("spark.api.mode", "classic")`` if both modes
+    must be served."""
     name = f"__scalar_arr_{next(_SCALAR_VIEW_SEQ)}"
     spark.createDataFrame(
         [(values,)], f"arr: array<{element_type}>"

@@ -67,6 +67,20 @@ def events_stream_reader(
 # growth rung. Never read by any query path.
 LAST_PROGRESS: dict[str, list[dict]] = {}
 
+# Drain sink selector (round-12 verdict item 3). "memory" is the
+# catalog/oracle contract: the drained output is collected into a
+# driver memory table so the DuckDB oracle can read the full result —
+# correct for correctness, but at the ×100 rung the driver-side
+# collection is the measured staller, so timing it benches the
+# HARNESS, not the operator. bench.py flips this to "noop" so the
+# streaming suites time the real drain (source → state store → sink)
+# with output rows written-and-discarded JVM-side; the downstream
+# ``spark.table(query_name)`` contract is preserved via an
+# empty-but-correctly-typed temp view (bench timings never read the
+# output values). Correctness paths (driver t2, pytest) never touch
+# this flag and always drain to memory.
+DRAIN_SINK = "memory"
+
 
 def _run_to_memory(
     result: DataFrame,
@@ -88,25 +102,50 @@ def _run_to_memory(
     """
     spark = result.sparkSession
     saved = None
+    # recentProgress retains only the last numRecentProgressUpdates
+    # (default ~100) progress events, so a many-micro-batch drain would
+    # silently under-report the state-store peak that the growth rungs
+    # derive from LAST_PROGRESS (round-12 advice).  Raise the retention
+    # far beyond any drain we run; restored after the drain.
+    saved_prog = spark.conf.get(
+        "spark.sql.streaming.numRecentProgressUpdates", "100"
+    )
+    spark.conf.set("spark.sql.streaming.numRecentProgressUpdates", "100000")
     if shuffle_partitions is not None:
         saved = spark.conf.get("spark.sql.shuffle.partitions")
         spark.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
     try:
         checkpoint = tempfile.mkdtemp(prefix=f"ckpt-{query_name}-")
-        q = (
-            result.writeStream.format("memory")
-            .queryName(query_name)
-            .outputMode(output_mode)
-            .option("checkpointLocation", checkpoint)
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
+        if DRAIN_SINK == "noop":
+            q = (
+                result.writeStream.format("noop")
+                .outputMode(output_mode)
+                .option("checkpointLocation", checkpoint)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+            spark.createDataFrame([], result.schema).createOrReplaceTempView(
+                query_name
+            )
+        else:
+            q = (
+                result.writeStream.format("memory")
+                .queryName(query_name)
+                .outputMode(output_mode)
+                .option("checkpointLocation", checkpoint)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
         try:
             LAST_PROGRESS[query_name] = list(q.recentProgress)
         except Exception:  # noqa: BLE001 — observability must never fail a drain
             LAST_PROGRESS[query_name] = []
     finally:
+        spark.conf.set(
+            "spark.sql.streaming.numRecentProgressUpdates", saved_prog
+        )
         if saved is not None:
             spark.conf.set("spark.sql.shuffle.partitions", saved)
 

@@ -105,9 +105,16 @@ def perplexity_scores(
         F.col(id_col).alias("_id"),
         F.explode(bigrams_col(F.col(text_col))).alias("_b"),
     ).select("_id", F.col("_b.w1").alias("w1"), F.col("_b.w2").alias("w2"))
+    # history_counts is keyed by every distinct reference token — an
+    # UNBOUNDED vocabulary at the 100 TB posture, so forcing a
+    # broadcast here would be a driver/executor OOM risk on a large
+    # reference slice (round-12 advice).  Left to AQE: below
+    # autoBroadcastJoinThreshold it still broadcasts at runtime from
+    # measured stats; above it the join shuffles on w1, which is the
+    # correct plan for a big vocabulary.
     scored = (
         doc_pairs.join(bigram_counts, ["w1", "w2"], "left")
-        .join(F.broadcast(history_counts), ["w1"], "left")
+        .join(history_counts, ["w1"], "left")
         .select(
             "_id",
             (

@@ -84,10 +84,26 @@ SF01 = "/root/testdata/sf0.01"
 SF1 = "/root/testdata/sf0.1"
 
 
+def _parquet_complete(out_path: str) -> bool:
+    """True iff ``out_path`` is a FULLY-written Spark parquet dir.
+
+    The committer drops a ``_SUCCESS`` marker only after the job
+    commits, so a crashed previous run leaves a directory without it —
+    reuse that and every later rung silently measures a partial corpus
+    (round-12 advice). Partial dirs are removed so the caller's write
+    starts clean."""
+    if not os.path.exists(out_path):
+        return False
+    if os.path.exists(os.path.join(out_path, "_SUCCESS")):
+        return True
+    shutil.rmtree(out_path)
+    return False
+
+
 def _docs_x10(spark, out_path: str) -> None:
     from pyspark.sql import functions as F
 
-    if os.path.exists(out_path):
+    if _parquet_complete(out_path):
         return
     base = spark.read.parquet(os.path.join(SF1, "documents.parquet"))
     vocab = (
@@ -137,7 +153,7 @@ def _docs_x10(spark, out_path: str) -> None:
 def _embeddings_x10(spark, out_path: str) -> None:
     from pyspark.sql import functions as F
 
-    if os.path.exists(out_path):
+    if _parquet_complete(out_path):
         return
     base = spark.read.parquet(os.path.join(SF1, "embeddings.parquet"))
     reps = base.select(
@@ -163,7 +179,7 @@ def _embeddings_x10(spark, out_path: str) -> None:
 def _names_synth(spark, out_path: str, n: int) -> None:
     from pyspark.sql import functions as F
 
-    if os.path.exists(out_path):
+    if _parquet_complete(out_path):
         return
     base = spark.read.parquet(os.path.join(SF1, "part.parquet"))
     vocab = (
@@ -217,7 +233,7 @@ def _codes_synth(spark, out_path: str, n: int) -> None:
     q-gram blocking is actually for."""
     from pyspark.sql import functions as F
 
-    if os.path.exists(out_path):
+    if _parquet_complete(out_path):
         return
     codes = (
         spark.range(n)
@@ -734,7 +750,12 @@ def _relational_xn(spark, out_dir: str, n_rep: int) -> None:
 
     if os.path.exists(out_dir):
         return
-    os.makedirs(out_dir)
+    # Temp-dir + atomic rename: same partial-corpus guard as
+    # _events_xn (round-12 advice).
+    tmp_dir = out_dir + ".building"
+    if os.path.exists(tmp_dir):
+        shutil.rmtree(tmp_dir)
+    os.makedirs(tmp_dir)
     orders = spark.read.parquet(os.path.join(SF1, "orders.parquet"))
     li = spark.read.parquet(os.path.join(SF1, "lineitem.parquet"))
     span = orders.agg(F.max("o_orderkey")).first()[0] + 1
@@ -743,13 +764,13 @@ def _relational_xn(spark, out_dir: str, n_rep: int) -> None:
         orders.select("*", rep)
         .withColumn("o_orderkey", F.col("o_orderkey") + F.col("_r") * span)
         .drop("_r")
-        .write.parquet(os.path.join(out_dir, "orders.parquet"))
+        .write.parquet(os.path.join(tmp_dir, "orders.parquet"))
     )
     (
         li.select("*", rep)
         .withColumn("l_orderkey", F.col("l_orderkey") + F.col("_r") * span)
         .drop("_r")
-        .write.parquet(os.path.join(out_dir, "lineitem.parquet"))
+        .write.parquet(os.path.join(tmp_dir, "lineitem.parquet"))
     )
     for t in (
         "region", "nation", "customer", "supplier", "part",
@@ -757,7 +778,8 @@ def _relational_xn(spark, out_dir: str, n_rep: int) -> None:
     ):
         src = os.path.join(SF1, f"{t}.parquet")
         if os.path.exists(src):
-            os.symlink(src, os.path.join(out_dir, f"{t}.parquet"))
+            os.symlink(src, os.path.join(tmp_dir, f"{t}.parquet"))
+    os.rename(tmp_dir, out_dir)
 
 
 _REL_QUERIES = [
@@ -934,7 +956,15 @@ def _events_xn(spark, out_dir: str, n_rep: int) -> None:
 
     if os.path.exists(out_dir):
         return
-    os.makedirs(out_dir)
+    # Build in a sibling temp dir and os.rename into place so a
+    # crashed previous run can never leave a partial events.parquet
+    # that later rungs silently reuse (round-12 advice) — the rename
+    # is atomic on the same filesystem and out_dir only ever exists
+    # complete.
+    tmp_dir = out_dir + ".building"
+    if os.path.exists(tmp_dir):
+        shutil.rmtree(tmp_dir)
+    os.makedirs(tmp_dir)
     ev = spark.read.parquet(os.path.join(SF1, "events.parquet"))
     rep = F.explode(F.sequence(F.lit(0), F.lit(n_rep - 1))).alias("_r")
     (
@@ -942,7 +972,7 @@ def _events_xn(spark, out_dir: str, n_rep: int) -> None:
         .withColumn("user_id", F.col("user_id") + F.col("_r") * 2_000)
         .withColumn("event_id", F.col("event_id") + F.col("_r") * 100_000)
         .drop("_r")
-        .write.parquet(os.path.join(out_dir, "events.parquet"))
+        .write.parquet(os.path.join(tmp_dir, "events.parquet"))
     )
     for t in (
         "region", "nation", "customer", "supplier", "part", "orders",
@@ -950,7 +980,8 @@ def _events_xn(spark, out_dir: str, n_rep: int) -> None:
     ):
         src = os.path.join(SF1, f"{t}.parquet")
         if os.path.exists(src):
-            os.symlink(src, os.path.join(out_dir, f"{t}.parquet"))
+            os.symlink(src, os.path.join(tmp_dir, f"{t}.parquet"))
+    os.rename(tmp_dir, out_dir)
 
 
 _STREAM_QUERIES = [
@@ -1018,6 +1049,188 @@ def stress_streaming(spark) -> list[dict]:
     return rows
 
 
+def _graph_corpus(spark, name: str, rung: str, n_rep: int, build_x1) -> str:
+    """Derived edge-volume rung for the iterative-graph family: the
+    catalog's OWN edge set (build_x1) replicated ``n_rep``× with node
+    ids suffixed per replica ('<node>#<r>') — replicas are DISJOINT
+    subgraphs, so every global property (degree distribution, peel
+    depth, PageRank convergence rate, BFS levels) is preserved per
+    replica and total work must grow LINEARLY in replicas; suffixing
+    at n_rep=1 too keeps both rungs on the same layout/provenance.
+    Disjointness is the point: a replication that let replicas
+    interact would change graph STRUCTURE (density, diameter) and
+    measure the corpus, not the operator — the _events_xn key-shift
+    principle applied to graphs. NOTE the ×10 node count crossing
+    operators/graph.py:_BC_NODES_MAX (200k) for the part→supplier
+    graph is intentional — the rung exercises both sides of the
+    broadcast gate."""
+    from pyspark.sql import functions as F
+
+    out = os.path.join(STRESS_DIR, f"graph_{name}_{rung}.parquet")
+    if _parquet_complete(out):
+        return out
+    df = build_x1()
+    cols = df.columns
+    rep = F.explode(F.sequence(F.lit(0), F.lit(n_rep - 1))).alias("_r")
+    out_df = df.select("*", rep).select(
+        *[
+            F.concat(F.col(c).cast("string"), F.lit("#"), F.col("_r")).alias(c)
+            for c in cols
+        ]
+    )
+    out_df.write.parquet(out)
+    return out
+
+
+def stress_graph_family(spark) -> list[dict]:
+    """r11 verdict item 2: extend the ×10 growth-rung standard to the
+    iterative graph family — the last family with no measured scale
+    rung (graph_pagerank_converged is the slowest catalog entry).
+    Times the five catalog graph operators at 1× and 10× edge volume
+    on derived rungs of the catalog's own graphs; 3 reps, median.
+    Records per-op iteration counts (stopped_at / peel rounds are the
+    wall multiplier) and node/edge counts so the exponent separates
+    per-iteration cost from iteration count. Rep 1 absorbs JIT and
+    the per-run persist builds; the median reads reps 2-3."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from big_data_analysis_of_airline_data_set_spark.operators.graph import (
+        bfs_distances,
+        k_core,
+        label_propagation,
+        orient_by_degree,
+        pagerank_converged_scope,
+        triangle_counts,
+    )
+    from big_data_analysis_of_airline_data_set_spark.plans.analytics_ops import (
+        _trading_edges,
+    )
+    from big_data_analysis_of_airline_data_set_spark.plans.patterns import (
+        _co_supplier_edges,
+    )
+
+    def ps_edges():
+        li = spark.read.parquet(os.path.join(SF1, "lineitem.parquet"))
+        return li.select(
+            F.concat(F.lit("p"), F.col("l_partkey")).alias("src"),
+            F.concat(F.lit("s"), F.col("l_suppkey")).alias("dst"),
+        )
+
+    def co50():
+        return _co_supplier_edges(spark, SF1, 0.5)
+
+    def co90():
+        return _co_supplier_edges(spark, SF1, 0.9)
+
+    def trade():
+        return _trading_edges(spark, SF1)
+
+    def trade_seeds():
+        s = spark.read.parquet(os.path.join(SF1, "supplier.parquet"))
+        return s.filter(F.col("s_nationkey") == 0).select(
+            F.concat(F.lit("s:"), F.col("s_suppkey").cast("string")).alias(
+                "vertex"
+            )
+        )
+
+    rows = []
+    for rung, n_rep in (("x1", 1), ("x10", 10)):
+        paths = {
+            name: _graph_corpus(spark, name, rung, n_rep, fn)
+            for name, fn in (
+                ("ps", ps_edges),
+                ("co50", co50),
+                ("co90", co90),
+                ("trade", trade),
+                ("seeds", trade_seeds),
+            )
+        }
+
+        def rd(name):
+            return spark.read.parquet(paths[name])
+
+        counts = {
+            name: rd(name).count() for name in ("ps", "co50", "co90", "trade")
+        }
+
+        def run(op, fn, **extra_fields):
+            walls, extras = [], {}
+            for _ in range(3):
+                t0 = time.time()
+                extras = fn() or {}
+                walls.append(round(time.time() - t0, 2))
+            rows.append(
+                {
+                    "rung": rung,
+                    "op": op,
+                    "wall_s": walls,
+                    "median_s": sorted(walls)[1],
+                    **extra_fields,
+                    **extras,
+                }
+            )
+            print("graph_family", rows[-1], flush=True)
+
+        def pr():
+            with pagerank_converged_scope(
+                rd("ps"), max_iterations=10, tol=0.4, check_every=2,
+                round_dp=12,
+            ) as (ranks, stopped):
+                n = ranks.count()
+            return {"stopped_at": stopped, "n_nodes": n}
+
+        run("pagerank_converged", pr, n_edges=counts["ps"])
+
+        def kc():
+            e = rd("co50")
+            sym = e.union(
+                e.select(F.col("v").alias("u"), F.col("u").alias("v"))
+            ).persist()
+            med = (
+                sym.groupBy("u")
+                .agg(F.count(F.lit(1)).alias("n"))
+                .agg(F.expr("percentile(n, 0.5)"))
+                .first()[0]
+            )
+            k = int(math.floor(0.6 * float(med))) + 1
+            try:
+                core = k_core(
+                    sym, k=k, u="u", v="v", max_rounds=12, symmetric=True
+                )
+                n = core.count()
+            finally:
+                sym.unpersist()
+            return {"k": k, "core_rows": n}
+
+        run("k_core", kc, n_edges=counts["co50"])
+
+        def lpa():
+            labels = label_propagation(rd("co50"), rounds=3)
+            return {"label_rows": labels.count()}
+
+        run("label_propagation", lpa, n_edges=counts["co50"])
+
+        def bfs():
+            dist = bfs_distances(rd("trade"), rd("seeds"), max_hops=6)
+            return {"dist_rows": dist.count()}
+
+        run("bfs_distances", bfs, n_edges=counts["trade"])
+
+        def tri():
+            e = orient_by_degree(rd("co90"), u="u", v="v").persist()
+            per_vertex = triangle_counts(e, u="s", v="t", oriented=True)
+            total = per_vertex.agg(
+                (F.sum("n_triangles") / 3).cast("long")
+            ).first()[0]
+            e.unpersist()
+            return {"n_triangles": int(total or 0)}
+
+        run("triangles", tri, n_edges=counts["co90"])
+    return rows
+
+
 def main() -> None:
     import sys
 
@@ -1025,7 +1238,7 @@ def main() -> None:
 
     suites = sys.argv[1:] or [
         "minhash", "ivf", "fuzzy", "simhash", "ngram", "emb_lsh", "graph",
-        "relational", "text", "streaming",
+        "graph_family", "relational", "text", "streaming",
     ]
     spark = get_session()
     os.makedirs(STRESS_DIR, exist_ok=True)
@@ -1052,6 +1265,8 @@ def main() -> None:
         report["emb_lsh"] = stress_emb_lsh(spark)
     if "graph" in suites:
         report["graph"] = stress_graph(spark)
+    if "graph_family" in suites:
+        report["graph_family"] = stress_graph_family(spark)
     if "relational" in suites:
         report["relational"] = stress_relational(spark)
     if "text" in suites:

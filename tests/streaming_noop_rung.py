@@ -43,6 +43,12 @@ def _drain_noop(result, *, shuffle_partitions: int = 8):
     spark = result.sparkSession
     saved = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
+    # Keep every progress event so the state peak covers ALL
+    # micro-batches, not just the last ~100 (round-12 advice).
+    saved_prog = spark.conf.get(
+        "spark.sql.streaming.numRecentProgressUpdates", "100"
+    )
+    spark.conf.set("spark.sql.streaming.numRecentProgressUpdates", "100000")
     try:
         t0 = time.time()
         q = (
@@ -65,6 +71,9 @@ def _drain_noop(result, *, shuffle_partitions: int = 8):
         )
         return wall, peak, len(prog)
     finally:
+        spark.conf.set(
+            "spark.sql.streaming.numRecentProgressUpdates", saved_prog
+        )
         spark.conf.set("spark.sql.shuffle.partitions", saved)
 
 
