@@ -37,8 +37,15 @@ def infer_feature_columns(
     return categorical, numeric
 
 
-def build_pipeline(categorical_cols: list[str], numeric_cols: list[str], estimator) -> Pipeline:
-    """indexers → encoders → assembler → scaler → assembler → estimator."""
+def feature_stages(
+    categorical_cols: list[str], numeric_cols: list[str]
+) -> list:
+    """The parameter-free transform prefix: indexers → encoders →
+    assembler → scaler → assembler ending in the ``features`` vector.
+    Split out (round 12) so tuners can fit it ONCE per feature set
+    instead of once per grid candidate inside TVS — none of these
+    stages carries a tuned parameter, so re-fitting them per candidate
+    is pure repeated work (at scale, hours of it)."""
     stages = []
     encoded_cols = [f"{c}_encoded" for c in categorical_cols]
     if categorical_cols:
@@ -58,5 +65,18 @@ def build_pipeline(categorical_cols: list[str], numeric_cols: list[str], estimat
             inputCols=encoded_cols + ["vector_num_scaled"], outputCol="features"
         )
     )
-    stages.append(estimator)
-    return Pipeline(stages=stages)
+    return stages
+
+
+def build_feature_pipeline(
+    categorical_cols: list[str], numeric_cols: list[str]
+) -> Pipeline:
+    """Estimator-less Pipeline over :func:`feature_stages`."""
+    return Pipeline(stages=feature_stages(categorical_cols, numeric_cols))
+
+
+def build_pipeline(categorical_cols: list[str], numeric_cols: list[str], estimator) -> Pipeline:
+    """indexers → encoders → assembler → scaler → assembler → estimator."""
+    return Pipeline(
+        stages=feature_stages(categorical_cols, numeric_cols) + [estimator]
+    )
