@@ -385,6 +385,26 @@ def _run_suite(
     return timings, total
 
 
+def _cpu_times() -> tuple[int, int]:
+    """(total_jiffies, steal_jiffies) from /proc/stat's aggregate cpu
+    line. The sandbox is a VM: host co-tenant load appears ONLY as
+    steal time — no guest process list ever names it. Round 12
+    measured graph_k_core at 2.3 s under ~0% steal and 13.4 s under
+    ~12% steal on identical code + corpus (tests/steal_probe.py):
+    barrier-synchronized many-task stages amplify modest steal into
+    large wall multipliers, which is what the unattributed r10→r11
+    r6/r6b suite drift was. Every record now carries the steal
+    fraction measured over its own window so cross-record deltas can
+    be discounted mechanically, like the testdata_generation stamp."""
+    try:
+        with open("/proc/stat") as f:
+            parts = f.readline().split()
+        vals = [int(x) for x in parts[1:]]
+        return sum(vals), vals[7] if len(vals) > 7 else 0
+    except (OSError, ValueError, IndexError):
+        return 0, 0
+
+
 def _testdata_generation(sf_dir: str) -> str:
     """Generation stamp of the timed corpus: newest parquet mtime under
     ``sf_dir`` (UTC, second resolution). The driver REGENERATES
@@ -417,9 +437,23 @@ def main() -> None:
     )
     from big_data_analysis_of_airline_data_set_spark.session import get_session
 
+    bench_t_all0, bench_t_st0 = _cpu_times()
+
     spark = get_session("bench")
     spark.sparkContext.setLogLevel("ERROR")
     specs = all_queries()
+
+    # Streaming drains: bench times the noop-sink path (round-12
+    # verdict item 3) — the memory sink exists for the ORACLE (driver
+    # collects the sink table to compare against DuckDB) and its
+    # driver-side collection is the measured ×100 staller, so timing it
+    # benches the harness, not the operator. SPARK_GRAFT_STREAM_SINK=
+    # memory restores the old numbers for continuity checks. Catalog /
+    # driver-correctness paths never see this flag.
+    from big_data_analysis_of_airline_data_set_spark.streaming import jobs as _sjobs
+
+    stream_sink = os.environ.get("SPARK_GRAFT_STREAM_SINK", "noop")
+    _sjobs.DRAIN_SINK = stream_sink
 
     spark.range(1_000_000).selectExpr("sum(id)").collect()
     # Land the timed dir's events table for the streaming queries during
@@ -573,7 +607,17 @@ def main() -> None:
         "skew_queries": skew_timings,
         "sf": float(sf),
         "testdata_generation": generation,
+        # *_stream entries timed through this sink (see BASELINE.md
+        # round-12 methodology note; "noop" from r12 on).
+        "stream_sink": stream_sink,
     }
+    bench_t_all1, bench_t_st1 = _cpu_times()
+    if bench_t_all1 > bench_t_all0:
+        record["steal_pct"] = round(
+            100.0 * (bench_t_st1 - bench_t_st0)
+            / (bench_t_all1 - bench_t_all0),
+            2,
+        )
     # Mechanical cross-generation fence (round-10 verdict item 4): if
     # the previous committed record was measured against a different
     # testdata generation, say so IN the record — per-query deltas
