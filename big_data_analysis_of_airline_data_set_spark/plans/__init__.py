@@ -57,113 +57,87 @@ _MODULES = [
 ]
 
 # The driver's correctness harness records only the first 50 registry
-# entries.  Round-11 window (r10 verdict items 1-2 and 5): every plan
-# the round's expression-shape work changed re-proves first, the 11
-# remaining r4-era rows drain next (closing r4 entirely), and the
-# oldest r5-era rows fill the rest.  Budget: 16 changed-plan
-# re-proofs (incl. the spans persist_spans flip) + 1 NEW entry
-# (text_bigram_perplexity — never-checked goes first by policy) + 11
-# r4-era drains (text_gopher_rules is BOTH — counted once, in (b)) +
-# 22 oldest r5-era = 50.  After this window the oldest latest-driver-row
-# anywhere is r5, held by the 17 r5-era leftovers listed at the
-# bottom.  The flagship stays
-# driver-evidenced every round through the t1 entry() smoke check.
+# entries.  Round-12 window (r11 verdict task 4 + this round's changed
+# plans): (a) every plan changed this round re-proves first — the 15
+# ML entries whose TVS path moved to prefix-once fitting
+# (ml/tuning.py:fit_tvs_prefix_once — the transform prefix now fits
+# once per feature set on full train instead of once per grid
+# candidate inside TVS; invariants unchanged by construction, metrics
+# banded) plus text_bigram_perplexity (forced broadcast of the
+# unbounded-vocab history table dropped in favour of AQE, round-12
+# advice; values identical, plan changed) — then (b) the 17 remaining
+# r5-era rows (closing the r5 era entirely), then (c) the 17 oldest
+# r6-era rows in planner order.  16 + 17 + 17 = 50.  After this window
+# the oldest latest-driver-row anywhere is r6 (the 18 r6-era leftovers
+# listed at the bottom).  The flagship stays driver-evidenced every
+# round through the t1 entry() smoke check.
 _CORRECTNESS_WINDOW = [
-    # (a) plans changed by the round-11 expression-shape sweep
-    # (BASELINE.md round 11; all pre-proved green against the DuckDB
-    # oracle at sf0.01 before commit):
-    # - join_heavy_hitters_cm: CMS probe crossJoin carry → scalar
-    #   subquery (wall-neutral, BNLJ stage gone, tail variance down)
-    # - join_bloom_prefiltered: word-table view now unique-per-call +
-    #   dropped after analysis (advice concurrency fix)
-    # - text_lang_id / text_stats / curation_pipeline: tokens bound
-    #   once; struct components via inline() generator (28→1 splits)
-    # - ann_*: query vector as one array Literal + driver-side q-norm
-    #   (cosine_to_const_expr, bit-identical floats); IVF centroid
-    #   table as nested Literal
-    # - sketch_hll_* / events_hll_*: linear-counting table as Literal
-    # - stats_benford_audit: expected-share table as Literal
-    "join_heavy_hitters_cm",
-    "join_bloom_prefiltered",
-    "text_lang_id",
-    "text_stats",
-    "curation_pipeline",
-    # dedup_spans_crossdoc: catalog adopted persist_spans=True (span
-    # table checkpointed once instead of recomputed per consumer —
-    # 3× on the long-document corpus, BASELINE.md round-11 A/B);
-    # displaces the last (c) filler range_join_bucketized, which
-    # keeps its green r5 row and rotates into r12
-    "dedup_spans_crossdoc",
-    # text_bigram_perplexity: NEW this round (CCNet-style bigram-LM
-    # quality scoring — the one capability add inside the <=290
-    # freeze); never-driver-checked entries go first by policy, so it
-    # takes the (c) slot multimodal_decode_png held (green r5 row,
-    # rotates to r12)
-    "text_bigram_perplexity",
-    "ann_bruteforce_topk",
-    "ann_lsh_topk",
-    "ann_ivf_topk",
-    "ann_quantized_rerank",
-    "ann_ivf_quantized_rerank",
-    "sketch_hll_distinct",
-    "sketch_hll_set_ops",
-    "events_hll_sliding_distinct",
-    "events_hll_stream",
-    "stats_benford_audit",
-    # (b) the 11 remaining r4-era rows (r10 verdict item 5 names them;
-    # closes the r4 era — text_gopher_rules is also a changed plan,
-    # its struct rewrite re-proves here)
-    "quantiles_approx_by_group",
-    "ri_orphans",
-    "sink_partitioned_roundtrip",
-    "sink_report_csv_roundtrip",
-    "sketch_kmv_distinct",
-    "snapshot_diff",
-    "stats_mad_by_group",
-    "text_gopher_rules",
-    "text_inverted_index",
-    "text_oov_rate",
-    "zorder_cells",
-    # (c) the 22 oldest r5-era rows (planner order — sorted by name
-    # within the round, matching tests/window_planner.py output;
-    # ann_ivf_quantized_rerank and stats_benford_audit are r5-era but
-    # moved UP into (a) as their plans changed)
-    "approx_distinct_by_group",
-    "array_functions",
-    "chi_square_sql",
-    "correlation_pairs",
-    "cube_agg",
-    "curation_chunking",
-    "dedup_fuzzy_pairs",
-    "events_attribution",
-    "events_enrich_stream",
-    "events_resample_ffill",
-    "events_rolling_active_users",
-    "feature_winsorize_exact",
-    "flagship_sql",
-    "grouping_sets_agg",
-    "incremental_join_delta",
-    "join_anti",
-    "join_full_outer",
-    "join_inner_agg",
-    "join_semi",
-    "lateral_explode",
-    "map_functions",
+    # (a) changed plans this round — ML prefix-once TVS re-proofs
+    # (all seven families: invariants + banded metrics twins share one
+    # cached fit per family) and the variant sweep
+    "ml_logistic_regression_tvs",
+    "ml_logistic_regression_metrics_banded",
+    "ml_decision_tree_tvs",
+    "ml_decision_tree_metrics_banded",
+    "ml_random_forest_tvs",
+    "ml_random_forest_metrics_banded",
+    "ml_gbt_tvs",
+    "ml_gbt_metrics_banded",
+    "ml_linear_svc_tvs",
+    "ml_linear_svc_metrics_banded",
+    "ml_naive_bayes_tvs",
+    "ml_naive_bayes_metrics_banded",
+    "ml_mlp_tvs",
+    "ml_mlp_metrics_banded",
     "ml_variant_sweep",
-    # Not in this window — the 17 remaining r5-era rows, displaced
-    # only by window size (planner order continues alphabetically;
-    # range_join_bucketized and multimodal_decode_png yielded their
-    # slots to the dedup_spans_crossdoc changed-plan re-proof and the
-    # new text_bigram_perplexity entry):
-    # multimodal_decode_png, range_join_bucketized, rollup_agg,
-    # salted_join_agg, set_except,
-    # sketch_kmv_join_cardinality, stats_group_ols, stats_moments,
-    # sum_by_year, text_token_rarity, tpch_q1_style, union_reassembly,
-    # variance, window_analytics, window_frames, window_ranking,
-    # window_top_order.  Each keeps its green r5 row; all seventeen
-    # rotate into r12 with 33 slots to spare.  (sketch_kmv_* plans are
-    # UNCHANGED this round: the queued explode-fold was measured 3×
-    # slower and rejected — BASELINE.md round 11 negative results.)
+    # text_bigram_perplexity: history-table broadcast dropped (advice)
+    "text_bigram_perplexity",
+    # (b) the 17 remaining r5-era rows — closes the r5 era (planner
+    # order: sorted by name within the round)
+    "multimodal_decode_png",
+    "range_join_bucketized",
+    "rollup_agg",
+    "salted_join_agg",
+    "set_except",
+    "sketch_kmv_join_cardinality",
+    "stats_group_ols",
+    "stats_moments",
+    "sum_by_year",
+    "text_token_rarity",
+    "tpch_q1_style",
+    "union_reassembly",
+    "variance",
+    "window_analytics",
+    "window_frames",
+    "window_ranking",
+    "window_top_order",
+    # (c) the 17 oldest r6-era rows (planner order)
+    "cast_chain",
+    "conditional_aggregates",
+    "count_by_dow",
+    "count_by_month",
+    "dedup_entity_resolution",
+    "deterministic_sample",
+    "distinct_count",
+    "distinct_values",
+    "events_capped_sessions",
+    "events_cms_stream",
+    "events_cumulative_users",
+    "events_cusum_changepoint",
+    "events_journey_paths",
+    "events_peak_concurrency",
+    "events_streaks",
+    "events_twap",
+    "events_upsert_sink_stream",
+    # Not in this window — the 18 remaining r6-era rows, displaced
+    # only by window size (planner order continues): filter_status,
+    # filter_year, flagship_delay_summary_by_carrier,
+    # flights_cleaning_job, global_count, graph_hierarchy_flatten,
+    # ml_target_encoding, projection, scalar_functions, set_intersect,
+    # sketch_cms_join_size, stats_ab_test, stats_mannwhitney_u,
+    # stats_multi_ols, stats_welch_ttest, string_functions, top_k,
+    # union_schema_evolution.  Each keeps its green r6 row; all
+    # eighteen rotate into r13 with 32 slots to spare.
 ]
 
 

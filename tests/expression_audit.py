@@ -112,10 +112,24 @@ def audit(names: list[str] | None = None, sf_dir: str = "/root/testdata/sf0.001"
 
 
 def main() -> None:
-    rows = audit(sys.argv[1:] or None)
+    # --out <path>: also write the rows as a jsonl artifact so the
+    # per-round audit record (docs/audit_r<N>.jsonl) is produced
+    # mechanically by the tool instead of hand-assembled (round-11
+    # verdict hygiene item: r11's artifact was committed empty).
+    args = sys.argv[1:]
+    out_path = None
+    if "--out" in args:
+        i = args.index("--out")
+        out_path = args[i + 1]
+        args = args[:i] + args[i + 2 :]
+    rows = audit(args or None)
     rows.sort(key=lambda r: -r.get("expensive", 0))
-    for r in rows:
-        print(json.dumps(r), flush=True)
+    lines = [json.dumps(r) for r in rows]
+    for line in lines:
+        print(line, flush=True)
+    if out_path:
+        with open(out_path, "w") as f:
+            f.write("\n".join(lines) + "\n")
 
 
 if __name__ == "__main__":
