@@ -67,9 +67,10 @@ _MODULES = [
 # unbounded-vocab history table dropped in favour of AQE, round-12
 # advice; values identical, plan changed) — then (b) the 17 remaining
 # r5-era rows (closing the r5 era entirely), then (c) the 17 oldest
-# r6-era rows in planner order.  16 + 17 + 17 = 50.  After this window
-# the oldest latest-driver-row anywhere is r6 (the 18 r6-era leftovers
-# listed at the bottom).  The flagship stays driver-evidenced every
+# r6-era rows in planner order (events_upsert_sink_stream yielded its
+# slot to the NEW text_trigram_backoff entry).  17 + 17 + 16 = 50.
+# After this window the oldest latest-driver-row anywhere is r6 (the
+# 19 r6-era leftovers listed at the bottom).  The flagship stays driver-evidenced every
 # round through the t1 entry() smoke check.
 _CORRECTNESS_WINDOW = [
     # (a) changed plans this round — ML prefix-once TVS re-proofs
@@ -92,6 +93,12 @@ _CORRECTNESS_WINDOW = [
     "ml_variant_sweep",
     # text_bigram_perplexity: history-table broadcast dropped (advice)
     "text_bigram_perplexity",
+    # text_trigram_backoff: NEW this round (trigram stupid-backoff
+    # quality scoring, the designed-for model swap of perplexity.py);
+    # never-driver-checked goes first by policy — takes the slot the
+    # last (c) filler events_upsert_sink_stream held (green r6 row,
+    # rotates into r13)
+    "text_trigram_backoff",
     # (b) the 17 remaining r5-era rows — closes the r5 era (planner
     # order: sorted by name within the round)
     "multimodal_decode_png",
@@ -128,16 +135,16 @@ _CORRECTNESS_WINDOW = [
     "events_peak_concurrency",
     "events_streaks",
     "events_twap",
-    "events_upsert_sink_stream",
-    # Not in this window — the 18 remaining r6-era rows, displaced
-    # only by window size (planner order continues): filter_status,
+    # Not in this window — the 19 remaining r6-era rows, displaced
+    # only by window size (planner order continues):
+    # events_upsert_sink_stream, filter_status,
     # filter_year, flagship_delay_summary_by_carrier,
     # flights_cleaning_job, global_count, graph_hierarchy_flatten,
     # ml_target_encoding, projection, scalar_functions, set_intersect,
     # sketch_cms_join_size, stats_ab_test, stats_mannwhitney_u,
     # stats_multi_ols, stats_welch_ttest, string_functions, top_k,
     # union_schema_evolution.  Each keeps its green r6 row; all
-    # eighteen rotate into r13 with 32 slots to spare.
+    # nineteen rotate into r13 with 31 slots to spare.
 ]
 
 

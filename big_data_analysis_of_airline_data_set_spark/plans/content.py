@@ -1615,12 +1615,29 @@ def q_text_bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     add-one model built from the deterministic reference slice
     ``doc_id % 10 == 0``. Lower bits = more reference-like — the
     standard model-based quality-bucketing signal (Wenzek et al.
-    2020). One bigram-key shuffle join + one broadcast history join;
+    2020). One bigram-key shuffle join + one AQE-decided history join
+    (vocabulary-sized — never force-broadcast, round-12 advice);
     tokens bound once per row (docs/expression-shapes.md)."""
     from ..text.perplexity import perplexity_scores
 
     d = read_testdata_table(spark, sf_dir, "documents")
     return perplexity_scores(
+        d, id_col="doc_id", text_col="text", ref_mod=_PPL_REF_MOD
+    )
+
+
+def q_text_trigram_backoff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trigram stupid-backoff quality scoring (text/perplexity.py:
+    stupid_backoff_scores): mean −log2 of the Brants et al. 2007
+    backoff score over each document's trigrams, model built from the
+    ``doc_id % 10 == 0`` slice — the higher-order extension of
+    text_bigram_perplexity on the same reference slice (one reference
+    model family serves both scorers). Longest-match relative
+    frequency, α=0.4 per backoff level, add-one unigram floor."""
+    from ..text.perplexity import stupid_backoff_scores
+
+    d = read_testdata_table(spark, sf_dir, "documents")
+    return stupid_backoff_scores(
         d, id_col="doc_id", text_col="text", ref_mod=_PPL_REF_MOD
     )
 
@@ -1662,6 +1679,65 @@ FROM documents d LEFT JOIN per USING (doc_id)
 """
 
 
+_SB_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t FROM documents
+),
+tris AS (
+  SELECT doc_id, t[i] AS w1, t[i + 1] AS w2, t[i + 2] AS w3
+  FROM toks, LATERAL (SELECT unnest(range(1, len(t) - 1)) AS i)
+  WHERE len(t) >= 3
+),
+pairs AS (
+  SELECT doc_id, t[i] AS w1, t[i + 1] AS w2
+  FROM toks, LATERAL (SELECT unnest(range(1, len(t))) AS i)
+  WHERE len(t) >= 2
+),
+ref_tris AS (SELECT * FROM tris WHERE doc_id % {_PPL_REF_MOD} = 0),
+ref_pairs AS (SELECT * FROM pairs WHERE doc_id % {_PPL_REF_MOD} = 0),
+c123 AS (SELECT w1, w2, w3, count(*) AS c123 FROM ref_tris GROUP BY 1, 2, 3),
+c12t AS (SELECT w1, w2, count(*) AS c12 FROM ref_tris GROUP BY 1, 2),
+bc   AS (SELECT w1 AS w2, w2 AS w3, count(*) AS c23 FROM ref_pairs GROUP BY 1, 2),
+bh   AS (SELECT w1 AS w2, count(*) AS c2 FROM ref_pairs GROUP BY 1),
+c3   AS (
+  SELECT tok AS w3, count(*) AS c3
+  FROM (SELECT unnest(t) AS tok FROM toks WHERE doc_id % {_PPL_REF_MOD} = 0)
+  GROUP BY 1
+),
+nv AS (
+  SELECT count(DISTINCT tok) AS v, count(*) AS n
+  FROM (SELECT unnest(t) AS tok FROM toks WHERE doc_id % {_PPL_REF_MOD} = 0)
+),
+bits AS (
+  SELECT tr.doc_id,
+         -log2(CASE
+            WHEN COALESCE(c123.c123, 0) > 0
+              THEN CAST(c123.c123 AS DOUBLE) / CAST(c12t.c12 AS DOUBLE)
+            WHEN COALESCE(bc.c23, 0) > 0
+              THEN (0.4 * CAST(bc.c23 AS DOUBLE)) / CAST(bh.c2 AS DOUBLE)
+            ELSE ((0.4 * 0.4) * CAST(COALESCE(c3.c3, 0) + 1 AS DOUBLE))
+                 / CAST(nv.n + nv.v AS DOUBLE)
+          END) AS b
+  FROM tris tr
+  LEFT JOIN c123 USING (w1, w2, w3)
+  LEFT JOIN c12t USING (w1, w2)
+  LEFT JOIN bc USING (w2, w3)
+  LEFT JOIN bh USING (w2)
+  LEFT JOIN c3 USING (w3)
+  CROSS JOIN nv
+),
+per AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_trigrams,
+         round(sum(b) / count(*), 6) AS sb_bits
+  FROM bits GROUP BY 1
+)
+SELECT d.doc_id,
+       COALESCE(per.n_trigrams, 0) AS n_trigrams,
+       per.sb_bits AS sb_bits
+FROM documents d LEFT JOIN per USING (doc_id)
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "text_quality_classifier": QuerySpec(
         "text_quality_classifier", q_text_quality_classifier,
@@ -1671,6 +1747,11 @@ QUERIES: dict[str, QuerySpec] = {
     "text_bigram_perplexity": QuerySpec(
         "text_bigram_perplexity", q_text_bigram_perplexity, _PPL_ORACLE,
         "CCNet-style bigram-LM perplexity quality scoring (add-one, log2 bits)",
+    ),
+    "text_trigram_backoff": QuerySpec(
+        "text_trigram_backoff", q_text_trigram_backoff, _SB_ORACLE,
+        "trigram stupid-backoff quality scoring (Brants 2007; alpha=0.4,"
+        " add-one floor)",
     ),
     "text_token_rarity": QuerySpec(
         "text_token_rarity", q_text_token_rarity, _TOKEN_RARITY_ORACLE,

@@ -426,3 +426,42 @@ def test_bigram_perplexity_hand_computed(spark):
     assert got[1].n_bigrams == 1
     assert got[1].ppl_bits == 2.0
     assert got[2].n_bigrams == 0 and got[2].ppl_bits is None
+
+
+def test_trigram_stupid_backoff_hand_computed(spark):
+    """Tiny corpus exercising all THREE backoff levels against
+    hand-derived bits. Reference slice = doc_id % 10 == 0 → doc 0.
+    doc 0 tokens: a b a b a → trigrams (a,b,a)x2, (b,a,b)x1
+      c123: (a,b,a)=2, (b,a,b)=1; c12: (a,b)=2, (b,a)=1
+      bigrams: (a,b)x2, (b,a)x2 → c23 keyed (w2,w3); c2: a=2, b=2
+      unigrams: a=3, b=2 → V=2, N=5
+    doc 0: every trigram matches at top level with S=1 → 0.0 bits
+    doc 2: 'a a b' → (a,a,b) unseen; bigram (a,b)=2, history a=2 →
+      S = (0.4*2)/2 = 0.4 → bits = -log2(0.4)
+    doc 3: 'z z q' → trigram and bigram unseen → add-one floor
+      S = ((0.4*0.4)*(0+1))/(5+2) → bits = -log2(0.16/7)
+    doc 4: two tokens → n_trigrams 0, sb_bits NULL."""
+    import math
+
+    from big_data_analysis_of_airline_data_set_spark.text.perplexity import (
+        stupid_backoff_scores,
+    )
+
+    df = spark.createDataFrame(
+        [(0, "a b a b a"), (2, "a a b"), (3, "z z q"), (4, "a b")],
+        "doc_id int, text string",
+    )
+    got = {
+        r.doc_id: r
+        for r in stupid_backoff_scores(
+            df, id_col="doc_id", text_col="text", ref_mod=10
+        ).collect()
+    }
+    assert got[0].n_trigrams == 3 and got[0].sb_bits == 0.0
+    assert got[2].n_trigrams == 1
+    assert abs(got[2].sb_bits - round(-math.log2((0.4 * 2) / 2), 6)) < 1e-9
+    assert got[3].n_trigrams == 1
+    assert abs(
+        got[3].sb_bits - round(-math.log2((0.4 * 0.4 * 1) / 7), 6)
+    ) < 1e-9
+    assert got[4].n_trigrams == 0 and got[4].sb_bits is None
