@@ -802,12 +802,18 @@ def stress_relational(spark) -> list[dict]:
     those builds are not query work by the catalog's own contract, so
     the exponent reads the median. No clearCache: none of these
     queries persists Spark-cached state across calls (Q21's lazy
-    localCheckpoint is per-call), so reps are honest re-executions."""
+    localCheckpoint is per-call), so reps are honest re-executions.
+
+    SPARK_GRAFT_REL_RUNGS extends the ladder (r11 verdict stretch 7):
+    e.g. ``x1,x10,x100`` adds a 60M-lineitem-row decade (~1 GB
+    parquet, well inside the sandbox) — same derived-corpus recipe,
+    same queries, one decade more of exponent evidence."""
     from big_data_analysis_of_airline_data_set_spark.plans import all_queries
 
+    rung_names = os.environ.get("SPARK_GRAFT_REL_RUNGS", "x1,x10").split(",")
     q = all_queries()
     rows = []
-    for rung, n_rep in (("x1", 1), ("x10", 10)):
+    for rung, n_rep in ((r, int(r.lstrip("x"))) for r in rung_names):
         d = os.path.join(STRESS_DIR, f"relational_{rung}")
         _relational_xn(spark, d, n_rep)
         li_rows = spark.read.parquet(os.path.join(d, "lineitem.parquet")).count()
