@@ -116,7 +116,15 @@ def pagerank(
     The returned DataFrame is a LAZY persisted chain — no action runs
     here, so the caller's first action executes the whole loop as one
     job (measured ~25% faster end-to-end than materializing inside and
-    collecting separately: one fewer walk over the job graph).
+    collecting separately: one fewer walk over the job graph). An
+    eager-materialize-inside-a-narrowed-width-scope variant (the
+    pagerank_converged width discipline) was measured in round 12 and
+    REJECTED: 9.9 s → 13.1 s median at sf0.1 (tests/ab_loops.py) — the
+    lazy chain's single job walk beats per-iteration width narrowing
+    here because, unlike pagerank_converged, this loop has no barrier
+    actions to amortize the extra walks against, and the narrowed
+    post-aggregate exchanges serialize work the 32-task stages ran in
+    parallel. The lazy contract stands.
 
     RELEASE CONTRACT (changed in round 4 — read this): the CALLER owns
     the release. Consume the result, then call
@@ -645,27 +653,42 @@ def label_propagation(
         .select("vertex", F.col("vertex").alias("label"))
         .localCheckpoint(eager=True)
     )
-    bc = _node_frame_bc(labels.count(), broadcast_nodes_max)
-    for _ in range(rounds):
-        cnt = (
-            sym.join(bc(labels), sym["_d"] == labels["vertex"])
-            .groupBy(F.col("_s").alias("vertex_"), "label")
-            .agg(F.count(F.lit(1)).alias("n"))
-            .withColumnRenamed("vertex_", "vertex")
-        )
-        # top-1 by (n desc, label asc) == min of struct(-n, label):
-        # lexicographic struct comparison, unique winner, same total
-        # order the window formulation sorted by
-        labels = (
-            cnt.groupBy("vertex")
-            .agg(
-                F.min(
-                    F.struct((-F.col("n")).alias("_negn"), F.col("label"))
-                ).alias("_top")
+    n = labels.count()
+    bc = _node_frame_bc(n, broadcast_nodes_max)
+    # Width scope (round-12): in the broadcast regime both per-round
+    # exchanges — the (vertex, label) count partials and the top-1
+    # re-aggregate — are node-table-sized, so size them ceil(n/50k)
+    # instead of the session width. Sound here because every action
+    # (the per-round eager checkpoints) runs inside the loop; sym was
+    # already materialized at session width by the labels checkpoint
+    # above. Above the gate the session width is untouched (the
+    # sym ⋈ labels exchange is edge-fed there).
+    scope = (
+        _iteration_shuffle_width(edges.sparkSession, n)
+        if n <= broadcast_nodes_max
+        else nullcontext()
+    )
+    with scope:
+        for _ in range(rounds):
+            cnt = (
+                sym.join(bc(labels), sym["_d"] == labels["vertex"])
+                .groupBy(F.col("_s").alias("vertex_"), "label")
+                .agg(F.count(F.lit(1)).alias("n"))
+                .withColumnRenamed("vertex_", "vertex")
             )
-            .select("vertex", F.col("_top.label").alias("label"))
-            .localCheckpoint(eager=True)
-        )
+            # top-1 by (n desc, label asc) == min of struct(-n, label):
+            # lexicographic struct comparison, unique winner, same total
+            # order the window formulation sorted by
+            labels = (
+                cnt.groupBy("vertex")
+                .agg(
+                    F.min(
+                        F.struct((-F.col("n")).alias("_negn"), F.col("label"))
+                    ).alias("_top")
+                )
+                .select("vertex", F.col("_top.label").alias("label"))
+                .localCheckpoint(eager=True)
+            )
     sym.unpersist()
     return labels
 
@@ -731,36 +754,50 @@ def bfs_distances(
     # frontier grows/shrinks
     n_frontier = frontier.count()
     levels = [frontier.select("vertex", F.lit(0).cast("long").alias("dist"))]
+    # Width scope (round-12): the one per-level exchange (the candidate
+    # distinct) outputs AT MOST the vertex total, so gate + size the
+    # loop's shuffle width from n_nodes — NOT from the frontier, whose
+    # size bounds the broadcasts but not the distinct's output. The
+    # count doubles as the pre-scope materialization of the edge cache
+    # (its distinct aggregate computes sym at session width). Sound:
+    # every action (per-level checkpoints + counts) runs in the loop.
+    n_nodes = sym.select("_s").distinct().count()
+    scope = (
+        _iteration_shuffle_width(edges.sparkSession, n_nodes)
+        if n_nodes <= broadcast_nodes_max
+        else nullcontext()
+    )
     prev2, n_prev2 = None, 0
-    for h in range(1, max_hops + 1):
-        bc = _node_frame_bc(n_frontier, broadcast_nodes_max)
-        cand = (
-            sym.join(
-                bc(frontier.withColumnRenamed("vertex", "_s")),
-                "_s",
-                "left_semi",
+    with scope:
+        for h in range(1, max_hops + 1):
+            bc = _node_frame_bc(n_frontier, broadcast_nodes_max)
+            cand = (
+                sym.join(
+                    bc(frontier.withColumnRenamed("vertex", "_s")),
+                    "_s",
+                    "left_semi",
+                )
+                .select(F.col("_d").alias("vertex"))
+                .distinct()
+                .join(bc(frontier), "vertex", "left_anti")
             )
-            .select(F.col("_d").alias("vertex"))
-            .distinct()
-            .join(bc(frontier), "vertex", "left_anti")
-        )
-        if prev2 is not None:
-            # gate on prev2's OWN size — frontiers shrink as well as
-            # grow, so the current frontier's size doesn't vouch for it
-            cand = cand.join(
-                _node_frame_bc(n_prev2, broadcast_nodes_max)(prev2),
-                "vertex",
-                "left_anti",
+            if prev2 is not None:
+                # gate on prev2's OWN size — frontiers shrink as well as
+                # grow, so the current frontier's size doesn't vouch for it
+                cand = cand.join(
+                    _node_frame_bc(n_prev2, broadcast_nodes_max)(prev2),
+                    "vertex",
+                    "left_anti",
+                )
+            new = cand.localCheckpoint(eager=True)
+            n_new = new.count()
+            if n_new == 0:
+                break
+            levels.append(
+                new.select("vertex", F.lit(h).cast("long").alias("dist"))
             )
-        new = cand.localCheckpoint(eager=True)
-        n_new = new.count()
-        if n_new == 0:
-            break
-        levels.append(
-            new.select("vertex", F.lit(h).cast("long").alias("dist"))
-        )
-        prev2, n_prev2 = frontier, n_frontier
-        frontier, n_frontier = new, n_new
+            prev2, n_prev2 = frontier, n_frontier
+            frontier, n_frontier = new, n_new
     sym.unpersist()
     return reduce(lambda a, b: a.union(b), levels)
 
@@ -771,6 +808,7 @@ def flatten_hierarchy(
     node_col: str = "node",
     parent_col: str = "parent",
     max_depth: int = 64,
+    broadcast_nodes_max: int = _BC_NODES_MAX,
 ) -> DataFrame:
     """(node, root, depth) over a parent-pointer forest (parent NULL ⇒
     root) by POINTER DOUBLING: each round replaces every node's
@@ -784,6 +822,12 @@ def flatten_hierarchy(
     per round, the exponential-lineage shape pagerank_converged
     documents — so every round materializes through an eager
     localCheckpoint: log-many barrier writes of a node-sized table.
+
+    The state table is node-sized and counted once (rows never change:
+    pointers mutate, rows don't), so under ``broadcast_nodes_max`` the
+    self-join's probe side broadcasts — zero exchanges per round (the
+    pagerank gate, round-12); above the gate the sort-merge self-join
+    is the right plan for state tables too big to broadcast, unchanged.
 
     Nodes whose ancestor chain exceeds max_depth keep a non-root
     ancestor (detectable: join result's root has a parent); raise
@@ -802,6 +846,7 @@ def flatten_hierarchy(
         .cast("long")
         .alias("depth"),
     ).localCheckpoint(eager=True)
+    bc = _node_frame_bc(state.count(), broadcast_nodes_max)
     for _ in range(max(1, math.ceil(math.log2(max_depth)))):
         s2 = state.select(
             F.col("node").alias("_n2"),
@@ -809,7 +854,7 @@ def flatten_hierarchy(
             F.col("depth").alias("_d2"),
         )
         state = (
-            state.join(s2, state["anc"] == s2["_n2"], "left")
+            state.join(bc(s2), state["anc"] == s2["_n2"], "left")
             .select(
                 "node",
                 F.coalesce(F.col("_a2"), F.col("anc")).alias("anc"),

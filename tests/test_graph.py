@@ -328,3 +328,57 @@ def test_k_core_symmetric_input_matches_undirected(spark):
     b = {r.vertex: r.core_degree
          for r in k_core(sym, k=2, symmetric=True).collect()}
     assert a == b == {1: 3, 2: 3, 3: 3, 4: 3}
+
+
+def test_label_propagation_width_scope_restores_conf(spark):
+    """Round-12: the LPA round loop narrows the shuffle width under the
+    broadcast gate; the session conf must be restored and labels must
+    equal the ungated (shuffle-path) run."""
+    from big_data_analysis_of_airline_data_set_spark.operators.graph import (
+        label_propagation,
+    )
+
+    edges = [(1, 2), (2, 3), (3, 1), (4, 5), (5, 6), (6, 4), (3, 4)]
+    df = spark.createDataFrame(edges, "u long, v long")
+    saved = spark.conf.get("spark.sql.shuffle.partitions")
+    a = {r.vertex: r.label for r in label_propagation(df, rounds=3).collect()}
+    assert spark.conf.get("spark.sql.shuffle.partitions") == saved
+    b = {
+        r.vertex: r.label
+        for r in label_propagation(df, rounds=3, broadcast_nodes_max=0).collect()
+    }
+    assert a == b
+
+
+def test_bfs_width_scope_restores_conf_and_matches_shuffle_path(spark):
+    from big_data_analysis_of_airline_data_set_spark.operators.graph import (
+        bfs_distances,
+    )
+
+    edges = [(1, 2), (2, 3), (3, 4), (4, 5), (2, 6)]
+    df = spark.createDataFrame(edges, "u long, v long")
+    seeds = spark.createDataFrame([(1,)], "vertex long")
+    saved = spark.conf.get("spark.sql.shuffle.partitions")
+    a = {r.vertex: r.dist for r in bfs_distances(df, seeds).collect()}
+    assert spark.conf.get("spark.sql.shuffle.partitions") == saved
+    b = {
+        r.vertex: r.dist
+        for r in bfs_distances(df, seeds, broadcast_nodes_max=0).collect()
+    }
+    assert a == b == {1: 0, 2: 1, 3: 2, 6: 2, 4: 3, 5: 4}
+
+
+def test_flatten_hierarchy_broadcast_gate_matches_shuffle_path(spark):
+    from big_data_analysis_of_airline_data_set_spark.operators.graph import (
+        flatten_hierarchy,
+    )
+
+    rows = [(1, None), (2, 1), (3, 2), (4, 3), (5, None), (6, 5)]
+    df = spark.createDataFrame(rows, "node long, parent long")
+    a = {r.node: (r.root, r.depth) for r in flatten_hierarchy(df).collect()}
+    b = {
+        r.node: (r.root, r.depth)
+        for r in flatten_hierarchy(df, broadcast_nodes_max=0).collect()
+    }
+    assert a == b
+    assert a[4] == (1, 3) and a[6] == (5, 1)
