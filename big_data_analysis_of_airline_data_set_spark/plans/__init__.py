@@ -99,6 +99,17 @@ _CORRECTNESS_WINDOW = [
     # last (c) filler events_upsert_sink_stream held (green r6 row,
     # rotates into r13)
     "text_trigram_backoff",
+    # changed plans in the optimization session: per-round/per-level
+    # iteration shuffle width narrowed under the broadcast gate (LPA,
+    # BFS — operators/graph.py) and the known-count broadcast gate on
+    # the pointer-doubling self-join (flatten). Values identical by
+    # construction (equivalence tests pin both regimes); re-proved
+    # here by policy. They take the last three (c) filler slots
+    # (events_peak_concurrency, events_streaks, events_twap — green r6
+    # rows, rotate into r13).
+    "graph_label_propagation",
+    "graph_bfs_distances",
+    "graph_hierarchy_flatten",
     # (b) the 17 remaining r5-era rows — closes the r5 era (planner
     # order: sorted by name within the round)
     "multimodal_decode_png",
@@ -132,19 +143,18 @@ _CORRECTNESS_WINDOW = [
     "events_cumulative_users",
     "events_cusum_changepoint",
     "events_journey_paths",
-    "events_peak_concurrency",
-    "events_streaks",
-    "events_twap",
-    # Not in this window — the 19 remaining r6-era rows, displaced
+    # Not in this window — the 21 remaining r6-era rows, displaced
     # only by window size (planner order continues):
+    # events_peak_concurrency, events_streaks, events_twap,
     # events_upsert_sink_stream, filter_status,
     # filter_year, flagship_delay_summary_by_carrier,
-    # flights_cleaning_job, global_count, graph_hierarchy_flatten,
+    # flights_cleaning_job, global_count,
     # ml_target_encoding, projection, scalar_functions, set_intersect,
     # sketch_cms_join_size, stats_ab_test, stats_mannwhitney_u,
     # stats_multi_ols, stats_welch_ttest, string_functions, top_k,
     # union_schema_evolution.  Each keeps its green r6 row; all
-    # nineteen rotate into r13 with 31 slots to spare.
+    # twenty-one rotate into r13 with 29 slots to spare.
+    # (graph_hierarchy_flatten moved up into the changed-plans block.)
 ]
 
 
