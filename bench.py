@@ -405,6 +405,29 @@ def _cpu_times() -> tuple[int, int]:
         return 0, 0
 
 
+def _suite_steal(t0: tuple[int, int], t1: tuple[int, int]) -> float | None:
+    """Steal percentage over the window [t0, t1] (from _cpu_times), or
+    None when /proc/stat was unreadable / the window is empty."""
+    (a0, s0), (a1, s1) = t0, t1
+    if a1 <= a0:
+        return None
+    return round(100.0 * (s1 - s0) / (a1 - a0), 2)
+
+
+def _run_suite_stamped(
+    specs, spark, names: list[str], sf_dir: str, repeats: int, tag: str
+) -> tuple[dict[str, float], float, float | None]:
+    """_run_suite plus the steal fraction measured over the suite's OWN
+    window. Round 12's ground-truth comparison consumed a 4.22%-steal
+    32-core sample at face value and flagged 16 phantom regressions —
+    per-suite steal windows (not just the whole-run stamp) let any
+    consumer discount a single suite's numbers mechanically."""
+    t0 = _cpu_times()
+    timings, total = _run_suite(specs, spark, names, sf_dir, repeats, tag)
+    steal = _suite_steal(t0, _cpu_times())
+    return timings, total, steal
+
+
 def _testdata_generation(sf_dir: str) -> str:
     """Generation stamp of the timed corpus: newest parquet mtime under
     ``sf_dir`` (UTC, second resolution). The driver REGENERATES
@@ -462,7 +485,40 @@ def main() -> None:
     ensure_events_landed(spark, sf_dir)
     _warm(specs, spark, HEADLINE, sf_dir)
 
-    timings, total = _run_suite(specs, spark, HEADLINE, sf_dir, repeats, "headline")
+    steal_by_suite: dict[str, float | None] = {}
+    timings, total, hl_steal = _run_suite_stamped(
+        specs, spark, HEADLINE, sf_dir, repeats, "headline"
+    )
+    headline_samples = [{"value": total, "steal_pct": hl_steal}]
+    # Steal fence (round-12 verdict item 1): the headline total is the
+    # round-over-round ground truth, and a single steal-hit sample makes
+    # every per-query delta a phantom (r12: 16/16 "regressions" at 4.22%
+    # steal while the same-day 8-core run was faster on every query).
+    # Above the threshold the headline suite re-runs ONCE and the
+    # better-fenced (lower-steal) sample is reported; both samples stay
+    # in the record. Threshold default 3.5% sits between the quiet-host
+    # samples (2.3-3.1%) and the r12 steal-hit ones (4.2-6.8%).
+    steal_rerun_pct = float(os.environ.get("SPARK_GRAFT_STEAL_RERUN_PCT", "3.5"))
+    if hl_steal is not None and hl_steal > steal_rerun_pct:
+        print(
+            f"# headline steal {hl_steal}% > {steal_rerun_pct}% — re-running"
+            " the headline suite once for a better-fenced sample",
+            file=sys.stderr,
+        )
+        timings2, total2, hl_steal2 = _run_suite_stamped(
+            specs, spark, HEADLINE, sf_dir, repeats, "headline-rerun"
+        )
+        headline_samples.append({"value": total2, "steal_pct": hl_steal2})
+        # pick the better-fenced sample: materially lower steal wins;
+        # when the two windows' steal is within noise of each other
+        # (±0.5 pct points), the lower total wins instead — a 0.1-point
+        # steal difference must not outrank a real wall-clock gap
+        if hl_steal2 is not None and (
+            hl_steal2 < hl_steal - 0.5
+            or (abs(hl_steal2 - hl_steal) <= 0.5 and total2 < total)
+        ):
+            timings, total, hl_steal = timings2, total2, hl_steal2
+    steal_by_suite["headline"] = hl_steal
 
     from big_data_analysis_of_airline_data_set_spark.plans.ml_queries import (
         raw_metrics_query,
@@ -474,63 +530,73 @@ def main() -> None:
     print(f"# ml_quick_fit (raw {ML_FIT_FAMILY} metrics): {ml_fit:.2f}s", file=sys.stderr)
 
     _warm(specs, spark, CURATION, sf_dir)
-    cur_timings, cur_total = _run_suite(
+    cur_timings, cur_total, steal_by_suite["curation"] = _run_suite_stamped(
         specs, spark, CURATION, sf_dir, repeats, "curation"
     )
     print(f"# curation_suite: {cur_total}s {cur_timings}", file=sys.stderr)
 
     _warm(specs, spark, R3_OPS, sf_dir)
-    r3_timings, r3_total = _run_suite(specs, spark, R3_OPS, sf_dir, repeats, "r3_ops")
+    r3_timings, r3_total, steal_by_suite["r3_ops"] = _run_suite_stamped(
+        specs, spark, R3_OPS, sf_dir, repeats, "r3_ops"
+    )
     print(f"# r3_ops_suite: {r3_total}s {r3_timings}", file=sys.stderr)
 
     _warm(specs, spark, R4_OPS, sf_dir)
-    r4_timings, r4_total = _run_suite(specs, spark, R4_OPS, sf_dir, repeats, "r4_ops")
+    r4_timings, r4_total, steal_by_suite["r4_ops"] = _run_suite_stamped(
+        specs, spark, R4_OPS, sf_dir, repeats, "r4_ops"
+    )
     print(f"# r4_ops_suite: {r4_total}s {r4_timings}", file=sys.stderr)
 
     _warm(specs, spark, R4B_OPS, sf_dir)
-    r4b_timings, r4b_total = _run_suite(specs, spark, R4B_OPS, sf_dir, repeats, "r4b_ops")
+    r4b_timings, r4b_total, steal_by_suite["r4b_ops"] = _run_suite_stamped(
+        specs, spark, R4B_OPS, sf_dir, repeats, "r4b_ops"
+    )
     print(f"# r4b_ops_suite: {r4b_total}s {r4b_timings}", file=sys.stderr)
 
     _warm(specs, spark, R5_OPS, sf_dir)
-    r5_timings, r5_total = _run_suite(specs, spark, R5_OPS, sf_dir, repeats, "r5_ops")
+    r5_timings, r5_total, steal_by_suite["r5_ops"] = _run_suite_stamped(
+        specs, spark, R5_OPS, sf_dir, repeats, "r5_ops"
+    )
     print(f"# r5_ops_suite: {r5_total}s {r5_timings}", file=sys.stderr)
 
     _warm(specs, spark, R6_OPS, sf_dir)
-    r6_timings, r6_total = _run_suite(specs, spark, R6_OPS, sf_dir, repeats, "r6_ops")
+    r6_timings, r6_total, steal_by_suite["r6_ops"] = _run_suite_stamped(
+        specs, spark, R6_OPS, sf_dir, repeats, "r6_ops"
+    )
     print(f"# r6_ops_suite: {r6_total}s {r6_timings}", file=sys.stderr)
 
     _warm(specs, spark, R6B_OPS, sf_dir)
-    r6b_timings, r6b_total = _run_suite(
+    r6b_timings, r6b_total, steal_by_suite["r6b_ops"] = _run_suite_stamped(
         specs, spark, R6B_OPS, sf_dir, repeats, "r6b_ops"
     )
     print(f"# r6b_ops_suite: {r6b_total}s {r6b_timings}", file=sys.stderr)
 
     _warm(specs, spark, R6C_OPS, sf_dir)
-    r6c_timings, r6c_total = _run_suite(
+    r6c_timings, r6c_total, steal_by_suite["r6c_ops"] = _run_suite_stamped(
         specs, spark, R6C_OPS, sf_dir, repeats, "r6c_ops"
     )
     print(f"# r6c_ops_suite: {r6c_total}s {r6c_timings}", file=sys.stderr)
 
     _warm(specs, spark, R6D_OPS, sf_dir)
-    r6d_timings, r6d_total = _run_suite(
+    r6d_timings, r6d_total, steal_by_suite["r6d_ops"] = _run_suite_stamped(
         specs, spark, R6D_OPS, sf_dir, repeats, "r6d_ops"
     )
     print(f"# r6d_ops_suite: {r6d_total}s {r6d_timings}", file=sys.stderr)
 
     _warm(specs, spark, R7_OPS, sf_dir)
-    r7_timings, r7_total = _run_suite(
+    r7_timings, r7_total, steal_by_suite["r7_ops"] = _run_suite_stamped(
         specs, spark, R7_OPS, sf_dir, repeats, "r7_ops"
     )
     print(f"# r7_ops_suite: {r7_total}s {r7_timings}", file=sys.stderr)
 
     _warm(specs, spark, R8_OPS, sf_dir)
-    r8_timings, r8_total = _run_suite(
+    r8_timings, r8_total, steal_by_suite["r8_ops"] = _run_suite_stamped(
         specs, spark, R8_OPS, sf_dir, repeats, "r8_ops"
     )
     print(f"# r8_ops_suite: {r8_total}s {r8_timings}", file=sys.stderr)
 
     _warm(specs, spark, R9_OPS, sf_dir)
-    r9_timings, r9_total = _run_suite(
+    r9_timings, r9_total, steal_by_suite["r9_ops"] = _run_suite_stamped(
         specs, spark, R9_OPS, sf_dir, repeats, "r9_ops"
     )
     print(f"# r9_ops_suite: {r9_total}s {r9_timings}", file=sys.stderr)
@@ -610,6 +676,13 @@ def main() -> None:
         # *_stream entries timed through this sink (see BASELINE.md
         # round-12 methodology note; "noop" from r12 on).
         "stream_sink": stream_sink,
+        # Per-suite steal windows + the headline steal fence (round-13;
+        # r12 verdict item 1): "queries"/"value" above are the CHOSEN
+        # headline sample; headline_samples lists every sample taken
+        # (1 normally, 2 when the fence re-ran), each with the steal
+        # fraction over its own window.
+        "steal_by_suite": steal_by_suite,
+        "headline_samples": headline_samples,
     }
     bench_t_all1, bench_t_st1 = _cpu_times()
     if bench_t_all1 > bench_t_all0:

@@ -70,11 +70,16 @@ def connected_components(
             f"check_every must be >= 1, got {check_every} (a zero-round "
             "block would read unchanged labels as instant convergence)"
         )
+    # one exchange at build (guide §2.4, round-13): repartitioning by
+    # the join key FIRST lets the distinct dedup in place
+    # (hashpartitioning(_src) satisfies ClusteredDistribution(_src,
+    # _dst)) and keeps that partitioning in the cache — the old order
+    # paid a second full edge shuffle for the same layout.
     sym = (
         edges.select(F.col(src_col).alias("_src"), F.col(dst_col).alias("_dst"))
         .union(edges.select(F.col(dst_col).alias("_src"), F.col(src_col).alias("_dst")))
-        .distinct()
         .repartition(F.col("_src"))
+        .distinct()
         .persist()
     )
     labels = nodes.select(

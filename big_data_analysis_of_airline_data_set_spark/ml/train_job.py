@@ -13,8 +13,8 @@ from pyspark.sql import functions as F
 
 from .estimators import make_estimator, quick_grid, reference_grid
 from .evaluation import evaluate_predictions
-from .pipeline import build_feature_pipeline, build_pipeline
-from .tuning import best_params, fit_cv, fit_tvs_prefix_once
+from .pipeline import build_feature_pipeline
+from .tuning import best_params, fit_cv_prefix_once, fit_tvs_prefix_once
 
 
 def temporal_split(df: DataFrame, year_col: str, test_year: int) -> tuple[DataFrame, DataFrame]:
@@ -50,8 +50,18 @@ def fit_family(
     param_maps = grid_fn(family, est)
 
     if tuner == "cv":
-        pipeline = build_pipeline(categorical_cols, numeric_cols, est)
-        model = fit_cv(pipeline, param_maps, train, num_folds=num_folds)
+        # CV fits the parameter-free prefix once and grids over the
+        # estimator alone (round-12 verdict item 6) — same folds seed,
+        # same evaluator; consumers see the full-Pipeline surface
+        # through PrefixTunedModel, and CV's final refit-on-full-train
+        # is prefix-on-full-train in both constructions.
+        model = fit_cv_prefix_once(
+            build_feature_pipeline(categorical_cols, numeric_cols),
+            est,
+            param_maps,
+            train,
+            num_folds=num_folds,
+        )
     else:
         # TVS fits the parameter-free prefix once and grids over the
         # estimator alone (round-12 verdict item 5) — same grid, same

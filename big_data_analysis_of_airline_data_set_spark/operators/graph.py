@@ -144,10 +144,15 @@ def pagerank(
     default of 4 keeps ≤5 rank tables resident; the pre-advice default
     of 8 could evict/spill under pressure and silently lose the
     single-computation benefit)."""
-    # distinct() leaves hashpartitioning(src, dst) — it does NOT satisfy
-    # a join on src alone, so repartition by src before caching: the big
-    # table is shuffled once, here, instead of once per iteration.
-    e = edges.select(src, dst).distinct().repartition(F.col(src)).persist()
+    # ONE exchange at build (round-13, guide §2.4): repartition(src)
+    # FIRST, then distinct — hashpartitioning(src) satisfies the
+    # distinct aggregate's ClusteredDistribution(src, dst) requirement
+    # (equal (src,dst) pairs share a src partition), so the dedup runs
+    # in place and its output KEEPS the src partitioning every
+    # iteration's join needs. The pre-r13 order (distinct, then
+    # repartition) shuffled the edge set twice: once on (src,dst) for
+    # the dedup, once more on src for the cache.
+    e = edges.select(src, dst).repartition(F.col(src)).distinct().persist()
     nodes = (
         e.select(F.col(src).alias("node"))
         .union(e.select(F.col(dst).alias("node")))
@@ -271,7 +276,9 @@ def pagerank_converged(
     Returns ``(ranks, stopped_at)``; ranks carries the same
     caller-owns-release contract as ``pagerank`` (release with
     ``release_pagerank``)."""
-    e = edges.select(src, dst).distinct().repartition(F.col(src)).persist()
+    # one exchange at build — see the pagerank body for why
+    # repartition-then-distinct halves the build shuffles (guide §2.4)
+    e = edges.select(src, dst).repartition(F.col(src)).distinct().persist()
     nodes = (
         e.select(F.col(src).alias("node"))
         .union(e.select(F.col(dst).alias("node")))
@@ -558,13 +565,18 @@ def k_core(
     # for their own degree statistics skip a redundant union+distinct
     # shuffle here (round-6 review finding)
     directed = edges.select(F.col(u).alias("_s"), F.col(v).alias("_d"))
+    # one exchange at build (guide §2.4, round-13): repartitioning by
+    # the loop's join key FIRST lets the distinct dedup in place
+    # (hashpartitioning(key) satisfies ClusteredDistribution(_s, _d))
+    # and keeps that partitioning in the cache — the old order paid a
+    # second full edge shuffle for the same layout.
     sym = (
-        directed
+        directed.repartition(F.col("_s"))
         if symmetric
         else directed.union(
             edges.select(F.col(v).alias("_s"), F.col(u).alias("_d"))
-        ).distinct()
-    ).repartition(F.col("_s")).persist()
+        ).repartition(F.col("_s")).distinct()
+    ).persist()
     alive = sym.select(F.col("_s").alias("vertex")).distinct().localCheckpoint(
         eager=True
     )
@@ -640,13 +652,18 @@ def label_propagation(
     if rounds < 1:
         raise ValueError("rounds must be >= 1")
     directed = edges.select(F.col(u).alias("_s"), F.col(v).alias("_d"))
+    # one exchange at build (guide §2.4, round-13): repartitioning by
+    # the loop's join key FIRST lets the distinct dedup in place
+    # (hashpartitioning(key) satisfies ClusteredDistribution(_s, _d))
+    # and keeps that partitioning in the cache — the old order paid a
+    # second full edge shuffle for the same layout.
     sym = (
-        directed
+        directed.repartition(F.col("_d"))
         if symmetric
         else directed.union(
             edges.select(F.col(v).alias("_s"), F.col(u).alias("_d"))
-        ).distinct()
-    ).repartition(F.col("_d")).persist()
+        ).repartition(F.col("_d")).distinct()
+    ).persist()
     labels = (
         sym.select(F.col("_s").alias("vertex"))
         .distinct()
@@ -655,16 +672,22 @@ def label_propagation(
     )
     n = labels.count()
     bc = _node_frame_bc(n, broadcast_nodes_max)
-    # Width scope (round-12): in the broadcast regime both per-round
-    # exchanges — the (vertex, label) count partials and the top-1
-    # re-aggregate — are node-table-sized, so size them ceil(n/50k)
-    # instead of the session width. Sound here because every action
-    # (the per-round eager checkpoints) runs inside the loop; sym was
-    # already materialized at session width by the labels checkpoint
-    # above. Above the gate the session width is untouched (the
-    # sym ⋈ labels exchange is edge-fed there).
+    # Width scope (round-12, re-sized round-13): in the broadcast regime
+    # both per-round exchanges — the (vertex, label) count partials and
+    # the top-1 re-aggregate — are bounded by the DISTINCT (vertex,
+    # neighbor-label) pair count, which is EDGE-bound in early rounds
+    # (round 1: exactly the distinct directed edge count), not node-
+    # bound (r12 advice: a dense graph just under the node gate would
+    # have pushed an edge-sized shuffle through ceil(n/50k) partitions).
+    # So the width is sized from the symmetric edge count m — one extra
+    # count over the already-persisted-and-materialized sym cache —
+    # while the broadcast gate stays on n (it bounds the label TABLE).
+    # Sound here because every action (the per-round eager checkpoints)
+    # runs inside the loop; sym was already materialized at session
+    # width by the labels checkpoint above. Above the gate the session
+    # width is untouched (the sym ⋈ labels exchange is edge-fed there).
     scope = (
-        _iteration_shuffle_width(edges.sparkSession, n)
+        _iteration_shuffle_width(edges.sparkSession, sym.count())
         if n <= broadcast_nodes_max
         else nullcontext()
     )
@@ -735,13 +758,18 @@ def bfs_distances(
     from functools import reduce
 
     directed = edges.select(F.col(u).alias("_s"), F.col(v).alias("_d"))
+    # one exchange at build (guide §2.4, round-13): repartitioning by
+    # the loop's join key FIRST lets the distinct dedup in place
+    # (hashpartitioning(key) satisfies ClusteredDistribution(_s, _d))
+    # and keeps that partitioning in the cache — the old order paid a
+    # second full edge shuffle for the same layout.
     sym = (
-        directed
+        directed.repartition(F.col("_s"))
         if symmetric
         else directed.union(
             edges.select(F.col(v).alias("_s"), F.col(u).alias("_d"))
-        ).distinct()
-    ).repartition(F.col("_s")).persist()
+        ).repartition(F.col("_s")).distinct()
+    ).persist()
     frontier = (
         seeds.select(F.col(seed_col).alias("vertex"))
         .distinct()
@@ -761,12 +789,23 @@ def bfs_distances(
     # count doubles as the pre-scope materialization of the edge cache
     # (its distinct aggregate computes sym at session width). Sound:
     # every action (per-level checkpoints + counts) runs in the loop.
-    n_nodes = sym.select("_s").distinct().count()
-    scope = (
-        _iteration_shuffle_width(edges.sparkSession, n_nodes)
-        if n_nodes <= broadcast_nodes_max
-        else nullcontext()
-    )
+    # When the session width is already 1 (or unreadable) narrowing is
+    # a no-op, so the count job is skipped outright (r12 advice: it was
+    # pure added cost in that regime; the first level's candidate
+    # checkpoint materializes the edge cache instead).
+    try:
+        _sess_w = int(edges.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    except (TypeError, ValueError):
+        _sess_w = 1
+    if _sess_w > 1:
+        n_nodes = sym.select("_s").distinct().count()
+        scope = (
+            _iteration_shuffle_width(edges.sparkSession, n_nodes)
+            if n_nodes <= broadcast_nodes_max
+            else nullcontext()
+        )
+    else:
+        scope = nullcontext()
     prev2, n_prev2 = None, 0
     with scope:
         for h in range(1, max_hops + 1):
@@ -828,6 +867,12 @@ def flatten_hierarchy(
     self-join's probe side broadcasts — zero exchanges per round (the
     pagerank gate, round-12); above the gate the sort-merge self-join
     is the right plan for state tables too big to broadcast, unchanged.
+    PRECONDITION (implied by "rows never change", stated per r12
+    advice): ``node_col`` ids must be UNIQUE. Duplicate ids would grow
+    the row count each round through the self-join while the broadcast
+    decision stays pinned to the initial count — though duplicates
+    already produced undefined (node, root, depth) results before the
+    gate existed, so this documents, not changes, the contract.
 
     Nodes whose ancestor chain exceeds max_depth keep a non-root
     ancestor (detectable: join result's root has a parent); raise

@@ -65,6 +65,7 @@ def hll_registers(
     value_col: str,
     p: int = 8,
     group_cols: list[str] | None = None,
+    pre_distinct: bool = False,
 ) -> DataFrame:
     """(group..., register, max_rho): the HLL register vector per group
     in long form — one groupBy-max, constant-size shuffle (<= m rows
@@ -76,11 +77,19 @@ def hll_registers(
     ``group_col`` (aliased to ``group`` in the output, the
     single-dimension form) and ``group_cols`` (kept under their own
     names — e.g. ``["event_type", "hour_bucket"]`` for time-bucketed
-    sketches) are mutually exclusive."""
+    sketches) are mutually exclusive.
+
+    ``pre_distinct`` (round-13, guide §2.3): register MAX is duplicate-
+    insensitive, so deduplicating (group..., value) BEFORE the md5
+    yields the bit-identical register vector while hashing each
+    DISTINCT pair once instead of each row — the KMV twin
+    (sketches.kmv.kmv_sketch) documents the trade; opt-in at batch
+    call sites with duplicate-heavy inputs, never under streaming
+    maintenance (the running max IS the streaming dedup)."""
     if (group_col is None) == (group_cols is None):
         raise ValueError("pass exactly one of group_col / group_cols")
     m = _check_p(p)
-    h = _h56("hl_", F.col(value_col).cast("string"))
+    h = _h56("hl_", F.col("_v").cast("string"))
     suffix_bits = _HASH_BITS - p
     w = F.col("_h").bitwiseAND(F.lit((1 << suffix_bits) - 1))
     # rho = leading zeros of the (56-p)-bit suffix + 1
@@ -95,8 +104,11 @@ def hll_registers(
     else:
         keys = [F.col(c) for c in group_cols]
         key_names = list(group_cols)
+    base = df.select(*keys, F.col(value_col).alias("_v"))
+    if pre_distinct:
+        base = base.distinct()
     return (
-        df.select(*keys, h.alias("_h"))
+        base.select(*key_names, h.alias("_h"))
         .select(
             *key_names,
             F.shiftright(F.col("_h"), suffix_bits).alias("register"),
@@ -259,6 +271,7 @@ def hll_set_ops(
     value_col: str,
     p: int = 8,
     round_dp: int = 6,
+    pre_distinct: bool = False,
 ) -> DataFrame:
     """Sketch set algebra over every unordered pair of groups: union
     cardinality by register max-merge, intersection by
@@ -289,7 +302,8 @@ def hll_set_ops(
     # would each rescan it — a lazy localCheckpoint computes it once
     # (the double-referenced-frame discipline, see memory of r5/r6)
     regs = hll_registers(
-        df, group_col=group_col, value_col=value_col, p=p
+        df, group_col=group_col, value_col=value_col, p=p,
+        pre_distinct=pre_distinct,
     ).localCheckpoint(eager=False)
     per = hll_estimate(regs, p=p, round_dp=round_dp)
 
@@ -408,10 +422,14 @@ def hll_distinct_by_group(
     value_col: str,
     p: int = 8,
     with_union: bool = True,
+    pre_distinct: bool = False,
 ) -> DataFrame:
     """Build + estimate in one call (batch convenience twin of the
     streamed register maintenance in streaming.jobs)."""
-    regs = hll_registers(df, group_col=group_col, value_col=value_col, p=p)
+    regs = hll_registers(
+        df, group_col=group_col, value_col=value_col, p=p,
+        pre_distinct=pre_distinct,
+    )
     return hll_report(
         regs, df, group_col=group_col, value_col=value_col, p=p,
         with_union=with_union,

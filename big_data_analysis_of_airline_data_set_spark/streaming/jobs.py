@@ -20,6 +20,7 @@ so batch and stream plans are column-for-column identical.
 
 from __future__ import annotations
 
+import os
 import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
@@ -81,6 +82,22 @@ LAST_PROGRESS: dict[str, list[dict]] = {}
 # this flag and always drain to memory.
 DRAIN_SINK = "memory"
 
+# Base directory for the per-drain checkpoint tempdirs (None = the
+# system temp dir, the pre-r13 behavior). The checkpoint WAL (offsets/
+# commits) fsyncs per micro-batch and the default HDFS-backed state
+# store writes per-partition delta files per batch, so on a disk-backed
+# temp dir short drains time the filesystem as much as the operator;
+# bench.py points this at /dev/shm when it exists (disclosed bench
+# methodology, SPARK_GRAFT_STREAM_CKPT= overrides). Correctness paths
+# (driver oracle, pytest) never touch it — and the checkpoint contents
+# are mkdtemp-ephemeral either way, so durability is not in play.
+CKPT_BASE: str | None = None
+
+
+def _mkckpt(prefix: str) -> str:
+    base = CKPT_BASE if CKPT_BASE and os.path.isdir(CKPT_BASE) else None
+    return tempfile.mkdtemp(prefix=prefix, dir=base)
+
 
 def _run_to_memory(
     result: DataFrame,
@@ -115,7 +132,7 @@ def _run_to_memory(
         saved = spark.conf.get("spark.sql.shuffle.partitions")
         spark.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
     try:
-        checkpoint = tempfile.mkdtemp(prefix=f"ckpt-{query_name}-")
+        checkpoint = _mkckpt(f"ckpt-{query_name}-")
         if DRAIN_SINK == "noop":
             q = (
                 result.writeStream.format("noop")
@@ -614,7 +631,7 @@ def run_upsert_sink_stream_available_now(
     stream = events_stream_reader(
         spark, events_dir, max_files_per_trigger=max_files_per_trigger
     )
-    checkpoint = tempfile.mkdtemp(prefix=f"ckpt-{query_name}-")
+    checkpoint = _mkckpt(f"ckpt-{query_name}-")
     q = (
         stream.writeStream.foreachBatch(merge_batch)
         .option("checkpointLocation", checkpoint)

@@ -55,6 +55,15 @@ ARMS: dict[str, dict[str, str]] = {
     # run showed shuffled-hash picks blowing up join_heavy_hitters_cm
     # 4.8->16.0 s and dedup_span_scrub 3.6->17.8 s — the SMJ default
     # was right for this workload. Kept here as a comment, not an arm.
+    # Round-13: spark.sql.files.openCostInBytes floors the scan split
+    # size at max(openCost, bytesPerCore) whenever input bytes <
+    # cores × maxPartitionBytes — at bench scale the 4 MB default turns
+    # a 10 MB lineitem scan into ~3 tasks, so every pre-shuffle stage
+    # (md5+explode sketch builds, exact-percentile partials) runs
+    # ~3-wide on a 32-core box. Irrelevant at 100 TB (bytesPerCore ≫
+    # openCost); candidate values model fast page-cached storage.
+    "opencost1m": {"spark.sql.files.openCostInBytes": "1048576"},
+    "opencost256k": {"spark.sql.files.openCostInBytes": "262144"},
 }
 
 
@@ -63,7 +72,20 @@ def main() -> None:
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.1")
     ap.add_argument("--repeats", type=int, default=2)
     ap.add_argument("--mix", default="heavy", choices=["heavy", "headline"])
+    ap.add_argument(
+        "--arms",
+        default=None,
+        help="comma-separated arm names to run (default: all)",
+    )
     args = ap.parse_args()
+    if args.arms:
+        keep = set(args.arms.split(","))
+        unknown = keep - set(ARMS)
+        if unknown:
+            raise SystemExit(f"unknown arms: {sorted(unknown)}")
+        for k in list(ARMS):
+            if k not in keep:
+                del ARMS[k]
 
     from big_data_analysis_of_airline_data_set_spark.plans import all_queries
     from big_data_analysis_of_airline_data_set_spark.plans.events_queries import (

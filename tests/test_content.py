@@ -465,4 +465,3 @@ def test_trigram_stupid_backoff_hand_computed(spark):
         got[3].sb_bits - round(-math.log2((0.4 * 0.4 * 1) / 7), 6)
     ) < 1e-9
     assert got[4].n_trigrams == 0 and got[4].sb_bits is None
-
