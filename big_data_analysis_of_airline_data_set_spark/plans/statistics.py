@@ -520,12 +520,20 @@ def q_stats_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast back (group-cardinality rows) so pass 2 stays a single
     scan + aggregate. Same interpolation (percentile / quantile_cont)
     on both engines, round(6)."""
+    from ..stats.winsorize import spread_rows_for_heavy_agg
+
     li = read_testdata_table(spark, sf_dir, "lineitem")
-    med = li.groupBy("l_returnflag").agg(
+    # both percentile partials buffer value→count maps; spread the
+    # narrow row-group-bound scan across the session width first
+    # (gated no-op at scale — stats/winsorize.py helper, r13, −35%)
+    vals = spread_rows_for_heavy_agg(
+        li.select("l_returnflag", "l_extendedprice"), "l_extendedprice"
+    )
+    med = vals.groupBy("l_returnflag").agg(
         F.expr("percentile(l_extendedprice, 0.5)").alias("_med")
     )
     return (
-        li.join(F.broadcast(med), "l_returnflag")
+        vals.join(F.broadcast(med), "l_returnflag")
         .groupBy("l_returnflag")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n"),

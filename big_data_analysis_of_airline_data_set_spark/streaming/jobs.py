@@ -83,14 +83,17 @@ LAST_PROGRESS: dict[str, list[dict]] = {}
 DRAIN_SINK = "memory"
 
 # Base directory for the per-drain checkpoint tempdirs (None = the
-# system temp dir, the pre-r13 behavior). The checkpoint WAL (offsets/
-# commits) fsyncs per micro-batch and the default HDFS-backed state
-# store writes per-partition delta files per batch, so on a disk-backed
-# temp dir short drains time the filesystem as much as the operator;
-# bench.py points this at /dev/shm when it exists (disclosed bench
-# methodology, SPARK_GRAFT_STREAM_CKPT= overrides). Correctness paths
-# (driver oracle, pytest) never touch it — and the checkpoint contents
-# are mkdtemp-ephemeral either way, so durability is not in play.
+# system temp dir). Hypothesis tested in round 13: the checkpoint WAL
+# (offsets/commits) fsyncs per micro-batch and the HDFS-backed state
+# store writes per-partition delta files per batch, so a disk-backed
+# temp dir might tax short drains. MEASURED NEUTRAL (tests/ab_stream.py,
+# 3 drains, same-session interleaved, steal 0.93%: /dev/shm 11.28 s vs
+# ext4 11.255 s total — the page cache absorbs the writes) and the
+# RocksDB state-store provider measured +12% on the same drains (native
+# overhead at dimension-sized state), so BOTH stay off; the remaining
+# drain wall is per-micro-batch scheduling, which is the file-granular
+# semantic. The hook stays for ab_stream.py re-measurement on hosts
+# where the filesystem is not page-cache-friendly.
 CKPT_BASE: str | None = None
 
 
