@@ -57,104 +57,76 @@ _MODULES = [
 ]
 
 # The driver's correctness harness records only the first 50 registry
-# entries.  Round-12 window (r11 verdict task 4 + this round's changed
-# plans): (a) every plan changed this round re-proves first — the 15
-# ML entries whose TVS path moved to prefix-once fitting
-# (ml/tuning.py:fit_tvs_prefix_once — the transform prefix now fits
-# once per feature set on full train instead of once per grid
-# candidate inside TVS; invariants unchanged by construction, metrics
-# banded) plus text_bigram_perplexity (forced broadcast of the
-# unbounded-vocab history table dropped in favour of AQE, round-12
-# advice; values identical, plan changed) — then (b) the 17 remaining
-# r5-era rows (closing the r5 era entirely), then (c) the 17 oldest
-# r6-era rows in planner order (events_upsert_sink_stream yielded its
-# slot to the NEW text_trigram_backoff entry).  17 + 17 + 16 = 50.
-# After this window the oldest latest-driver-row anywhere is r6 (the
-# 19 r6-era leftovers listed at the bottom).  The flagship stays driver-evidenced every
-# round through the t1 entry() smoke check.
+# entries.  Round-13 window (r12 verdict item 8 + this round's changed
+# plans): (a) every plan changed this optimization round re-proves
+# first — the loop family whose edge builds dropped an exchange
+# (repartition-then-distinct, operators/graph.py +
+# dedup/components.py), the two KMV entries that dedup before hashing
+# (sketches/kmv.py pre_distinct), the two exact-percentile entries
+# whose partials spread across the session width
+# (stats/winsorize.py:spread_rows_for_heavy_agg), and the two CV
+# entries whose tuner moved to prefix-once fitting
+# (ml/tuning.py:fit_cv_prefix_once) — 14 entries; then (b) the 21
+# r6-era leftovers the r12 window note promised into r13, then (c) the
+# 15 oldest r7-era rows (oldest-last-driver-row order, computed from
+# CORRECTNESS_r*.json, ties by name).  14 + 21 + 15 = 50.  After this
+# window the oldest latest-driver-row anywhere is r7.  The flagship
+# stays driver-evidenced every round through the t1 entry() smoke
+# check (and re-enters the window itself this round as an r6 row).
 _CORRECTNESS_WINDOW = [
-    # (a) changed plans this round — ML prefix-once TVS re-proofs
-    # (all seven families: invariants + banded metrics twins share one
-    # cached fit per family) and the variant sweep
-    "ml_logistic_regression_tvs",
-    "ml_logistic_regression_metrics_banded",
-    "ml_decision_tree_tvs",
-    "ml_decision_tree_metrics_banded",
-    "ml_random_forest_tvs",
-    "ml_random_forest_metrics_banded",
-    "ml_gbt_tvs",
-    "ml_gbt_metrics_banded",
-    "ml_linear_svc_tvs",
-    "ml_linear_svc_metrics_banded",
-    "ml_naive_bayes_tvs",
-    "ml_naive_bayes_metrics_banded",
-    "ml_mlp_tvs",
-    "ml_mlp_metrics_banded",
-    "ml_variant_sweep",
-    # text_bigram_perplexity: history-table broadcast dropped (advice)
-    "text_bigram_perplexity",
-    # text_trigram_backoff: NEW this round (trigram stupid-backoff
-    # quality scoring, the designed-for model swap of perplexity.py);
-    # never-driver-checked goes first by policy — takes the slot the
-    # last (c) filler events_upsert_sink_stream held (green r6 row,
-    # rotates into r13)
-    "text_trigram_backoff",
-    # changed plans in the optimization session: per-round/per-level
-    # iteration shuffle width narrowed under the broadcast gate (LPA,
-    # BFS — operators/graph.py) and the known-count broadcast gate on
-    # the pointer-doubling self-join (flatten). Values identical by
-    # construction (equivalence tests pin both regimes); re-proved
-    # here by policy. They take the last three (c) filler slots
-    # (events_peak_concurrency, events_streaks, events_twap — green r6
-    # rows, rotate into r13).
+    # (a) changed plans this round
+    "graph_pagerank",
+    "graph_pagerank_converged",
+    "graph_k_core",
     "graph_label_propagation",
     "graph_bfs_distances",
-    "graph_hierarchy_flatten",
-    # (b) the 17 remaining r5-era rows — closes the r5 era (planner
-    # order: sorted by name within the round)
-    "multimodal_decode_png",
-    "range_join_bucketized",
-    "rollup_agg",
-    "salted_join_agg",
-    "set_except",
-    "sketch_kmv_join_cardinality",
-    "stats_group_ols",
-    "stats_moments",
-    "sum_by_year",
-    "text_token_rarity",
-    "tpch_q1_style",
-    "union_reassembly",
-    "variance",
-    "window_analytics",
-    "window_frames",
-    "window_ranking",
-    "window_top_order",
-    # (c) the 17 oldest r6-era rows (planner order)
-    "cast_chain",
-    "conditional_aggregates",
-    "count_by_dow",
-    "count_by_month",
+    "dedup_connected_components",
     "dedup_entity_resolution",
-    "deterministic_sample",
-    "distinct_count",
-    "distinct_values",
-    "events_capped_sessions",
-    "events_cms_stream",
-    "events_cumulative_users",
-    "events_cusum_changepoint",
-    "events_journey_paths",
-    # Not in this window — the 21 remaining r6-era rows, displaced
-    # only by window size (planner order continues):
-    # events_peak_concurrency, events_streaks, events_twap,
-    # events_upsert_sink_stream, filter_status,
-    # filter_year, flagship_delay_summary_by_carrier,
-    # flights_cleaning_job, global_count,
-    # ml_target_encoding, projection, scalar_functions, set_intersect,
-    # sketch_cms_join_size, stats_ab_test, stats_mannwhitney_u,
-    # stats_multi_ols, stats_welch_ttest, string_functions, top_k,
-    # union_schema_evolution.  Each keeps its green r6 row; all
-    # twenty-one rotate into r13 with 29 slots to spare.
-    # (graph_hierarchy_flatten moved up into the changed-plans block.)
+    "dedup_canonical_keeper",
+    "sketch_kmv_distinct",
+    "sketch_kmv_join_cardinality",
+    "feature_winsorize_exact",
+    "stats_mad_by_group",
+    "ml_logistic_regression_cv",
+    "ml_logistic_regression_cv_metrics_banded",
+    # (b) the 21 r6-era leftovers (planner order)
+    "events_peak_concurrency",
+    "events_streaks",
+    "events_twap",
+    "events_upsert_sink_stream",
+    "filter_status",
+    "filter_year",
+    "flagship_delay_summary_by_carrier",
+    "flights_cleaning_job",
+    "global_count",
+    "ml_target_encoding",
+    "projection",
+    "scalar_functions",
+    "set_intersect",
+    "sketch_cms_join_size",
+    "stats_ab_test",
+    "stats_mannwhitney_u",
+    "stats_multi_ols",
+    "stats_welch_ttest",
+    "string_functions",
+    "top_k",
+    "union_schema_evolution",
+    # (c) the 15 oldest r7-era rows (name order within the era)
+    "curation_temperature_mixture",
+    "embedding_kmeans_assign",
+    "embedding_label_centroids",
+    "embedding_pq_codebook",
+    "events_cohort_ltv",
+    "events_funnel_ttc",
+    "events_funnel_windowed",
+    "events_uplift_by_segment",
+    "graph_degree_histogram",
+    "join_bucketed_colocated",
+    "orders_abc_classification",
+    "sink_jsonl_roundtrip",
+    "sink_orc_roundtrip",
+    "skyline_dominance",
+    "stats_anova_oneway",
 ]
 
 
